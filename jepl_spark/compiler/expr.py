@@ -1,0 +1,345 @@
+"""JEPL expression → PySpark Column compiler.
+
+Reproduces the reference interpreter's typed dispatch (eval.go:134-297)
+*statically*: under a fixed Spark schema the reference's per-row type
+switch collapses into compile-time case analysis, and the remaining
+runtime variability (a field missing on some rows ≡ SQL NULL) is handled
+with null-guard expressions so that Catalyst sees plain, optimizable
+column expressions — no UDFs anywhere on this path.
+
+Quirk rules carried over (SURVEY.md §2.9):
+- x / 0 → 0.0 (eval.go:196-200, 227-231, 267-273)
+- type-mismatched comparisons → false, not error (ok&& pattern)
+- ``bool AND/OR nil`` → false, while ``nil AND/OR x`` → nil
+  (eval.go:139-151: the lhs switch sees nil first)
+- IN/NI are type-strict: float values match only float list elements
+  (reflect.DeepEqual, eval.go:367-382)
+- constant subtrees are folded through the oracle interpreter, so Go
+  int64 arithmetic (truncating division, ``4 AND 5`` → nil, …) is
+  preserved exactly
+
+Known, documented divergence: values extracted from raw-JSON string
+columns via ``get_json_object`` lose their JSON type — a JSON string
+``"5"`` used in numeric context compares equal to 5.0 where the
+reference would answer false.  Fixture corpora keep JSON value types
+consistent with usage, as the reference's own corpus does.
+"""
+
+from __future__ import annotations
+
+import re as _re
+from typing import Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..lang import ast
+from ..lang.tokens import Tok
+from ..oracle import eval_expr as _oracle_eval
+from .types import JType, resolve_var_ref
+
+
+class JeplCompileError(Exception):
+    pass
+
+
+class CExpr:
+    """A compiled expression: Column + static JEPL type + payload for
+    operand-only node kinds (list values / regex pattern)."""
+
+    __slots__ = ("col", "jtype", "nullable", "payload")
+
+    def __init__(self, col, jtype: JType, nullable: bool = True, payload=None):
+        self.col = col
+        self.jtype = jtype
+        self.nullable = nullable
+        self.payload = payload
+
+
+_NIL = lambda: CExpr(F.lit(None), JType.NIL, nullable=True)  # noqa: E731
+
+_CMP_OPS = {Tok.EQ, Tok.NEQ, Tok.LT, Tok.LTE, Tok.GT, Tok.GTE}
+_ARITH_OPS = {Tok.ADD, Tok.SUB, Tok.MUL, Tok.DIV}
+_BOOLISH_OPS = {Tok.AND, Tok.OR, Tok.EQ, Tok.NEQ}
+
+
+def _has_refs_or_calls(expr: ast.Expr) -> bool:
+    return any(isinstance(n, (ast.VarRef, ast.Call)) for n in ast.walk(expr))
+
+
+def _lit_cexpr(value) -> CExpr:
+    if value is None:
+        return _NIL()
+    if isinstance(value, bool):
+        return CExpr(F.lit(value), JType.BOOL, nullable=False)
+    if isinstance(value, int):
+        return CExpr(F.lit(float(value)), JType.INT, nullable=False)
+    if isinstance(value, float):
+        return CExpr(F.lit(value), JType.FLOAT, nullable=False)
+    if isinstance(value, str):
+        return CExpr(F.lit(value), JType.STRING, nullable=False)
+    if isinstance(value, list):
+        return CExpr(F.lit(None), JType.LIST, nullable=False, payload=value)
+    if isinstance(value, _re.Pattern):
+        return CExpr(F.lit(None), JType.REGEX, nullable=False, payload=value.pattern)
+    raise JeplCompileError(f"unfoldable constant {value!r}")
+
+
+class ExprCompiler:
+    """Compiles condition / aggregate-arg expressions against a schema."""
+
+    def __init__(self, schema: StructType) -> None:
+        self.schema = schema
+        # Relaxed mode (set only while compiling an OR-free predicate):
+        # the reference's false-vs-nil distinction is observable *only*
+        # through an enclosing OR (eval.go:146: `bool OR nil` → false
+        # even when lhs is true).  Without OR, a row is matched iff every
+        # conjunct is TRUE under plain Kleene logic too, so guards can be
+        # dropped — producing bare `col op lit` conjuncts that Catalyst
+        # pushes into the parquet scan.
+        self._relaxed = False
+
+    # -- public ----------------------------------------------------------
+
+    def compile(self, expr: ast.Expr) -> CExpr:
+        if not _has_refs_or_calls(expr):
+            # constant subtree → fold with exact reference semantics
+            return _lit_cexpr(_oracle_eval(expr, None))
+        if isinstance(expr, ast.VarRef):
+            ref = resolve_var_ref(self.schema, expr.segments)
+            return CExpr(ref.col, ref.jtype, nullable=True)
+        if isinstance(expr, ast.ParenExpr):
+            return self.compile(expr.expr)
+        if isinstance(expr, ast.BinaryExpr):
+            return self._compile_binary(expr)
+        if isinstance(expr, ast.Call):
+            raise JeplCompileError(
+                f"aggregate call {expr} not allowed in this context"
+            )
+        # bare literal containing no refs is handled by the fold above
+        return _lit_cexpr(_oracle_eval(expr, None))
+
+    def compile_predicate(self, expr: Optional[ast.Expr]) -> Column:
+        """Compile a WHERE condition to a boolean 'matched' column.
+
+        A row matches iff the result is boolean true (eval.go:48-56).
+        NULL ≡ no-match here, and both ``DataFrame.filter`` and ``when()``
+        treat NULL as false, so no root coalesce is emitted — keeping the
+        predicate in a shape Catalyst can push into the parquet scan."""
+        if expr is None:
+            return F.lit(True)
+        self._relaxed = not any(
+            isinstance(n, ast.BinaryExpr) and n.op is Tok.OR for n in ast.walk(expr)
+        )
+        try:
+            ce = self.compile(expr)
+        finally:
+            self._relaxed = False
+        if ce.jtype is JType.BOOL:
+            return ce.col
+        if ce.jtype is JType.JSONANY:
+            return self._json_as_bool(ce.col)
+        return F.lit(False)  # non-boolean condition → no row matches
+
+    def compile_numeric(self, expr: ast.Expr) -> Column:
+        """Compile an aggregate argument to a nullable double column:
+        NULL ⇔ the reference would skip accumulation for the row
+        (missing field / non-numeric value, eval.go:318-325)."""
+        ce = self.compile(expr)
+        return self._as_double(ce)
+
+    # -- coercions ---------------------------------------------------------
+
+    @staticmethod
+    def _as_double(ce: CExpr) -> Column:
+        if ce.jtype in (JType.FLOAT, JType.INT):
+            return ce.col.cast("double")
+        if ce.jtype is JType.JSONANY:
+            return ce.col.try_cast("double")
+        return F.lit(None).cast("double")
+
+    @staticmethod
+    def _json_as_bool(col: Column) -> Column:
+        return (
+            F.when(col == F.lit("true"), F.lit(True))
+            .when(col == F.lit("false"), F.lit(False))
+            .otherwise(F.lit(None))
+        )
+
+    # -- binary dispatch -------------------------------------------------
+
+    def _compile_binary(self, expr: ast.BinaryExpr) -> CExpr:
+        op = expr.op
+        lhs = self.compile(expr.lhs)
+
+        if op in (Tok.IN, Tok.NI):
+            if not isinstance(expr.rhs, ast.ListLiteral):
+                return _NIL()
+            return self._compile_in(lhs, expr.rhs.vals, negate=op is Tok.NI)
+        if op in (Tok.EQREGEX, Tok.NEQREGEX):
+            if not isinstance(expr.rhs, ast.RegexLiteral):
+                return _NIL()
+            return self._compile_regex(lhs, expr.rhs.pattern, negate=op is Tok.NEQREGEX)
+
+        rhs = self.compile(expr.rhs)
+
+        lt = lhs.jtype
+        if lt is JType.NIL:
+            return _NIL()
+        if lt is JType.BOOL:
+            return self._bool_lhs(op, lhs, rhs)
+        if lt in (JType.FLOAT, JType.INT):
+            return self._numeric_lhs(op, lhs, rhs)
+        if lt is JType.STRING:
+            return self._string_lhs(op, lhs, rhs)
+        if lt is JType.JSONANY:
+            return self._jsonany_lhs(op, lhs, rhs)
+        return _NIL()  # LIST/REGEX lhs → nil in the reference too
+
+    # guarded combine: nil lhs → nil ; non-conforming rhs → false ;
+    # else op(lhs, rhs)   (the `ok && (...)` pattern of eval.go).
+    # When the rhs cannot be null (a literal), plain `lhs op rhs` has
+    # exactly these semantics under Spark's 3-valued logic (NULL ⇔ nil),
+    # and stays pushdown-friendly — no CASE WHEN wrapper.
+    def _guarded(self, lhs: CExpr, rhs: CExpr, rhs_col: Column, result: Column) -> CExpr:
+        if self._relaxed or not rhs.nullable:
+            return CExpr(result, JType.BOOL)
+        col = F.when(rhs_col.isNull(), F.lit(False)).otherwise(result)
+        if lhs.nullable:
+            col = F.when(lhs.col.isNull(), F.lit(None)).otherwise(col)
+        return CExpr(col, JType.BOOL)
+
+    def _bool_lhs(self, op: Tok, lhs: CExpr, rhs: CExpr) -> CExpr:
+        if op not in _BOOLISH_OPS:
+            return _NIL()
+        if rhs.jtype is JType.BOOL:
+            rc = rhs.col
+        elif rhs.jtype is JType.JSONANY:
+            rc = self._json_as_bool(rhs.col)
+        else:
+            # rhs statically non-bool → ok==false → false (nil lhs → nil)
+            col = F.lit(False)
+            if lhs.nullable:
+                col = F.when(lhs.col.isNull(), F.lit(None)).otherwise(col)
+            return CExpr(col, JType.BOOL)
+        if op in (Tok.AND, Tok.OR):
+            # ref: lhs nil → nil  |  rhs nil → false  |  else lhs ∧/∨ rhs.
+            # Spark's 3VL differs here (NULL AND false = false, true OR
+            # NULL = true), so AND/OR always carry explicit guards.
+            res = (lhs.col & rc) if op is Tok.AND else (lhs.col | rc)
+            if self._relaxed:  # OR-free tree: Kleene AND is root-equivalent
+                return CExpr(res, JType.BOOL)
+            rhs_maybe_null = rhs.nullable or rhs.jtype is JType.JSONANY
+            col = (
+                F.when(rc.isNull(), F.lit(False)).otherwise(res)
+                if rhs_maybe_null
+                else res
+            )
+            if lhs.nullable:
+                col = F.when(lhs.col.isNull(), F.lit(None)).otherwise(col)
+            return CExpr(col, JType.BOOL)
+        res = (lhs.col == rc) if op is Tok.EQ else (lhs.col != rc)
+        return self._guarded(lhs, rhs, rc, res)
+
+    def _numeric_lhs(self, op: Tok, lhs: CExpr, rhs: CExpr) -> CExpr:
+        lc = lhs.col.cast("double")
+        if rhs.jtype in (JType.FLOAT, JType.INT):
+            rc = rhs.col.cast("double")
+        elif rhs.jtype is JType.JSONANY:
+            rc = rhs.col.try_cast("double")
+        else:
+            rc = None  # statically non-numeric rhs
+
+        if op in _CMP_OPS:
+            if rc is None:
+                col = F.lit(False)
+                if lhs.nullable:
+                    col = F.when(lhs.col.isNull(), F.lit(None)).otherwise(col)
+                return CExpr(col, JType.BOOL)
+            res = {
+                Tok.EQ: lc == rc, Tok.NEQ: lc != rc, Tok.LT: lc < rc,
+                Tok.LTE: lc <= rc, Tok.GT: lc > rc, Tok.GTE: lc >= rc,
+            }[op]
+            return self._guarded(lhs, rhs, rc, res)
+
+        if op in _ARITH_OPS:
+            if rc is None:
+                return _NIL()  # `ok==false → nil` for arithmetic
+            if op is Tok.ADD:
+                return CExpr(lc + rc, JType.FLOAT)
+            if op is Tok.SUB:
+                return CExpr(lc - rc, JType.FLOAT)
+            if op is Tok.MUL:
+                return CExpr(lc * rc, JType.FLOAT)
+            # DIV with the x/0 → 0.0 quirk; nil operands stay nil
+            col = (
+                F.when(lc.isNull() | rc.isNull(), F.lit(None))
+                .when(rc == 0.0, F.lit(0.0))
+                .otherwise(lc / rc)
+            )
+            return CExpr(col, JType.FLOAT)
+
+        return _NIL()  # AND/OR over numbers → nil (`4 AND 5`)
+
+    def _string_lhs(self, op: Tok, lhs: CExpr, rhs: CExpr) -> CExpr:
+        if op in (Tok.EQ, Tok.NEQ):
+            if rhs.jtype in (JType.STRING, JType.JSONANY):
+                res = (lhs.col == rhs.col) if op is Tok.EQ else (lhs.col != rhs.col)
+                return self._guarded(lhs, rhs, rhs.col, res)
+            col = F.lit(False)
+            if lhs.nullable:
+                col = F.when(lhs.col.isNull(), F.lit(None)).otherwise(col)
+            return CExpr(col, JType.BOOL)
+        return _NIL()  # relational/arith/AND/OR on strings → nil
+
+    def _jsonany_lhs(self, op: Tok, lhs: CExpr, rhs: CExpr) -> CExpr:
+        """Coerce a JSON-extracted lhs by the rhs's static type."""
+        if rhs.jtype in (JType.FLOAT, JType.INT):
+            return self._numeric_lhs(
+                op, CExpr(lhs.col.try_cast("double"), JType.FLOAT), rhs
+            )
+        if rhs.jtype in (JType.STRING, JType.JSONANY):
+            return self._string_lhs(op, CExpr(lhs.col, JType.STRING), rhs)
+        if rhs.jtype is JType.BOOL:
+            return self._bool_lhs(op, CExpr(self._json_as_bool(lhs.col), JType.BOOL), rhs)
+        if op in _ARITH_OPS or op in _CMP_OPS:
+            # rhs nil/other: numeric view → false/nil per numeric rules
+            return self._numeric_lhs(
+                op, CExpr(lhs.col.try_cast("double"), JType.FLOAT), rhs
+            )
+        return _NIL()
+
+    def _compile_in(self, lhs: CExpr, vals: list, negate: bool) -> CExpr:
+        floats = [float(v) for v in vals
+                  if isinstance(v, float) and not isinstance(v, bool)]
+        strings = [v for v in vals if isinstance(v, str)]
+
+        if lhs.jtype is JType.NIL:
+            return _NIL()
+        if lhs.jtype in (JType.FLOAT, JType.INT):
+            lc, elems = lhs.col.cast("double"), floats
+        elif lhs.jtype is JType.STRING:
+            lc, elems = lhs.col, strings
+        elif lhs.jtype is JType.JSONANY:
+            if floats and not strings:
+                lc, elems = lhs.col.try_cast("double"), floats
+            else:
+                lc, elems = lhs.col, strings
+        else:
+            return _NIL()  # bool lhs: no IN case in eval.go:139-151
+
+        if elems:
+            inside = lc.isin(elems)
+        else:
+            inside = F.when(lc.isNull(), F.lit(None)).otherwise(F.lit(False))
+        col = (~inside) if negate else inside
+        return CExpr(col, JType.BOOL)
+
+    def _compile_regex(self, lhs: CExpr, pattern: str, negate: bool) -> CExpr:
+        if lhs.jtype is JType.NIL:
+            return _NIL()
+        if lhs.jtype not in (JType.STRING, JType.JSONANY):
+            return _NIL()  # regex only applies to strings (eval.go:276-294)
+        m = lhs.col.rlike(pattern)
+        return CExpr((~m) if negate else m, JType.BOOL)

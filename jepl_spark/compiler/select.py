@@ -1,0 +1,209 @@
+"""SELECT statement → DataFrame plan compiler.
+
+Replaces the reference's clone-one-statement-per-group interpretation
+(groupby.go:8-46, O(groups × docs) condition evals) with a single
+conditional-aggregation plan — one shuffle, map-side partial aggregation,
+whole-stage codegen, no Python on the hot path:
+
+    groupBy(dims over the UNFILTERED frame)        ← group keys are
+        .agg(agg(when(matched, arg)) ...)            enumerated pre-WHERE
+                                                     (quirk §2.9.6)
+
+With no GROUP BY the plan pre-filters instead (predicate reaches the
+scan via Catalyst pushdown) since zero-match groups cannot arise.
+
+Aggregate semantics (eval.go:307-365, quirks §2.9.1-5):
+- count(f)  = number of matched rows (field existence irrelevant)
+- sum(e)    = sum over matched rows of numeric e; empty/none → 0.0
+- avg(e)    = sum(e) / matched-row-count; 0 matched → 0.0
+- max/min   = extremum of coalesce(e, 0.0) over matched rows; empty → 0.0
+- post-aggregate arithmetic over call results, x/0 → 0.0
+"""
+
+from __future__ import annotations
+
+import re as _re
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..lang import ast
+from ..lang.tokens import Tok
+from ..oracle import eval_expr as _oracle_eval
+from .expr import ExprCompiler, JeplCompileError
+
+_SUPPORTED_AGGS = {"count", "sum", "avg", "max", "min"}
+
+
+def _sanitize(name: str) -> str:
+    return _re.sub(r"[^0-9A-Za-z_]", "_", name)
+
+
+class CompiledSelect:
+    """Carrier for the pieces of a compiled SELECT, so the streaming
+    layer can re-assemble them around windows/watermarks."""
+
+    def __init__(
+        self,
+        stmt: ast.SelectStatement,
+        matched: Column,
+        dim_cols: list[tuple[str, Column]],
+        agg_exprs: list[Column],
+        post_select: "PostSelect",
+    ) -> None:
+        self.stmt = stmt
+        self.matched = matched
+        self.dim_cols = dim_cols
+        self.agg_exprs = agg_exprs
+        self.post_select = post_select
+
+
+class PostSelect:
+    """Builds the final projection from aggregated intermediate columns."""
+
+    def __init__(
+        self,
+        call_columns: dict[int, str],
+        fields: list[ast.Field],
+        names: list[str],
+    ) -> None:
+        self.call_columns = call_columns  # id(Call) → intermediate col name
+        self.fields = fields
+        self.names = names
+
+    def columns(self, group_names: list[str]) -> list[Column]:
+        out = [F.col(f"`{g}`") for g in group_names]
+        for f, name in zip(self.fields, self.names):
+            out.append(self._field_expr(f.expr).alias(name))
+        return out
+
+    def _call_value(self, call: ast.Call) -> Column:
+        base = self.call_columns[id(call)]
+        if call.name == "count":
+            return F.col("__match_count").cast("double")
+        if call.name == "avg":
+            cnt = F.col("__match_count")
+            return (
+                F.when(cnt == 0, F.lit(0.0))
+                .otherwise(F.coalesce(F.col(base), F.lit(0.0)) / cnt)
+            )
+        return F.coalesce(F.col(base), F.lit(0.0))
+
+    def _field_expr(self, expr: ast.Expr) -> Column:
+        """Post-aggregate arithmetic (float math, x/0 → 0.0).  Operands
+        are drained call values (never null) and literals."""
+        if isinstance(expr, ast.Call):
+            return self._call_value(expr)
+        if isinstance(expr, ast.ParenExpr):
+            return self._field_expr(expr.expr)
+        if isinstance(expr, ast.BinaryExpr):
+            lc = self._field_expr(expr.lhs)
+            rc = self._field_expr(expr.rhs)
+            if expr.op is Tok.ADD:
+                return lc + rc
+            if expr.op is Tok.SUB:
+                return lc - rc
+            if expr.op is Tok.MUL:
+                return lc * rc
+            if expr.op is Tok.DIV:
+                return F.when(rc == 0.0, F.lit(0.0)).otherwise(lc / rc)
+            raise JeplCompileError(f"operator {expr.op} invalid in SELECT field")
+        if isinstance(expr, (ast.IntegerLiteral, ast.NumberLiteral)):
+            return F.lit(float(_oracle_eval(expr, None)))
+        raise JeplCompileError(
+            f"raw (non-aggregate) field {expr} is not executable"
+        )
+
+
+def compile_select_parts(
+    stmt: ast.SelectStatement, compiler: ExprCompiler
+) -> CompiledSelect:
+    calls: list[ast.Call] = []
+    for f in stmt.fields:
+        calls.extend(n for n in ast.walk(f.expr) if isinstance(n, ast.Call))
+    if not calls:
+        raise JeplCompileError(
+            "raw queries (no aggregate call) are not executable; the "
+            "reference interpreter crashes on them at drain (eval.go:22)"
+        )
+    for c in calls:
+        if c.name not in _SUPPORTED_AGGS:
+            raise JeplCompileError(
+                f"unsupported aggregate function {c.name}() — the reference "
+                f"evaluates only count/sum/avg/max/min (eval.go:316-360)"
+            )
+
+    matched = compiler.compile_predicate(stmt.condition)
+
+    # dimensions (group keys)
+    dim_cols: list[tuple[str, Column]] = []
+    used: set[str] = set()
+    for i, d in enumerate(stmt.dimensions):
+        if isinstance(d.expr, ast.VarRef):
+            name = _sanitize(d.expr.val)
+        else:
+            name = f"dim_{i}"
+        while name in used:
+            name += "_"
+        used.add(name)
+        dim_cols.append((name, compiler.compile(d.expr).col))
+
+    # aggregate expressions
+    agg_exprs: list[Column] = [
+        F.count(F.when(matched, F.lit(1))).alias("__match_count")
+    ]
+    call_columns: dict[int, str] = {}
+    for i, c in enumerate(calls):
+        colname = f"__agg_{i}"
+        call_columns[id(c)] = colname
+        if c.name == "count":
+            continue  # uses __match_count
+        arg = compiler.compile_numeric(c.args[0])
+        if c.name in ("sum", "avg"):
+            agg_exprs.append(F.sum(F.when(matched, arg)).alias(colname))
+        elif c.name == "max":
+            agg_exprs.append(
+                F.max(F.when(matched, F.coalesce(arg, F.lit(0.0)))).alias(colname)
+            )
+        elif c.name == "min":
+            agg_exprs.append(
+                F.min(F.when(matched, F.coalesce(arg, F.lit(0.0)))).alias(colname)
+            )
+
+    post = PostSelect(call_columns, stmt.fields, stmt.column_names())
+    return CompiledSelect(stmt, matched, dim_cols, agg_exprs, post)
+
+
+def compile_select(stmt: ast.SelectStatement, df: DataFrame) -> DataFrame:
+    """Batch plan.  With dims: conditional aggregation over the
+    unfiltered frame (group enumeration pre-WHERE).  Without dims:
+    pre-filter so the predicate pushes down to the scan, then a single
+    global aggregate (which still yields exactly one all-zeros row when
+    nothing matches, as the reference does)."""
+    compiler = ExprCompiler(df.schema)
+    parts = compile_select_parts(stmt, compiler)
+
+    if parts.dim_cols:
+        grouped = df.groupBy(
+            *[c.alias(n) for n, c in parts.dim_cols]
+        ).agg(*parts.agg_exprs)
+        group_names = [n for n, _ in parts.dim_cols]
+        return grouped.select(*parts.post_select.columns(group_names))
+
+    # no dims → prefilter (predicate pushdown) + global aggregate
+    filtered = df.filter(parts.matched)
+    # re-compile aggregates with matched ≡ true over the filtered frame
+    true_parts = compile_select_parts(
+        _with_condition_true(stmt), ExprCompiler(df.schema)
+    )
+    agged = filtered.agg(*true_parts.agg_exprs)
+    return agged.select(*true_parts.post_select.columns([]))
+
+
+def _with_condition_true(stmt: ast.SelectStatement) -> ast.SelectStatement:
+    import copy
+
+    clone = copy.copy(stmt)
+    clone.condition = None
+    return clone

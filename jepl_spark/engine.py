@@ -1,0 +1,63 @@
+"""JeplEngine — the user-facing entry point for batch JEPL queries.
+
+The reference's entry point is ``EvalSQL(sql, docs)`` (eval.go:28-62),
+which ignores the FROM clause and evaluates over an in-memory doc batch.
+Here FROM is made real: a catalog maps source names to DataFrames,
+parquet paths, or saved tables; the compiled plan is pure DataFrame API
+(see compiler/select.py).
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .compiler.expr import JeplCompileError
+from .compiler.select import compile_select
+from .lang import ast
+from .lang.parser import parse_statement
+
+
+class JeplEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: Union[dict[str, Union[DataFrame, str]], None] = None,
+    ) -> None:
+        self.spark = spark
+        self.tables = dict(tables or {})
+
+    def register(self, name: str, source: Union[DataFrame, str]) -> None:
+        self.tables[name] = source
+
+    def table(self, name: str) -> DataFrame:
+        src = self.tables.get(name)
+        if src is None:
+            # fall back to the session catalog (temp views, saved tables)
+            return self.spark.table(name)
+        if isinstance(src, DataFrame):
+            return src
+        if isinstance(src, str):
+            if src.endswith(".parquet") or "/" in src:
+                return self.spark.read.parquet(src)
+            return self.spark.table(src)
+        raise JeplCompileError(f"unresolvable source {name!r}")
+
+    def sql(self, text: str) -> DataFrame:
+        """Parse, validate, resolve FROM, compile → DataFrame."""
+        stmt = parse_statement(text)
+        return self.compile(stmt)
+
+    def compile(self, stmt: ast.SelectStatement) -> DataFrame:
+        if not stmt.sources:
+            raise JeplCompileError("statement has no FROM source")
+        df = self.table(stmt.sources[0].database)
+        return compile_select(stmt, df)
+
+    def sql_on(self, text: str, df: DataFrame) -> DataFrame:
+        """Compile a rule against an explicit DataFrame (FROM name is
+        accepted but overridden — mirrors the reference, which parses
+        FROM and then evaluates whatever batch it is handed)."""
+        stmt = parse_statement(text)
+        return compile_select(stmt, df)

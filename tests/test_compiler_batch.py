@@ -1,0 +1,295 @@
+"""Batch compiler vs reference oracle — golden parity on the translated
+reference corpus (eval_test.go) plus the quirk ledger (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from jepl_spark.compiler.expr import ExprCompiler
+from jepl_spark.lang.parser import parse_expr
+from jepl_spark.oracle import eval_expr
+
+from helpers import assert_matches_oracle, docs_to_df
+
+TCP = StructType(
+    [
+        StructField("src_ip", DoubleType()),
+        StructField("dst_ip", DoubleType()),
+        StructField("in_bytes", DoubleType()),
+        StructField("out_bytes", DoubleType()),
+        StructField("in_pkts", DoubleType()),
+        StructField("out_pkts", DoubleType()),
+    ]
+)
+PACKETBEAT_SCHEMA = StructType(
+    [StructField("uid", DoubleType()), StructField("tcp", TCP)]
+)
+
+PACKETBEAT_DOCS = [
+    {
+        "uid": float(i % 3),
+        "tcp": {
+            "src_ip": float(i % 2),
+            "dst_ip": float(i % 3),
+            "in_bytes": float(i * 10),
+            "out_bytes": 20.0,
+            "in_pkts": float(i),
+            "out_pkts": 2.0,
+        },
+    }
+    for i in range(10)
+]
+
+
+def test_eval_query1_sum(spark):
+    assert_matches_oracle(
+        spark,
+        "select sum(tcp.in_bytes) from packetbeat where uid = 1",
+        PACKETBEAT_DOCS,
+        PACKETBEAT_SCHEMA,
+    )
+
+
+def test_eval_query_five_aggs_grouped(spark):
+    assert_matches_oracle(
+        spark,
+        "select max(tcp.in_bytes), min(tcp.in_pkts), count(tcp.in_pkts), "
+        "sum(tcp.in_pkts), avg(tcp.in_pkts) from packetbeat where uid = 1 "
+        "group by tcp.src_ip, tcp.dst_ip",
+        PACKETBEAT_DOCS,
+        PACKETBEAT_SCHEMA,
+    )
+
+
+def test_alias_and_postagg_arithmetic(spark):
+    assert_matches_oracle(
+        spark,
+        "select sum(tcp.in_bytes) * (sum(tcp.out_bytes) / count(uid)) AS m, "
+        "sum(tcp.in_bytes + tcp.out_bytes) AS t from packetbeat where uid = 1",
+        PACKETBEAT_DOCS,
+        PACKETBEAT_SCHEMA,
+    )
+
+
+def test_column_name_conflicts(spark):
+    assert_matches_oracle(
+        spark,
+        "select sum(tcp.in_bytes), sum(tcp.out_bytes) from packetbeat where uid = 1",
+        PACKETBEAT_DOCS,
+        PACKETBEAT_SCHEMA,
+    )
+
+
+def test_agg_arg_arithmetic_div0(spark):
+    # x/0 → 0.0 inside aggregate args (quirk §2.9.5)
+    assert_matches_oracle(
+        spark,
+        "select sum(tcp.in_bytes / tcp.src_ip) from packetbeat where uid >= 0",
+        PACKETBEAT_DOCS,
+        PACKETBEAT_SCHEMA,
+    )
+
+
+def test_empty_match_zeros(spark):
+    assert_matches_oracle(
+        spark,
+        "select sum(tcp.in_bytes), avg(tcp.in_bytes), max(tcp.in_bytes), "
+        "min(tcp.in_bytes), count(uid) from packetbeat where uid = 99",
+        PACKETBEAT_DOCS,
+        PACKETBEAT_SCHEMA,
+    )
+
+
+def test_group_zero_match_groups(spark):
+    # groups enumerated pre-WHERE → zero-valued rows (quirk §2.9.6)
+    assert_matches_oracle(
+        spark,
+        "select count(uid), sum(tcp.in_bytes) from packetbeat where uid = 1 "
+        "group by tcp.src_ip",
+        PACKETBEAT_DOCS,
+        PACKETBEAT_SCHEMA,
+    )
+
+
+MISSING_SCHEMA = StructType(
+    [StructField("uid", DoubleType()), StructField("v", DoubleType())]
+)
+
+
+def test_missing_field_quirks(spark):
+    docs = [
+        {"uid": 1.0, "v": 10.0},
+        {"uid": 1.0, "v": None},  # missing field on matched row
+        {"uid": 0.0, "v": 99.0},
+        {"uid": 1.0, "v": -5.0},
+    ]
+    assert_matches_oracle(
+        spark,
+        "select count(v), sum(v), avg(v), max(v), min(v) from t where uid = 1",
+        docs,
+        MISSING_SCHEMA,
+    )
+
+
+def test_statically_missing_column(spark):
+    docs = [{"uid": 1.0, "v": 2.0}]
+    assert_matches_oracle(
+        spark,
+        "select count(nonexistent), sum(nonexistent) from t where uid = 1",
+        docs,
+        MISSING_SCHEMA,
+    )
+
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("user", StringType()),
+        StructField("kind", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+EVENTS_DOCS = [
+    {"user": f"u{i % 4}", "kind": ["click", "view", "error"][i % 3], "value": float(i)}
+    for i in range(30)
+]
+
+
+def test_string_filters_in_regex(spark):
+    assert_matches_oracle(
+        spark,
+        "select sum(value) from e where kind IN ['click','view'] group by user",
+        EVENTS_DOCS,
+        EVENTS_SCHEMA,
+    )
+    assert_matches_oracle(
+        spark,
+        "select count(value) from e where kind =~ /^cl/ group by user",
+        EVENTS_DOCS,
+        EVENTS_SCHEMA,
+    )
+    assert_matches_oracle(
+        spark,
+        "select count(value) from e where kind !~ /w$/ AND user <> 'u0'",
+        EVENTS_DOCS,
+        EVENTS_SCHEMA,
+    )
+
+
+def test_numeric_in_list_type_strictness(spark):
+    # int list elements never match float values (quirk §2.9.8)
+    assert_matches_oracle(
+        spark,
+        "select count(value) from e where value IN [1,2,3]",
+        EVENTS_DOCS,
+        EVENTS_SCHEMA,
+    )
+    assert_matches_oracle(
+        spark,
+        "select count(value) from e where value IN [1.0,2.0,3.0]",
+        EVENTS_DOCS,
+        EVENTS_SCHEMA,
+    )
+    assert_matches_oracle(
+        spark,
+        "select count(value) from e where value NI [1.0,2.0,3.0]",
+        EVENTS_DOCS,
+        EVENTS_SCHEMA,
+    )
+
+
+def test_logic_and_comparison_composition(spark):
+    assert_matches_oracle(
+        spark,
+        "select count(value) from e where value + 3 < 30 AND value > 2 OR kind = 'error'",
+        EVENTS_DOCS,
+        EVENTS_SCHEMA,
+    )
+    assert_matches_oracle(
+        spark,
+        "select count(value) from e where (value * 2) - 1 >= 9 AND kind != 'view'",
+        EVENTS_DOCS,
+        EVENTS_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# predicate-level truth table: compiled Column vs oracle, incl. nil quirks
+
+TRUTH_SCHEMA = StructType(
+    [
+        StructField("uid", DoubleType()),
+        StructField("foo", StringType()),
+        StructField("num", DoubleType()),
+    ]
+)
+
+PRED_CASES = [
+    ("uid IN [1,2,3]", {"uid": 1.0}),
+    ("uid IN [1.0,2.0,3.0]", {"uid": 1.0}),
+    ("uid IN [1.0,2.0,3.0]", {"uid": 4.0}),
+    ("uid NI [1.0,2.0,3.0]", {"uid": 1.0}),
+    ("uid NI [1.0,2.0,3.0]", {"uid": 4.0}),
+    ("foo IN ['xxx','yyy']", {"foo": "xxx"}),
+    ("foo NI ['xxx','yyy']", {"foo": "uuu"}),
+    ("uid IN [1.0,2.0]", {"uid": None}),
+    ("uid NI [1.0,2.0]", {"uid": None}),
+    ("4 = 4", {}),
+    ("4 AND 5", {}),
+    ("0 = 'test'", {}),
+    ("1.0 = 1", {}),
+    ("true AND false", {}),
+    ("true OR false", {}),
+    ("false = 4", {}),
+    ("'foo' = 'foo'", {}),
+    ("'' = 4", {}),
+    ("'foo' =~ /f.*/", {}),
+    ("'foo' !~ /b.*/", {}),
+    ("foo = 'bar'", {"foo": "bar"}),
+    ("foo = 'bar'", {"foo": None}),
+    ("foo <> 'bar'", {"foo": "xxx"}),
+    ("foo =~ /b.*/", {"foo": "bar"}),
+    ("foo !~ /b.*/", {"foo": "bar"}),
+    # nil-propagation (eval.go:139-151)
+    ("true OR missing = 1", {}),
+    ("true AND missing = 1", {}),
+    ("missing = 1 OR true", {}),
+    ("num > 1 OR foo = 'bar'", {"num": None, "foo": "bar"}),
+    ("num > 1 AND foo = 'bar'", {"num": 5.0, "foo": None}),
+    ("num / 0 = 0", {"num": 5.0}),
+    ("num + 1 > 5", {"num": 5.0}),
+    ("num = foo", {"num": 5.0, "foo": "5"}),
+    ("uid > foo", {"uid": 1.0, "foo": "x"}),
+    ("num - 2 * 3 = -1", {"num": 5.0}),
+]
+
+
+def test_predicate_truth_table(spark):
+    """For each case: row passes the compiled filter ⇔ the oracle's
+    condition result is boolean true (EvalBool, eval.go:299-304)."""
+    rows = []
+    exprs = []
+    for i, (text, doc) in enumerate(PRED_CASES):
+        full = {"uid": None, "foo": None, "num": None}
+        full.update(doc)
+        rows.append((i, full))
+        exprs.append((i, text, doc))
+
+    compiler = ExprCompiler(TRUTH_SCHEMA)
+    for i, text, doc in exprs:
+        full = {"uid": None, "foo": None, "num": None}
+        full.update(doc)
+        df = docs_to_df(spark, [full], TRUTH_SCHEMA)
+        pred = compiler.compile_predicate(parse_expr(text))
+        spark_pass = df.filter(pred).count() == 1
+        oracle_pass = eval_expr(parse_expr(text), doc) is True
+        assert spark_pass == oracle_pass, (
+            f"case {i}: {text!r} over {doc}: spark={spark_pass} oracle={oracle_pass}"
+        )
