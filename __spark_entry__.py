@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator lane of jepl_spark
+(SURVEY.md §2): JEPL rules compiled through the engine (filters,
+IN/regex predicates, conditional grouped aggregation with the
+reference's quirk semantics, post-aggregate arithmetic, raw-JSON dotted
+paths), event-time tumbling windows, and the training-data pipeline
+operators (dedup / similarity / text analysis).
+
+Oracle notes:
+- float outputs are rounded (or cent-scaled to BIGINT) on BOTH sides so
+  cross-engine float-summation order cannot flip the value hash
+- window starts are emitted as epoch seconds (BIGINT) to be timezone
+  independent
+- grouped JEPL oracles use conditional aggregation over the UNFILTERED
+  table: the reference enumerates group keys pre-WHERE and emits
+  zero-valued rows for groups whose rows all fail the filter
+  (/root/reference/groupby.go:8-46, eval.go:43-59)
 """
 
 from __future__ import annotations
@@ -12,27 +23,451 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jepl_spark.engine import JeplEngine
+from jepl_spark.operators import dedup as D
+from jepl_spark.operators import similarity as S
+from jepl_spark.operators import text as T
+from jepl_spark.sources.tables import load_table
+from jepl_spark.streaming.windows import windowed_select
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> JeplEngine:
+    import os
+
+    return JeplEngine(
+        spark,
+        {
+            name: os.path.join(sf_dir, f"{name}.parquet")
+            for name in (
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings"
+            ).split()
+        },
+    )
+
+
+def _r(col, n=4):
+    return F.round(col, n)
+
+
+def _cents(col):
+    return F.round(col * 100).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's five-aggregate grouped rule shape
+    (eval_test.go:74) over the events stream table."""
+    return queries()["jepl_five_aggs_group"](spark, SF0001)
+
+
+# --------------------------------------------------------------------------
+# queries
+
+
+def q_jepl_sum_filter(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    df = eng.sql(
+        "select sum(value) AS sum_value, count(event_id) AS n "
+        "from events where event_type = 'click'"
+    )
+    return df.select(_cents(F.col("sum_value")).alias("sum_value_cents"),
+                     F.col("n").cast("bigint").alias("n"))
+
+
+def q_jepl_five_aggs_group(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    df = eng.sql(
+        "select max(value) AS max_v, min(value) AS min_v, count(value) AS n, "
+        "sum(value) AS sum_v, avg(value) AS avg_v "
+        "from events where user_id < 25 group by event_type"
+    )
+    return df.select(
+        "event_type",
+        _cents(F.col("max_v")).alias("max_v_cents"),
+        _cents(F.col("min_v")).alias("min_v_cents"),
+        F.col("n").cast("bigint").alias("n"),
+        _cents(F.col("sum_v")).alias("sum_v_cents"),
+        _r(F.col("avg_v")).alias("avg_v"),
+    )
+
+
+def q_jepl_postagg_arith(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    df = eng.sql(
+        "select sum(value) * (sum(value) / count(value)) AS m, "
+        "sum(value + value * 2) AS s3 from events where value > 10"
+    )
+    return df.select(_r(F.col("m"), 2).alias("m"), _cents(F.col("s3")).alias("s3_cents"))
+
+
+def q_jepl_in_or_regex(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    df = eng.sql(
+        "select count(event_id) AS n from events "
+        "where event_type IN ['click','view'] OR event_type =~ /^err/"
+    )
+    return df.select(F.col("n").cast("bigint").alias("n"))
+
+
+def q_jepl_ni_and_compare(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    df = eng.sql(
+        "select sum(value) AS s, count(event_id) AS n from events "
+        "where event_type NI ['click','view'] AND value + 5 >= 20 AND user_id != 7"
+    )
+    return df.select(_cents(F.col("s")).alias("s_cents"),
+                     F.col("n").cast("bigint").alias("n"))
+
+
+def q_jepl_json_props(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    df = eng.sql(
+        "select sum(props.k) AS sk, avg(props.k) AS ak from events "
+        "where value > 10 group by event_type"
+    )
+    return df.select(
+        "event_type",
+        _cents(F.col("sk")).alias("sk_cents"),
+        _r(F.col("ak")).alias("ak"),
+    )
+
+
+def q_jepl_div0_quirk(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    df = eng.sql(
+        "select sum(value / (value - value)) AS z, count(event_id) AS n "
+        "from events where value > 0"
+    )
+    return df.select(_r(F.col("z"), 6).alias("z"), F.col("n").cast("bigint").alias("n"))
+
+
+def q_jepl_lineitem_rule(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    df = eng.sql(
+        "select sum(l_extendedprice) AS rev, avg(l_discount) AS adisc, "
+        "count(l_orderkey) AS n from lineitem "
+        "where l_quantity < 10 AND l_returnflag = 'R' group by l_linestatus"
+    )
+    return df.select(
+        "l_linestatus",
+        _cents(F.col("rev")).alias("rev_cents"),
+        _r(F.col("adisc"), 6).alias("adisc"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def q_window_tumbling(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    out = windowed_select(
+        "select count(event_id) AS n, sum(value) AS s from events "
+        "where event_type != 'error'",
+        df,
+        ts_col="ts",
+        duration="1 hour",
+    )
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("ws"),
+        F.col("n").cast("bigint").alias("n"),
+        _cents(F.col("s")).alias("s_cents"),
+    )
+
+
+def q_window_sliding(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    out = windowed_select(
+        "select count(event_id) AS n from events where value > 5",
+        df,
+        ts_col="ts",
+        duration="2 hours",
+        slide="1 hour",
+    )
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("ws"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_stats(df).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("dup_count").cast("bigint").alias("dup_count"),
+    )
+
+
+def q_text_token_count(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", T.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    q = T.quality_features(df)
+    return q.select(
+        "doc_id",
+        F.col("q_n_chars").cast("bigint").alias("n_chars"),
+        F.col("q_n_tokens").cast("bigint").alias("n_tokens"),
+        _r(F.col("q_punct_ratio"), 6).alias("punct_ratio"),
+        _r(F.col("q_mean_token_len"), 6).alias("mean_token_len"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_ann_cosine_scores(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        df.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    )
+    return S.cosine_scores(df, qvec).select(
+        "vec_id", _r(F.col("cosine"), 4).alias("cosine")
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    # rows-only check (top-k tie-broken by id; no SQL oracle registered
+    # to avoid cross-engine float-ordering flakiness at the k boundary)
+    df = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        df.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    )
+    return S.brute_force_topk(df, qvec, k=10).select(
+        "vec_id", _r(F.col("cosine"), 4).alias("cosine")
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        df.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    )
+    return S.lsh_topk(df, qvec, k=10, planes=4).select(
+        "vec_id", _r(F.col("cosine"), 4).alias("cosine")
+    )
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return D.minhash_candidates(df, bands=16, num_hashes=64).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+def q_simhash_signatures(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(df, shingle_n=3, min_jaccard=0.2).select(
+        "id_a", "id_b", _r(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "jepl_sum_filter": q_jepl_sum_filter,
+        "jepl_five_aggs_group": q_jepl_five_aggs_group,
+        "jepl_postagg_arith": q_jepl_postagg_arith,
+        "jepl_in_or_regex": q_jepl_in_or_regex,
+        "jepl_ni_and_compare": q_jepl_ni_and_compare,
+        "jepl_json_props": q_jepl_json_props,
+        "jepl_div0_quirk": q_jepl_div0_quirk,
+        "jepl_lineitem_rule": q_jepl_lineitem_rule,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "dedup_exact": q_dedup_exact,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_cosine_scores": q_ann_cosine_scores,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_signatures": q_simhash_signatures,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "lang_id": q_lang_id,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "jepl_sum_filter": """
+            SELECT CAST(round(coalesce(sum(value),0.0) * 100) AS BIGINT) AS sum_value_cents,
+                   count(*) AS n
+            FROM events WHERE event_type = 'click'
+        """,
+        "jepl_five_aggs_group": """
+            SELECT event_type,
+              CAST(round(coalesce(max(CASE WHEN user_id < 25 THEN coalesce(value, 0.0) END), 0.0) * 100) AS BIGINT) AS max_v_cents,
+              CAST(round(coalesce(min(CASE WHEN user_id < 25 THEN coalesce(value, 0.0) END), 0.0) * 100) AS BIGINT) AS min_v_cents,
+              count(CASE WHEN user_id < 25 THEN 1 END) AS n,
+              CAST(round(coalesce(sum(CASE WHEN user_id < 25 THEN value END), 0.0) * 100) AS BIGINT) AS sum_v_cents,
+              round(CASE WHEN count(CASE WHEN user_id < 25 THEN 1 END) = 0 THEN 0.0
+                    ELSE coalesce(sum(CASE WHEN user_id < 25 THEN value END), 0.0)
+                         / count(CASE WHEN user_id < 25 THEN 1 END) END, 4) AS avg_v
+            FROM events GROUP BY event_type
+        """,
+        "jepl_postagg_arith": """
+            WITH a AS (
+              SELECT coalesce(sum(value),0.0) AS s, count(*) AS c,
+                     coalesce(sum(value + value * 2),0.0) AS s3
+              FROM events WHERE value > 10
+            )
+            SELECT round(s * (CASE WHEN c = 0 THEN 0.0 ELSE s / c END), 2) AS m,
+                   CAST(round(s3 * 100) AS BIGINT) AS s3_cents
+            FROM a
+        """,
+        "jepl_in_or_regex": """
+            SELECT count(*) AS n FROM events
+            WHERE event_type IN ('click','view') OR regexp_matches(event_type, '^err')
+        """,
+        "jepl_ni_and_compare": """
+            SELECT CAST(round(coalesce(sum(value),0.0) * 100) AS BIGINT) AS s_cents,
+                   count(*) AS n
+            FROM events
+            WHERE event_type NOT IN ('click','view') AND value + 5 >= 20 AND user_id != 7
+        """,
+        "jepl_json_props": """
+            SELECT event_type,
+              CAST(round(coalesce(sum(CASE WHEN value > 10
+                   THEN CAST(json_extract_string(props, '$.k') AS DOUBLE) END), 0.0) * 100) AS BIGINT) AS sk_cents,
+              round(CASE WHEN count(CASE WHEN value > 10 THEN 1 END) = 0 THEN 0.0
+                    ELSE coalesce(sum(CASE WHEN value > 10
+                         THEN CAST(json_extract_string(props, '$.k') AS DOUBLE) END), 0.0)
+                         / count(CASE WHEN value > 10 THEN 1 END) END, 4) AS ak
+            FROM events GROUP BY event_type
+        """,
+        "jepl_div0_quirk": """
+            SELECT round(coalesce(sum(CASE WHEN (value - value) = 0 THEN 0.0
+                         ELSE value / (value - value) END), 0.0), 6) AS z,
+                   count(*) AS n
+            FROM events WHERE value > 0
+        """,
+        "jepl_lineitem_rule": """
+            SELECT l_linestatus,
+              CAST(round(coalesce(sum(CASE WHEN l_quantity < 10 AND l_returnflag = 'R'
+                   THEN l_extendedprice END), 0.0) * 100) AS BIGINT) AS rev_cents,
+              round(CASE WHEN count(CASE WHEN l_quantity < 10 AND l_returnflag = 'R' THEN 1 END) = 0 THEN 0.0
+                    ELSE coalesce(sum(CASE WHEN l_quantity < 10 AND l_returnflag = 'R'
+                         THEN l_discount END), 0.0)
+                         / count(CASE WHEN l_quantity < 10 AND l_returnflag = 'R' THEN 1 END) END, 6) AS adisc,
+              count(CASE WHEN l_quantity < 10 AND l_returnflag = 'R' THEN 1 END) AS n
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "window_tumbling": """
+            SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
+                   count(*) AS n,
+                   CAST(round(coalesce(sum(value),0.0) * 100) AS BIGINT) AS s_cents
+            FROM events WHERE event_type != 'error'
+            GROUP BY time_bucket(INTERVAL '1 hour', ts)
+        """,
+        "window_sliding": """
+            WITH offs AS (SELECT 0 AS o UNION ALL SELECT 1),
+            b AS (
+              SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+                     - o * 3600 AS ws
+              FROM events, offs WHERE value > 5
+            )
+            SELECT ws, count(*) AS n FROM b GROUP BY ws
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents
+            GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "text_quality": """
+            SELECT doc_id,
+              length(text) AS n_chars,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+              round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                    / CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END, 6) AS punct_ratio,
+              round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(
+                             string_split_regex(trim(text), '\\s+'),
+                             x -> length(x))) AS DOUBLE)
+                         / array_length(string_split_regex(trim(text), '\\s+')) END, 6) AS mean_token_len
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+            FROM documents
+        """,
+        "ann_cosine_scores": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT e.vec_id,
+              round(CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(q.qv, q.qv)) = 0 THEN 0.0
+                    ELSE list_dot_product(e.v, q.qv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(q.qv, q.qv))) END, 4) AS cosine
+            FROM e, q
+        """,
+        # ann_topk / ann_lsh_topk / minhash_near_dups / simhash_signatures /
+        # ngram_jaccard_pairs / lang_id: rows-only (hash-seeded / heuristic
+        # operators have no faithful ANSI-SQL twin)
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN array_length(w) < 3 THEN list_distinct([array_to_string(w, ' ')])
+                     ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                          FOR i IN range(1, array_length(w) - 1)]) END AS s
+              FROM toks
+            ),
+            ex AS (SELECT doc_id, array_length(s) AS n, unnest(s) AS g FROM sh),
+            cnt AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+                     count(*) AS c
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1,2,3,4
+            )
+            SELECT id_a, id_b,
+                   round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
+            FROM cnt
+            WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.2
+        """,
+    }

@@ -1,0 +1,272 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard variants, all expressed
+with built-in Spark SQL functions (higher-order array lambdas,
+``xxhash64``) — no Python UDFs, no driver-side loops.
+
+Scale design:
+- exact dedup: one shuffle keyed by content hash (not the full text —
+  hash first, compare within hash buckets only if paranoid).
+- MinHash LSH: signature computed per-row map-side; candidate
+  generation explodes b band keys per doc (b≈8-16) and self-joins on
+  the band key — only docs sharing a band collide, so the join is
+  sparse.  Hot bands (boilerplate) are the skew risk: capped via
+  ``max_band_bucket`` before the pair join.
+- SimHash: per-row 64-bit signature; near-dup = same signature (or
+  banded prefixes for Hamming>0 search).
+- n-gram Jaccard: inverted-index self-join on shingles with a document
+  frequency cap to drop stop-shingles (the classic blowup control).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# -- exact ------------------------------------------------------------------
+
+
+def content_hash(text: Column) -> Column:
+    """128-bit content hash of normalized text (md5 hex)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per distinct content hash.
+    One shuffle on the 128-bit hash; text itself never shuffles."""
+    h = content_hash(F.col(text_col)).alias("__h")
+    reps = (
+        df.select(h, F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__h")
+    )
+    return df.join(reps, on=id_col, how="inner")
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-content-group stats (representative id + duplicate count)."""
+    return (
+        df.groupBy(content_hash(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("content_hash")
+    )
+
+
+# -- shingling ---------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text."""
+    toks = F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")
+    return F.when(F.size(toks) < n, F.array_distinct(F.array(F.concat_ws(" ", toks)))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )
+
+
+# -- MinHash + LSH -------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    xxhash64(shingle, i) (hashing the pair (shingle, i) gives the hash
+    family).  Built as ONE nested higher-order expression — not
+    num_hashes separate array transforms — to keep codegen small.
+    Empty shingle sets → all-zero signature."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.coalesce(
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))),
+            F.lit(0).cast("long"),
+        ),
+    )
+
+
+def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Band keys: hash of each r-slice of the signature."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", F.slice(sig, b * rows + 1, rows).cast("array<string>")),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_band_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band,
+    annotated with estimated Jaccard = fraction of matching minhashes.
+
+    ``max_band_bucket`` drops degenerate hot buckets (boilerplate
+    collisions) before the self-join — the explicit skew control."""
+    rows = num_hashes // bands
+    # Materialize shingles, then signatures: Catalyst's CollapseProject
+    # would otherwise inline the shingle expression into every one of the
+    # band/signature consumers and recompute it per band.  At scale the
+    # signature table is the thing you persist/write once and reuse.
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+    ).persist()
+    base = sh.select(
+        "__id",
+        minhash_signature(F.col("__sh"), num_hashes).alias("__sig"),
+    ).persist()
+    banded = base.select(
+        "__id",
+        "__sig",
+        F.posexplode(minhash_bands(F.col("__sig"), bands, rows)).alias(
+            "__band", "__bandkey"
+        ),
+    )
+    # skew control: drop buckets larger than the cap
+    bucket_sizes = banded.groupBy("__band", "__bandkey").agg(
+        F.count(F.lit(1)).alias("__bucket_n")
+    )
+    banded = banded.join(
+        bucket_sizes.filter(F.col("__bucket_n") <= max_band_bucket),
+        on=["__band", "__bandkey"],
+        how="inner",
+    )
+    a = banded.select(
+        F.col("__band"), F.col("__bandkey"),
+        F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a"),
+    )
+    b = banded.select(
+        F.col("__band"), F.col("__bandkey"),
+        F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b"),
+    )
+    pairs = (
+        a.join(b, on=["__band", "__bandkey"], how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sig_a", "__sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("__sig_a"), F.col("__sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Drop docs whose estimated Jaccard vs a lower-id doc ≥ threshold."""
+    cands = minhash_candidates(df, text_col, id_col, **kw)
+    losers = (
+        cands.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# -- SimHash ------------------------------------------------------------------
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens, returned as a 64-char bit
+    string (MSB first): bit p is 1 iff the sum over tokens of ±1 (by bit
+    p of xxhash64(token)) ≥ 0.  Token hashes are rendered once per token
+    via ``bin()`` (two's-complement 64-bit) and bits are read with
+    ``substr`` — pure SQL-lambda, no Python, no per-bit rehashing."""
+    toks = F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")
+    bitstrs = F.transform(toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0"))
+    bits = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda p: F.when(
+            F.aggregate(
+                bitstrs,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(b.substr(p, F.lit(1)) == "1", 1).otherwise(-1),
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-signature SimHash dedup: keep min-id per 64-bit signature.
+    (Hamming-distance>0 search would band the signature like MinHash.)"""
+    sig = simhash64(F.col(text_col)).alias("__sim")
+    reps = (
+        df.select(sig, F.col(id_col))
+        .groupBy("__sim")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__sim")
+    )
+    return df.join(reps, on=id_col, how="inner")
+
+
+# -- n-gram Jaccard ------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.1,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets via inverted-index
+    self-join.  Stop-shingles (document frequency > ``max_shingle_df``)
+    are dropped before the join — the standard blowup/skew control."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+    ).select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__s"))
+
+    shingle_df = base.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    pruned = base.join(
+        shingle_df.filter(F.col("__df") <= max_shingle_df), on="__s", how="inner"
+    )
+
+    a = pruned.select(
+        F.col("__s"), F.col("__id").alias("id_a"), F.col("__n").alias("__na")
+    )
+    b = pruned.select(
+        F.col("__s"), F.col("__id").alias("id_b"), F.col("__n").alias("__nb")
+    )
+    common = (
+        a.join(b, on="__s", how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    jac = F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common"))
+    return common.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= min_jaccard)
