@@ -1,0 +1,153 @@
+"""Deterministic generator for the audio clip + transcript table.
+
+Exact shape per BASELINE.json ``input_hint``:
+(clip_id string, bytes binary, sr_hz int, dur_ms int, codec string,
+ transcript string) + event_time added for streaming fixtures
+(FIXTURES.md F4).
+
+Generation is distributed: ``spark.range(n)`` → ``mapInPandas`` with
+vectorized numpy synthesis per Arrow batch — no driver-side loop, so the
+same generator scales from 100 test clips to the bench corpus.  Skews
+are intentional (codec 80/15/5, Zipf-ish clip popularity in the event
+stream) to exercise AQE/salting paths.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from . import audio
+
+CLIP_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType(), False),
+        StructField("bytes", BinaryType(), False),
+        StructField("sr_hz", IntegerType(), False),
+        StructField("dur_ms", IntegerType(), False),
+        StructField("codec", StringType(), False),
+        StructField("transcript", StringType(), False),
+        StructField("event_time", TimestampType(), False),
+        StructField("seq", LongType(), False),
+    ]
+)
+
+_SRS = (8000, 16000, 44100)
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+).split()
+
+BASE_TS = pd.Timestamp("2024-01-01 00:00:00")
+
+
+def clip_row(i: int, step_s: float = 1.0, late_every: int = 0) -> dict:
+    """Pure-python single clip (used by tests and the oracle)."""
+    sr = _SRS[i % 3]
+    dur = 200 + (i * 37) % 1801
+    codec = audio.CODECS[0 if (i % 20) < 16 else (1 if (i % 20) < 19 else 2)]
+    wave = audio.synth_wave(i, sr, dur)
+    ts = BASE_TS + pd.Timedelta(seconds=i * step_s)
+    if late_every and i % late_every == late_every - 1:
+        ts -= pd.Timedelta(seconds=30 * step_s)  # controlled late arrival
+    return {
+        "clip_id": f"clip-{i:012d}",
+        "bytes": audio.encode(wave, codec),
+        "sr_hz": sr,
+        "dur_ms": dur,
+        "codec": codec,
+        "transcript": f"transcript {i} {_WORDS[i % len(_WORDS)]}",
+        "event_time": ts,
+        "seq": i,
+    }
+
+
+def clips_df(
+    spark: SparkSession,
+    n: int,
+    step_s: float = 1.0,
+    late_every: int = 0,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Distributed clips table: one row per i ∈ [0, n)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [clip_row(int(i), step_s, late_every) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    rng = spark.range(n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, schema=CLIP_SCHEMA)
+
+
+def transcripts_df(
+    spark: SparkSession,
+    n: int,
+    step_s: float = 1.0,
+    delay_s: float = 5.0,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """The transcript stream for the stream-stream join: the
+    (clip_id, transcript, event_time) projection delivered with a
+    bounded event-time offset (FIXTURES.md F4)."""
+    base = clips_df(spark, n, step_s, 0, partitions)
+    return base.select(
+        "clip_id",
+        "transcript",
+        (F.col("event_time") + F.expr(f"INTERVAL {delay_s} SECONDS")).alias(
+            "event_time"
+        ),
+        "seq",
+    )
+
+
+def zipf_clip_events(
+    spark: SparkSession,
+    n_events: int,
+    n_clips: int,
+    s: float = 1.2,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Event stream referencing clips with Zipf-skewed popularity —
+    clip_id 0 is the hot key.  Used for skew-handling tests/benches."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            idx = pdf["id"].to_numpy()
+            # deterministic per-event uniform from a hash, then inverse-CDF
+            h = (idx * 2654435761 % 2**32) / 2**32
+            ranks = np.arange(1, n_clips + 1) ** (-s)
+            cdf = np.cumsum(ranks) / np.sum(ranks)
+            clip_idx = np.searchsorted(cdf, h)
+            yield pd.DataFrame(
+                {
+                    "event_seq": idx,
+                    "clip_id": [f"clip-{int(c):012d}" for c in clip_idx],
+                    "event_time": BASE_TS + pd.to_timedelta(idx, unit="s"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("event_seq", LongType(), False),
+            StructField("clip_id", StringType(), False),
+            StructField("event_time", TimestampType(), False),
+        ]
+    )
+    rng = spark.range(
+        n_events, numPartitions=partitions or spark.sparkContext.defaultParallelism
+    )
+    return rng.mapInPandas(gen, schema=schema)

@@ -1,0 +1,67 @@
+"""Watermarked stream-stream join of the audio and transcript streams.
+
+Mandated by the north rule (SURVEY.md §2.3): inner equi-join on
+``clip_id`` with an event-time range condition so Spark can bound join
+state with both watermarks and evict rows once the other side can no
+longer match (Structured Streaming's stream-stream join contract).
+
+Chaining note: the join output already carries the inputs' watermark —
+do NOT call ``withWatermark`` again before a downstream windowed
+aggregation (Spark ≥3.4 chains stateful operators but rejects watermark
+redefinition: "Redefining watermark is disallowed").
+
+Skew: a Zipf-hot ``clip_id`` concentrates one join key on one task.
+``salt`` replicates the transcript side S× and splits the audio side by
+a deterministic hash — state grows S× on the replicated side, hot-key
+work spreads across S tasks.  Use for measured hot keys; AQE skew-join
+does not apply to streaming state, so this is the explicit handle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def audio_transcript_join(
+    audio: DataFrame,
+    transcripts: DataFrame,
+    *,
+    audio_watermark: str = "30 seconds",
+    transcript_watermark: str = "30 seconds",
+    max_delay: str = "60 seconds",
+    ts_col: str = "event_time",
+    salt: Optional[int] = None,
+) -> DataFrame:
+    """audio(clip_id, bytes, …, event_time) ⋈ transcripts(clip_id,
+    transcript, event_time): transcript must arrive within
+    [audio.event_time, audio.event_time + max_delay]."""
+    a = audio.withWatermark(ts_col, audio_watermark).alias("a")
+    t = transcripts.withWatermark(ts_col, transcript_watermark).alias("t")
+
+    if salt is not None and salt > 1:
+        a = a.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(f"a.{ts_col}")), F.lit(salt))
+        )
+        t = t.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).withColumn("__salt", F.col("__salt").cast("long"))
+        key = (F.col("a.clip_id") == F.col("t.clip_id")) & (
+            a["__salt"] == t["__salt"]
+        )
+    else:
+        key = F.col("a.clip_id") == F.col("t.clip_id")
+
+    cond = (
+        key
+        & (F.col(f"t.{ts_col}") >= F.col(f"a.{ts_col}"))
+        & (F.col(f"t.{ts_col}") <= F.col(f"a.{ts_col}") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    joined = a.join(t, cond, "inner")
+    cols = [F.col(f"a.{c}") for c in audio.columns] + [
+        F.col("t.transcript").alias("joined_transcript"),
+        F.col(f"t.{ts_col}").alias("transcript_time"),
+    ]
+    return joined.select(*cols)

@@ -1,0 +1,128 @@
+"""Custom stateful windowed aggregation via applyInPandasWithState.
+
+The flatMapGroupsWithState-style lane named by the north rule: per
+(window_start, dims…) key, a mutable accumulator (count/sum/min/max —
+the reference's aggregate set, eval.go:307-365) held in the state store,
+emitted exactly once when the event-time timeout fires after the
+watermark passes the window end.
+
+Built-in windowed aggregation (windows.py) is the preferred path —
+Spark's HashAggregate + state store is faster than Python state — but
+this operator is the extension point for semantics Spark cannot express
+natively (e.g. conditional emission, cross-window carryover, custom
+eviction), so it is implemented and golden-tested against the built-in.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("cnt", LongType()),
+        StructField("sum", DoubleType()),
+        StructField("min", DoubleType()),
+        StructField("max", DoubleType()),
+    ]
+)
+
+
+def _out_schema(dims: list[str]) -> StructType:
+    return StructType(
+        [StructField("window_start", TimestampType())]
+        + [StructField(d, StringType()) for d in dims]
+        + [
+            StructField("cnt", LongType()),
+            StructField("sum", DoubleType()),
+            StructField("avg", DoubleType()),
+            StructField("min", DoubleType()),
+            StructField("max", DoubleType()),
+        ]
+    )
+
+
+def stateful_windowed_agg(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    window_duration: str,
+    dims: Optional[list[str]] = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Incremental count/sum/avg/min/max per (tumbling window, dims)
+    with state timeout at the window end (event-time semantics).
+
+    Emission: when the event-time timeout fires (watermark passed the
+    window end) the accumulated row is emitted once and state removed —
+    append-mode semantics equivalent to the built-in path.
+    """
+    dims = dims or []
+    # NB: the window struct column keeps the watermark tag — extracting
+    # .start would lose it and event-time timeout would be rejected.
+    wdf = df.withWatermark(ts_col, watermark).select(
+        F.window(F.col(ts_col), window_duration).alias("__w"),
+        *[F.col(d).cast("string").alias(d) for d in dims],
+        F.col(value_col).cast("double").alias("__v"),
+    )
+
+    out_schema = _out_schema(dims)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        window = key[0]  # struct key arrives as a dict {'start','end'}
+        wstart, wend = window["start"], window["end"]
+        if state.hasTimedOut:
+            cnt, s, mn, mx = state.get
+            state.remove()
+            row: dict[str, Any] = {"window_start": [wstart]}
+            for i, d in enumerate(dims):
+                row[d] = [key[1 + i]]
+            row.update(
+                cnt=[cnt],
+                sum=[s],
+                avg=[(s / cnt) if cnt else 0.0],
+                min=[mn if cnt else 0.0],
+                max=[mx if cnt else 0.0],
+            )
+            yield pd.DataFrame(row)
+            return
+
+        cnt, s, mn, mx = (state.get if state.exists else (0, 0.0, None, None))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            vals = pdf["__v"].dropna()
+            cnt += int(len(pdf))
+            s += float(vals.sum())
+            if len(vals):
+                vmn, vmx = float(vals.min()), float(vals.max())
+                mn = vmn if mn is None else min(mn, vmn)
+                mx = vmx if mx is None else max(mx, vmx)
+        state.update((cnt, s, mn if mn is not None else 0.0, mx if mx is not None else 0.0))
+        # fire once the watermark passes the window end
+        state.setTimeoutTimestamp(int(pd.Timestamp(wend).timestamp() * 1000))
+        return
+        yield  # pragma: no cover
+
+    return wdf.groupBy("__w", *dims).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,83 @@
+"""Audio lane: codec roundtrip invariants (decoded-PCM allclose at
+SNR ≥ 30 dB + exact transcript equality vs the reference synthesis,
+per BASELINE.json input_hint) — exercised end-to-end through Spark
+(mapInPandas generation → Arrow pandas-UDF decode)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from jepl_spark.functions.audio_udfs import with_decoded_pcm, with_pcm_stats, resample_pcm
+from jepl_spark.sources import audio
+from jepl_spark.sources.clips import clip_row, clips_df, transcripts_df
+
+
+@pytest.mark.parametrize("codec", audio.CODECS)
+@pytest.mark.parametrize("i,sr,dur", [(0, 8000, 300), (5, 16000, 700), (11, 44100, 250)])
+def test_codec_roundtrip_snr(codec, i, sr, dur):
+    x = audio.synth_wave(i, sr, dur)
+    y = audio.decode(audio.encode(x, codec), codec)
+    assert len(y) == len(x)
+    s = audio.snr_db(x, y)
+    if codec == "pcm16":
+        assert s > 60.0
+    else:
+        assert s >= 30.0, f"{codec}: SNR {s:.1f} dB < 30"
+
+
+def test_clip_row_deterministic():
+    a, b = clip_row(7), clip_row(7)
+    assert a == b
+    assert a["clip_id"] == "clip-000000000007"
+    assert a["transcript"].startswith("transcript 7 ")
+
+
+def test_spark_decode_invariant(spark):
+    """Per-row invariant through the distributed path: decode(bytes) in
+    a pandas UDF must allclose (SNR≥30dB) the reference waveform, and
+    transcripts must be exactly equal."""
+    n = 60
+    df = clips_df(spark, n, partitions=4)
+    rows = with_decoded_pcm(df).select("seq", "codec", "sr_hz", "dur_ms", "pcm", "transcript").collect()
+    assert len(rows) == n
+    seen_codecs = set()
+    for r in rows:
+        i = r["seq"]
+        ref = audio.synth_wave(i, r["sr_hz"], r["dur_ms"])
+        got = np.array(r["pcm"], dtype=np.float32)
+        assert got.shape == ref.shape
+        s = audio.snr_db(ref, got)
+        assert s >= 30.0, f"clip {i} ({r['codec']}): SNR {s:.1f}"
+        assert r["transcript"] == clip_row(i)["transcript"]
+        seen_codecs.add(r["codec"])
+    assert seen_codecs == set(audio.CODECS)  # skewed but all present
+
+
+def test_spark_pcm_stats(spark):
+    df = clips_df(spark, 20, partitions=2)
+    rows = with_pcm_stats(df).select("seq", "sr_hz", "dur_ms", "stats").collect()
+    for r in rows:
+        st = r["stats"]
+        expected_n = int(r["sr_hz"] * r["dur_ms"] / 1000)
+        assert st["n_samples"] == expected_n
+        assert 0.0 < st["rms"] < 1.0
+        assert st["peak"] <= 1.0
+
+
+def test_resample(spark):
+    df = clips_df(spark, 8, partitions=2)
+    rows = resample_pcm(df, 16000).select("seq", "sr_hz", "dur_ms", "pcm_rs", "sr_rs").collect()
+    for r in rows:
+        assert r["sr_rs"] == 16000
+        expect = round(int(r["sr_hz"] * r["dur_ms"] / 1000) * 16000 / r["sr_hz"])
+        assert abs(len(r["pcm_rs"]) - expect) <= 1
+
+
+def test_transcript_stream_projection(spark):
+    t = transcripts_df(spark, 10, delay_s=5.0).collect()
+    c = clips_df(spark, 10).select("clip_id", "event_time").collect()
+    tmap = {r["clip_id"]: r for r in t}
+    for r in c:
+        tr = tmap[r["clip_id"]]
+        assert (tr["event_time"] - r["event_time"]).total_seconds() == 5.0

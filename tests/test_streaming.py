@@ -1,0 +1,377 @@
+"""Streaming golden-output fixtures (SURVEY.md §5): deterministic event
+streams with pinned order/event-times/watermark, compared against the
+Python oracle simulation; plus exactly-once sink idempotency,
+checkpoint kill/resume, stream-stream join, session windows, and the
+applyInPandasWithState lane."""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import timezone
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from jepl_spark.lang.parser import parse_statement
+from jepl_spark.streaming.engine import file_stream, run_rule_stream, run_to_completion
+from jepl_spark.streaming.join import audio_transcript_join
+from jepl_spark.streaming.listener import MetricsListener
+from jepl_spark.streaming.sink import IdempotentParquetSink
+from jepl_spark.streaming.state import stateful_windowed_agg
+from jepl_spark.streaming.windows import windowed_select
+
+from helpers import _group_key
+from streaming_helpers import BASE, simulate_append_output, ts, write_batches
+
+PA_SCHEMA = pa.schema(
+    [
+        pa.field("user", pa.string()),
+        pa.field("kind", pa.string()),
+        pa.field("value", pa.float64()),
+        pa.field("event_time", pa.timestamp("us", tz="UTC")),
+    ]
+)
+SPARK_SCHEMA = StructType(
+    [
+        StructField("user", StringType()),
+        StructField("kind", StringType()),
+        StructField("value", DoubleType()),
+        StructField("event_time", TimestampType()),
+    ]
+)
+
+
+def _doc(user, kind, value, t):
+    return {"user": user, "kind": kind, "value": value, "event_time": ts(t)}
+
+
+def _sentinels(t0):
+    return [
+        [_doc("zz", "sentinel", 0.0, t0)],
+        [_doc("zz", "sentinel", 0.0, t0 + 1)],
+    ]
+
+
+def _run_fixture(
+    spark, tmp_path, batches, sql, *, window="30 seconds", window_s=30.0,
+    slide=None, slide_s=None, watermark="10 seconds", delay_s=10.0,
+):
+    src = str(tmp_path / "src")
+    write_batches(src, batches, PA_SCHEMA)
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    q = run_rule_stream(
+        sql,
+        file_stream(spark, src, SPARK_SCHEMA, max_files_per_trigger=1),
+        ts_col="event_time",
+        duration=window,
+        slide=slide,
+        watermark=watermark,
+        sink=sink,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    run_to_completion(q)
+    got = sink.read_committed(spark)
+    return got
+
+
+def _rows_to_map(stmt_text, rows, n_dims):
+    stmt = parse_statement(stmt_text)
+    out = {}
+    for r in rows:
+        vals = list(r)
+        wstart = vals[0].replace(tzinfo=timezone.utc)
+        rel = (wstart - BASE).total_seconds()
+        dims = vals[2 : 2 + n_dims]
+        key = _group_key(stmt, dims) if n_dims else str(stmt.condition)
+        out[(rel, key)] = [float(v) for v in vals[2 + n_dims :]]
+    return out
+
+
+def _assert_matches(expected, got_map):
+    assert set(got_map.keys()) == set(expected.keys()), (
+        f"\n got={sorted(got_map)}\n exp={sorted(expected)}"
+    )
+    for k, vals in expected.items():
+        assert len(vals) == len(got_map[k])
+        for a, b in zip(vals, got_map[k]):
+            assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9), (k, got_map[k], vals)
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_tumbling_golden_grouped(spark, tmp_path):
+    sql = (
+        "select sum(value) AS s, count(value) AS n, avg(value) AS a "
+        "from s where kind = 'click' group by user"
+    )
+    batches = [
+        [
+            _doc("u1", "click", 1.0, 1),
+            _doc("u1", "view", 9.0, 2),
+            _doc("u2", "click", 2.0, 31),
+        ],
+        [
+            _doc("u1", "click", 4.0, 35),
+            _doc("u2", "view", 8.0, 64),
+            _doc("u1", "click", 16.0, 65),
+        ],
+        *_sentinels(1000),
+    ]
+    got = _run_fixture(spark, tmp_path, batches, sql)
+    data_rows = [
+        r
+        for r in got.select("window_start", "window_end", "user", "s", "n", "a").collect()
+        if r["user"] != "zz"
+    ]
+    expected = {
+        k: v
+        for k, v in simulate_append_output(
+            sql, batches, ts_field="event_time", window_s=30.0, delay_s=10.0
+        ).items()
+        if "'sentinel'" not in k[1] and "zz" not in k[1]
+    }
+    # oracle docs carry datetime event_time; convert for the simulator
+    _assert_matches(expected, _rows_to_map(sql, data_rows, 1))
+
+
+def test_late_data_dropped(spark, tmp_path):
+    sql = "select count(value) AS n from s where value >= 0"
+    batches = [
+        [_doc("u1", "click", 1.0, 5), _doc("u1", "click", 1.0, 50)],
+        [_doc("u1", "click", 1.0, 52)],
+        # the late-row filter at batch 2 uses max ts through batch 0
+        # (50-10=40 ≥ window end 30) → t=7 is dropped as too late
+        [_doc("u1", "click", 1.0, 7), _doc("u1", "click", 1.0, 55)],
+        *_sentinels(1000),
+    ]
+    got = _run_fixture(spark, tmp_path, batches, sql)
+    rows = {
+        (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds(): r["n"]
+        for r in got.collect()
+        if (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds() < 900
+    }
+    # [0,30): only t=5 (t=7 dropped late); [30,60): t=50,52,55
+    assert rows == {0.0: 1.0, 30.0: 3.0}
+    expected = simulate_append_output(
+        sql, batches, ts_field="event_time", window_s=30.0, delay_s=10.0
+    )
+    sim = {k[0]: v[0] for k, v in expected.items() if k[0] < 900}
+    assert sim == rows  # oracle simulation agrees with Spark
+
+
+def test_sliding_golden(spark, tmp_path):
+    sql = "select sum(value) AS s from s where kind != 'x'"
+    batches = [
+        [_doc("u1", "click", 1.0, 10), _doc("u1", "click", 2.0, 40)],
+        [_doc("u1", "click", 4.0, 70)],
+        *_sentinels(1000),
+    ]
+    got = _run_fixture(
+        spark, tmp_path, batches, sql,
+        window="60 seconds", window_s=60.0, slide="30 seconds", slide_s=30.0,
+    )
+    expected = {
+        k: v
+        for k, v in simulate_append_output(
+            sql, batches, ts_field="event_time",
+            window_s=60.0, delay_s=10.0, slide_s=30.0,
+        ).items()
+        if k[0] < 900
+    }
+    rows = [r for r in got.select("window_start", "window_end", "s").collect()
+            if (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds() < 900]
+    _assert_matches(expected, _rows_to_map(sql, rows, 0))
+
+
+def test_exactly_once_sink_idempotent(spark, tmp_path):
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    df = spark.range(5).select(F.col("id"))
+    sink.write_batch(df, 0)
+    sink.write_batch(df, 0)  # replay → no-op
+    sink.write_batch(df, 1)
+    assert sink.committed_batches() == [0, 1]
+    got = sink.read_committed(spark)
+    assert got.count() == 10
+    assert set(got.columns) >= {"id", "_lineage_partition", "_lineage_batch"}
+
+
+def test_checkpoint_kill_resume(spark, tmp_path):
+    """Stop after phase 1, add more files, resume from the same
+    checkpoint: no duplicates, all data processed exactly once."""
+    sql = "select count(value) AS n, sum(value) AS s from s where value > 0"
+    src = str(tmp_path / "src")
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    ckpt = str(tmp_path / "ckpt")
+
+    phase1 = [
+        [_doc("u1", "click", 1.0, 1), _doc("u2", "click", 2.0, 2)],
+        [_doc("u1", "click", 3.0, 31)],
+    ]
+    write_batches(src, phase1, PA_SCHEMA)
+    q = run_rule_stream(
+        sql, file_stream(spark, src, SPARK_SCHEMA, max_files_per_trigger=1),
+        ts_col="event_time", duration="30 seconds", watermark="10 seconds",
+        sink=sink, checkpoint=ckpt,
+    )
+    run_to_completion(q)
+    committed_after_1 = sink.committed_batches()
+
+    # "kill": query finished; now new data arrives, resume same checkpoint
+    phase2 = [
+        [_doc("u2", "click", 5.0, 62)],
+        *_sentinels(1000),
+    ]
+    # append with later mtimes
+    import time as _t
+
+    for i, docs in enumerate(phase2):
+        write_batches(str(tmp_path / "stage2"), [docs], PA_SCHEMA)
+        srcfile = os.path.join(str(tmp_path / "stage2"), "00000.parquet")
+        dst = os.path.join(src, f"1{i:04d}.parquet")
+        os.replace(srcfile, dst)
+        os.utime(dst, (_t.time() + i, _t.time() + i))
+
+    q2 = run_rule_stream(
+        sql, file_stream(spark, src, SPARK_SCHEMA, max_files_per_trigger=1),
+        ts_col="event_time", duration="30 seconds", watermark="10 seconds",
+        sink=sink, checkpoint=ckpt,
+    )
+    run_to_completion(q2)
+    assert len(sink.committed_batches()) > len(committed_after_1)
+
+    rows = {
+        (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds():
+        (r["n"], r["s"])
+        for r in sink.read_committed(spark).collect()
+        if (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds() < 900
+    }
+    # every window exactly once, with full counts across the restart
+    assert rows == {0.0: (2.0, 3.0), 30.0: (1.0, 3.0), 60.0: (1.0, 5.0)}
+
+
+def test_session_window_batch_semantics(spark):
+    """Session windows (gap 10s): events ≤10s apart merge into one
+    session; verified on a static frame (same plan shape as streaming)."""
+    df = spark.createDataFrame(
+        [
+            ("u1", "click", 1.0, ts(0)),
+            ("u1", "click", 2.0, ts(8)),     # merges (gap 8 < 10)
+            ("u1", "click", 4.0, ts(30)),    # new session
+            ("u2", "click", 8.0, ts(0)),
+        ],
+        schema=SPARK_SCHEMA,
+    )
+    out = windowed_select(
+        "select sum(value) AS s, count(value) AS n from s where value > 0 group by user",
+        df, ts_col="event_time", duration="unused", session_gap="10 seconds",
+    )
+    rows = {
+        (r["user"], (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds()):
+        (r["s"], r["n"])
+        for r in out.collect()
+    }
+    assert rows == {
+        ("u1", 0.0): (3.0, 2.0),
+        ("u1", 30.0): (4.0, 1.0),
+        ("u2", 0.0): (8.0, 1.0),
+    }
+
+
+def test_stateful_applyinpandas_matches_builtin(spark, tmp_path):
+    """applyInPandasWithState incremental aggregates equal the built-in
+    windowed aggregation on the same stream."""
+    src = str(tmp_path / "src")
+    batches = [
+        [_doc("u1", "k", 1.0, 1), _doc("u2", "k", 5.0, 4)],
+        [_doc("u1", "k", 3.0, 33), _doc("u1", "k", -2.0, 35)],
+        *_sentinels(1000),
+    ]
+    write_batches(src, batches, PA_SCHEMA)
+    stream = file_stream(spark, src, SPARK_SCHEMA, max_files_per_trigger=1)
+    out = stateful_windowed_agg(
+        stream, ts_col="event_time", value_col="value",
+        window_duration="30 seconds", dims=["user"], watermark="10 seconds",
+    )
+    collected = []
+
+    def collect_batch(bdf, bid):
+        collected.extend(bdf.collect())
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(collect_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    got = {
+        (r["user"], (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds()):
+        (r["cnt"], r["sum"], r["avg"], r["min"], r["max"])
+        for r in collected
+        if r["user"] != "zz"
+    }
+    assert got == {
+        ("u1", 0.0): (1, 1.0, 1.0, 1.0, 1.0),
+        ("u2", 0.0): (1, 5.0, 5.0, 5.0, 5.0),
+        ("u1", 30.0): (2, 1.0, 0.5, -2.0, 3.0),
+    }
+
+
+def test_stream_stream_join_golden(spark, tmp_path):
+    """Audio × transcript streams joined on clip_id within the delay
+    bound; result equals the equivalent batch join."""
+    from jepl_spark.sources.clips import clips_df, transcripts_df
+
+    n = 24
+    audio_b = clips_df(spark, n).select("clip_id", "codec", "event_time", "seq")
+    trans_b = transcripts_df(spark, n, delay_s=5.0)
+
+    a_src, t_src = str(tmp_path / "a"), str(tmp_path / "t")
+    audio_b.write.parquet(a_src)
+    trans_b.write.parquet(t_src)
+
+    a_stream = file_stream(spark, a_src, audio_b.schema)
+    t_stream = file_stream(spark, t_src, trans_b.schema)
+    joined = audio_transcript_join(
+        a_stream, t_stream.drop("seq"),
+        audio_watermark="30 seconds", transcript_watermark="30 seconds",
+        max_delay="10 seconds",
+    )
+    collected = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "jckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    assert len(collected) == n  # every clip matched exactly one transcript
+    for r in collected:
+        assert r["joined_transcript"].startswith("transcript ")
+        assert (r["transcript_time"] - r["event_time"]).total_seconds() == 5.0
+
+
+def test_metrics_listener(spark, tmp_path):
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        sql = "select count(value) AS n from s where value > 0"
+        batches = [[_doc("u1", "k", 1.0, 1)], *_sentinels(500)]
+        _run_fixture(spark, tmp_path, batches, sql)
+        summary = listener.summary()
+        assert summary["batches"] >= 1
+        assert summary["input_rows"] >= 3
+    finally:
+        spark.streams.removeListener(listener)
