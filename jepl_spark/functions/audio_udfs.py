@@ -115,6 +115,95 @@ def resample_pcm(df: DataFrame, target_sr: int) -> DataFrame:
     return df.mapInPandas(gen, schema=out_schema)
 
 
+_FULL_SCHEMA = StructType(
+    [
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("n_samples", IntegerType()),
+        StructField("clipping_ratio", DoubleType()),
+        StructField("feat", ArrayType(FloatType())),
+    ]
+)
+
+
+@F.pandas_udf(_FULL_SCHEMA)
+def audio_features(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
+    """One-pass decode → stats + spectral features.  A single UDF so the
+    audio bytes cross the JVM↔Arrow boundary exactly once; downstream
+    operators (joins, windows) then carry only the small feature struct.
+    At scale: ALWAYS reduce heavy payloads before stateful operators —
+    stream-stream join state otherwise checkpoints the raw blobs."""
+    win = np.hanning(512).astype(np.float32)
+    edges = np.unique(
+        np.round(np.logspace(0, np.log10(256), _N_MEL + 1)).astype(int)
+    )
+    rms, peak, n, clip, feats = [], [], [], [], []
+    for blob, c in zip(b, codec):
+        x = audio.decode(blob, c)
+        if x.size == 0:
+            rms.append(0.0); peak.append(0.0); n.append(0); clip.append(0.0)
+            feats.append(np.zeros(2 * _N_MEL, dtype=np.float32))
+            continue
+        xd = x.astype(np.float64)
+        rms.append(float(np.sqrt(np.mean(xd * xd))))
+        peak.append(float(np.max(np.abs(xd))))
+        n.append(int(x.size))
+        clip.append(float(np.mean(np.abs(xd) > 0.999)))
+        if x.size < 512:
+            x = np.pad(x, (0, 512 - x.size))
+        n_frames = 1 + (x.size - 512) // 256
+        idx = np.arange(512)[None, :] + 256 * np.arange(n_frames)[:, None]
+        frames = x[idx] * win
+        power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        bands = np.add.reduceat(power, edges[:-1], axis=1)
+        logb = np.log1p(bands)
+        feats.append(
+            np.concatenate([logb.mean(axis=0), logb.std(axis=0)]).astype(np.float32)
+        )
+    return pd.DataFrame(
+        {"rms": rms, "peak": peak, "n_samples": n, "clipping_ratio": clip,
+         "feat": feats}
+    )
+
+
+def with_audio_features(df: DataFrame, out_col: str = "af") -> DataFrame:
+    return df.withColumn(out_col, audio_features(F.col("bytes"), F.col("codec")))
+
+
+_N_MEL = 16
+
+
+@F.pandas_udf(ArrayType(FloatType()))
+def spectral_features(b: pd.Series, codec: pd.Series) -> pd.Series:
+    """Log-power band features (mel-like): decode → frame (512/256 hann)
+    → |rFFT|² → 16 log-spaced band energies → log → per-band mean+std →
+    32-dim vector.  The compute-heavy feature-extraction stage of a
+    training-data pipeline, numpy-vectorized per Arrow batch."""
+    win = np.hanning(512).astype(np.float32)
+    # 16 log-spaced band edges over the 257 rfft bins
+    edges = np.unique(
+        np.round(np.logspace(0, np.log10(256), _N_MEL + 1)).astype(int)
+    )
+    out = []
+    for blob, c in zip(b, codec):
+        x = audio.decode(blob, c)
+        if x.size < 512:
+            x = np.pad(x, (0, 512 - x.size))
+        n_frames = 1 + (x.size - 512) // 256
+        idx = np.arange(512)[None, :] + 256 * np.arange(n_frames)[:, None]
+        frames = x[idx] * win
+        power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        bands = np.add.reduceat(power, edges[:-1], axis=1)
+        logb = np.log1p(bands)
+        feat = np.concatenate([logb.mean(axis=0), logb.std(axis=0)])
+        out.append(feat.astype(np.float32))
+    return pd.Series(out)
+
+
+def with_spectral_features(df: DataFrame, out_col: str = "features") -> DataFrame:
+    return df.withColumn(out_col, spectral_features(F.col("bytes"), F.col("codec")))
+
+
 # -- multimodal stubs ----------------------------------------------------------
 
 

@@ -1,0 +1,127 @@
+"""The north-rule streaming job, packaged for spark-submit.
+
+    spark-submit --master <cluster> \\
+        --py-files jepl_spark.zip \\
+        jobs/clips_pipeline.py \\
+        --audio-path <dir> --transcript-path <dir> \\
+        --sink <dir> --checkpoint <dir> \\
+        [--rule "select count(clip_id) AS n from clips where ..."] \\
+        [--window "1 minute"] [--watermark "30 seconds"] [--salt 8] \\
+        [--synthesize N]          # generate deterministic inputs first
+
+Pipeline: audio stream → Arrow decode/feature UDF (bytes cross the
+JVM boundary once, features only afterwards) → watermarked stream-stream
+join with the transcript stream on clip_id → windowed per-codec JEPL
+aggregation → exactly-once sink with per-partition lineage.  Metrics are
+printed as one JSON line at exit (MetricsListener summary).
+
+On a real cluster the file source/sink swap for Iceberg tables
+(streaming/sink.IcebergSink) with no plan changes; checkpoint +
+idempotent commits give exactly-once across restarts at either size.
+Run at N and 4N executors with identical input to measure scaling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--audio-path", required=True)
+    p.add_argument("--transcript-path", required=True)
+    p.add_argument("--sink", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--rule", default=None, help="JEPL rule applied to the joined stream")
+    p.add_argument("--window", default="1 minute")
+    p.add_argument("--watermark", default="30 seconds")
+    p.add_argument("--max-delay", default="60 seconds")
+    p.add_argument("--salt", type=int, default=None)
+    p.add_argument("--synthesize", type=int, default=0)
+    p.add_argument("--continuous", action="store_true",
+                   help="keep running (processingTime trigger) instead of availableNow")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("jepl-clips-pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from jepl_spark.functions.audio_udfs import with_audio_features
+    from jepl_spark.sources.clips import clips_df, transcripts_df
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.join import audio_transcript_join
+    from jepl_spark.streaming.listener import MetricsListener
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+    from jepl_spark.streaming.windows import windowed_select
+
+    if args.synthesize:
+        clips_df(spark, args.synthesize, step_s=0.05).write.mode("overwrite").parquet(
+            args.audio_path
+        )
+        transcripts_df(spark, args.synthesize, step_s=0.05, delay_s=1.0).write.mode(
+            "overwrite"
+        ).parquet(args.transcript_path)
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+
+    schema_a = clips_df(spark, 1).schema
+    schema_t = transcripts_df(spark, 1).schema
+
+    t0 = time.time()
+    a = file_stream(spark, args.audio_path, schema_a)
+    t = file_stream(spark, args.transcript_path, schema_t).drop("seq")
+    slim = with_audio_features(a).select(
+        "clip_id", "codec", "sr_hz", "dur_ms", "event_time",
+        F.col("af.rms").alias("rms"),
+        F.col("af.n_samples").alias("n_samples"),
+        F.col("af.feat").alias("feat"),
+    )
+    joined = audio_transcript_join(
+        slim, t,
+        audio_watermark=args.watermark,
+        transcript_watermark=args.watermark,
+        max_delay=args.max_delay,
+        salt=args.salt,
+    )
+
+    rule = args.rule or (
+        "select count(clip_id) AS n_clips, avg(rms) AS avg_rms, "
+        "max(dur_ms) AS max_dur, sum(n_samples) AS samples "
+        "from joined where rms > 0 group by codec"
+    )
+    result = windowed_select(
+        rule, joined, ts_col="event_time", duration=args.window, watermark=None
+    )
+
+    sink = IdempotentParquetSink(args.sink)
+    writer = (
+        result.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", args.checkpoint)
+    )
+    if args.continuous:
+        q = writer.trigger(processingTime="10 seconds").start()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(availableNow=True).start()
+        run_to_completion(q, timeout_s=3600)
+
+    wall = time.time() - t0
+    summary = listener.summary()
+    summary.update(
+        wall_s=round(wall, 2),
+        committed_batches=len(sink.committed_batches()),
+        clips_per_sec=round(summary["input_rows"] / wall, 1) if wall else None,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

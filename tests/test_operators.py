@@ -1,0 +1,163 @@
+"""Pipeline-operator tests: dedup (exact/minhash/simhash/jaccard),
+similarity search, and text analysis on hand-constructed frames with
+known answers."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jepl_spark.operators import dedup as D
+from jepl_spark.operators import similarity as S
+from jepl_spark.operators import text as T
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "completely different content about spark streaming windows and joins"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "COMPLETELY   different Content about spark streaming windows and joins"),  # 2 modulo case/ws
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs_df):
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(docs_df).collect())
+    # 3 is an exact dup of 0; 4 normalizes to 2 (case+whitespace fold)
+    assert kept == [0, 1, 2]
+    stats = {r["doc_id"]: r["dup_count"] for r in D.exact_dedup_stats(docs_df).collect()}
+    assert stats == {0: 2, 1: 1, 2: 2}
+
+
+def test_minhash_candidates(spark, docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_candidates(docs_df, bands=16, num_hashes=64).collect()
+    }
+    assert pairs[(0, 3)] == 1.0          # identical → all minhashes equal
+    assert pairs.get((0, 1), 0) > 0.5    # near-dup → high estimate
+    assert (0, 2) not in pairs           # unrelated → no shared band
+    assert (1, 2) not in pairs
+
+
+def test_minhash_dedup_removes_near_dups(spark, docs_df):
+    kept = sorted(
+        r["doc_id"]
+        for r in D.minhash_dedup(docs_df, threshold=0.5, bands=16, num_hashes=64).collect()
+    )
+    assert 0 in kept and 2 in kept
+    assert 3 not in kept and 1 not in kept
+
+
+def test_simhash(spark, docs_df):
+    sigs = {r["doc_id"]: r["sig"] for r in docs_df.select(
+        "doc_id", D.simhash64(F.col("text")).alias("sig")).collect()}
+    assert len(sigs[0]) == 64 and set(sigs[0]) <= {"0", "1"}
+    assert sigs[0] == sigs[3]            # identical text → same signature
+    assert sigs[2] == sigs[4]            # normalization folds case/ws
+    ham01 = sum(a != b for a, b in zip(sigs[0], sigs[1]))
+    ham02 = sum(a != b for a, b in zip(sigs[0], sigs[2]))
+    assert ham01 < ham02                 # near-dup closer than unrelated
+
+
+def test_ngram_jaccard_exact_value(spark, docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs_df, shingle_n=3, min_jaccard=0.05).collect()
+    }
+    # compute expected jaccard for (0,1) in python
+    def shingles(text, n=3):
+        toks = text.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    s0, s1 = shingles(DOCS[0][1]), shingles(DOCS[1][1])
+    expect = len(s0 & s1) / len(s0 | s1)
+    assert math.isclose(pairs[(0, 1)], expect, rel_tol=1e-9)
+    assert pairs[(0, 3)] == 1.0
+
+
+def test_cosine_and_topk(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.0]),  # zero vector → cosine 0 by convention
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = [1.0, 0.0, 0.0]
+    scores = {r["vec_id"]: r["cosine"] for r in S.cosine_scores(df, q).collect()}
+    assert math.isclose(scores[0], 1.0)
+    assert math.isclose(scores[1], 0.9 / math.sqrt(0.81 + 0.01), rel_tol=1e-9)
+    assert math.isclose(scores[2], 0.0)
+    assert math.isclose(scores[3], -1.0)
+    assert scores[4] == 0.0
+    top = [r["vec_id"] for r in S.brute_force_topk(df, q, k=3).collect()]
+    assert top == [0, 1, 2]
+
+
+def test_lsh_topk_contains_query_bucket(spark):
+    rng = np.random.RandomState(7)
+    vecs = [(i, rng.randn(16).astype(float).tolist()) for i in range(200)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = vecs[5][1]
+    exact = [r["vec_id"] for r in S.brute_force_topk(df, q, k=1).collect()]
+    approx = S.lsh_topk(df, q, k=5, planes=4).collect()
+    assert exact[0] == 5                    # self is nearest
+    assert 5 in [r["vec_id"] for r in approx]  # LSH keeps the query's bucket
+    assert math.isclose(approx[0]["cosine"], 1.0, rel_tol=1e-6)
+
+
+def test_embedding_near_dups(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"]) for r in S.embedding_near_dups(df, threshold=0.99).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [(0, "a b  c"), (1, ""), (2, "   "), (3, "single")], ["i", "t"]
+    )
+    got = {r["i"]: r["n"] for r in df.select("i", T.token_count(F.col("t")).alias("n")).collect()}
+    assert got == {0: 3, 1: 0, 2: 0, 3: 1}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, " HELLO\tWORLD ")], ["i", "t"]
+    )
+    fps = [r["fp"] for r in df.select("i", T.fingerprint(F.col("t")).alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([(0, "hi internationalization, ok!")], ["i", "t"])
+    n = df.select(T.bpe_ish_token_count(F.col("t")).alias("n")).collect()[0]["n"]
+    # hi=1, internationalization,(21 chars)=6, ok!=1 ; punct , and ! = 2
+    assert n == 1 + 6 + 1 + 2
+
+
+def test_lang_id_samples(spark):
+    samples = [
+        (0, "the cat sat on the mat and it is a good day for a walk"),
+        (1, "le chat est sur la table et il est pour une bonne journee"),
+        (2, "el gato es una mascota y es un buen dia por la manana"),
+        (3, "der hund und die katze sind ein gutes team zu hause von den"),
+        (4, "这是一个中文句子用于测试语言识别功能"),
+        (5, "xyzzy plugh qwerty asdf"),
+    ]
+    df = spark.createDataFrame(samples, ["i", "t"])
+    got = {r["i"]: r["lang"] for r in df.select("i", T.lang_id(F.col("t")).alias("lang")).collect()}
+    assert got == {0: "en", 1: "fr", 2: "es", 3: "de", 4: "zh", 5: "und"}
