@@ -284,6 +284,66 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_audio_decode_stats(spark, sf_dir):
+    """Audio lane (rows-only): deterministic synthetic clips decoded via
+    the Arrow pandas UDF, per-codec stats.  No SQL oracle (DuckDB cannot
+    decode G.711); the SNR/transcript invariants live in tests/test_audio.py."""
+    from pyspark.sql import functions as F2
+
+    from jepl_spark.functions.audio_udfs import with_pcm_stats
+    from jepl_spark.sources.clips import clips_df
+
+    n = 120 if sf_dir.endswith("0.001") else 400
+    clips = clips_df(spark, n)
+    stats = with_pcm_stats(clips)
+    return (
+        stats.groupBy("codec")
+        .agg(
+            F2.count(F2.lit(1)).cast("bigint").alias("n_clips"),
+            F2.round(F2.avg(F2.col("stats.rms")), 4).alias("avg_rms"),
+            F2.sum(F2.col("stats.n_samples")).cast("bigint").alias("samples"),
+        )
+    )
+
+
+def q_stream_windowed_rule(spark, sf_dir):
+    """Streaming lane: the windowed JEPL rule executed as an actual
+    Structured Streaming query (availableNow) over the events table
+    staged as a file stream, through the exactly-once sink.  The oracle
+    reproduces append-mode emission: windows whose end ≤ max(ts) − delay."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from jepl_spark.sources.tables import load_table
+    from jepl_spark.streaming.engine import file_stream, run_rule_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-stream-")
+    # the driver-generated parquet stores ts as TIMESTAMP_NTZ; watermarks
+    # require TIMESTAMP (session tz is UTC, so the cast is value-stable)
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F2.col("ts").cast("timestamp")
+    )
+    events.write.mode("overwrite").parquet(f"{work}/src")
+    sink = IdempotentParquetSink(f"{work}/sink")
+    q = run_rule_stream(
+        "select count(event_id) AS n, sum(value) AS s from events "
+        "where event_type = 'click' group by user_id",
+        file_stream(spark, f"{work}/src", events.schema),
+        ts_col="ts", duration="6 hours", watermark="1 hour",
+        sink=sink, checkpoint=f"{work}/ckpt",
+    )
+    run_to_completion(q, timeout_s=600)
+    out = sink.read_committed(spark)
+    return out.select(
+        F2.unix_timestamp("window_start").cast("bigint").alias("ws"),
+        F2.col("user_id").cast("bigint").alias("user_id"),
+        F2.col("n").cast("bigint").alias("n"),
+        F2.round(F2.col("s"), 2).alias("s"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     return df.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
@@ -312,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": q_simhash_signatures,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "lang_id": q_lang_id,
+        "audio_decode_stats": q_audio_decode_stats,
+        "stream_windowed_rule": q_stream_windowed_rule,
     }
 
 
@@ -442,9 +504,24 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(q.qv, q.qv))) END, 4) AS cosine
             FROM e, q
         """,
+        # an actual Structured Streaming run: append-mode emission ⇒
+        # exactly the windows whose end ≤ (max event time − watermark);
+        # group keys enumerated pre-WHERE within each window
+        "stream_windowed_rule": """
+            WITH g AS (
+              SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS ws,
+                     user_id,
+                     CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n,
+                     round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0.0), 2) AS s
+              FROM events GROUP BY 1, 2
+            ), m AS (SELECT epoch(max(ts)) AS mx FROM events)
+            SELECT g.ws, g.user_id, g.n, g.s FROM g, m
+            WHERE g.ws + 21600 <= m.mx - 3600
+        """,
         # ann_topk / ann_lsh_topk / minhash_near_dups / simhash_signatures /
-        # ngram_jaccard_pairs / lang_id: rows-only (hash-seeded / heuristic
-        # operators have no faithful ANSI-SQL twin)
+        # ngram_jaccard_pairs / lang_id / audio_decode_stats: rows-only
+        # (hash-seeded / heuristic / codec operators have no faithful
+        # ANSI-SQL twin)
         "ngram_jaccard_pairs": """
             WITH toks AS (
               SELECT doc_id,

@@ -38,21 +38,19 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CLIPS = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "24000"))
 
 
-def make_spark(cores: int):
+def make_spark(cores: int, audio_heavy: bool = False):
+    """audio_heavy sessions read wide-binary parquet into Python UDFs:
+    the row-based parquet reader beats the vectorized one there
+    (measured 13s vs 17-54s per GB) and cannot OOM on giant column
+    vectors; relational/batch sessions keep the vectorized reader."""
     from pyspark.sql import SparkSession
 
-    return (
+    b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"jepl-bench-{cores}")
         .config("spark.sql.shuffle.partitions", "32")  # constant across scaling runs
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # bound Arrow batch size: audio blobs in unbounded batches blow
-        # netty direct memory at high parallelism
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-        # same for the vectorized parquet reader: 4096-row column
-        # batches of ~45KB binary rows OOM the heap at 32 tasks
-        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         # RocksDB state store: ~2x faster streaming state commits than
         # the HDFS-backed provider for the join-heavy pipeline
         .config("spark.sql.streaming.stateStore.providerClass",
@@ -61,8 +59,15 @@ def make_spark(cores: int):
         .config("spark.driver.memory", "16g")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if audio_heavy:
+        b = (
+            b.config("spark.sql.parquet.enableVectorizedReader", "false")
+            # bound Arrow batches: audio blobs in unbounded batches blow
+            # netty direct memory at high parallelism
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        )
+    return b.getOrCreate()
 
 
 def _drain(df) -> int:
@@ -168,10 +173,16 @@ def clips_stream_bench(spark, n_clips: int, workdir: str) -> dict:
     return clips_stream_run(spark, n_clips, a_dir, t_dir, workdir)
 
 
-def clips_stream_run(spark, n_clips: int, a_dir: str, t_dir: str, workdir: str) -> dict:
+def clips_stream_run(
+    spark, n_clips: int, a_dir: str, t_dir: str, workdir: str,
+    heavy: bool = False,
+) -> dict:
     from pyspark.sql import functions as F
 
-    from jepl_spark.functions.audio_udfs import with_audio_features
+    from jepl_spark.functions.audio_udfs import (
+        audio_features_heavy,
+        with_audio_features,
+    )
     from jepl_spark.sources.clips import clips_df, transcripts_df
     from jepl_spark.streaming.engine import file_stream, run_to_completion
     from jepl_spark.streaming.join import audio_transcript_join
@@ -185,14 +196,24 @@ def clips_stream_run(spark, n_clips: int, a_dir: str, t_dir: str, workdir: str) 
     a = file_stream(spark, a_dir, schema_a)
     t = file_stream(spark, t_dir, schema_t).drop("seq")
     # decode + feature-extract BEFORE the stateful join: join state then
-    # carries 32-float features instead of raw audio blobs (the blobs
+    # carries small feature vectors instead of audio blobs (the blobs
     # would otherwise be checkpointed into both join state stores)
-    slim = with_audio_features(a).select(
-        "clip_id", "codec", "event_time",
-        F.col("af.rms").alias("rms"),
-        F.col("af.n_samples").alias("n_samples"),
-        F.col("af.feat").alias("feat"),
-    )
+    if heavy:
+        # production-representative per-clip compute (multi-resolution
+        # spectrograms + MFCC-like DCT) — the scaling benchmark workload
+        slim = a.select(
+            "clip_id", "codec", "event_time",
+            audio_features_heavy(F.col("bytes"), F.col("codec")).alias("feat"),
+        ).withColumn("rms", F.element_at("feat", 1)).withColumn(
+            "n_samples", F.lit(0)
+        )
+    else:
+        slim = with_audio_features(a).select(
+            "clip_id", "codec", "event_time",
+            F.col("af.rms").alias("rms"),
+            F.col("af.n_samples").alias("n_samples"),
+            F.col("af.feat").alias("feat"),
+        )
     joined = audio_transcript_join(slim, t, max_delay="5 seconds", salt=None)
     enriched = joined
     agg = enriched.groupBy(F.window("event_time", "1 minute"), "codec").agg(
@@ -234,7 +255,7 @@ def clips_stream_run(spark, n_clips: int, a_dir: str, t_dir: str, workdir: str) 
     }
 
 
-SCALE_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALE_CLIPS", "60000"))
+SCALE_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALE_CLIPS", "150000"))
 # N and 4N worker cores for the scaling evidence.  On a single box the
 # 8→32 step saturates shared memory bandwidth / disk, which a real
 # multi-executor cluster would not — 2→8 measures the job's parallel
@@ -246,7 +267,7 @@ SCALE_CORES = tuple(
 
 def generate_scale_input(workdir: str, n: int) -> None:
     """Generate the shared scaling corpus once (32 cores)."""
-    spark = make_spark(32)
+    spark = make_spark(32, audio_heavy=True)
     spark.sparkContext.setLogLevel("ERROR")
     try:
         from jepl_spark.sources.clips import clips_df, transcripts_df
@@ -263,7 +284,7 @@ def generate_scale_input(workdir: str, n: int) -> None:
 
 def run_stream_only(cores: int, workdir: str, n: int) -> dict:
     """Run the identical pipeline on the SAME pre-generated input."""
-    spark = make_spark(cores)
+    spark = make_spark(cores, audio_heavy=True)
     spark.sparkContext.setLogLevel("ERROR")
     try:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -272,7 +293,7 @@ def run_stream_only(cores: int, workdir: str, n: int) -> dict:
         return clips_stream_run(
             spark, n,
             os.path.join(workdir, "audio"), os.path.join(workdir, "trans"),
-            rundir,
+            rundir, heavy=True,
         )
     finally:
         spark.stop()
@@ -291,15 +312,7 @@ def run_suite(cores: int, sf_dir: str, with_stream: bool = True) -> dict:
             t0 = time.time()
             fn()  # warm not separated: single-shot timing, consistent per round
             results[name] = round(time.time() - t0, 3)
-        stream = None
-        if with_stream:
-            workdir = tempfile.mkdtemp(prefix=f"jepl-bench-{cores}-")
-            try:
-                stream = clips_stream_bench(spark, N_CLIPS, workdir)
-                results["clips_stream"] = round(stream["wall_s"], 3)
-            finally:
-                shutil.rmtree(workdir, ignore_errors=True)
-        return {"queries": results, "stream": stream}
+        return {"queries": results, "stream": None}
     finally:
         spark.stop()
 
@@ -337,7 +350,20 @@ def main() -> None:
         print(json.dumps(out))
         return
 
-    res = run_suite(CPUS, SF_DIR, with_stream=True)
+    res = run_suite(CPUS, SF_DIR, with_stream=False)
+    # the audio pipeline runs in its own session: wide-binary parquet →
+    # Python favors the row-based reader (see make_spark)
+    stream_spark = make_spark(CPUS, audio_heavy=True)
+    stream_spark.sparkContext.setLogLevel("ERROR")
+    try:
+        workdir = tempfile.mkdtemp(prefix=f"jepl-bench-stream-")
+        try:
+            res["stream"] = clips_stream_bench(stream_spark, N_CLIPS, workdir)
+            res["queries"]["clips_stream"] = round(res["stream"]["wall_s"], 3)
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+    finally:
+        stream_spark.stop()
     total = round(sum(res["queries"].values()), 3)
     out = {
         "metric": "jepl_spark headline suite wall time",

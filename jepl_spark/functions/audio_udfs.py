@@ -170,6 +170,50 @@ def with_audio_features(df: DataFrame, out_col: str = "af") -> DataFrame:
     return df.withColumn(out_col, audio_features(F.col("bytes"), F.col("codec")))
 
 
+@F.pandas_udf(ArrayType(FloatType()))
+def audio_features_heavy(b: pd.Series, codec: pd.Series) -> pd.Series:
+    """Production-representative feature extraction (~10-15 ms/clip):
+    multi-resolution spectrograms (256/512/1024 windows), 24 log bands
+    each, plus an MFCC-like DCT over the 512-window bands — the class
+    of per-clip work (VAD, MFCC, embedding prep) a real training
+    pipeline runs.  Used by the compute-dominated scaling benchmark."""
+    feats_out = []
+    configs = [(256, 128), (512, 256), (1024, 512)]
+    wins = {n: np.hanning(n).astype(np.float32) for n, _ in configs}
+    edges = {
+        n: np.unique(np.round(np.logspace(0, np.log10(n // 2), 25)).astype(int))
+        for n, _ in configs
+    }
+    # DCT-II basis for 24 bands → 13 coefficients
+    k = np.arange(13)[:, None]
+    nb = np.arange(24)[None, :]
+    dct = np.cos(np.pi * k * (2 * nb + 1) / (2 * 24)).astype(np.float64)
+    for blob, c in zip(b, codec):
+        x0 = audio.decode(blob, c)
+        parts = []
+        mel512 = None
+        for n, hop in configs:
+            x = x0 if x0.size >= n else np.pad(x0, (0, n - x0.size))
+            n_frames = 1 + (x.size - n) // hop
+            idx = np.arange(n)[None, :] + hop * np.arange(n_frames)[:, None]
+            frames = x[idx] * wins[n]
+            power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+            bands = np.add.reduceat(power, edges[n][:-1], axis=1)[:, :24]
+            logb = np.log1p(bands)
+            parts.append(logb.mean(axis=0))
+            parts.append(logb.std(axis=0))
+            if n == 512:
+                mel512 = logb
+        if mel512 is not None and mel512.shape[1] >= 24:
+            mfcc = dct @ mel512.T.astype(np.float64)  # 13 × frames
+            parts.append(mfcc.mean(axis=1))
+            parts.append(mfcc.std(axis=1))
+        feats_out.append(
+            np.concatenate([p.astype(np.float32) for p in parts])
+        )
+    return pd.Series(feats_out)
+
+
 _N_MEL = 16
 
 

@@ -259,6 +259,61 @@ def test_checkpoint_kill_resume(spark, tmp_path):
     assert rows == {0.0: (2.0, 3.0), 30.0: (1.0, 3.0), 60.0: (1.0, 5.0)}
 
 
+def test_crash_mid_batch_replay_exactly_once(spark, tmp_path):
+    """Inject a crash AFTER the batch's data files are written but
+    BEFORE the commit marker lands: the restarted query replays the
+    batch, overwrites the partial output, and commits exactly once."""
+    sql = "select count(value) AS n from s where value > 0"
+    src = str(tmp_path / "src")
+    batches = [
+        [_doc("u1", "k", 1.0, 1), _doc("u1", "k", 2.0, 2)],
+        *_sentinels(1000),
+    ]
+    write_batches(src, batches, PA_SCHEMA)
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+
+    crash_on = {1}  # crash while committing batch 1 (first with output)
+
+    def crashing_write(bdf, bid):
+        if bid in crash_on and not sink.is_committed(bid):
+            # write the data like the real sink, then die pre-marker
+            import os as _os
+
+            from jepl_spark.streaming.sink import add_lineage
+
+            path = _os.path.join(sink.root, "data", f"batch={int(bid)}")
+            add_lineage(bdf, bid).write.mode("overwrite").parquet(path)
+            crash_on.discard(bid)
+            raise RuntimeError("injected crash before commit marker")
+        sink.write_batch(bdf, bid)
+
+    q = run_rule_stream(
+        sql, file_stream(spark, src, SPARK_SCHEMA, max_files_per_trigger=1),
+        ts_col="event_time", duration="30 seconds", watermark="10 seconds",
+        foreach_batch=crashing_write, checkpoint=str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        run_to_completion(q)
+
+    # partial (uncommitted) output exists on disk but is invisible
+    assert 1 not in sink.committed_batches()
+
+    # restart from the same checkpoint → batch 1 replays
+    q2 = run_rule_stream(
+        sql, file_stream(spark, src, SPARK_SCHEMA, max_files_per_trigger=1),
+        ts_col="event_time", duration="30 seconds", watermark="10 seconds",
+        foreach_batch=crashing_write, checkpoint=str(tmp_path / "ckpt"),
+    )
+    run_to_completion(q2)
+
+    rows = {
+        (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds(): r["n"]
+        for r in sink.read_committed(spark).collect()
+        if (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds() < 900
+    }
+    assert rows == {0.0: 2.0}  # exactly once, despite the partial write
+
+
 def test_session_window_batch_semantics(spark):
     """Session windows (gap 10s): events ≤10s apart merge into one
     session; verified on a static frame (same plan shape as streaming)."""
