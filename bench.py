@@ -350,6 +350,17 @@ def main() -> None:
         print(json.dumps(out))
         return
 
+    # parse throughput (the reference ships equivalent Go benchmarks,
+    # parser_test.go:348-375)
+    from jepl_spark.lang.parser import parse_statement as _ps
+
+    _t0 = time.time()
+    _n = 2000
+    for _ in range(_n):
+        _ps("SELECT max(tcp.in_pkts) FROM packetbeat "
+            "WHERE tcp.dst_ip = '110.110.110.2' AND uid != 7 group by tcp.src_ip")
+    parse_per_sec = _n / (time.time() - _t0)
+
     res = run_suite(CPUS, SF_DIR, with_stream=False)
     # the audio pipeline runs in its own session: wide-binary parquet →
     # Python favors the row-based reader (see make_spark)
@@ -372,6 +383,7 @@ def main() -> None:
         "queries": res["queries"],
         "sf": sf,
     }
+    out["parse_statements_per_sec"] = round(parse_per_sec)
     if res["stream"]:
         out["clips_per_sec"] = round(res["stream"]["clips_per_sec"], 1)
         out["window_close_latency_s"] = round(
