@@ -61,3 +61,26 @@ class JeplEngine:
         FROM and then evaluates whatever batch it is handed)."""
         stmt = parse_statement(text)
         return compile_select(stmt, df)
+
+    def sql_stream(
+        self,
+        text: str,
+        source: DataFrame,
+        *,
+        ts_col: str,
+        duration: str,
+        slide: Union[str, None] = None,
+        session_gap: Union[str, None] = None,
+        watermark: Union[str, None] = "0 seconds",
+    ) -> DataFrame:
+        """Compile a rule into an event-time-windowed aggregation over a
+        (streaming or static) DataFrame — the streaming front door.
+        Start it with ``.writeStream`` (see streaming/engine.py for the
+        exactly-once sink wiring)."""
+        from .streaming.windows import windowed_select
+
+        stmt = parse_statement(text)
+        return windowed_select(
+            stmt, source, ts_col=ts_col, duration=duration, slide=slide,
+            session_gap=session_gap, watermark=watermark,
+        )

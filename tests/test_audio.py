@@ -74,6 +74,45 @@ def test_resample(spark):
         assert abs(len(r["pcm_rs"]) - expect) <= 1
 
 
+def test_zipf_clip_events_skew(spark):
+    """The skew-test event stream is deterministic and actually skewed:
+    the hot clip dominates, and repeated generation is identical."""
+    from jepl_spark.sources.clips import zipf_clip_events
+
+    a = zipf_clip_events(spark, 5000, n_clips=100, partitions=4)
+    counts = {r["clip_id"]: r["n"] for r in
+              a.groupBy("clip_id").count().withColumnRenamed("count", "n").collect()}
+    hot = counts.get("clip-000000000000", 0)
+    assert hot / 5000 > 0.15            # Zipf head is genuinely hot
+    assert len(counts) > 20             # but the tail exists
+    b = zipf_clip_events(spark, 5000, n_clips=100, partitions=4)
+    assert b.exceptAll(a).count() == 0 and a.exceptAll(b).count() == 0
+
+
+def test_engine_sql_stream_batch_shape(spark):
+    """JeplEngine.sql_stream compiles a windowed rule (static frame)."""
+    from jepl_spark.engine import JeplEngine
+    from jepl_spark.sources.clips import BASE_TS
+
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "v": [1.0, 2.0, 8.0],
+            "k": ["a", "a", "b"],
+            "event_time": [BASE_TS, BASE_TS + pd.Timedelta(seconds=10),
+                           BASE_TS + pd.Timedelta(seconds=70)],
+        })
+    )
+    eng = JeplEngine(spark)
+    out = eng.sql_stream(
+        "select sum(v) AS s from t where v > 0 group by k",
+        df, ts_col="event_time", duration="1 minute", watermark=None,
+    )
+    rows = {(r["k"], r["window_start"].minute): r["s"] for r in out.collect()}
+    assert rows == {("a", 0): 3.0, ("b", 1): 8.0}
+
+
 def test_transcript_stream_projection(spark):
     t = transcripts_df(spark, 10, delay_s=5.0).collect()
     c = clips_df(spark, 10).select("clip_id", "event_time").collect()

@@ -156,9 +156,18 @@ def test_rule_parity_bulk(spark):
         n_aggs = rng.randrange(1, 4)
         fields = []
         for fi in range(n_aggs):
-            fn = rng.choice(["count", "sum", "avg", "max", "min"])
-            arg = rng.choice(NUM_FIELDS) if fn == "count" else gen_num_expr(rng, 1)
-            fields.append(f"{fn}({arg}) AS f{fi}")
+            def call():
+                fn = rng.choice(["count", "sum", "avg", "max", "min"])
+                arg = rng.choice(NUM_FIELDS) if fn == "count" else gen_num_expr(rng, 1)
+                return f"{fn}({arg})"
+
+            if rng.random() < 0.4:  # post-aggregate arithmetic field
+                op = rng.choice(["+", "-", "*", "/"])
+                fields.append(f"{call()} {op} {call()} AS f{fi}")
+            elif rng.random() < 0.2:  # arithmetic with a literal
+                fields.append(f"{call()} * {rng.randrange(1, 5)} AS f{fi}")
+            else:
+                fields.append(f"{call()} AS f{fi}")
         pred = gen_pred(rng, 2)
         group = " group by k" if rng.random() < 0.5 else ""
         sql = f"select {', '.join(fields)} from t where {pred}{group}"
