@@ -317,8 +317,23 @@ class Parser:
             raise JeplParseError(tokstr(tok, lit), ["regex"], pos)
         return self._compile_regex(lit, pos)
 
-    @staticmethod
-    def _compile_regex(lit: str, pos: Pos) -> ast.RegexLiteral:
+    # RE2 (the reference's regex engine, parser.go:488-493) has no
+    # lookaround or backreferences — such patterns fail at parse time
+    # there.  Python `re` (and Spark's Java regex) accept them, so they
+    # are rejected here explicitly to stay within the common dialect
+    # subset (SURVEY.md §2.9.13).
+    _RE2_UNSUPPORTED = _re.compile(r"\(\?[=!]|\(\?<[=!]|\\[1-9]")
+
+    @classmethod
+    def _compile_regex(cls, lit: str, pos: Pos) -> ast.RegexLiteral:
+        if cls._RE2_UNSUPPORTED.search(lit):
+            raise JeplParseError(
+                message=(
+                    "error parsing regexp: invalid or unsupported Perl "
+                    f"syntax: `{lit}`"
+                ),
+                pos=pos,
+            )
         try:
             compiled = _re.compile(lit)
         except _re.error as exc:

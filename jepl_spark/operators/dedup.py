@@ -147,20 +147,23 @@ def minhash_candidates(
         on=["__band", "__bandkey"],
         how="inner",
     )
+    # candidate ids first, signatures re-attached after dedup — the
+    # 64-long signature arrays never ride the self-join/distinct shuffle
     a = banded.select(
-        F.col("__band"), F.col("__bandkey"),
-        F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a"),
+        F.col("__band"), F.col("__bandkey"), F.col("__id").alias("id_a")
     )
     b = banded.select(
-        F.col("__band"), F.col("__bandkey"),
-        F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b"),
+        F.col("__band"), F.col("__bandkey"), F.col("__id").alias("id_b")
     )
     pairs = (
         a.join(b, on=["__band", "__bandkey"], how="inner")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sig_a", "__sig_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    sig_a = base.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a"))
+    sig_b = base.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b"))
+    pairs = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     est = (
         F.size(
             F.filter(

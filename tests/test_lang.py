@@ -334,6 +334,16 @@ def test_statement_rendering():
     )
 
 
+def test_re2_unsupported_constructs_rejected():
+    # the reference's RE2 engine rejects lookaround/backrefs at parse
+    # time; we reject the same constructs (Python re would accept them)
+    for pat in [r"f(?=oo)", r"f(?!oo)", r"(?<=f)oo", r"(?<!f)oo", r"(a)\1"]:
+        err = errstring(lambda p=pat: parse_expr(f"s =~ /{p}/"))
+        assert "unsupported Perl syntax" in err, (pat, err)
+    # non-capturing groups and normal classes are fine in both dialects
+    assert isinstance(parse_expr("s =~ /(?:ab)+[0-9]{2}$/"), ast.BinaryExpr)
+
+
 def test_condition_validation_errors():
     assert (
         errstring(lambda: parse_statement("select sum(x) from f where count(y) > 1"))

@@ -144,6 +144,36 @@ def test_tumbling_golden_grouped(spark, tmp_path):
     _assert_matches(expected, _rows_to_map(sql, data_rows, 1))
 
 
+def test_golden_invariant_across_parallelism(spark, tmp_path):
+    """The same pinned fixture produces identical rows at two
+    parallelism levels (shuffle/state partitions 1 vs 8) — byte-identical
+    input, order-insensitive comparison (SURVEY.md §5)."""
+    sql = "select sum(value) AS s, count(value) AS n from s group by user"
+    batches = [
+        [_doc("u1", "k", 1.0, 1), _doc("u2", "k", 2.0, 2), _doc("u1", "k", 4.0, 31)],
+        *_sentinels(1000),
+    ]
+    results = []
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    for i, parts in enumerate(["1", "8"]):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            sub = tmp_path / f"p{parts}"
+            sub.mkdir()
+            got = _run_fixture(spark, sub, batches, sql)
+            rows = sorted(
+                (
+                    str(r["window_start"]), r["user"], float(r["s"]), float(r["n"])
+                )
+                for r in got.select("window_start", "user", "s", "n").collect()
+                if r["user"] != "zz"
+            )
+            results.append(rows)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert results[0] == results[1] and len(results[0]) > 0
+
+
 def test_late_data_dropped(spark, tmp_path):
     sql = "select count(value) AS n from s where value >= 0"
     batches = [
@@ -450,6 +480,94 @@ def test_stream_stream_join_golden(spark, tmp_path):
     for r in collected:
         assert r["joined_transcript"].startswith("transcript ")
         assert (r["transcript_time"] - r["event_time"]).total_seconds() == 5.0
+
+
+def test_full_pipeline_join_window_golden(spark, tmp_path):
+    """The complete north-rule pipeline as one streaming query —
+    audio stream ⋈ transcript stream → windowed per-codec JEPL counts →
+    exactly-once sink — against hand-computed expectations."""
+    import pyarrow as pa
+
+    from jepl_spark.sources.clips import clip_row
+
+    n = 40
+    audio_rows, trans_rows = [], []
+    for i in range(n):
+        c = clip_row(i)
+        t = ts(10 * i)
+        audio_rows.append(
+            {"clip_id": c["clip_id"], "codec": c["codec"], "event_time": t}
+        )
+        trans_rows.append(
+            {"clip_id": c["clip_id"], "transcript": c["transcript"],
+             "event_time": ts(10 * i + 5)}
+        )
+    # sentinel pair far in the future closes all real windows
+    audio_rows.append({"clip_id": "zz", "codec": "zz", "event_time": ts(10000)})
+    trans_rows.append(
+        {"clip_id": "zz", "transcript": "zz", "event_time": ts(10001)}
+    )
+
+    pa_audio = pa.schema(
+        [pa.field("clip_id", pa.string()), pa.field("codec", pa.string()),
+         pa.field("event_time", pa.timestamp("us", tz="UTC"))]
+    )
+    pa_trans = pa.schema(
+        [pa.field("clip_id", pa.string()), pa.field("transcript", pa.string()),
+         pa.field("event_time", pa.timestamp("us", tz="UTC"))]
+    )
+    write_batches(str(tmp_path / "a"), [audio_rows], pa_audio)
+    write_batches(str(tmp_path / "t"), [trans_rows], pa_trans)
+
+    from pyspark.sql.types import StructType, StructField, StringType, TimestampType
+
+    s_audio = StructType([
+        StructField("clip_id", StringType()), StructField("codec", StringType()),
+        StructField("event_time", TimestampType()),
+    ])
+    s_trans = StructType([
+        StructField("clip_id", StringType()), StructField("transcript", StringType()),
+        StructField("event_time", TimestampType()),
+    ])
+
+    a = file_stream(spark, str(tmp_path / "a"), s_audio)
+    t = file_stream(spark, str(tmp_path / "t"), s_trans)
+    joined = audio_transcript_join(
+        a, t, audio_watermark="30 seconds", transcript_watermark="30 seconds",
+        max_delay="10 seconds",
+    )
+    agg = windowed_select(
+        "select count(clip_id) AS n from joined where codec != 'zz' group by codec",
+        joined, ts_col="event_time", duration="60 seconds", watermark=None,
+    )
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+
+    got = {}
+    for r in sink.read_committed(spark).select(
+        "window_start", "codec", "n"
+    ).collect():
+        w = (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds()
+        if w < 9000:
+            got[(w, r["codec"])] = r["n"]
+
+    # hand-computed expectation: every clip joins its transcript (+5s ≤
+    # 10s delay bound); per-codec counts per 60s window; ALL real
+    # windows closed by the sentinel; zz groups emit n=0 rows for
+    # windows where only zz rows exist — none below 9000s
+    expected = {}
+    for i in range(n):
+        w = (10 * i // 60) * 60.0
+        codec = clip_row(i)["codec"]
+        expected[(w, codec)] = expected.get((w, codec), 0) + 1
+    assert got == {k: float(v) for k, v in expected.items()}, (got, expected)
 
 
 def test_metrics_listener(spark, tmp_path):
