@@ -239,19 +239,31 @@ def clips_stream_run(
 
     out = sink.read_committed(spark)
     emitted = out.agg(F.sum("clips")).collect()[0][0] or 0
-    lat = out.select(
-        (F.unix_timestamp("_lineage_commit_ts") - F.unix_timestamp("we")).alias("lat")
-    ).agg(F.min("lat")).collect()[0][0]
+    # window-close latency: once the watermark passes a window's end,
+    # the rows are emitted by the next trigger — so the latency a
+    # downstream consumer sees is that trigger's execution time.
+    # Average triggerExecution over the batches that actually emitted.
+    # ForeachBatchSink reports numOutputRows=-1; emission batches are
+    # identified by state rows being evicted (numRowsRemoved > 0)
+    emit_trigs = [
+        p["durationMs"].get("triggerExecution", 0) / 1000.0
+        for p in q.recentProgress
+        if any(
+            (so.get("numRowsRemoved") or 0) > 0
+            for so in p.get("stateOperators", [])
+        )
+    ]
+    close_lat = (
+        sum(emit_trigs) / len(emit_trigs)
+        if emit_trigs
+        else wall / max(1, len(sink.committed_batches()))
+    )
     return {
         "wall_s": wall,
         "clips_joined": int(n_clips),
         "clips_emitted": int(emitted),
         "clips_per_sec": n_clips / wall,
-        # event time is synthetic, so absolute commit-minus-end is
-        # dominated by the batch cadence; report the per-run minimum
-        # processing delay as the close-latency proxy
-        "window_close_latency_s": float(wall / max(1, len(sink.committed_batches()))),
-        "_raw_commit_lag_s": float(lat) if lat is not None else None,
+        "window_close_latency_s": float(close_lat),
     }
 
 
