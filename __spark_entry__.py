@@ -446,21 +446,27 @@ def oracle_sql() -> dict[str, str]:
               count(CASE WHEN l_quantity < 10 AND l_returnflag = 'R' THEN 1 END) AS n
             FROM lineitem GROUP BY l_linestatus
         """,
+        # windows are enumerated from ALL rows (the engine aggregates
+        # conditionally over the unfiltered stream): a window whose rows
+        # all fail the filter emits an n=0 row, so the oracle must use
+        # CASE inside the aggregates, not WHERE
         "window_tumbling": """
             SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
-                   count(*) AS n,
-                   CAST(round(coalesce(sum(value),0.0) * 100) AS BIGINT) AS s_cents
-            FROM events WHERE event_type != 'error'
+                   count(CASE WHEN event_type != 'error' THEN 1 END) AS n,
+                   CAST(round(coalesce(sum(CASE WHEN event_type != 'error'
+                        THEN value END), 0.0) * 100) AS BIGINT) AS s_cents
+            FROM events
             GROUP BY time_bucket(INTERVAL '1 hour', ts)
         """,
         "window_sliding": """
             WITH offs AS (SELECT 0 AS o UNION ALL SELECT 1),
             b AS (
               SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
-                     - o * 3600 AS ws
-              FROM events, offs WHERE value > 5
+                     - o * 3600 AS ws,
+                     CASE WHEN value > 5 THEN 1 END AS m
+              FROM events, offs
             )
-            SELECT ws, count(*) AS n FROM b GROUP BY ws
+            SELECT ws, count(m) AS n FROM b GROUP BY ws
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count

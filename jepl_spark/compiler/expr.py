@@ -68,6 +68,39 @@ def _has_refs_or_calls(expr: ast.Expr) -> bool:
     return any(isinstance(n, (ast.VarRef, ast.Call)) for n in ast.walk(expr))
 
 
+_BOOL_PRODUCING = _CMP_OPS | {Tok.AND, Tok.OR, Tok.IN, Tok.NI, Tok.EQREGEX, Tok.NEQREGEX}
+
+
+def _has_boolish(expr: ast.Expr) -> bool:
+    """True if the subtree can produce a boolean value (a nested
+    comparison/logical op or a boolean literal)."""
+    return any(
+        (isinstance(n, ast.BinaryExpr) and n.op in _BOOL_PRODUCING)
+        or isinstance(n, ast.BooleanLiteral)
+        for n in ast.walk(expr)
+    )
+
+
+def _relax_safe(expr: ast.Expr) -> bool:
+    """Guard-free (Kleene) compilation is observationally equivalent to
+    the reference at the filter root ONLY for an AND-combination of
+    simple leaves — comparisons/IN/regex whose operands contain no
+    boolean subresults.  OR is excluded (``true OR nil`` → false in the
+    reference) and so are boolean-valued comparison operands
+    (``(a != b) = false``: reference collapses the nil rhs to false,
+    Kleene propagates NULL)."""
+    e = expr
+    while isinstance(e, ast.ParenExpr):
+        e = e.expr
+    if isinstance(e, ast.BinaryExpr):
+        if e.op is Tok.AND:
+            return _relax_safe(e.lhs) and _relax_safe(e.rhs)
+        if e.op in _CMP_OPS or e.op in (Tok.IN, Tok.NI, Tok.EQREGEX, Tok.NEQREGEX):
+            return not _has_boolish(e.lhs) and not _has_boolish(e.rhs)
+        return False
+    return False  # bare refs/literals as conditions take the exact path
+
+
 def _lit_cexpr(value) -> CExpr:
     if value is None:
         return _NIL()
@@ -129,9 +162,7 @@ class ExprCompiler:
         predicate in a shape Catalyst can push into the parquet scan."""
         if expr is None:
             return F.lit(True)
-        self._relaxed = not any(
-            isinstance(n, ast.BinaryExpr) and n.op is Tok.OR for n in ast.walk(expr)
-        )
+        self._relaxed = _relax_safe(expr)
         try:
             ce = self.compile(expr)
         finally:
@@ -299,7 +330,17 @@ class ExprCompiler:
             return self._numeric_lhs(
                 op, CExpr(lhs.col.try_cast("double"), JType.FLOAT), rhs
             )
-        if rhs.jtype in (JType.STRING, JType.JSONANY):
+        if rhs.jtype is JType.JSONANY:
+            # two JSON-extracted values: equality compares the scalar
+            # text; relational ops compare numerically (JSON numbers
+            # order numerically in the reference; non-numeric values
+            # yield null → no match)
+            if op in (Tok.EQ, Tok.NEQ):
+                return self._string_lhs(op, CExpr(lhs.col, JType.STRING), rhs)
+            return self._numeric_lhs(
+                op, CExpr(lhs.col.try_cast("double"), JType.FLOAT), rhs
+            )
+        if rhs.jtype is JType.STRING:
             return self._string_lhs(op, CExpr(lhs.col, JType.STRING), rhs)
         if rhs.jtype is JType.BOOL:
             return self._bool_lhs(op, CExpr(self._json_as_bool(lhs.col), JType.BOOL), rhs)

@@ -317,16 +317,34 @@ class Parser:
             raise JeplParseError(tokstr(tok, lit), ["regex"], pos)
         return self._compile_regex(lit, pos)
 
-    # RE2 (the reference's regex engine, parser.go:488-493) has no
-    # lookaround or backreferences — such patterns fail at parse time
-    # there.  Python `re` (and Spark's Java regex) accept them, so they
-    # are rejected here explicitly to stay within the common dialect
-    # subset (SURVEY.md §2.9.13).
-    _RE2_UNSUPPORTED = _re.compile(r"\(\?[=!]|\(\?<[=!]|\\[1-9]")
+    @staticmethod
+    def _outside_common_regex_dialect(lit: str) -> bool:
+        """Constructs outside the RE2 ∩ Python ∩ Java-regex common
+        subset: lookaround and backreferences (RE2 rejects them at
+        parse, parser.go:488-493) and named groups (the two syntaxes
+        are mutually unsupported between RE2/Python and Java).  Escape
+        sequences are tracked so `\\\\1` (literal backslash + digit)
+        is not misread as a backreference."""
+        escaped = False
+        i = 0
+        while i < len(lit):
+            ch = lit[i]
+            if escaped:
+                if ch.isdigit() and ch != "0":
+                    return True  # backreference \1-\9
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif ch == "(" and lit[i + 1 : i + 2] == "?":
+                nxt = lit[i + 2 : i + 3]
+                if nxt in ("=", "!", "P", "<"):
+                    return True  # lookaround / named group
+            i += 1
+        return False
 
     @classmethod
     def _compile_regex(cls, lit: str, pos: Pos) -> ast.RegexLiteral:
-        if cls._RE2_UNSUPPORTED.search(lit):
+        if cls._outside_common_regex_dialect(lit):
             raise JeplParseError(
                 message=(
                     "error parsing regexp: invalid or unsupported Perl "

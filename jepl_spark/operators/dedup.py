@@ -119,18 +119,18 @@ def minhash_candidates(
     ``max_band_bucket`` drops degenerate hot buckets (boilerplate
     collisions) before the self-join — the explicit skew control."""
     rows = num_hashes // bands
-    # Materialize shingles, then signatures: Catalyst's CollapseProject
-    # would otherwise inline the shingle expression into every one of the
-    # band/signature consumers and recompute it per band.  At scale the
-    # signature table is the thing you persist/write once and reuse.
-    sh = df.select(
+    # Materialize the signature table once: it feeds four consumers
+    # (banding, bucket sizing, and both sides of the pair join) and
+    # would otherwise recompute 64 minhashes per consumer.
+    # localCheckpoint (not persist) so the ContextCleaner reclaims the
+    # blocks when the result DataFrame is garbage collected — persist()
+    # entries in the CacheManager would leak across repeated calls.
+    base = df.select(
         F.col(id_col).alias("__id"),
-        word_shingles(F.col(text_col), shingle_n).alias("__sh"),
-    ).persist()
-    base = sh.select(
-        "__id",
-        minhash_signature(F.col("__sh"), num_hashes).alias("__sig"),
-    ).persist()
+        minhash_signature(
+            word_shingles(F.col(text_col), shingle_n), num_hashes
+        ).alias("__sig"),
+    ).localCheckpoint(eager=False)
     banded = base.select(
         "__id",
         "__sig",

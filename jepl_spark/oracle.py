@@ -337,14 +337,17 @@ def eval_sql(sql: str, docs: list[Any]) -> dict[str, list[float]]:
     parsed_docs = [json.loads(d) if isinstance(d, str) else d for d in docs]
     stmt = parse_statement(sql)
 
+    if stmt.condition is None:
+        # EvalSQL dereferences Condition before anything else
+        # (eval.go:41 / groupby.go:36) — WHERE is effectively mandatory
+        raise ValueError("WHERE is required by EvalSQL (eval.go:41)")
+
     if stmt.dimensions:
         stmts = {
             k: OracleStatement(stmt, cond)
             for k, cond in flat_stat_by_group(stmt, parsed_docs).items()
         }
     else:
-        if stmt.condition is None:
-            raise ValueError("WHERE is required by EvalSQL (eval.go:41)")
         stmts = {str(stmt.condition): OracleStatement(stmt, stmt.condition)}
 
     out: dict[str, list[float]] = {}

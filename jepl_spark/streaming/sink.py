@@ -111,16 +111,20 @@ class IcebergSink:
     def __init__(self, table: str) -> None:
         self.table = table
 
+    def is_committed(self, spark: SparkSession, batch_id: int) -> bool:
+        """True iff a snapshot already carries this batch id — the
+        idempotency read for replayed batches."""
+        rows = spark.sql(
+            f"SELECT summary['jepl.batch_id'] AS b FROM {self.table}.snapshots"
+        ).collect()
+        done = {int(r["b"]) for r in rows if r["b"] is not None}
+        return int(batch_id) in done
+
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         try:
-            last = (
-                spark.sql(
-                    f"SELECT snapshot_id FROM {self.table}.snapshots "
-                    f"ORDER BY committed_at DESC LIMIT 1"
-                )
-            )
-            _ = last  # probe only
+            if self.is_committed(spark, batch_id):
+                return  # replay of an already-committed batch → no-op
         except Exception as exc:  # pragma: no cover - no Iceberg here
             raise RuntimeError(
                 "Iceberg runtime not available; use IdempotentParquetSink"

@@ -71,6 +71,10 @@ def stateful_windowed_agg(
     append-mode semantics equivalent to the built-in path.
     """
     dims = dims or []
+    # Timestamps reach the Python worker as naive datetimes in the
+    # SESSION timezone; converting them to epoch ms for
+    # setTimeoutTimestamp must localize with that zone, not assume UTC.
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
     # NB: the window struct column keeps the watermark tag — extracting
     # .start would lose it and event-time timeout would be rejected.
     wdf = df.withWatermark(ts_col, watermark).select(
@@ -114,8 +118,12 @@ def stateful_windowed_agg(
                 mn = vmn if mn is None else min(mn, vmn)
                 mx = vmx if mx is None else max(mx, vmx)
         state.update((cnt, s, mn if mn is not None else 0.0, mx if mx is not None else 0.0))
-        # fire once the watermark passes the window end
-        state.setTimeoutTimestamp(int(pd.Timestamp(wend).timestamp() * 1000))
+        # fire once the watermark passes the window end (epoch ms via
+        # the session timezone the naive timestamp is expressed in)
+        wend_ts = pd.Timestamp(wend)
+        if wend_ts.tzinfo is None:
+            wend_ts = wend_ts.tz_localize(session_tz)
+        state.setTimeoutTimestamp(int(wend_ts.timestamp() * 1000))
         return
         yield  # pragma: no cover
 

@@ -271,6 +271,53 @@ PRED_CASES = [
 ]
 
 
+def test_boolean_operand_comparison_exact(spark):
+    """Regression (code-review finding 1): `(a != b) = false` must use
+    exact nil semantics even though the tree is OR-free — the inner
+    comparison's nil collapses to false on the rhs of EQ in the
+    reference, where Kleene logic would propagate NULL."""
+    docs = [
+        {"uid": 1.0, "v": None},   # a != b → nil → (nil = false) → false? no:
+        {"uid": 2.0, "v": 2.0},
+    ]
+    schema = StructType(
+        [StructField("uid", DoubleType()), StructField("v", DoubleType())]
+    )
+    assert_matches_oracle(
+        spark,
+        "select count(uid) AS n from t where (uid != v) = false",
+        docs,
+        schema,
+    )
+    # and the lhs-nil case: nil = false → nil → dropped
+    assert_matches_oracle(
+        spark,
+        "select count(uid) AS n from t where (v != 99) = false",
+        docs,
+        schema,
+    )
+
+
+def test_jsonany_relational_comparison(spark):
+    """Regression (code-review finding 2): relational ops between two
+    JSON-extracted values compare numerically."""
+    schema = StructType([StructField("props", StringType())])
+    docs = [
+        {"props": '{"x": 5, "y": 1}'},
+        {"props": '{"x": 1, "y": 5}'},
+        {"props": '{"x": 2}'},
+    ]
+    df = docs_to_df(spark, docs, schema)
+    from jepl_spark.compiler.select import compile_select
+    from jepl_spark.lang.parser import parse_statement
+
+    out = compile_select(
+        parse_statement("select count(props.x) AS n from t where props.x > props.y"),
+        df,
+    ).collect()
+    assert out[0]["n"] == 1.0  # only the first doc matches; missing y → nil
+
+
 def test_predicate_truth_table(spark):
     """For each case: row passes the compiled filter ⇔ the oracle's
     condition result is boolean true (EvalBool, eval.go:299-304)."""
