@@ -58,6 +58,13 @@ def windowed_select(
         if isinstance(stmt_or_sql, str)
         else stmt_or_sql
     )
+    # Watermarks require TIMESTAMP; parquet written without tz metadata
+    # reads as TIMESTAMP_NTZ.  The cast is value-stable (interpreted in
+    # the session timezone either way).
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
 
