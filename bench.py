@@ -267,7 +267,7 @@ def clips_stream_run(
     }
 
 
-SCALE_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALE_CLIPS", "150000"))
+SCALE_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALE_CLIPS", "180000"))
 # N and 4N worker cores for the scaling evidence.  On a single box the
 # 8→32 step saturates shared memory bandwidth / disk, which a real
 # multi-executor cluster would not — 2→8 measures the job's parallel

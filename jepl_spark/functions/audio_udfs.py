@@ -115,6 +115,60 @@ def resample_pcm(df: DataFrame, target_sr: int) -> DataFrame:
     return df.mapInPandas(gen, schema=out_schema)
 
 
+_N_MEL = 16
+
+
+def _band_edges(n_fft: int) -> "np.ndarray":
+    """Log-spaced band edges over the rfft bins.  np.unique collapses
+    duplicate low-frequency edges, so the ACTUAL band count may be below
+    _N_MEL + 1 edges — n_bands(n) is the single source of truth."""
+    return np.unique(
+        np.round(np.logspace(0, np.log10(n_fft // 2), _N_MEL + 1)).astype(int)
+    )
+
+
+_EDGES = {n: _band_edges(n) for n in (256, 512, 1024)}
+_WINDOWS = {n: np.hanning(n).astype(np.float32) for n in (256, 512, 1024)}
+
+
+def n_bands(n_fft: int) -> int:
+    return len(_EDGES[n_fft]) - 1
+
+
+FEAT_DIM = 2 * n_bands(512)  # audio_features / spectral_features output
+
+
+def _stats_of(x: "np.ndarray") -> tuple:
+    if x.size == 0:
+        return 0.0, 0.0, 0, 0.0
+    xd = x.astype(np.float64)
+    return (
+        float(np.sqrt(np.mean(xd * xd))),
+        float(np.max(np.abs(xd))),
+        int(x.size),
+        float(np.mean(np.abs(xd) > 0.999)),
+    )
+
+
+def _log_bands(x: "np.ndarray", n: int, hop: int) -> "np.ndarray":
+    """Framed log-power band energies: (frames × n_bands(n)) matrix."""
+    if x.size < n:
+        x = np.pad(x, (0, n - x.size))
+    n_frames = 1 + (x.size - n) // hop
+    idx = np.arange(n)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * _WINDOWS[n]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    bands = np.add.reduceat(power, _EDGES[n][:-1], axis=1)
+    return np.log1p(bands)
+
+
+def _band_feat_vector(x: "np.ndarray", n: int = 512, hop: int = 256) -> "np.ndarray":
+    if x.size == 0:
+        return np.zeros(2 * n_bands(n), dtype=np.float32)
+    logb = _log_bands(x, n, hop)
+    return np.concatenate([logb.mean(axis=0), logb.std(axis=0)]).astype(np.float32)
+
+
 _FULL_SCHEMA = StructType(
     [
         StructField("rms", DoubleType()),
@@ -128,38 +182,18 @@ _FULL_SCHEMA = StructType(
 
 @F.pandas_udf(_FULL_SCHEMA)
 def audio_features(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
-    """One-pass decode → stats + spectral features.  A single UDF so the
-    audio bytes cross the JVM↔Arrow boundary exactly once; downstream
-    operators (joins, windows) then carry only the small feature struct.
-    At scale: ALWAYS reduce heavy payloads before stateful operators —
-    stream-stream join state otherwise checkpoints the raw blobs."""
-    win = np.hanning(512).astype(np.float32)
-    edges = np.unique(
-        np.round(np.logspace(0, np.log10(256), _N_MEL + 1)).astype(int)
-    )
+    """One-pass decode → stats + FEAT_DIM spectral band features.  A
+    single UDF so the audio bytes cross the JVM↔Arrow boundary exactly
+    once; downstream operators (joins, windows) then carry only the
+    small feature struct.  At scale: ALWAYS reduce heavy payloads before
+    stateful operators — stream-stream join state otherwise checkpoints
+    the raw blobs."""
     rms, peak, n, clip, feats = [], [], [], [], []
     for blob, c in zip(b, codec):
         x = audio.decode(blob, c)
-        if x.size == 0:
-            rms.append(0.0); peak.append(0.0); n.append(0); clip.append(0.0)
-            feats.append(np.zeros(2 * _N_MEL, dtype=np.float32))
-            continue
-        xd = x.astype(np.float64)
-        rms.append(float(np.sqrt(np.mean(xd * xd))))
-        peak.append(float(np.max(np.abs(xd))))
-        n.append(int(x.size))
-        clip.append(float(np.mean(np.abs(xd) > 0.999)))
-        if x.size < 512:
-            x = np.pad(x, (0, 512 - x.size))
-        n_frames = 1 + (x.size - 512) // 256
-        idx = np.arange(512)[None, :] + 256 * np.arange(n_frames)[:, None]
-        frames = x[idx] * win
-        power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
-        bands = np.add.reduceat(power, edges[:-1], axis=1)
-        logb = np.log1p(bands)
-        feats.append(
-            np.concatenate([logb.mean(axis=0), logb.std(axis=0)]).astype(np.float32)
-        )
+        r, p, ns, cr = _stats_of(x)
+        rms.append(r); peak.append(p); n.append(ns); clip.append(cr)
+        feats.append(_band_feat_vector(x))
     return pd.DataFrame(
         {"rms": rms, "peak": peak, "n_samples": n, "clipping_ratio": clip,
          "feat": feats}
@@ -171,77 +205,54 @@ def with_audio_features(df: DataFrame, out_col: str = "af") -> DataFrame:
 
 
 @F.pandas_udf(ArrayType(FloatType()))
+def spectral_features(b: pd.Series, codec: pd.Series) -> pd.Series:
+    """FEAT_DIM-dim log-band features alone (512/256 hann framing)."""
+    return pd.Series(
+        [_band_feat_vector(audio.decode(blob, c)) for blob, c in zip(b, codec)]
+    )
+
+
+_HEAVY_CONFIGS = ((256, 128), (512, 256), (1024, 512))
+_N_MFCC = 13
+# DCT-II basis sized to the ACTUAL 512-window band count
+_DCT = np.cos(
+    np.pi
+    * np.arange(_N_MFCC)[:, None]
+    * (2 * np.arange(len(_band_edges(512)) - 1)[None, :] + 1)
+    / (2 * (len(_band_edges(512)) - 1))
+).astype(np.float64)
+
+HEAVY_FEAT_DIM = sum(2 * n_bands(n) for n, _ in _HEAVY_CONFIGS) + 2 * _N_MFCC
+
+
+@F.pandas_udf(ArrayType(FloatType()))
 def audio_features_heavy(b: pd.Series, codec: pd.Series) -> pd.Series:
-    """Production-representative feature extraction (~10-15 ms/clip):
-    multi-resolution spectrograms (256/512/1024 windows), 24 log bands
-    each, plus an MFCC-like DCT over the 512-window bands — the class
-    of per-clip work (VAD, MFCC, embedding prep) a real training
-    pipeline runs.  Used by the compute-dominated scaling benchmark."""
+    """Production-representative feature extraction: multi-resolution
+    spectrograms (256/512/1024 windows) plus MFCC-like DCT coefficients
+    over the 512-window bands — the class of per-clip work (VAD, MFCC,
+    embedding prep) a real training pipeline runs.  Used by the
+    compute-dominated scaling benchmark.  Output dim = HEAVY_FEAT_DIM."""
     feats_out = []
-    configs = [(256, 128), (512, 256), (1024, 512)]
-    wins = {n: np.hanning(n).astype(np.float32) for n, _ in configs}
-    edges = {
-        n: np.unique(np.round(np.logspace(0, np.log10(n // 2), 25)).astype(int))
-        for n, _ in configs
-    }
-    # DCT-II basis for 24 bands → 13 coefficients
-    k = np.arange(13)[:, None]
-    nb = np.arange(24)[None, :]
-    dct = np.cos(np.pi * k * (2 * nb + 1) / (2 * 24)).astype(np.float64)
     for blob, c in zip(b, codec):
-        x0 = audio.decode(blob, c)
+        x = audio.decode(blob, c)
+        if x.size == 0:
+            feats_out.append(np.zeros(HEAVY_FEAT_DIM, dtype=np.float32))
+            continue
         parts = []
         mel512 = None
-        for n, hop in configs:
-            x = x0 if x0.size >= n else np.pad(x0, (0, n - x0.size))
-            n_frames = 1 + (x.size - n) // hop
-            idx = np.arange(n)[None, :] + hop * np.arange(n_frames)[:, None]
-            frames = x[idx] * wins[n]
-            power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
-            bands = np.add.reduceat(power, edges[n][:-1], axis=1)[:, :24]
-            logb = np.log1p(bands)
+        for n, hop in _HEAVY_CONFIGS:
+            logb = _log_bands(x, n, hop)
             parts.append(logb.mean(axis=0))
             parts.append(logb.std(axis=0))
             if n == 512:
                 mel512 = logb
-        if mel512 is not None and mel512.shape[1] >= 24:
-            mfcc = dct @ mel512.T.astype(np.float64)  # 13 × frames
-            parts.append(mfcc.mean(axis=1))
-            parts.append(mfcc.std(axis=1))
+        mfcc = _DCT @ mel512.T.astype(np.float64)  # _N_MFCC × frames
+        parts.append(mfcc.mean(axis=1))
+        parts.append(mfcc.std(axis=1))
         feats_out.append(
             np.concatenate([p.astype(np.float32) for p in parts])
         )
     return pd.Series(feats_out)
-
-
-_N_MEL = 16
-
-
-@F.pandas_udf(ArrayType(FloatType()))
-def spectral_features(b: pd.Series, codec: pd.Series) -> pd.Series:
-    """Log-power band features (mel-like): decode → frame (512/256 hann)
-    → |rFFT|² → 16 log-spaced band energies → log → per-band mean+std →
-    32-dim vector.  The compute-heavy feature-extraction stage of a
-    training-data pipeline, numpy-vectorized per Arrow batch."""
-    win = np.hanning(512).astype(np.float32)
-    # 16 log-spaced band edges over the 257 rfft bins
-    edges = np.unique(
-        np.round(np.logspace(0, np.log10(256), _N_MEL + 1)).astype(int)
-    )
-    out = []
-    for blob, c in zip(b, codec):
-        x = audio.decode(blob, c)
-        if x.size < 512:
-            x = np.pad(x, (0, 512 - x.size))
-        n_frames = 1 + (x.size - 512) // 256
-        idx = np.arange(512)[None, :] + 256 * np.arange(n_frames)[:, None]
-        frames = x[idx] * win
-        power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
-        bands = np.add.reduceat(power, edges[:-1], axis=1)
-        logb = np.log1p(bands)
-        feat = np.concatenate([logb.mean(axis=0), logb.std(axis=0)])
-        out.append(feat.astype(np.float32))
-    return pd.Series(out)
 
 
 def with_spectral_features(df: DataFrame, out_col: str = "features") -> DataFrame:

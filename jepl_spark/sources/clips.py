@@ -60,9 +60,12 @@ def clip_row(i: int, step_s: float = 1.0, late_every: int = 0) -> dict:
     dur = 200 + (i * 37) % 1801
     codec = audio.CODECS[0 if (i % 20) < 16 else (1 if (i % 20) < 19 else 2)]
     wave = audio.synth_wave(i, sr, dur)
-    ts = BASE_TS + pd.Timedelta(seconds=i * step_s)
+    # integer microseconds: float seconds accumulate sub-microsecond
+    # residue that trips Arrow's safe ns->us conversion at large i
+    us = int(round(i * step_s * 1_000_000))
     if late_every and i % late_every == late_every - 1:
-        ts -= pd.Timedelta(seconds=30 * step_s)  # controlled late arrival
+        us -= int(round(30 * step_s * 1_000_000))  # controlled late arrival
+    ts = BASE_TS + pd.Timedelta(microseconds=us)
     return {
         "clip_id": f"clip-{i:012d}",
         "bytes": audio.encode(wave, codec),
@@ -102,16 +105,44 @@ def transcripts_df(
 ) -> DataFrame:
     """The transcript stream for the stream-stream join: the
     (clip_id, transcript, event_time) projection delivered with a
-    bounded event-time offset (FIXTURES.md F4)."""
-    base = clips_df(spark, n, step_s, 0, partitions)
-    return base.select(
-        "clip_id",
-        "transcript",
-        (F.col("event_time") + F.expr(f"INTERVAL {delay_s} SECONDS")).alias(
-            "event_time"
-        ),
-        "seq",
+    bounded event-time offset (FIXTURES.md F4).
+
+    Generated directly from the closed-form fields — synthesizing and
+    discarding the audio (clip_row) would double corpus-generation cost
+    for no benefit."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            idx = [int(i) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "clip_id": [f"clip-{i:012d}" for i in idx],
+                    "transcript": [
+                        f"transcript {i} {_WORDS[i % len(_WORDS)]}" for i in idx
+                    ],
+                    "event_time": [
+                        BASE_TS
+                        + pd.Timedelta(
+                            microseconds=int(round((i * step_s + delay_s) * 1_000_000))
+                        )
+                        for i in idx
+                    ],
+                    "seq": idx,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("clip_id", StringType(), False),
+            StructField("transcript", StringType(), False),
+            StructField("event_time", TimestampType(), False),
+            StructField("seq", LongType(), False),
+        ]
     )
+    rng = spark.range(
+        n, numPartitions=partitions or spark.sparkContext.defaultParallelism
+    )
+    return rng.mapInPandas(gen, schema=schema)
 
 
 def zipf_clip_events(
@@ -125,12 +156,13 @@ def zipf_clip_events(
     clip_id 0 is the hot key.  Used for skew-handling tests/benches."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Zipf CDF computed once per partition, not per Arrow batch
+        ranks = np.arange(1, n_clips + 1, dtype=np.float64) ** (-s)
+        cdf = np.cumsum(ranks) / np.sum(ranks)
         for pdf in batches:
             idx = pdf["id"].to_numpy()
             # deterministic per-event uniform from a hash, then inverse-CDF
             h = (idx * 2654435761 % 2**32) / 2**32
-            ranks = np.arange(1, n_clips + 1) ** (-s)
-            cdf = np.cumsum(ranks) / np.sum(ranks)
             clip_idx = np.searchsorted(cdf, h)
             yield pd.DataFrame(
                 {

@@ -51,7 +51,7 @@ def run_rule_stream(
     duration: str,
     slide: Optional[str] = None,
     session_gap: Optional[str] = None,
-    watermark: str = "0 seconds",
+    watermark: Optional[str] = None,
     sink: Optional[IdempotentParquetSink] = None,
     checkpoint: str,
     output_mode: str = "append",
@@ -63,7 +63,11 @@ def run_rule_stream(
 
     Append mode + watermark ⇒ a (window, group) row is emitted exactly
     once, when the watermark passes the window end — the streaming
-    analogue of the reference's drain-once-per-batch semantics."""
+    analogue of the reference's drain-once-per-batch semantics.
+
+    ``watermark=None`` (the default) applies none here — REQUIRED when
+    ``source`` is already watermarked (e.g. the output of
+    audio_transcript_join: Spark rejects watermark redefinition)."""
     result = windowed_select(
         sql,
         source,

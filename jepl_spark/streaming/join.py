@@ -24,6 +24,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .windows import ensure_event_timestamp
+
 
 def audio_transcript_join(
     audio: DataFrame,
@@ -38,6 +40,8 @@ def audio_transcript_join(
     """audio(clip_id, bytes, …, event_time) ⋈ transcripts(clip_id,
     transcript, event_time): transcript must arrive within
     [audio.event_time, audio.event_time + max_delay]."""
+    audio = ensure_event_timestamp(audio, ts_col)
+    transcripts = ensure_event_timestamp(transcripts, ts_col)
     a = audio.withWatermark(ts_col, audio_watermark).alias("a")
     t = transcripts.withWatermark(ts_col, transcript_watermark).alias("t")
 

@@ -52,6 +52,14 @@ class IdempotentParquetSink:
     """Exactly-once parquet sink keyed by foreachBatch batch_id."""
 
     def __init__(self, root: str, lineage: bool = True) -> None:
+        if "://" in root:
+            # markers use driver-local POSIX rename for atomicity; on an
+            # object store / HDFS the data and markers would land in
+            # different places and break the committed-read contract
+            raise ValueError(
+                "IdempotentParquetSink requires a local/NFS path; use "
+                "IcebergSink for object-store or HDFS destinations"
+            )
         self.root = root
         self.lineage = lineage
         os.makedirs(self._commits_dir, exist_ok=True)
@@ -87,7 +95,12 @@ class IdempotentParquetSink:
     def committed_batches(self) -> list[int]:
         if not os.path.isdir(self._commits_dir):
             return []
-        return sorted(int(x) for x in os.listdir(self._commits_dir))
+        # ignore orphaned mkstemp temp files left by a crash between
+        # marker creation and the atomic rename — that crash window is
+        # exactly what this protocol exists to survive
+        return sorted(
+            int(x) for x in os.listdir(self._commits_dir) if x.isdigit()
+        )
 
     def read_committed(self, spark: SparkSession) -> DataFrame:
         """Read exactly the committed batches (uncommitted partials,

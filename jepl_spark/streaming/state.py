@@ -66,15 +66,23 @@ def stateful_windowed_agg(
     """Incremental count/sum/avg/min/max per (tumbling window, dims)
     with state timeout at the window end (event-time semantics).
 
+    Aggregate semantics are the REFERENCE's, not SQL's (eval.go:307-365
+    / SURVEY §2.9): count counts rows (null value included), sum skips
+    nulls, avg = sum / row-count, and min/max treat a null value as 0.0
+    on a counted row — so state never needs a null sentinel.
+
     Emission: when the event-time timeout fires (watermark passed the
     window end) the accumulated row is emitted once and state removed —
-    append-mode semantics equivalent to the built-in path.
+    append-mode semantics equivalent to the built-in compiled path.
     """
     dims = dims or []
     # Timestamps reach the Python worker as naive datetimes in the
     # SESSION timezone; converting them to epoch ms for
     # setTimeoutTimestamp must localize with that zone, not assume UTC.
     session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    from .windows import ensure_event_timestamp
+
+    df = ensure_event_timestamp(df, ts_col)
     # NB: the window struct column keeps the watermark tag — extracting
     # .start would lose it and event-time timeout would be rejected.
     wdf = df.withWatermark(ts_col, watermark).select(
@@ -110,13 +118,15 @@ def stateful_windowed_agg(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            vals = pdf["__v"].dropna()
+            vals = pdf["__v"]
             cnt += int(len(pdf))
-            s += float(vals.sum())
-            if len(vals):
-                vmn, vmx = float(vals.min()), float(vals.max())
-                mn = vmn if mn is None else min(mn, vmn)
-                mx = vmx if mx is None else max(mx, vmx)
+            s += float(vals.dropna().sum())
+            # reference semantics: a null value on a counted row
+            # contributes 0.0 to min/max (eval.go:326-358)
+            filled = vals.fillna(0.0)
+            vmn, vmx = float(filled.min()), float(filled.max())
+            mn = vmn if mn is None else min(mn, vmn)
+            mx = vmx if mx is None else max(mx, vmx)
         state.update((cnt, s, mn if mn is not None else 0.0, mx if mx is not None else 0.0))
         # fire once the watermark passes the window end (epoch ms via
         # the session timezone the naive timestamp is expressed in)

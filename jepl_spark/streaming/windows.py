@@ -25,6 +25,18 @@ from ..lang import ast
 from ..lang.parser import parse_statement
 
 
+def ensure_event_timestamp(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; parquet written without tz metadata
+    reads as TIMESTAMP_NTZ.  The cast is value-stable (interpreted in
+    the session timezone either way).  Shared by every watermark site
+    (windowed_select, the stream-stream join, the stateful lane)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def window_column(
     ts_col: str,
     duration: str,
@@ -58,13 +70,7 @@ def windowed_select(
         if isinstance(stmt_or_sql, str)
         else stmt_or_sql
     )
-    # Watermarks require TIMESTAMP; parquet written without tz metadata
-    # reads as TIMESTAMP_NTZ.  The cast is value-stable (interpreted in
-    # the session timezone either way).
-    from pyspark.sql.types import TimestampNTZType
-
-    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
-        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    df = ensure_event_timestamp(df, ts_col)
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
 

@@ -271,6 +271,27 @@ PRED_CASES = [
 ]
 
 
+def test_empty_input_parity(spark):
+    """Zero input docs: a global rule still yields exactly one all-zero
+    row (the reference drains one accumulator set per condition);
+    a grouped rule yields zero rows (no keys to enumerate)."""
+    schema = StructType(
+        [StructField("uid", DoubleType()), StructField("v", DoubleType())]
+    )
+    assert_matches_oracle(
+        spark,
+        "select sum(v) AS s, count(v) AS n, avg(v) AS a from t where uid = 1",
+        [],
+        schema,
+    )
+    assert_matches_oracle(
+        spark,
+        "select sum(v) AS s from t where uid = 1 group by uid",
+        [],
+        schema,
+    )
+
+
 def test_boolean_operand_comparison_exact(spark):
     """Regression (code-review finding 1): `(a != b) = false` must use
     exact nil semantics even though the tree is OR-free — the inner
