@@ -349,6 +349,13 @@ def q_lang_id(spark, sf_dir):
     return df.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", T.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "jepl_sum_filter": q_jepl_sum_filter,
@@ -372,9 +379,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": q_simhash_signatures,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "lang_id": q_lang_id,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "audio_decode_stats": q_audio_decode_stats,
         "stream_windowed_rule": q_stream_windowed_rule,
     }
+
+
+
+
+def _lang_id_oracle_sql() -> str:
+    """DuckDB twin of operators.text.lang_id, generated from the same
+    stopword lists so they cannot drift."""
+    from jepl_spark.operators.text import _STOPWORDS
+
+    toks = "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))"
+    scores = {
+        lang: (
+            f"array_length(list_intersect({toks}, "
+            f"[{', '.join(repr(w) for w in words)}]))"
+        )
+        for lang, words in _STOPWORDS.items()
+    }
+    branches = []
+    for lang in _STOPWORDS:
+        cond = " AND ".join(
+            [f"s_{lang} > s_{o}" for o in _STOPWORDS if o != lang] + [f"s_{lang} > 0"]
+        )
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    score_cols = ",\n              ".join(
+        f"{expr} AS s_{lang}" for lang, expr in scores.items()
+    )
+    return f"""
+        WITH sc AS (
+          SELECT doc_id, text,
+              length(regexp_replace(text, '[^\u4e00-\u9fff]', '', 'g')) AS cjk,
+              CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS n_chars,
+              {score_cols}
+          FROM documents
+        )
+        SELECT doc_id,
+          CASE WHEN length(text) > 0 AND CAST(cjk AS DOUBLE) / n_chars > 0.2 THEN 'zh'
+               {' '.join(branches)}
+               ELSE 'und' END AS lang_guess
+        FROM sc
+    """
 
 
 # --------------------------------------------------------------------------
@@ -524,10 +572,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.ws, g.user_id, g.n, g.s FROM g, m
             WHERE g.ws + 21600 <= m.mx - 3600
         """,
+        "text_bpe_tokens": """
+            SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                  w -> CASE WHEN length(w) <= 4 THEN 1
+                       ELSE CAST(floor((length(w) + 3) / 4) AS INT) END))
+              END + length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_bpe
+            FROM documents
+        """,
+        "lang_id": _lang_id_oracle_sql(),
         # ann_topk / ann_lsh_topk / minhash_near_dups / simhash_signatures /
-        # ngram_jaccard_pairs / lang_id / audio_decode_stats: rows-only
-        # (hash-seeded / heuristic / codec operators have no faithful
-        # ANSI-SQL twin)
+        # ngram_jaccard_pairs / audio_decode_stats: rows-only
+        # (hash-seeded / codec operators have no faithful ANSI-SQL twin)
         "ngram_jaccard_pairs": """
             WITH toks AS (
               SELECT doc_id,
