@@ -164,6 +164,22 @@ def q_jepl_lineitem_rule(spark, sf_dir):
     )
 
 
+def q_jepl_orders_rule(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    df = eng.sql(
+        "select max(o_totalprice) AS mx, count(o_orderkey) AS n, "
+        "avg(o_totalprice) AS av from orders "
+        "where o_orderpriority IN ['1-URGENT','2-HIGH'] AND o_totalprice > 50000 "
+        "group by o_orderstatus"
+    )
+    return df.select(
+        "o_orderstatus",
+        _cents(F.col("mx")).alias("mx_cents"),
+        F.col("n").cast("bigint").alias("n"),
+        _r(F.col("av"), 2).alias("av"),
+    )
+
+
 def q_window_tumbling(spark, sf_dir):
     df = load_table(spark, sf_dir, "events")
     out = windowed_select(
@@ -366,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jepl_json_props": q_jepl_json_props,
         "jepl_div0_quirk": q_jepl_div0_quirk,
         "jepl_lineitem_rule": q_jepl_lineitem_rule,
+        "jepl_orders_rule": q_jepl_orders_rule,
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
         "dedup_exact": q_dedup_exact,
@@ -482,6 +499,21 @@ def oracle_sql() -> dict[str, str]:
                          ELSE value / (value - value) END), 0.0), 6) AS z,
                    count(*) AS n
             FROM events WHERE value > 0
+        """,
+        "jepl_orders_rule": """
+            SELECT o_orderstatus,
+              CAST(round(coalesce(max(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                   AND o_totalprice > 50000 THEN coalesce(o_totalprice, 0.0) END), 0.0)
+                   * 100) AS BIGINT) AS mx_cents,
+              count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                   AND o_totalprice > 50000 THEN 1 END) AS n,
+              round(CASE WHEN count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                   AND o_totalprice > 50000 THEN 1 END) = 0 THEN 0.0
+                   ELSE coalesce(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                   AND o_totalprice > 50000 THEN o_totalprice END), 0.0)
+                   / count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                   AND o_totalprice > 50000 THEN 1 END) END, 2) AS av
+            FROM orders GROUP BY o_orderstatus
         """,
         "jepl_lineitem_rule": """
             SELECT l_linestatus,
