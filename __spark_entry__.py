@@ -141,12 +141,21 @@ def q_jepl_json_props(spark, sf_dir):
 
 
 def q_jepl_div0_quirk(spark, sf_dir):
+    """Pins the reference's ACTUAL ÷0 typed dispatch (eval.go:190-273):
+    float lhs ÷ 0 → Go float division (+Inf here since value > 0);
+    int-literal lhs ÷ float 0.0 → 0.0 (the one live zero-guard).
+    Infinity is reduced to a flag so the value hash stays portable."""
     eng = _engine(spark, sf_dir)
     df = eng.sql(
-        "select sum(value / (value - value)) AS z, count(event_id) AS n "
+        "select sum(value / (value - value)) AS z, "
+        "sum(5 / (value - value)) AS zi, count(event_id) AS n "
         "from events where value > 0"
     )
-    return df.select(_r(F.col("z"), 6).alias("z"), F.col("n").cast("bigint").alias("n"))
+    return df.select(
+        (F.col("z") == F.lit(float("inf"))).cast("bigint").alias("z_is_posinf"),
+        _r(F.col("zi"), 6).alias("zi"),
+        F.col("n").cast("bigint").alias("n"),
+    )
 
 
 def q_jepl_lineitem_rule(spark, sf_dir):
@@ -470,7 +479,9 @@ def oracle_sql() -> dict[str, str]:
                      coalesce(sum(value + value * 2),0.0) AS s3
               FROM events WHERE value > 10
             )
-            SELECT round(s * (CASE WHEN c = 0 THEN 0.0 ELSE s / c END), 2) AS m,
+            -- post-agg ÷ is float64 ÷ float64: c = 0 would give Go
+            -- +Inf/NaN, but value > 10 matches rows at every SF here
+            SELECT round(s * (s / c), 2) AS m,
                    CAST(round(s3 * 100) AS BIGINT) AS s3_cents
             FROM a
         """,
@@ -494,9 +505,15 @@ def oracle_sql() -> dict[str, str]:
                          / count(CASE WHEN value > 10 THEN 1 END) END, 4) AS ak
             FROM events GROUP BY event_type
         """,
+        # ÷0 reference semantics: float lhs ÷ 0 → Go float division
+        # (value > 0 ⇒ each row contributes +Inf); int-literal lhs ÷
+        # float 0.0 → 0.0 (eval.go:227-231, the one live zero-guard)
         "jepl_div0_quirk": """
-            SELECT round(coalesce(sum(CASE WHEN (value - value) = 0 THEN 0.0
-                         ELSE value / (value - value) END), 0.0), 6) AS z,
+            SELECT CAST(coalesce(sum(CASE WHEN (value - value) = 0
+                          THEN 'infinity'::DOUBLE
+                          ELSE value / (value - value) END), 0.0)
+                        = 'infinity'::DOUBLE AS BIGINT) AS z_is_posinf,
+                   CAST(round(coalesce(sum(0.0), 0.0), 6) AS DOUBLE) AS zi,
                    count(*) AS n
             FROM events WHERE value > 0
         """,
@@ -604,13 +621,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.ws, g.user_id, g.n, g.s FROM g, m
             WHERE g.ws + 21600 <= m.mx - 3600
         """,
+        # CAST AS BIGINT: list_sum yields DOUBLE in DuckDB while the
+        # Spark side emits BIGINT; the driver's value hash is
+        # type-sensitive (round-1 hash fail was exactly this)
         "text_bpe_tokens": """
             SELECT doc_id,
-              CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+              CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
                 list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
                   w -> CASE WHEN length(w) <= 4 THEN 1
                        ELSE CAST(floor((length(w) + 3) / 4) AS INT) END))
-              END + length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_bpe
+              END + length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_bpe
             FROM documents
         """,
         "lang_id": _lang_id_oracle_sql(),

@@ -8,7 +8,12 @@ with null-guard expressions so that Catalyst sees plain, optimizable
 column expressions — no UDFs anywhere on this path.
 
 Quirk rules carried over (SURVEY.md §2.9):
-- x / 0 → 0.0 (eval.go:196-200, 227-231, 267-273)
+- division by zero follows the reference's ACTUAL typed dispatch (its
+  ``rhs == 0`` guard compares interface{} to an untyped-int 0 and is
+  dead code except on one path — see oracle.py): float lhs ÷ 0 → Go
+  float division (±Inf / NaN); int-literal lhs ÷ float 0.0 → 0.0
+  (eval.go:227-231, the live guard); int ÷ int 0 → reference panics,
+  we raise at fold time
 - type-mismatched comparisons → false, not error (ok&& pattern)
 - ``bool AND/OR nil`` → false, while ``nil AND/OR x`` → nil
   (eval.go:139-151: the lhs switch sees nil first)
@@ -27,6 +32,7 @@ consistent with usage, as the reference's own corpus does.
 
 from __future__ import annotations
 
+import math as _math
 import re as _re
 from typing import Optional
 
@@ -46,15 +52,24 @@ class JeplCompileError(Exception):
 
 class CExpr:
     """A compiled expression: Column + static JEPL type + payload for
-    operand-only node kinds (list values / regex pattern)."""
+    operand-only node kinds (list values / regex pattern).
 
-    __slots__ = ("col", "jtype", "nullable", "payload")
+    ``maybe_nan`` marks float values that can be IEEE NaN at runtime.
+    JSON cannot encode NaN, so field values never are — NaN enters only
+    through arithmetic (0/0, Inf−Inf, overflow×0).  Comparisons involving
+    a maybe_nan operand need explicit guards because Spark orders NaN
+    greatest and equates NaN=NaN, while Go comparisons are IEEE (all
+    false, ``!=`` true)."""
 
-    def __init__(self, col, jtype: JType, nullable: bool = True, payload=None):
+    __slots__ = ("col", "jtype", "nullable", "payload", "maybe_nan")
+
+    def __init__(self, col, jtype: JType, nullable: bool = True, payload=None,
+                 maybe_nan: bool = False):
         self.col = col
         self.jtype = jtype
         self.nullable = nullable
         self.payload = payload
+        self.maybe_nan = maybe_nan
 
 
 _NIL = lambda: CExpr(F.lit(None), JType.NIL, nullable=True)  # noqa: E731
@@ -109,7 +124,8 @@ def _lit_cexpr(value) -> CExpr:
     if isinstance(value, int):
         return CExpr(F.lit(float(value)), JType.INT, nullable=False)
     if isinstance(value, float):
-        return CExpr(F.lit(value), JType.FLOAT, nullable=False)
+        return CExpr(F.lit(value), JType.FLOAT, nullable=False,
+                     maybe_nan=_math.isnan(value))
     if isinstance(value, str):
         return CExpr(F.lit(value), JType.STRING, nullable=False)
     if isinstance(value, list):
@@ -138,7 +154,12 @@ class ExprCompiler:
     def compile(self, expr: ast.Expr) -> CExpr:
         if not _has_refs_or_calls(expr):
             # constant subtree → fold with exact reference semantics
-            return _lit_cexpr(_oracle_eval(expr, None))
+            try:
+                return _lit_cexpr(_oracle_eval(expr, None))
+            except ZeroDivisionError as e:
+                # int ÷ int 0: the reference panics at eval time
+                # (eval.go:267-273); we surface it at compile time
+                raise JeplCompileError(str(e)) from None
         if isinstance(expr, ast.VarRef):
             ref = resolve_var_ref(self.schema, expr.segments)
             return CExpr(ref.col, ref.jtype, nullable=True)
@@ -292,24 +313,48 @@ class ExprCompiler:
                 Tok.EQ: lc == rc, Tok.NEQ: lc != rc, Tok.LT: lc < rc,
                 Tok.LTE: lc <= rc, Tok.GT: lc > rc, Tok.GTE: lc >= rc,
             }[op]
+            if lhs.maybe_nan or rhs.maybe_nan:
+                # Go float comparisons are IEEE: NaN op x → false,
+                # NaN != x → true.  Spark instead orders NaN greatest
+                # and equates NaN=NaN, so guard explicitly.  (NULL
+                # operands fall through to the nil guards below.)
+                res = F.when(
+                    F.isnan(lc) | F.isnan(rc), F.lit(op is Tok.NEQ)
+                ).otherwise(res)
             return self._guarded(lhs, rhs, rc, res)
 
         if op in _ARITH_OPS:
             if rc is None:
                 return _NIL()  # `ok==false → nil` for arithmetic
+            # arithmetic can surface NaN (0/0, Inf−Inf, overflow×0) —
+            # JSON field values themselves never are (no NaN in JSON)
             if op is Tok.ADD:
-                return CExpr(lc + rc, JType.FLOAT)
+                return CExpr(lc + rc, JType.FLOAT, maybe_nan=True)
             if op is Tok.SUB:
-                return CExpr(lc - rc, JType.FLOAT)
+                return CExpr(lc - rc, JType.FLOAT, maybe_nan=True)
             if op is Tok.MUL:
-                return CExpr(lc * rc, JType.FLOAT)
-            # DIV with the x/0 → 0.0 quirk; nil operands stay nil
+                return CExpr(lc * rc, JType.FLOAT, maybe_nan=True)
+            # DIV — reference typed dispatch (see module docstring):
+            # int-literal lhs ÷ 0.0 → 0.0 (eval.go:227-231, the one live
+            # guard); float lhs ÷ 0 → Go float division: ±Inf, NaN for
+            # 0/0 (eval.go:192-200 — guard dead). Nil operands stay nil.
+            # (-0.0 divisor edge: Go would flip the Inf sign; the sign
+            # bit of a zero is not observable via Spark comparisons and
+            # no corpus exercises it.)
+            if lhs.jtype is JType.INT:
+                zero_case = F.lit(0.0)
+            else:
+                zero_case = (
+                    F.when(lc > 0.0, F.lit(float("inf")))
+                    .when(lc < 0.0, F.lit(float("-inf")))
+                    .otherwise(F.lit(float("nan")))
+                )
             col = (
                 F.when(lc.isNull() | rc.isNull(), F.lit(None))
-                .when(rc == 0.0, F.lit(0.0))
+                .when(rc == 0.0, zero_case)
                 .otherwise(lc / rc)
             )
-            return CExpr(col, JType.FLOAT)
+            return CExpr(col, JType.FLOAT, maybe_nan=True)
 
         return _NIL()  # AND/OR over numbers → nil (`4 AND 5`)
 
@@ -363,6 +408,17 @@ class ExprCompiler:
         elif lhs.jtype is JType.STRING:
             lc, elems = lhs.col, strings
         elif lhs.jtype is JType.JSONANY:
+            if floats and strings:
+                # dynamic lhs vs a mixed list: reflect.DeepEqual matches
+                # an element of EITHER type (eval.go:367-382) — OR the
+                # two typed membership tests; null lhs stays nil
+                num = F.coalesce(
+                    lhs.col.try_cast("double").isin(floats), F.lit(False)
+                )
+                s = F.coalesce(lhs.col.isin(strings), F.lit(False))
+                inside = F.when(lhs.col.isNull(), F.lit(None)).otherwise(num | s)
+                col = (~inside) if negate else inside
+                return CExpr(col, JType.BOOL)
             if floats and not strings:
                 lc, elems = lhs.col.try_cast("double"), floats
             else:

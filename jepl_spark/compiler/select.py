@@ -17,7 +17,16 @@ Aggregate semantics (eval.go:307-365, quirks §2.9.1-5):
 - sum(e)    = sum over matched rows of numeric e; empty/none → 0.0
 - avg(e)    = sum(e) / matched-row-count; 0 matched → 0.0
 - max/min   = extremum of coalesce(e, 0.0) over matched rows; empty → 0.0
-- post-aggregate arithmetic over call results, x/0 → 0.0
+  (known divergence: a NaN-valued arg (only reachable via ÷0 etc.) is
+  input-ORDER-dependent in the reference — NaN wins iff it is the first
+  matched row, since later `thisret > result` comparisons are all false
+  (eval.go:326-358); no deterministic distributed semantics can match
+  an order-dependent interpreter, and Spark's max treats NaN as
+  greatest.  The reference corpus never aggregates a NaN.)
+- post-aggregate arithmetic over call results (float64 in the
+  reference), so ÷0 follows the float path: ±Inf / NaN — except an
+  int-LITERAL lhs, whose ÷float-0.0 yields 0.0 (eval.go:227-231; see
+  oracle.py for why the other zero-guards are dead code)
 """
 
 from __future__ import annotations
@@ -91,26 +100,52 @@ class PostSelect:
         return F.coalesce(F.col(base), F.lit(0.0))
 
     def _field_expr(self, expr: ast.Expr) -> Column:
-        """Post-aggregate arithmetic (float math, x/0 → 0.0).  Operands
-        are drained call values (never null) and literals."""
+        col, _ = self._field_expr_typed(expr)
+        return col
+
+    def _field_expr_typed(self, expr: ast.Expr) -> tuple[Column, bool]:
+        """Post-aggregate arithmetic.  Returns (column, is_go_int64).
+        Operands are drained call values (float64, never null) and
+        literals.  Pure-literal subtrees fold through the oracle so Go
+        int64 arithmetic (truncating division, int÷int-0 panic) is
+        exact; where a call is involved the value is float64 and ÷0
+        follows Go float division (±Inf/NaN) — unless the lhs is an
+        int64 literal, the one path where the reference's zero-guard
+        fires and yields 0.0 (eval.go:227-231)."""
+        if not any(isinstance(n, ast.Call) for n in ast.walk(expr)):
+            try:
+                v = _oracle_eval(expr, None)
+            except ZeroDivisionError as e:
+                raise JeplCompileError(str(e)) from None
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                raise JeplCompileError(
+                    f"raw (non-aggregate) field {expr} is not executable"
+                )
+            return F.lit(float(v)), isinstance(v, int)
         if isinstance(expr, ast.Call):
-            return self._call_value(expr)
+            return self._call_value(expr), False
         if isinstance(expr, ast.ParenExpr):
-            return self._field_expr(expr.expr)
+            return self._field_expr_typed(expr.expr)
         if isinstance(expr, ast.BinaryExpr):
-            lc = self._field_expr(expr.lhs)
-            rc = self._field_expr(expr.rhs)
+            lc, lint = self._field_expr_typed(expr.lhs)
+            rc, _ = self._field_expr_typed(expr.rhs)
             if expr.op is Tok.ADD:
-                return lc + rc
+                return lc + rc, False
             if expr.op is Tok.SUB:
-                return lc - rc
+                return lc - rc, False
             if expr.op is Tok.MUL:
-                return lc * rc
+                return lc * rc, False
             if expr.op is Tok.DIV:
-                return F.when(rc == 0.0, F.lit(0.0)).otherwise(lc / rc)
+                if lint:  # int64 literal ÷ float64 → live 0.0 guard
+                    zero_case = F.lit(0.0)
+                else:  # float64 ÷ 0 → Go float division
+                    zero_case = (
+                        F.when(lc > 0.0, F.lit(float("inf")))
+                        .when(lc < 0.0, F.lit(float("-inf")))
+                        .otherwise(F.lit(float("nan")))
+                    )
+                return F.when(rc == 0.0, zero_case).otherwise(lc / rc), False
             raise JeplCompileError(f"operator {expr.op} invalid in SELECT field")
-        if isinstance(expr, (ast.IntegerLiteral, ast.NumberLiteral)):
-            return F.lit(float(_oracle_eval(expr, None)))
         raise JeplCompileError(
             f"raw (non-aggregate) field {expr} is not executable"
         )
@@ -150,7 +185,12 @@ def compile_select_parts(
         dim_ce = compiler.compile(d.expr)
         from .types import JType as _JT
 
-        if dim_ce.jtype in (_JT.REGEX, _JT.LIST):
+        if dim_ce.jtype in (_JT.REGEX, _JT.LIST, _JT.NIL):
+            # NIL included: a dimension missing from the schema would
+            # silently form one NULL-keyed group here, while the
+            # reference dereferences a nil Expr and panics
+            # (groupby.go:18-34 via ast.go:930-932) and the repo oracle
+            # raises — reject at compile so all three sides agree.
             raise JeplCompileError(
                 f"GROUP BY dimension {d} is not a scalar expression "
                 f"(the reference interpreter crashes on it, groupby.go:18-34)"

@@ -321,10 +321,17 @@ class Parser:
     def _outside_common_regex_dialect(lit: str) -> bool:
         """Constructs outside the RE2 ∩ Python ∩ Java-regex common
         subset: lookaround and backreferences (RE2 rejects them at
-        parse, parser.go:488-493) and named groups (the two syntaxes
-        are mutually unsupported between RE2/Python and Java).  Escape
-        sequences are tracked so `\\\\1` (literal backslash + digit)
-        is not misread as a backreference."""
+        parse, parser.go:488-493), named groups (the two syntaxes are
+        mutually unsupported between RE2/Python and Java), POSIX
+        classes ``[[:alpha:]]`` (valid RE2/Java atoms that Python re
+        silently parses as a literal character class), and ``\\Z``
+        (absolute end-of-string in Python, end-before-final-newline in
+        Java).  Escape sequences are tracked so ``\\\\1`` (literal
+        backslash + digit) is not misread as a backreference.  Escapes
+        Python re rejects outright (``\\p{...}``, ``\\z``, ``\\e``) need
+        no gate — compilation below fails loudly for both engine and
+        oracle.  Known residual: ``\\d``/``\\w``/``\\s`` are ASCII in
+        RE2/Java but Unicode-aware in Python; corpus data is ASCII."""
         escaped = False
         i = 0
         while i < len(lit):
@@ -332,6 +339,8 @@ class Parser:
             if escaped:
                 if ch.isdigit() and ch != "0":
                     return True  # backreference \1-\9
+                if ch == "Z":
+                    return True  # \Z semantics differ Python vs Java
                 escaped = False
             elif ch == "\\":
                 escaped = True
@@ -339,6 +348,12 @@ class Parser:
                 nxt = lit[i + 2 : i + 3]
                 if nxt in ("=", "!", "P", "<"):
                     return True  # lookaround / named group
+            elif ch == "[" and lit[i + 1 : i + 2] == ":":
+                # POSIX class atom [:name:] (conservative: rejected in
+                # any position — engines disagree on its meaning)
+                j = lit.find(":]", i + 2)
+                if j != -1 and lit[i + 2 : j].lstrip("^").isalpha():
+                    return True
             i += 1
         return False
 

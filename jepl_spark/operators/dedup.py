@@ -79,24 +79,66 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 _MAXL = (1 << 63) - 1
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: for seed i, min over shingles of
-    xxhash64(shingle, i) (hashing the pair (shingle, i) gives the hash
-    family).  Empty shingle sets → all-zero signature.
+_MH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31−1
 
-    Loop order matters: the SHINGLE expression is the OUTER aggregate
-    collection so it evaluates once per row.  The inverted form
-    (transform over seeds with the shingles as the inner collection)
-    re-evaluates the whole shingling expression once per seed — 64× per
-    row, measured 20× slower end-to-end."""
+
+def _minhash_coeffs(num_hashes: int, seed: int = 0x9E3779B9) -> tuple[list[int], list[int]]:
+    """Deterministic universal-hash coefficients over GF(p), p = 2^31−1:
+    a_i in [1, p), b_i in [0, p).  The mod-p step is what makes each
+    h_i a (near-)random PERMUTATION of the base hash — without it,
+    a_i·h + b_i is monotone in h and all num_hashes functions would
+    pick the same minimum shingle.  Bounds keep a_i·h + b_i < 2^62, so
+    no Java long overflow (Spark 4 runs ANSI mode: overflow raises)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    a = [rng.randrange(1, _MH_PRIME) for _ in range(num_hashes)]
+    b = [rng.randrange(0, _MH_PRIME) for _ in range(num_hashes)]
+    return a, b
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature via ONE xxhash64 per shingle + a multiply-shift
+    universal-hash family: h32 = fold(xxhash64(s)) to 32 bits, then
+    h_i = a_i * h32 + b_i with literal coefficients — pure JVM integer
+    arithmetic, ~num_hashes× fewer hash invocations than hashing
+    (shingle, seed) pairs (the round-1 cost hot spot: signature hashing
+    dominated the minhash lane).  Empty shingle sets → all-zero
+    signature.
+
+    Loop order matters twice: (1) the base-hash array is computed by a
+    single ``transform`` over the shingles, so xxhash64 runs once per
+    shingle; (2) that array is the OUTER aggregate collection, and the
+    inner per-seed collection is only literal-array indexing — the
+    inverted form re-evaluates the expensive collection once per seed
+    (measured 20× slower end-to-end in round 1)."""
+    a_co, b_co = _minhash_coeffs(num_hashes)
+    A = F.lit(a_co).cast("array<long>")
+    B = F.lit(b_co).cast("array<long>")
+    # xxhash64 once per shingle (inner transform materializes the 64-bit
+    # hash array — SQL lambdas have no let-binding, and repeating the
+    # xxhash64 subexpression would evaluate it twice), folded to 32 bits
+    # (top xor bottom) and reduced mod p so a_i·h stays under 2^62
+    base_hashes = F.transform(
+        F.transform(shingles, lambda s: F.xxhash64(s)),
+        lambda h: F.pmod(
+            F.shiftrightunsigned(h, 32).bitwiseXOR(h.bitwiseAND(F.lit(0xFFFFFFFF))),
+            F.lit(_MH_PRIME),
+        ),
+    )
     acc0 = F.array_repeat(F.lit(_MAXL).cast("long"), num_hashes)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    idx = F.sequence(F.lit(1), F.lit(num_hashes))
     sig = F.aggregate(
-        shingles,
+        base_hashes,
         acc0,
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(seeds, lambda i: F.xxhash64(s, i)),
+            F.transform(
+                idx,
+                lambda i: F.pmod(
+                    F.element_at(A, i) * h + F.element_at(B, i), F.lit(_MH_PRIME)
+                ),
+            ),
             lambda a, b: F.least(a, b),
         ),
     )
@@ -136,11 +178,13 @@ def minhash_candidates(
     rows = num_hashes // bands
     # Cache the signature table: it feeds four consumers (banding,
     # bucket sizing, both sides of the pair join) and would otherwise
-    # recompute 64 minhashes per consumer.  persist(), not
+    # recompute the signatures per consumer.  persist(), not
     # localCheckpoint — a lazy localCheckpoint re-evaluates per consumer
-    # within the first job (measured 20× slower).  The cache entry lives
-    # until the session ends; sessions running many corpora should call
-    # spark.catalog.clearCache() between them.
+    # within the first job (measured 20× slower).  The cache is
+    # released before returning: the (small) candidate-pair result is
+    # eagerly materialized below, then base.unpersist() runs — no cache
+    # entry outlives the call (round-1 leak squatted on storage memory
+    # through the next bench query).
     base = df.select(
         F.col(id_col).alias("__id"),
         minhash_signature(
@@ -189,7 +233,15 @@ def minhash_candidates(
         ).cast("double")
         / F.lit(float(num_hashes))
     )
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    out = pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    # Materialize the candidate pairs (tiny vs the corpus: banded +
+    # bucket-capped), then drop the signature cache.  Executor-local
+    # checkpoint blocks hold only (id, id, double) rows, so this is
+    # safe at cluster scale too, and the operator leaves no cache
+    # entry behind.
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 def minhash_dedup(

@@ -2,8 +2,21 @@
 
 Mirrors /root/reference/eval.go + groupby.go row-for-row, including the
 quirk semantics catalogued in SURVEY.md §2.9 (count counts matched rows,
-x/0 → 0.0, missing field → 0.0 inside max/min, empty aggregates → 0.0,
-group keys enumerated pre-WHERE, `true OR nil` → false, …).
+missing field → 0.0 inside max/min, empty aggregates → 0.0, group keys
+enumerated pre-WHERE, `true OR nil` → false, …).
+
+Division by zero follows the reference's *actual* behavior, not its
+apparent intent: in eval.go the guard ``rhs == 0`` compares an
+``interface{}`` against an untyped constant 0 (dynamic type ``int``),
+which never equals a ``float64`` or ``int64`` operand, so the
+``return float64(0)`` is dead code on two of the three paths:
+
+- float64 lhs ÷ 0 (any numeric rhs) → Go float division: ±Inf, or NaN
+  for 0/0 (eval.go:192-200 — guard never fires)
+- int64 lhs ÷ float64 0.0 → 0.0 (eval.go:227-231 — the one live path:
+  the inner block shadows ``rhs`` with a typed float64 local)
+- int64 lhs ÷ int64 0 → runtime panic via Go integer division
+  (eval.go:267-273 — guard never fires); we raise ZeroDivisionError
 
 This module is TEST INFRASTRUCTURE ONLY: it is the golden-output
 generator that the distributed Spark plans are compared against.  It is
@@ -214,8 +227,12 @@ def _eval_binary(expr: ast.BinaryExpr, doc: Any, accs: Any) -> Any:
                 return lhs - rhsf
             if op is Tok.MUL:
                 return lhs * rhsf
-            if rhs == 0:
-                return 0.0
+            # eval.go:196: `rhs == 0` (interface vs untyped-int 0) never
+            # fires for float64/int64 rhs → plain Go float division
+            if rhsf == 0.0:
+                if lhs == 0.0 or math.isnan(lhs):
+                    return math.nan
+                return math.copysign(math.inf, lhs) * math.copysign(1.0, rhsf)
             return lhs / rhsf
         return None
 
@@ -241,6 +258,9 @@ def _eval_binary(expr: ast.BinaryExpr, doc: Any, accs: Any) -> Any:
             if op is Tok.MUL:
                 return lf * rhs
             if op is Tok.DIV:
+                # eval.go:227-231: the inner block shadows `rhs` with a
+                # typed float64 local, so this is the ONE path where the
+                # x/0 → 0.0 guard actually fires in the reference
                 if rhs == 0:
                     return 0.0
                 return lf / rhs
@@ -273,7 +293,14 @@ def _eval_binary(expr: ast.BinaryExpr, doc: Any, accs: Any) -> Any:
             if op is Tok.MUL:
                 return lhs * rhsi
             if rhsi == 0:
-                return 0.0
+                # eval.go:267-273: the `rhs == 0` guard never fires
+                # (interface vs untyped-int 0), so Go executes
+                # `lhs / rhsi` and PANICS on integer division by zero.
+                # Documented stance: we raise instead of crashing.
+                raise ZeroDivisionError(
+                    "integer division by zero — the reference panics here "
+                    "(eval.go:267-273)"
+                )
             # Go int64 division truncates toward zero
             q = abs(lhs) // abs(rhsi)
             return q if (lhs >= 0) == (rhsi >= 0) else -q

@@ -65,9 +65,11 @@ def assert_matches_oracle(
     for k in expected:
         assert len(got[k]) == len(expected[k])
         for a, b in zip(got[k], expected[k]):
-            assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9), (
-                f"{k}: spark={got[k]} oracle={expected[k]}"
+            # NaN ≡ NaN here: ÷0 follows Go float division (±Inf/NaN)
+            same = (math.isnan(a) and math.isnan(b)) or math.isclose(
+                a, b, rel_tol=1e-9, abs_tol=1e-9
             )
+            assert same, f"{k}: spark={got[k]} oracle={expected[k]}"
 
     # column names must match the reference's ColumnNames()
     expect_names = stmt.column_names()

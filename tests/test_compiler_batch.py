@@ -89,7 +89,9 @@ def test_column_name_conflicts(spark):
 
 
 def test_agg_arg_arithmetic_div0(spark):
-    # x/0 → 0.0 inside aggregate args (quirk §2.9.5)
+    # float ÷ 0 inside aggregate args follows Go float division
+    # (quirk §2.9.5): doc0 contributes 0/0 → NaN, even docs ±Inf —
+    # the oracle and the Spark plan must agree on the NaN/Inf sum
     assert_matches_oracle(
         spark,
         "select sum(tcp.in_bytes / tcp.src_ip) from packetbeat where uid >= 0",
@@ -263,7 +265,9 @@ PRED_CASES = [
     ("missing = 1 OR true", {}),
     ("num > 1 OR foo = 'bar'", {"num": None, "foo": "bar"}),
     ("num > 1 AND foo = 'bar'", {"num": 5.0, "foo": None}),
-    ("num / 0 = 0", {"num": 5.0}),
+    ("num / 0 = 0", {"num": 5.0}),       # 5/0 → +Inf → Inf = 0 → false
+    ("4 / num = 0", {"num": 0.0}),       # int ÷ float-0 → 0.0 (live guard)
+    ("num / num > 0", {"num": 0.0}),     # 0/0 → NaN → NaN > 0 → false
     ("num + 1 > 5", {"num": 5.0}),
     ("num = foo", {"num": 5.0, "foo": "5"}),
     ("uid > foo", {"uid": 1.0, "foo": "x"}),
@@ -361,3 +365,112 @@ def test_predicate_truth_table(spark):
         assert spark_pass == oracle_pass, (
             f"case {i}: {text!r} over {doc}: spark={spark_pass} oracle={oracle_pass}"
         )
+
+
+def test_div_zero_reference_dispatch(spark):
+    """÷0 follows the reference's actual typed dispatch (ADVICE r1):
+    float lhs → Go float division (±Inf/NaN); int-literal lhs ÷ float
+    0.0 → 0.0 (eval.go:227-231, the one live guard); int ÷ int 0 →
+    raises (the reference panics)."""
+    schema = StructType(
+        [StructField("uid", DoubleType()), StructField("v", DoubleType())]
+    )
+    docs = [{"uid": 1.0, "v": 4.0}, {"uid": 1.0, "v": -4.0}]
+    # float field ÷ literal 0 → ±Inf; sum(+Inf, -Inf) → NaN both sides
+    assert_matches_oracle(
+        spark, "select sum(v / 0) AS s from t where uid = 1", docs, schema
+    )
+    # +Inf only
+    assert_matches_oracle(
+        spark, "select sum(v / 0) AS s from t where v > 0", docs, schema
+    )
+    # int-literal lhs ÷ float-zero field → 0.0 per row
+    docs0 = [{"uid": 1.0, "v": 0.0}, {"uid": 1.0, "v": 2.0}]
+    assert_matches_oracle(
+        spark, "select sum(8 / v) AS s from t where uid = 1", docs0, schema
+    )
+    # int ÷ int 0 folds to the reference's panic → compile error
+    from jepl_spark.compiler.expr import JeplCompileError
+    from jepl_spark.compiler.select import compile_select
+    from jepl_spark.lang.parser import parse_statement
+
+    df = docs_to_df(spark, docs, schema)
+    with pytest.raises(JeplCompileError, match="division by zero"):
+        compile_select(
+            parse_statement("select sum(v) AS s from t where v / (4 / 0) = 1"),
+            df,
+        )
+
+
+def test_postagg_div_zero_inf(spark):
+    """Post-aggregate ÷ is float64 ÷ float64 in the reference: an
+    empty-match denominator gives Go float division, not 0.0."""
+    schema = StructType(
+        [StructField("uid", DoubleType()), StructField("v", DoubleType())]
+    )
+    docs = [{"uid": 1.0, "v": 4.0}, {"uid": 2.0, "v": -4.0}]
+    # count(v)=0 under uid = 99 → sum/count = 0/0 → NaN on both sides
+    assert_matches_oracle(
+        spark,
+        "select sum(v) / count(v) AS r from t where uid = 99",
+        docs,
+        schema,
+    )
+    # and an int literal over a zero aggregate → 0.0 (live guard)
+    assert_matches_oracle(
+        spark,
+        "select 7 / sum(v) AS r from t where uid = 99",
+        docs,
+        schema,
+    )
+
+
+def test_groupby_nil_dimension_rejected(spark):
+    """A dimension that resolves to statically-nil must be rejected at
+    compile (ADVICE r1): the reference panics in FlatStatByGroup and the
+    repo oracle raises — a silent NULL-keyed group would disagree."""
+    from jepl_spark.compiler.expr import JeplCompileError
+    from jepl_spark.compiler.select import compile_select
+    from jepl_spark.lang.parser import parse_statement
+
+    schema = StructType([StructField("uid", DoubleType())])
+    df = docs_to_df(spark, [{"uid": 1.0}], schema)
+    with pytest.raises(JeplCompileError, match="GROUP BY dimension"):
+        compile_select(
+            parse_statement(
+                "select count(uid) AS n from t where uid > 0 group by nope"
+            ),
+            df,
+        )
+
+
+def test_jsonany_mixed_list_membership(spark):
+    """IN on a JSON-extracted lhs with a mixed float+string list matches
+    an element of EITHER type (reflect.DeepEqual, eval.go:367-382) —
+    ADVICE r1 fix: the old compile picked string-only."""
+    from jepl_spark.compiler.select import compile_select
+    from jepl_spark.lang.parser import parse_statement
+
+    schema = StructType([StructField("props", StringType())])
+    docs = [
+        {"props": '{"k": 5}'},        # JSON number 5 → matches 5.0
+        {"props": '{"k": "five"}'},   # JSON string → matches 'five'
+        {"props": '{"k": 7}'},        # matches neither
+        {"props": '{}'},              # missing → nil → no match
+    ]
+    df = docs_to_df(spark, docs, schema)
+    out = compile_select(
+        parse_statement(
+            "select count(props.k) AS n from t where props.k IN [5.0,'five']"
+        ),
+        df,
+    ).collect()
+    assert out[0]["n"] == 2.0
+    # NI: non-members match, nil stays nil (dropped)
+    out = compile_select(
+        parse_statement(
+            "select count(props.k) AS n from t where props.k NI [5.0,'five']"
+        ),
+        df,
+    ).collect()
+    assert out[0]["n"] == 1.0

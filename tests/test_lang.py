@@ -344,6 +344,18 @@ def test_re2_unsupported_constructs_rejected():
     assert isinstance(parse_expr("s =~ /(?:ab)+[0-9]{2}$/"), ast.BinaryExpr)
 
 
+def test_regex_gate_posix_classes_and_Z():
+    # POSIX classes are valid RE2/Java atoms but Python re silently
+    # parses them as literal character classes → reject; \Z differs
+    # between Python (absolute end) and Java (before final newline)
+    for pat in [r"[[:alpha:]]+", r"x[a[:digit:]]y", r"foo\Z"]:
+        err = errstring(lambda p=pat: parse_expr(f"s =~ /{p}/"))
+        assert "unsupported Perl syntax" in err, (pat, err)
+    # literal '[:' via escape, and \\1 (escaped backslash), stay legal
+    assert isinstance(parse_expr(r"s =~ /\[:alpha:\]/"), ast.BinaryExpr)
+    assert isinstance(parse_expr(r"s =~ /a\\1/"), ast.BinaryExpr)
+
+
 def test_condition_validation_errors():
     assert (
         errstring(lambda: parse_statement("select sum(x) from f where count(y) > 1"))

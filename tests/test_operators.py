@@ -161,3 +161,39 @@ def test_lang_id_samples(spark):
     df = spark.createDataFrame(samples, ["i", "t"])
     got = {r["i"]: r["lang"] for r in df.select("i", T.lang_id(F.col("t")).alias("lang")).collect()}
     assert got == {0: "en", 1: "fr", 2: "es", 3: "de", 4: "zh", 5: "und"}
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """Quality regression for the universal-hash family: without the
+    mod-p permutation step, a_i·h + b_i is monotone in h, every seed
+    picks the same minimum shingle, and est_jaccard inflates ~40× (the
+    sf0.1 candidate count jumped 256 → 10,843 when that bug was live).
+    Pin |est − exact| on a known-overlap pair."""
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(500)]
+    base = [rng.choice(vocab) for _ in range(120)]
+    mutated = list(base)
+    for _ in range(12):
+        mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+    docs = [
+        (0, " ".join(base)),
+        (1, " ".join(mutated)),
+        (2, " ".join(rng.choice(vocab) for _ in range(120))),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def sh(t, n=3):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    exact01 = len(sh(docs[0][1]) & sh(docs[1][1])) / len(sh(docs[0][1]) | sh(docs[1][1]))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_candidates(df, bands=16, num_hashes=64).collect()
+    }
+    assert (0, 1) in pairs
+    assert abs(pairs[(0, 1)] - exact01) <= 0.15, (pairs[(0, 1)], exact01)
+    # unrelated docs: absent, or present with a low estimate
+    assert pairs.get((0, 2), 0.0) < 0.3 and pairs.get((1, 2), 0.0) < 0.3

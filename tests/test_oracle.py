@@ -35,9 +35,14 @@ TRUTH_TABLE = [
     ("1 + 2", None, 3),
     ("(foo*2) + ( (4/2) + (3 * 5) - 0.5 )", {"foo": 5.0}, 26.5),
     ("foo / 2", {"foo": 4}, 2.0),
-    ("foo / 0", {"foo": 4}, 0.0),                    # div0 → 0.0
-    ("4 / 0", None, 0.0),
-    ("4.0 / 0", None, 0.0),
+    # ÷0 typed dispatch (eval.go:190-273 — the `rhs == 0` interface-vs-
+    # untyped-0 guard is dead code except for int64-lhs ÷ float64-0.0):
+    ("foo / 0", {"foo": 4}, math.inf),       # float ÷ int 0 → Go +Inf
+    ("foo / 0", {"foo": -4}, -math.inf),     # float ÷ 0 → Go -Inf
+    ("foo / 0.0", {"foo": 4}, math.inf),     # float ÷ float 0 → +Inf
+    ("4.0 / 0", None, math.inf),             # float lit ÷ int 0 → +Inf
+    ("4 / 0.0", None, 0.0),                  # int ÷ float 0.0 → live guard
+    ("4 / foo", {"foo": 0}, 0.0),            # int ÷ float64(0) field → 0.0
     ("4 = 4", None, True),
     ("4 <> 4", None, False),
     ("6 > 4", None, True),
@@ -79,6 +84,16 @@ def test_expression_truth_table(expr, doc, expected):
     assert got == expected and type(got) is type(expected), (
         f"{expr} over {doc}: got {got!r}, want {expected!r}"
     )
+
+
+def test_div_zero_nan_and_int_panic():
+    # 0/0 in the float path → Go NaN (eval.go:192-200, dead guard)
+    assert math.isnan(ev("foo / 0", {"foo": 0}))
+    assert math.isnan(ev("0.0 / 0.0"))
+    # int64 ÷ int64 0: the reference panics (eval.go:267-273); the
+    # oracle's documented stance is ZeroDivisionError
+    with pytest.raises(ZeroDivisionError):
+        ev("4 / 0")
 
 
 def test_json_lookup_semantics():

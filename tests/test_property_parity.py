@@ -189,7 +189,10 @@ def test_rule_parity_bulk(spark):
             continue
         for key in expected:
             for x, y in zip(got[key], expected[key]):
-                if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                same = (math.isnan(x) and math.isnan(y)) or math.isclose(
+                    x, y, rel_tol=1e-9, abs_tol=1e-9
+                )
+                if not same:
                     failures.append((sql, key, got[key], expected[key]))
                     break
     assert not failures, f"{len(failures)} rule mismatches; first: {failures[0]}"
