@@ -265,8 +265,11 @@ def q_ann_cosine_scores(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    # rows-only check (top-k tie-broken by id; no SQL oracle registered
-    # to avoid cross-engine float-ordering flakiness at the k boundary)
+    """Exact top-k (TakeOrderedAndProject), oracle-checked: both sides
+    order by FULL-precision cosine with id tie-break (the rank-10
+    boundary gap in this corpus is ~1e-3, far above cross-engine float
+    noise; the cosine math itself is proven portable by
+    ann_cosine_scores)."""
     df = load_table(spark, sf_dir, "embeddings")
     qvec = (
         df.filter(F.col("vec_id") == 0)
@@ -276,6 +279,35 @@ def q_ann_topk(spark, sf_dir):
     return S.brute_force_topk(df, qvec, k=10).select(
         "vec_id", _r(F.col("cosine"), 4).alias("cosine")
     )
+
+
+def q_ann_index_topk(spark, sf_dir):
+    """The LSH index path end-to-end: build the bucket-partitioned
+    index (lsh_bucketize), then answer the query by reading ONLY the
+    query's (table, bucket) partitions with multi-table
+    OR-amplification.  The oracle replays the exact same algorithm in
+    DuckDB with the hyperplane constants baked into the SQL — it
+    checks the index MACHINERY (bucketing, pruning, candidate union,
+    exact rescoring), not a probabilistic recall bound."""
+    import tempfile
+
+    df = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        df.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    )
+    path = tempfile.mkdtemp(prefix="entry-lshidx-") + "/idx"
+    idx = S.lsh_bucketize(df, path, planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES,
+                          seed=_ANN_IDX_SEED)
+    return idx.topk(spark, qvec, k=10).select(
+        "vec_id", _r(F.col("cosine"), 4).alias("cosine")
+    )
+
+
+_ANN_IDX_PLANES = 4
+_ANN_IDX_TABLES = 4
+_ANN_IDX_SEED = 42
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -291,15 +323,45 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_minhash_near_dups(spark, sf_dir):
+    """MinHash LSH candidates at est_jaccard ≥ 0.5, oracle-checked
+    against DuckDB's EXACT 3-shingle Jaccard ≥ 0.5 pair set: this
+    corpus's near-dups are well separated from the threshold, so the
+    64-hash estimator must recover exactly the exact-Jaccard set
+    (verified at sf0.001/0.01/0.1 during the r2 rewrite; the estimator
+    VALUE is pinned by tests/test_operators.py against exact Jaccard).
+    Output is the id pair set — the quantity the oracle can speak to."""
     df = load_table(spark, sf_dir, "documents")
-    return D.minhash_candidates(df, bands=16, num_hashes=64).filter(
-        F.col("est_jaccard") >= 0.5
+    return (
+        D.minhash_candidates(df, bands=16, num_hashes=64)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+        )
     )
 
 
 def q_simhash_signatures(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     return df.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
+
+
+def q_simhash_dup_consistency(spark, sf_dir):
+    """Oracle-checkable SimHash property: documents with identical
+    normalized content (md5 groups) MUST share one signature —
+    normalization and signature determinism under the hard signal.
+    (The raw signatures stay a rows-only entry: no SQL twin of
+    xxhash64 exists.)"""
+    df = load_table(spark, sf_dir, "documents")
+    return (
+        df.groupBy(D.content_hash(F.col("text")).alias("__h"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct(D.simhash64(F.col("text"))).cast("bigint").alias("n_sigs"),
+        )
+        .drop("__h")
+    )
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
@@ -369,6 +431,103 @@ def q_stream_windowed_rule(spark, sf_dir):
     )
 
 
+def q_stream_join_windowed(spark, sf_dir):
+    """Stream-stream join lane under the hard correctness signal: two
+    deterministic file streams (events as the 'audio' side; a derived
+    2-transcripts-per-clip stream at +10s/+90s as the 'transcript'
+    side) joined on clip_id with a 60s event-time bound through
+    audio_transcript_join (salt=2 exercises the skew path — salting
+    must not change output rows), then a windowed JEPL rule and the
+    exactly-once sink.  Only the +10s transcript survives the bound,
+    so DuckDB can mirror the join exactly; emission cutoff is the same
+    append-mode rule as stream_windowed_rule."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from jepl_spark.streaming.engine import (
+        file_stream,
+        run_rule_stream,
+        run_to_completion,
+    )
+    from jepl_spark.streaming.join import audio_transcript_join
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-join-")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F2.col("ts").cast("timestamp")
+    )
+    left = events.select(
+        F2.col("event_id").alias("clip_id"),
+        F2.col("ts").alias("event_time"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    right = events.select(
+        F2.col("event_id").alias("clip_id"),
+        F2.explode(
+            F2.array(
+                F2.col("ts") + F2.expr("INTERVAL 10 SECONDS"),
+                F2.col("ts") + F2.expr("INTERVAL 90 SECONDS"),
+            )
+        ).alias("event_time"),
+        F2.col("event_type").alias("transcript"),
+    )
+    left.write.mode("overwrite").parquet(f"{work}/left")
+    right.write.mode("overwrite").parquet(f"{work}/right")
+    joined = audio_transcript_join(
+        file_stream(spark, f"{work}/left", left.schema),
+        file_stream(spark, f"{work}/right", right.schema),
+        audio_watermark="1 hour",
+        transcript_watermark="1 hour",
+        max_delay="60 seconds",
+        salt=2,
+    )
+    sink = IdempotentParquetSink(f"{work}/sink")
+    q = run_rule_stream(
+        "select count(clip_id) AS n, sum(value) AS s from joined "
+        "where joined_transcript <> 'error' group by joined_transcript",
+        joined,
+        ts_col="event_time",
+        duration="6 hours",
+        watermark=None,  # the join output already carries the watermark
+        sink=sink,
+        checkpoint=f"{work}/ckpt",
+    )
+    run_to_completion(q, timeout_s=600)
+    out = sink.read_committed(spark)
+    return out.select(
+        F2.unix_timestamp("window_start").cast("bigint").alias("ws"),
+        F2.col("joined_transcript").alias("transcript"),
+        F2.col("n").cast("bigint").alias("n"),
+        F2.round(F2.col("s"), 2).alias("s"),
+    )
+
+
+def q_window_session(spark, sf_dir):
+    """Session windows (F.session_window) under the oracle: per-user
+    12h-gap sessions over events, conditional aggregation (group keys
+    and sessions enumerated pre-WHERE, quirk §2.9.6); DuckDB twin is
+    classic gaps-and-islands (lag + cumulative break flags)."""
+    df = load_table(spark, sf_dir, "events")
+    out = windowed_select(
+        "select count(event_id) AS n, sum(value) AS s from events "
+        "where event_type <> 'error' group by user_id",
+        df,
+        ts_col="ts",
+        duration="0",  # ignored when session_gap is set
+        session_gap="12 hours",
+    )
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("ws"),
+        F.unix_timestamp("window_end").cast("bigint").alias("we"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("n").cast("bigint").alias("n"),
+        _cents(F.col("s")).alias("s_cents"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     return df.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
@@ -394,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jepl_orders_rule": q_jepl_orders_rule,
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
+        "window_session": q_window_session,
+        "stream_join_windowed": q_stream_join_windowed,
         "dedup_exact": q_dedup_exact,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -401,8 +562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_scores": q_ann_cosine_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_index_topk": q_ann_index_topk,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_signatures": q_simhash_signatures,
+        "simhash_dup_consistency": q_simhash_dup_consistency,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "lang_id": q_lang_id,
         "text_bpe_tokens": q_text_bpe_tokens,
@@ -411,6 +574,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+
+
+def _cosine_sql(v: str, qv: str) -> str:
+    """Exact cosine in DuckDB, zero-norm → 0.0 (mirrors
+    similarity.cosine_to_query)."""
+    return (
+        f"CASE WHEN sqrt(list_dot_product({v}, {v}))"
+        f" * sqrt(list_dot_product({qv}, {qv})) = 0 THEN 0.0"
+        f" ELSE list_dot_product({v}, {qv})"
+        f" / (sqrt(list_dot_product({v}, {v}))"
+        f" * sqrt(list_dot_product({qv}, {qv}))) END"
+    )
+
+
+def _ann_index_oracle_sql() -> str:
+    """DuckDB twin of the LSH index query path, with the hyperplane
+    constants generated from the SAME code as the Spark side
+    (jepl_spark.operators.similarity.hyperplanes) so they cannot
+    drift.  Mirrors: per-table bucket = sign bits of v·plane_i;
+    candidates = vectors matching the query's bucket in ANY table;
+    exact cosine rescoring; top-10 by full-precision cosine, id
+    tie-break."""
+    from jepl_spark.operators.similarity import hyperplanes
+
+    dim = 64  # embeddings tables are 64-dim at every SF
+    pt = [
+        hyperplanes(dim, _ANN_IDX_PLANES, _ANN_IDX_SEED + 1000 * t)
+        for t in range(_ANN_IDX_TABLES)
+    ]
+
+    def bucket_expr(vcol: str, t: int) -> str:
+        bits = []
+        for i, plane in enumerate(pt[t]):
+            arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product({vcol}, {arr}) >= 0.0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    b_cols = ",\n          ".join(
+        f"({bucket_expr('e.v', t)}) AS b{t}" for t in range(_ANN_IDX_TABLES)
+    )
+    qb_cols = ",\n          ".join(
+        f"({bucket_expr('q.qv', t)}) AS qb{t}" for t in range(_ANN_IDX_TABLES)
+    )
+    or_cond = " OR ".join(f"b.b{t} = qb.qb{t}" for t in range(_ANN_IDX_TABLES))
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        b AS (SELECT e.vec_id, e.v,
+          {b_cols}
+          FROM e),
+        qb AS (SELECT
+          {qb_cols}
+          FROM q),
+        c AS (SELECT b.vec_id, b.v FROM b, qb WHERE {or_cond}),
+        s AS (SELECT c.vec_id, {_cosine_sql('c.v', 'q.qv')} AS c_full
+              FROM c, q)
+        SELECT vec_id, round(c_full, 4) AS cosine
+        FROM s ORDER BY c_full DESC, vec_id ASC LIMIT 10
+    """
 
 
 def _lang_id_oracle_sql() -> str:
@@ -565,6 +790,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ws, count(m) AS n FROM b GROUP BY ws
         """,
+        # session windows: gaps-and-islands per user — a new session
+        # starts when the gap since the previous event is >= the 12h
+        # gap (Spark session windows are [start, last+gap), end
+        # exclusive, so an exact-gap event does NOT merge); window_end
+        # = last event + gap; aggregates CASE-filtered (pre-WHERE
+        # session/group enumeration, quirk §2.9.6)
+        "window_session": """
+            WITH o AS (
+              SELECT user_id, ts, value, event_type,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 12 HOUR
+                     THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT *, sum(brk) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sess
+              FROM o
+            )
+            SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS ws,
+                   CAST(floor(epoch(max(ts) + INTERVAL 12 HOUR)) AS BIGINT) AS we,
+                   user_id,
+                   count(CASE WHEN event_type <> 'error' THEN 1 END) AS n,
+                   CAST(round(coalesce(sum(CASE WHEN event_type <> 'error'
+                        THEN value END), 0.0) * 100) AS BIGINT) AS s_cents
+            FROM s GROUP BY user_id, sess
+        """,
+        # stream-stream join lane: 1:2 transcript fan-out, only the
+        # +10s copy survives the 60s bound; append-mode cutoff as in
+        # stream_windowed_rule (global watermark = min over both
+        # inputs = max(left ts) − 1h since the right side runs +90s)
+        "stream_join_windowed": """
+            WITH r AS (
+              SELECT event_id AS clip_id, ts + INTERVAL 10 SECOND AS t_time,
+                     event_type AS transcript
+              FROM events
+              UNION ALL
+              SELECT event_id, ts + INTERVAL 90 SECOND, event_type FROM events
+            ), j AS (
+              SELECT b.ts, b.value, r.transcript
+              FROM events b JOIN r ON r.clip_id = b.event_id
+              WHERE r.t_time >= b.ts AND r.t_time <= b.ts + INTERVAL 60 SECOND
+            ), g AS (
+              SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS ws,
+                     transcript,
+                     count(CASE WHEN transcript <> 'error' THEN 1 END) AS n,
+                     round(coalesce(sum(CASE WHEN transcript <> 'error'
+                           THEN value END), 0.0), 2) AS s
+              FROM j GROUP BY 1, 2
+            ), m AS (SELECT epoch(max(ts)) AS mx FROM events)
+            SELECT g.ws, g.transcript, g.n, g.s FROM g, m
+            WHERE g.ws + 21600 <= m.mx - 3600
+        """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents
@@ -634,9 +913,49 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_id": _lang_id_oracle_sql(),
-        # ann_topk / ann_lsh_topk / minhash_near_dups / simhash_signatures /
-        # ngram_jaccard_pairs / audio_decode_stats: rows-only
-        # (hash-seeded / codec operators have no faithful ANSI-SQL twin)
+        "ann_topk": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            s AS (SELECT e.vec_id, {_cosine_sql('e.v', 'q.qv')} AS c_full FROM e, q)
+            SELECT vec_id, round(c_full, 4) AS cosine
+            FROM s ORDER BY c_full DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_index_topk": _ann_index_oracle_sql(),
+        # exact 3-shingle Jaccard >= 0.5 pair set == the minhash
+        # candidate set on this corpus (threshold well-separated)
+        "minhash_near_dups": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN array_length(w) < 3 THEN list_distinct([array_to_string(w, ' ')])
+                     ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                          FOR i IN range(1, array_length(w) - 1)]) END AS s
+              FROM toks
+            ),
+            ex AS (SELECT doc_id, array_length(s) AS n, unnest(s) AS g FROM sh),
+            cnt AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+                     count(*) AS c
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1,2,3,4
+            )
+            SELECT id_a, id_b FROM cnt
+            WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
+        """,
+        "simhash_dup_consistency": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_docs,
+                   CAST(1 AS BIGINT) AS n_sigs
+            FROM documents
+            GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+        """,
+        # ann_lsh_topk / simhash_signatures / audio_decode_stats:
+        # rows-only (per-row xxhash64 signatures and codec decode have
+        # no faithful ANSI-SQL twin; the ann INDEX path is covered by
+        # ann_index_topk above)
         "ngram_jaccard_pairs": """
             WITH toks AS (
               SELECT doc_id,

@@ -97,17 +97,132 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
-    At scale the bucketed table is precomputed/partitioned by bucket so
-    a query touches ~N/2^planes rows."""
+    """Approximate top-k WITHOUT an index: scores only vectors in the
+    query's LSH bucket, but still scans the full table to compute each
+    row's bucket.  One-shot/ad-hoc use only — for repeated queries at
+    scale build an ``LshIndex`` (below), whose lookups read just the
+    query's bucket partitions."""
     dim = len(query)
     hp = hyperplanes(dim, planes, seed)
-    qbucket = 0
-    for i, p in enumerate(hp):
-        if sum(a * b for a, b in zip(query, p)) >= 0.0:
-            qbucket |= 1 << i
+    qbucket = _py_bucket(query, hp)
     candidates = df.filter(lsh_bucket(F.col(vec_col), hp) == F.lit(qbucket))
     return brute_force_topk(candidates, query, k, vec_col, id_col)
+
+
+def _py_bucket(vec: Sequence[float], hp: Sequence[Sequence[float]]) -> int:
+    """Driver-side bucket of a single query vector (mirrors lsh_bucket)."""
+    b = 0
+    for i, p in enumerate(hp):
+        if sum(a * x for a, x in zip(vec, p)) >= 0.0:
+            b |= 1 << i
+    return b
+
+
+class LshIndex:
+    """Multi-table random-hyperplane LSH index, persisted as a parquet
+    table partitioned by (lsh_table, lsh_bucket).
+
+    Scale shape: the build is one pass over the embeddings (each row
+    emits ``tables`` (table, bucket) entries — map-side, no shuffle
+    beyond the partitioned write); a query computes its bucket per
+    table on the driver (tiny) and reads ONLY those partitions —
+    partition pruning turns per-query cost from O(N) into
+    O(tables × N / 2^planes).  Multiple tables OR-amplify recall:
+    a true neighbor is missed only if it hashes away from the query in
+    EVERY table.  Hyperplanes are persisted alongside the data so a
+    different session (or cluster) can load and query the same index."""
+
+    _META = "_lsh_meta.json"
+
+    def __init__(self, path: str, planes_per_table: list[list[list[float]]],
+                 vec_col: str, id_col: str) -> None:
+        self.path = path
+        self.planes_per_table = planes_per_table
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def load(cls, path: str) -> "LshIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, cls._META)) as f:
+            meta = json.load(f)
+        return cls(path, meta["planes_per_table"], meta["vec_col"], meta["id_col"])
+
+    def query_buckets(self, query: Sequence[float]) -> list[tuple[int, int]]:
+        return [
+            (t, _py_bucket(query, hp))
+            for t, hp in enumerate(self.planes_per_table)
+        ]
+
+    def topk(self, spark, query: Sequence[float], k: int = 10) -> DataFrame:
+        """Exact cosine over the OR-amplified candidate set, reading only
+        the query's (table, bucket) partitions (check the plan:
+        PartitionFilters carries the IN-list, nothing else is read)."""
+        pairs = self.query_buckets(query)
+        df = spark.read.parquet(self.path)
+        cond = None
+        for t, b in pairs:
+            c = (F.col("lsh_table") == t) & (F.col("lsh_bucket") == b)
+            cond = c if cond is None else (cond | c)
+        cands = (
+            df.filter(cond)
+            .select(self.id_col, self.vec_col)
+            .dropDuplicates([self.id_col])  # a vector can match in several tables
+        )
+        return brute_force_topk(cands, query, k, self.vec_col, self.id_col)
+
+
+def lsh_bucketize(
+    df: DataFrame,
+    path: str,
+    planes: int = 12,
+    tables: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> LshIndex:
+    """Build and persist the bucket-partitioned LSH index (see
+    ``LshIndex``).  Deterministic for fixed (seed, planes, tables)."""
+    import json
+    import os
+
+    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = dim_probe[0]["d"] if dim_probe else 0
+    planes_per_table = [
+        hyperplanes(dim, planes, seed + 1000 * t) for t in range(tables)
+    ]
+    entries = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("lsh_table"),
+                        lsh_bucket(F.col(vec_col), hp).alias("lsh_bucket"),
+                    )
+                    for t, hp in enumerate(planes_per_table)
+                ]
+            )
+        ).alias("__tb"),
+    ).select(
+        id_col, vec_col, F.col("__tb.lsh_table"), F.col("__tb.lsh_bucket")
+    )
+    entries.write.mode("overwrite").partitionBy("lsh_table", "lsh_bucket").parquet(path)
+    meta = {
+        "planes_per_table": planes_per_table,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "planes": planes,
+        "tables": tables,
+        "seed": seed,
+        "dim": dim,
+    }
+    with open(os.path.join(path, LshIndex._META), "w") as f:
+        json.dump(meta, f)
+    return LshIndex(path, planes_per_table, vec_col, id_col)
 
 
 def embedding_near_dups(
