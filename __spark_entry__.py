@@ -322,6 +322,21 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (LSH bucket self-join → exact
+    cosine → threshold), oracle-checked by replaying the bucket math
+    in DuckDB with generated hyperplane literals.  Threshold 0.3 (not
+    the 0.95 production default) because this synthetic embedding
+    corpus has no planted near-identical vectors — max off-diagonal
+    cosine ≈ 0.37 — and an empty result set would be a vacuous gate."""
+    df = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dups(df, threshold=0.3, planes=4, seed=42).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        _r(F.col("cosine"), 4).alias("cosine"),
+    )
+
+
 def q_minhash_near_dups(spark, sf_dir):
     """MinHash LSH candidates at est_jaccard ≥ 0.5, oracle-checked
     against DuckDB's EXACT 3-shingle Jaccard ≥ 0.5 pair set: this
@@ -563,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_index_topk": q_ann_index_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_signatures": q_simhash_signatures,
         "simhash_dup_consistency": q_simhash_dup_consistency,
@@ -588,14 +604,26 @@ def _cosine_sql(v: str, qv: str) -> str:
     )
 
 
+def _lsh_bucket_sql(vcol: str, hp) -> str:
+    """DuckDB expression for a random-hyperplane bucket id — the
+    hyperplane constants are generated from the SAME code as the Spark
+    side (jepl_spark.operators.similarity.hyperplanes) so they cannot
+    drift; bit i = sign(v·plane_i), matching similarity.lsh_bucket."""
+    bits = []
+    for i, plane in enumerate(hp):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({vcol}, {arr}) >= 0.0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
 def _ann_index_oracle_sql() -> str:
-    """DuckDB twin of the LSH index query path, with the hyperplane
-    constants generated from the SAME code as the Spark side
-    (jepl_spark.operators.similarity.hyperplanes) so they cannot
-    drift.  Mirrors: per-table bucket = sign bits of v·plane_i;
-    candidates = vectors matching the query's bucket in ANY table;
-    exact cosine rescoring; top-10 by full-precision cosine, id
-    tie-break."""
+    """DuckDB twin of the LSH index query path.  Mirrors: per-table
+    bucket = sign bits of v·plane_i; candidates = vectors matching the
+    query's bucket in ANY table; exact cosine rescoring; top-10 by
+    full-precision cosine, id tie-break."""
     from jepl_spark.operators.similarity import hyperplanes
 
     dim = 64  # embeddings tables are 64-dim at every SF
@@ -604,21 +632,13 @@ def _ann_index_oracle_sql() -> str:
         for t in range(_ANN_IDX_TABLES)
     ]
 
-    def bucket_expr(vcol: str, t: int) -> str:
-        bits = []
-        for i, plane in enumerate(pt[t]):
-            arr = "[" + ", ".join(repr(x) for x in plane) + "]"
-            bits.append(
-                f"(CASE WHEN list_dot_product({vcol}, {arr}) >= 0.0 "
-                f"THEN {1 << i} ELSE 0 END)"
-            )
-        return " + ".join(bits)
-
     b_cols = ",\n          ".join(
-        f"({bucket_expr('e.v', t)}) AS b{t}" for t in range(_ANN_IDX_TABLES)
+        f"({_lsh_bucket_sql('e.v', pt[t])}) AS b{t}"
+        for t in range(_ANN_IDX_TABLES)
     )
     qb_cols = ",\n          ".join(
-        f"({bucket_expr('q.qv', t)}) AS qb{t}" for t in range(_ANN_IDX_TABLES)
+        f"({_lsh_bucket_sql('q.qv', pt[t])}) AS qb{t}"
+        for t in range(_ANN_IDX_TABLES)
     )
     or_cond = " OR ".join(f"b.b{t} = qb.qb{t}" for t in range(_ANN_IDX_TABLES))
     return f"""
@@ -635,6 +655,45 @@ def _ann_index_oracle_sql() -> str:
               FROM c, q)
         SELECT vec_id, round(c_full, 4) AS cosine
         FROM s ORDER BY c_full DESC, vec_id ASC LIMIT 10
+    """
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB twin of the ad-hoc (single-table, full-scan) lsh_topk
+    path: candidates = same 4-plane bucket as the query, exact cosine,
+    top-10 with id tie-break."""
+    from jepl_spark.operators.similarity import hyperplanes
+
+    hp = hyperplanes(64, 4, 42)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        c AS (SELECT e.vec_id, e.v FROM e, q
+              WHERE ({_lsh_bucket_sql('e.v', hp)}) = ({_lsh_bucket_sql('q.qv', hp)})),
+        s AS (SELECT c.vec_id, {_cosine_sql('c.v', 'q.qv')} AS c_full FROM c, q)
+        SELECT vec_id, round(c_full, 4) AS cosine
+        FROM s ORDER BY c_full DESC, vec_id ASC LIMIT 10
+    """
+
+
+def _embedding_near_dups_oracle_sql() -> str:
+    """DuckDB twin of embedding_near_dups: same-bucket self-join
+    (4-plane LSH, literal hyperplanes) → exact pairwise cosine →
+    threshold."""
+    from jepl_spark.operators.similarity import hyperplanes
+
+    hp = hyperplanes(64, 4, 42)
+    pair_cos = _cosine_sql("a.v", "b.v")
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          ({_lsh_bucket_sql('CAST(embedding AS DOUBLE[])', hp)}) AS bk
+                   FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, {pair_cos} AS c_full
+          FROM e a JOIN e b ON a.bk = b.bk AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, round(c_full, 4) AS cosine
+        FROM p WHERE c_full >= 0.3
     """
 
 
@@ -921,6 +980,8 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY c_full DESC, vec_id ASC LIMIT 10
         """,
         "ann_index_topk": _ann_index_oracle_sql(),
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "embedding_near_dups": _embedding_near_dups_oracle_sql(),
         # exact 3-shingle Jaccard >= 0.5 pair set == the minhash
         # candidate set on this corpus (threshold well-separated)
         "minhash_near_dups": """
@@ -952,10 +1013,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
         """,
-        # ann_lsh_topk / simhash_signatures / audio_decode_stats:
-        # rows-only (per-row xxhash64 signatures and codec decode have
-        # no faithful ANSI-SQL twin; the ann INDEX path is covered by
-        # ann_index_topk above)
+        # simhash_signatures / audio_decode_stats: rows-only (per-row
+        # xxhash64 signatures and codec decode have no faithful
+        # ANSI-SQL twin; simhash is property-checked via
+        # simhash_dup_consistency, audio via SNR/transcript tests)
         "ngram_jaccard_pairs": """
             WITH toks AS (
               SELECT doc_id,

@@ -136,10 +136,19 @@ def _lit_cexpr(value) -> CExpr:
 
 
 class ExprCompiler:
-    """Compiles condition / aggregate-arg expressions against a schema."""
+    """Compiles condition / aggregate-arg expressions against a schema.
 
-    def __init__(self, schema: StructType) -> None:
+    ``non_null``: dotted column names the caller declares never-null.
+    Spark relaxes every parquet read schema to nullable, so without a
+    hint each comparison keeps its nil-guard CASE wrapper and OR-trees
+    cannot reach the scan as pushed filters; declaring the (typically
+    required) key columns turns `a = 1 OR b = 'x'` into a bare
+    Or(...) parquet filter.  Declaring a column that does hold nulls
+    voids the reference-parity warranty for rows where it is null."""
+
+    def __init__(self, schema: StructType, non_null=frozenset()) -> None:
         self.schema = schema
+        self.non_null = frozenset(non_null)
         # Relaxed mode (set only while compiling an OR-free predicate):
         # the reference's false-vs-nil distinction is observable *only*
         # through an enclosing OR (eval.go:146: `bool OR nil` → false
@@ -162,7 +171,10 @@ class ExprCompiler:
                 raise JeplCompileError(str(e)) from None
         if isinstance(expr, ast.VarRef):
             ref = resolve_var_ref(self.schema, expr.segments)
-            return CExpr(ref.col, ref.jtype, nullable=True)
+            nullable = ref.nullable and expr.val not in self.non_null
+            if ref.jtype is JType.NIL:
+                nullable = True  # statically-missing is nil on every row
+            return CExpr(ref.col, ref.jtype, nullable=nullable)
         if isinstance(expr, ast.ParenExpr):
             return self.compile(expr.expr)
         if isinstance(expr, ast.BinaryExpr):
@@ -253,14 +265,19 @@ class ExprCompiler:
     # else op(lhs, rhs)   (the `ok && (...)` pattern of eval.go).
     # When the rhs cannot be null (a literal), plain `lhs op rhs` has
     # exactly these semantics under Spark's 3-valued logic (NULL ⇔ nil),
-    # and stays pushdown-friendly — no CASE WHEN wrapper.
+    # and stays pushdown-friendly — no CASE WHEN wrapper.  The result's
+    # own nullability is propagated so enclosing AND/OR over
+    # schema-non-nullable columns compile guard-free too (OR-trees then
+    # reach the scan as plain Or(...) pushed filters).
     def _guarded(self, lhs: CExpr, rhs: CExpr, rhs_col: Column, result: Column) -> CExpr:
         if self._relaxed or not rhs.nullable:
-            return CExpr(result, JType.BOOL)
+            return CExpr(
+                result, JType.BOOL, nullable=lhs.nullable or rhs.nullable
+            )
         col = F.when(rhs_col.isNull(), F.lit(False)).otherwise(result)
         if lhs.nullable:
             col = F.when(lhs.col.isNull(), F.lit(None)).otherwise(col)
-        return CExpr(col, JType.BOOL)
+        return CExpr(col, JType.BOOL, nullable=lhs.nullable)
 
     def _bool_lhs(self, op: Tok, lhs: CExpr, rhs: CExpr) -> CExpr:
         if op not in _BOOLISH_OPS:
@@ -274,15 +291,21 @@ class ExprCompiler:
             col = F.lit(False)
             if lhs.nullable:
                 col = F.when(lhs.col.isNull(), F.lit(None)).otherwise(col)
-            return CExpr(col, JType.BOOL)
+            return CExpr(col, JType.BOOL, nullable=lhs.nullable)
         if op in (Tok.AND, Tok.OR):
             # ref: lhs nil → nil  |  rhs nil → false  |  else lhs ∧/∨ rhs.
             # Spark's 3VL differs here (NULL AND false = false, true OR
-            # NULL = true), so AND/OR always carry explicit guards.
+            # NULL = true), so AND/OR carry explicit guards — EXCEPT when
+            # neither side can be null (schema-non-nullable operands):
+            # then reference and Kleene agree and the plain &/| form
+            # stays pushable.
             res = (lhs.col & rc) if op is Tok.AND else (lhs.col | rc)
             if self._relaxed:  # OR-free tree: Kleene AND is root-equivalent
-                return CExpr(res, JType.BOOL)
+                return CExpr(res, JType.BOOL,
+                             nullable=lhs.nullable or rhs.nullable)
             rhs_maybe_null = rhs.nullable or rhs.jtype is JType.JSONANY
+            if not lhs.nullable and not rhs_maybe_null:
+                return CExpr(res, JType.BOOL, nullable=False)
             col = (
                 F.when(rc.isNull(), F.lit(False)).otherwise(res)
                 if rhs_maybe_null
@@ -290,7 +313,7 @@ class ExprCompiler:
             )
             if lhs.nullable:
                 col = F.when(lhs.col.isNull(), F.lit(None)).otherwise(col)
-            return CExpr(col, JType.BOOL)
+            return CExpr(col, JType.BOOL, nullable=lhs.nullable)
         res = (lhs.col == rc) if op is Tok.EQ else (lhs.col != rc)
         return self._guarded(lhs, rhs, rc, res)
 
@@ -308,7 +331,7 @@ class ExprCompiler:
                 col = F.lit(False)
                 if lhs.nullable:
                     col = F.when(lhs.col.isNull(), F.lit(None)).otherwise(col)
-                return CExpr(col, JType.BOOL)
+                return CExpr(col, JType.BOOL, nullable=lhs.nullable)
             res = {
                 Tok.EQ: lc == rc, Tok.NEQ: lc != rc, Tok.LT: lc < rc,
                 Tok.LTE: lc <= rc, Tok.GT: lc > rc, Tok.GTE: lc >= rc,
@@ -328,12 +351,16 @@ class ExprCompiler:
                 return _NIL()  # `ok==false → nil` for arithmetic
             # arithmetic can surface NaN (0/0, Inf−Inf, overflow×0) —
             # JSON field values themselves never are (no NaN in JSON)
+            arith_null = lhs.nullable or rhs.nullable
             if op is Tok.ADD:
-                return CExpr(lc + rc, JType.FLOAT, maybe_nan=True)
+                return CExpr(lc + rc, JType.FLOAT, nullable=arith_null,
+                             maybe_nan=True)
             if op is Tok.SUB:
-                return CExpr(lc - rc, JType.FLOAT, maybe_nan=True)
+                return CExpr(lc - rc, JType.FLOAT, nullable=arith_null,
+                             maybe_nan=True)
             if op is Tok.MUL:
-                return CExpr(lc * rc, JType.FLOAT, maybe_nan=True)
+                return CExpr(lc * rc, JType.FLOAT, nullable=arith_null,
+                             maybe_nan=True)
             # DIV — reference typed dispatch (see module docstring):
             # int-literal lhs ÷ 0.0 → 0.0 (eval.go:227-231, the one live
             # guard); float lhs ÷ 0 → Go float division: ±Inf, NaN for
@@ -349,12 +376,16 @@ class ExprCompiler:
                     .when(lc < 0.0, F.lit(float("-inf")))
                     .otherwise(F.lit(float("nan")))
                 )
-            col = (
-                F.when(lc.isNull() | rc.isNull(), F.lit(None))
-                .when(rc == 0.0, zero_case)
-                .otherwise(lc / rc)
-            )
-            return CExpr(col, JType.FLOAT, maybe_nan=True)
+            if lhs.nullable or rhs.nullable:
+                col = (
+                    F.when(lc.isNull() | rc.isNull(), F.lit(None))
+                    .when(rc == 0.0, zero_case)
+                    .otherwise(lc / rc)
+                )
+            else:
+                col = F.when(rc == 0.0, zero_case).otherwise(lc / rc)
+            return CExpr(col, JType.FLOAT,
+                         nullable=lhs.nullable or rhs.nullable, maybe_nan=True)
 
         return _NIL()  # AND/OR over numbers → nil (`4 AND 5`)
 
@@ -366,7 +397,7 @@ class ExprCompiler:
             col = F.lit(False)
             if lhs.nullable:
                 col = F.when(lhs.col.isNull(), F.lit(None)).otherwise(col)
-            return CExpr(col, JType.BOOL)
+            return CExpr(col, JType.BOOL, nullable=lhs.nullable)
         return _NIL()  # relational/arith/AND/OR on strings → nil
 
     def _jsonany_lhs(self, op: Tok, lhs: CExpr, rhs: CExpr) -> CExpr:
@@ -431,7 +462,7 @@ class ExprCompiler:
         else:
             inside = F.when(lc.isNull(), F.lit(None)).otherwise(F.lit(False))
         col = (~inside) if negate else inside
-        return CExpr(col, JType.BOOL)
+        return CExpr(col, JType.BOOL, nullable=lhs.nullable)
 
     def _compile_regex(self, lhs: CExpr, pattern: str, negate: bool) -> CExpr:
         if lhs.jtype is JType.NIL:
@@ -439,4 +470,4 @@ class ExprCompiler:
         if lhs.jtype not in (JType.STRING, JType.JSONANY):
             return _NIL()  # regex only applies to strings (eval.go:276-294)
         m = lhs.col.rlike(pattern)
-        return CExpr((~m) if negate else m, JType.BOOL)
+        return CExpr((~m) if negate else m, JType.BOOL, nullable=lhs.nullable)

@@ -223,13 +223,18 @@ def compile_select_parts(
     return CompiledSelect(stmt, matched, dim_cols, agg_exprs, post)
 
 
-def compile_select(stmt: ast.SelectStatement, df: DataFrame) -> DataFrame:
+def compile_select(
+    stmt: ast.SelectStatement, df: DataFrame, non_null=frozenset()
+) -> DataFrame:
     """Batch plan.  With dims: conditional aggregation over the
     unfiltered frame (group enumeration pre-WHERE).  Without dims:
     pre-filter so the predicate pushes down to the scan, then a single
     global aggregate (which still yields exactly one all-zeros row when
-    nothing matches, as the reference does)."""
-    compiler = ExprCompiler(df.schema)
+    nothing matches, as the reference does).
+
+    ``non_null``: caller-declared never-null columns (see ExprCompiler)
+    — lets OR-predicates compile guard-free and push into the scan."""
+    compiler = ExprCompiler(df.schema, non_null=non_null)
     parts = compile_select_parts(stmt, compiler)
 
     if parts.dim_cols:
@@ -243,7 +248,7 @@ def compile_select(stmt: ast.SelectStatement, df: DataFrame) -> DataFrame:
     filtered = df.filter(parts.matched)
     # re-compile aggregates with matched ≡ true over the filtered frame
     true_parts = compile_select_parts(
-        _with_condition_true(stmt), ExprCompiler(df.schema)
+        _with_condition_true(stmt), ExprCompiler(df.schema, non_null=non_null)
     )
     agged = filtered.agg(*true_parts.agg_exprs)
     return agged.select(*true_parts.post_select.columns([]))

@@ -64,13 +64,21 @@ def spark_to_jtype(dt: DataType) -> JType:
 
 
 class ResolvedRef:
-    """A VarRef resolved against a schema: a Column + its JType."""
+    """A VarRef resolved against a schema: Column + JType + nullability.
 
-    __slots__ = ("col", "jtype")
+    ``nullable`` comes from the schema: a field declared non-nullable
+    (and with no nullable ancestor struct) can never be the reference's
+    nil, which lets the expression compiler drop its null-guard CASE
+    wrappers — the difference between an unpushable CASE tree and a
+    bare `col op lit` predicate that reaches the parquet scan, OR-trees
+    included."""
 
-    def __init__(self, col, jtype: JType) -> None:
+    __slots__ = ("col", "jtype", "nullable")
+
+    def __init__(self, col, jtype: JType, nullable: bool = True) -> None:
         self.col = col
         self.jtype = jtype
+        self.nullable = nullable
 
 
 def resolve_var_ref(schema: StructType, segments: list[str]) -> ResolvedRef:
@@ -91,12 +99,14 @@ def resolve_var_ref(schema: StructType, segments: list[str]) -> ResolvedRef:
             col = col.cast(DoubleType())
         if jt is JType.NIL:
             col = F.lit(None)
-        return ResolvedRef(col, jt)
+        return ResolvedRef(col, jt, nullable=f.nullable or jt is JType.NIL)
 
     if segments[0] not in fields:
         return ResolvedRef(F.lit(None), JType.NIL)
 
-    dt: DataType = fields[segments[0]].dataType
+    root = fields[segments[0]]
+    dt: DataType = root.dataType
+    nullable = root.nullable  # any nullable ancestor taints the leaf
     path = f"`{segments[0]}`"
     for i, seg in enumerate(segments[1:], start=1):
         if isinstance(dt, StructType):
@@ -104,6 +114,7 @@ def resolve_var_ref(schema: StructType, segments: list[str]) -> ResolvedRef:
             if seg not in sub:
                 return ResolvedRef(F.lit(None), JType.NIL)
             path = f"{path}.`{seg}`"
+            nullable = nullable or sub[seg].nullable
             dt = sub[seg].dataType
         elif isinstance(dt, StringType):
             # raw JSON document column: extract the remaining path
@@ -123,4 +134,4 @@ def resolve_var_ref(schema: StructType, segments: list[str]) -> ResolvedRef:
         col = col.cast(DoubleType())
     if jt is JType.NIL:
         col = F.lit(None)
-    return ResolvedRef(col, jt)
+    return ResolvedRef(col, jt, nullable=nullable or jt is JType.NIL)

@@ -24,9 +24,16 @@ class JeplEngine:
         self,
         spark: SparkSession,
         tables: Union[dict[str, Union[DataFrame, str]], None] = None,
+        non_null: Union[dict[str, set], None] = None,
     ) -> None:
+        """``non_null``: per-table sets of dotted column names declared
+        never-null (data contract).  Spark relaxes parquet read schemas
+        to all-nullable, so this is the handle that lets OR-predicates
+        over required columns compile guard-free and push into the
+        scan (see compiler.expr.ExprCompiler)."""
         self.spark = spark
         self.tables = dict(tables or {})
+        self.non_null = {k: frozenset(v) for k, v in (non_null or {}).items()}
 
     def register(self, name: str, source: Union[DataFrame, str]) -> None:
         self.tables[name] = source
@@ -52,8 +59,11 @@ class JeplEngine:
     def compile(self, stmt: ast.SelectStatement) -> DataFrame:
         if not stmt.sources:
             raise JeplCompileError("statement has no FROM source")
-        df = self.table(stmt.sources[0].database)
-        return compile_select(stmt, df)
+        name = stmt.sources[0].database
+        df = self.table(name)
+        return compile_select(
+            stmt, df, non_null=self.non_null.get(name, frozenset())
+        )
 
     def sql_on(self, text: str, df: DataFrame) -> DataFrame:
         """Compile a rule against an explicit DataFrame (FROM name is

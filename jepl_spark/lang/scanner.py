@@ -1,7 +1,7 @@
 """Lexer for the JEPL rule language.
 
 Behavior parity: /root/reference/scanner.go.  Notable contract points
-reproduced here (all covered by tests/test_scanner.py):
+reproduced here (all covered by tests/test_lang.py):
 
 - identifiers start with letter/``_``/``@``; ident chars add digits
   (scanner.go:287-290) — supports keys like ``@timestamp``

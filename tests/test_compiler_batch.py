@@ -474,3 +474,39 @@ def test_jsonany_mixed_list_membership(spark):
         df,
     ).collect()
     assert out[0]["n"] == 1.0
+
+
+def test_or_predicate_pushdown_with_non_null_hint(spark, tmp_path):
+    """OR-trees keep reference nil-guards by default (a nil lhs poisons
+    OR, unlike Kleene), but with a caller-declared non-null contract
+    the guards drop and the whole Or(...) reaches the parquet scan as a
+    pushed filter (VERDICT r1 item 10)."""
+    from jepl_spark.engine import JeplEngine
+
+    path = str(tmp_path / "ev")
+    docs = [
+        {"uid": float(i % 5), "kind": ["click", "view", "error"][i % 3],
+         "v": float(i)}
+        for i in range(60)
+    ]
+    schema = StructType([
+        StructField("uid", DoubleType()),
+        StructField("kind", StringType()),
+        StructField("v", DoubleType()),
+    ])
+    docs_to_df(spark, docs, schema).write.mode("overwrite").parquet(path)
+
+    rule = ("select sum(v) AS s, count(uid) AS n from t "
+            "where uid = 1 OR kind = 'click' OR uid > 3")
+    hinted = JeplEngine(spark, {"t": path},
+                        non_null={"t": {"uid", "kind"}}).sql(rule)
+    plain = JeplEngine(spark, {"t": path}).sql(rule)
+
+    # identical results on null-free data
+    assert hinted.collect() == plain.collect()
+    # matches the oracle too
+    assert_matches_oracle(spark, rule, docs, schema)
+
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.split("\n") if "PushedFilters" in l][0]
+    assert "Or(" in scan, scan

@@ -582,3 +582,44 @@ def test_metrics_listener(spark, tmp_path):
         assert summary["input_rows"] >= 3
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_iceberg_sink_protocol(spark, monkeypatch):
+    """Protocol-level test of IcebergSink (DESIGN-ONLY lane — no
+    Iceberg runtime in this sandbox, see COVERAGE.md): a replayed
+    committed batch must be a no-op; an uncommitted batch must append
+    exactly once with the batch id stamped both as a snapshot property
+    (the idempotency key) and as a lineage column."""
+    from unittest.mock import MagicMock
+
+    from jepl_spark.streaming.sink import IcebergSink
+
+    writes = []
+
+    def fake_write_to(self, table):
+        m = MagicMock()
+        m.option.return_value = m
+        writes.append((self, table, m))
+        return m
+
+    sink = IcebergSink("cat.db.metrics")
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    # patch the CONCRETE DataFrame class (Spark 4 classic subclass
+    # overrides writeTo; patching the abstract base has no effect)
+    monkeypatch.setattr(type(df), "writeTo", fake_write_to, raising=False)
+
+    # replay of an already-committed batch → no write at all
+    monkeypatch.setattr(IcebergSink, "is_committed", lambda self, s, b: True)
+    sink.write_batch(df, 7)
+    assert writes == []
+
+    # uncommitted batch → exactly one append, keyed and lineage-stamped
+    monkeypatch.setattr(IcebergSink, "is_committed", lambda self, s, b: False)
+    sink.write_batch(df, 7)
+    assert len(writes) == 1
+    written_df, table, m = writes[0]
+    assert table == "cat.db.metrics"
+    m.option.assert_called_once_with("snapshot-property.jepl.batch_id", "7")
+    m.append.assert_called_once_with()
+    lineage = {r["_lineage_batch"] for r in written_df.select("_lineage_batch").collect()}
+    assert lineage == {7}
