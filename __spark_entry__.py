@@ -543,6 +543,47 @@ def q_window_session(spark, sf_dir):
     )
 
 
+def q_stream_session_rule(spark, sf_dir):
+    """Session windows under the STREAMING signal: run_rule_stream with
+    session_gap over a file stream, through the exactly-once sink.
+    Append mode emits a session once the watermark passes its end
+    (last event + gap), so the oracle is gaps-and-islands plus the
+    same cutoff rule as the other streaming gates."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from jepl_spark.streaming.engine import (
+        file_stream,
+        run_rule_stream,
+        run_to_completion,
+    )
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-sess-")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F2.col("ts").cast("timestamp")
+    )
+    events.write.mode("overwrite").parquet(f"{work}/src")
+    sink = IdempotentParquetSink(f"{work}/sink")
+    q = run_rule_stream(
+        "select count(event_id) AS n, sum(value) AS s from events "
+        "where event_type <> 'error' group by user_id",
+        file_stream(spark, f"{work}/src", events.schema),
+        ts_col="ts", duration="0", session_gap="12 hours",
+        watermark="1 hour", sink=sink, checkpoint=f"{work}/ckpt",
+    )
+    run_to_completion(q, timeout_s=600)
+    out = sink.read_committed(spark)
+    return out.select(
+        F2.unix_timestamp("window_start").cast("bigint").alias("ws"),
+        F2.unix_timestamp("window_end").cast("bigint").alias("we"),
+        F2.col("user_id").cast("bigint").alias("user_id"),
+        F2.col("n").cast("bigint").alias("n"),
+        _cents(F2.col("s")).alias("s_cents"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     return df.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
@@ -587,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "audio_decode_stats": q_audio_decode_stats,
         "stream_windowed_rule": q_stream_windowed_rule,
+        "stream_session_rule": q_stream_session_rule,
     }
 
 
@@ -1012,6 +1054,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS n_sigs
             FROM documents
             GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+        """,
+        # streaming session windows: gaps-and-islands + append-mode
+        # cutoff (a session is emitted once the watermark — max(ts)
+        # minus the 1h delay — passes its end = last event + gap)
+        "stream_session_rule": """
+            WITH o AS (
+              SELECT user_id, ts, value, event_type,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 12 HOUR
+                     THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT *, sum(brk) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sess
+              FROM o
+            ), g AS (
+              SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS ws,
+                     CAST(floor(epoch(max(ts) + INTERVAL 12 HOUR)) AS BIGINT) AS we,
+                     epoch(max(ts) + INTERVAL 12 HOUR) AS we_full,
+                     user_id,
+                     count(CASE WHEN event_type <> 'error' THEN 1 END) AS n,
+                     CAST(round(coalesce(sum(CASE WHEN event_type <> 'error'
+                          THEN value END), 0.0) * 100) AS BIGINT) AS s_cents
+              FROM s GROUP BY user_id, sess
+            ), m AS (SELECT epoch(max(ts)) AS mx FROM events)
+            SELECT g.ws, g.we, g.user_id, g.n, g.s_cents FROM g, m
+            WHERE g.we_full <= m.mx - 3600
         """,
         # simhash_signatures / audio_decode_stats: rows-only (per-row
         # xxhash64 signatures and codec decode have no faithful
