@@ -143,20 +143,18 @@ def batch_queries(spark, sf_dir):
         qvec = df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return _drain(S.brute_force_topk(df, qvec, k=20))
 
-    # the LSH index is built once OUTSIDE the timed region (an index
+    # the LSH index is built HERE, outside the timed region (an index
     # build amortizes over many queries); the timed part is the
     # partition-pruned lookup + rescoring — the per-query cost at scale
-    _idx_state: dict = {}
+    _emb = load_table(spark, sf_dir, "embeddings")
+    _idx_q = _emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    _idx = S.lsh_bucketize(
+        _emb, os.path.join(tempfile.mkdtemp(prefix="jepl-bench-lshidx-"), "idx"),
+        planes=4, tables=4,
+    )
 
     def ann_index_query():
-        if "idx" not in _idx_state:
-            df = load_table(spark, sf_dir, "embeddings")
-            qvec = df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-            workdir = tempfile.mkdtemp(prefix="jepl-bench-lshidx-")
-            _idx_state["idx"] = S.lsh_bucketize(df, os.path.join(workdir, "idx"),
-                                                planes=4, tables=4)
-            _idx_state["q"] = qvec
-        return _drain(_idx_state["idx"].topk(spark, _idx_state["q"], k=20))
+        return _drain(_idx.topk(spark, _idx_q, k=20))
 
     def text_quality():
         df = load_table(spark, sf_dir, "documents")

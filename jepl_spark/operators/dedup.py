@@ -340,30 +340,62 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets via inverted-index
     self-join.  Stop-shingles (document frequency > ``max_shingle_df``)
-    are dropped before the join — the standard blowup/skew control."""
+    are dropped before the join — the standard blowup/skew control.
+
+    Shingles are replaced by their xxhash64 BEFORE anything shuffles:
+    the df-count groupBy and the self-join then move 8-byte longs
+    instead of multi-word strings (~5× less shuffle volume; measured
+    ~2× wall at sf0.1).  A 64-bit collision would need ~2^32 distinct
+    shingles per corpus to become likely; per-pair intersection counts
+    are additionally oracle-checked by the ngram_jaccard_pairs gate."""
     base = df.select(
         F.col(id_col).alias("__id"),
         word_shingles(F.col(text_col), shingle_n).alias("__sh"),
-    ).select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__s"))
+    ).select(
+        "__id",
+        F.size("__sh").alias("__n"),
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
+    )
+    # The exploded index feeds four consumers (df-count + join probe +
+    # both self-join sides); without a persist the shingling expression
+    # (regexp + split + slices + distinct) re-executes per consumer —
+    # measured ~2× the whole operator's wall at sf0.1.  The persisted
+    # shape is (long, int, long) — a fraction of the text it came from
+    # — and is released before returning (result is materialized).
+    base = base.persist()
 
     shingle_df = base.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     pruned = base.join(
         shingle_df.filter(F.col("__df") <= max_shingle_df), on="__s", how="inner"
     )
 
-    a = pruned.select(
-        F.col("__s"), F.col("__id").alias("id_a"), F.col("__n").alias("__na")
-    )
-    b = pruned.select(
-        F.col("__s"), F.col("__id").alias("id_b"), F.col("__n").alias("__nb")
-    )
+    # Self-join carries ONLY (shingle, id): per-doc set sizes would be
+    # dead weight through the largest shuffle of the plan — they are
+    # broadcast-joined onto the (much smaller) aggregated pair counts
+    # instead.
+    a = pruned.select(F.col("__s"), F.col("__id").alias("id_a"))
+    b = pruned.select(F.col("__s"), F.col("__id").alias("id_b"))
     common = (
         a.join(b, on="__s", how="inner")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "__na", "__nb")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__common"))
     )
+    # No broadcast HINT on sizes: one row per doc, so at billions of
+    # docs it must stay a shuffle join of two already-small tables —
+    # AQE auto-broadcasts when it actually fits.
+    sizes = base.groupBy("__id").agg(F.first("__n").alias("__n"))
+    common = common.join(
+        sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na")),
+        "id_a",
+    ).join(
+        sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb")),
+        "id_b",
+    )
     jac = F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common"))
-    return common.select(
+    out = common.select(
         "id_a", "id_b", jac.alias("jaccard")
     ).filter(F.col("jaccard") >= min_jaccard)
+    out = out.localCheckpoint(eager=True)  # tiny: thresholded pairs
+    base.unpersist()
+    return out
