@@ -408,6 +408,27 @@ def q_audio_decode_stats(spark, sf_dir):
     )
 
 
+def q_image_decode_stats(spark, sf_dir):
+    """Multimodal lane under the hard signal: deterministic RAWv1
+    images generated distributed (mapInPandas), decoded + per-channel
+    stats in Arrow-batched Python.  The oracle recomputes the same
+    statistics in DuckDB directly from the pixel FORMULA
+    ((x·7+y·13+id·31) mod 251 + 17·k) mod 256 — any corruption in
+    encode/decode/byte-order/batching breaks the match."""
+    from jepl_spark.functions.multimodal import decode_image_stats, images_df
+
+    imgs = images_df(spark, 200)
+    stats = decode_image_stats(imgs)
+    return stats.select(
+        "img_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        _r(F.col("mean_r"), 6).alias("mean_r"),
+        _r(F.col("mean_g"), 6).alias("mean_g"),
+        _r(F.col("std_all"), 6).alias("std_all"),
+    )
+
+
 def q_stream_windowed_rule(spark, sf_dir):
     """Streaming lane: the windowed JEPL rule executed as an actual
     Structured Streaming query (availableNow) over the events table
@@ -584,6 +605,51 @@ def q_stream_session_rule(spark, sf_dir):
     )
 
 
+def q_stream_stateful_rule(spark, sf_dir):
+    """The flatMapGroupsWithState-style lane (applyInPandasWithState,
+    event-time timeout) under the hard signal: incremental
+    count/sum/avg/min/max per (6h window, user) with emission when the
+    watermark passes the window end; oracle = plain grouped
+    aggregation + the same append-emission cutoff."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+    from jepl_spark.streaming.state import stateful_windowed_agg
+
+    work = tempfile.mkdtemp(prefix="entry-stateful-")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F2.col("ts").cast("timestamp")
+    )
+    events.write.mode("overwrite").parquet(f"{work}/src")
+    out = stateful_windowed_agg(
+        file_stream(spark, f"{work}/src", events.schema),
+        ts_col="ts", value_col="value", window_duration="6 hours",
+        dims=["user_id"], watermark="1 hour",
+    )
+    sink = IdempotentParquetSink(f"{work}/sink")
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    res = sink.read_committed(spark)
+    return res.select(
+        F2.unix_timestamp("window_start").cast("bigint").alias("ws"),
+        F2.col("user_id").alias("user_id"),
+        F2.col("cnt").cast("bigint").alias("cnt"),
+        F2.round(F2.col("sum"), 2).alias("v_sum"),
+        _r(F2.col("avg")).alias("v_avg"),
+        F2.round(F2.col("min"), 2).alias("v_min"),
+        F2.round(F2.col("max"), 2).alias("v_max"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     return df.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
@@ -627,8 +693,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_bpe_tokens": q_text_bpe_tokens,
         "audio_decode_stats": q_audio_decode_stats,
+        "image_decode_stats": q_image_decode_stats,
         "stream_windowed_rule": q_stream_windowed_rule,
         "stream_session_rule": q_stream_session_rule,
+        "stream_stateful_rule": q_stream_stateful_rule,
     }
 
 
@@ -1083,6 +1151,50 @@ def oracle_sql() -> dict[str, str]:
             ), m AS (SELECT epoch(max(ts)) AS mx FROM events)
             SELECT g.ws, g.we, g.user_id, g.n, g.s_cents FROM g, m
             WHERE g.we_full <= m.mx - 3600
+        """,
+        # stateful lane (applyInPandasWithState): timeout fires once the
+        # watermark (max ts − 1h) passes the window end; dims are cast
+        # to string by the lane, mirrored here
+        "stream_stateful_rule": """
+            WITH g AS (
+              SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS ws,
+                     CAST(user_id AS VARCHAR) AS user_id,
+                     count(*) AS cnt,
+                     round(coalesce(sum(value), 0.0), 2) AS v_sum,
+                     round(CASE WHEN count(*) = 0 THEN 0.0
+                           ELSE coalesce(sum(value), 0.0) / count(*) END, 4) AS v_avg,
+                     round(coalesce(min(coalesce(value, 0.0)), 0.0), 2) AS v_min,
+                     round(coalesce(max(coalesce(value, 0.0)), 0.0), 2) AS v_max
+              FROM events GROUP BY 1, 2
+            ), m AS (SELECT epoch(max(ts)) AS mx FROM events)
+            SELECT g.ws, g.user_id, g.cnt, g.v_sum, g.v_avg, g.v_min, g.v_max
+            FROM g, m WHERE g.ws + 21600 <= m.mx - 3600
+        """,
+        # multimodal: the oracle regenerates the synthetic pixel values
+        # from the formula in multimodal._synth_pixels and aggregates
+        # them in SQL — bytes never enter DuckDB, so a match proves the
+        # encode → Arrow → decode → numpy path end to end
+        "image_decode_stats": """
+            WITH img AS (
+              SELECT i AS img_id,
+                     32 + (i % 5) * 16 AS w,
+                     24 + (i % 3) * 24 AS h
+              FROM range(200) t(i)
+            ),
+            px AS (
+              SELECT img_id, w, h, k,
+                CAST(((x*7 + y*13 + img_id*31) % 251 + 17*k) % 256 AS DOUBLE) AS v
+              FROM img, range(96) rx(x), range(72) ry(y),
+                   (VALUES (0), (1), (2)) ks(k)
+              WHERE x < w AND y < h
+            )
+            SELECT img_id,
+                   CAST(any_value(w) AS BIGINT) AS width,
+                   CAST(any_value(h) AS BIGINT) AS height,
+                   round(avg(v) FILTER (k = 0), 6) AS mean_r,
+                   round(avg(v) FILTER (k = 1), 6) AS mean_g,
+                   round(stddev_pop(v), 6) AS std_all
+            FROM px GROUP BY img_id
         """,
         # simhash_signatures / audio_decode_stats: rows-only (per-row
         # xxhash64 signatures and codec decode have no faithful

@@ -259,23 +259,7 @@ def with_spectral_features(df: DataFrame, out_col: str = "features") -> DataFram
     return df.withColumn(out_col, spectral_features(F.col("bytes"), F.col("codec")))
 
 
-# -- multimodal stubs ----------------------------------------------------------
-
-
-def decode_image_stub(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
-    """Image decode plumbing (STUB): the container has no image codecs.
-    Raises NotImplementedError inside the worker if ever executed; the
-    plan shape (mapInPandas, binary in → struct out) is the real one."""
-    out_schema = StructType(
-        list(df.schema.fields)
-        + [StructField("width", IntegerType()), StructField("height", IntegerType())]
-    )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode requires an image codec library not present in "
-            "this environment; plumbing is schema-complete"
-        )
-        yield  # pragma: no cover
-
-    return df.mapInPandas(gen, schema=out_schema)
+# The image / video-frame lane lives in functions/multimodal.py:
+# deterministic RAWv1 fake codec, decode + stats, resize, frame
+# sampling — real plumbing, tested, with real codec formats raising
+# NotImplementedError at the same boundary a codec library would fill.

@@ -1,0 +1,221 @@
+"""Multimodal (image / video-frame) lane: opaque binary columns with
+typed metadata, processed exclusively in Arrow-batched Pandas UDFs via
+``mapInPandas`` — the same no-per-row-Python discipline as the audio
+lane (BASELINE.json input_hint).
+
+The container ships no image codec libraries, so per the brief the
+codec boundary is a deterministic fake: images use an in-repo ``RAWv1``
+byte format (12-byte header ``width,height,channels`` as little-endian
+int32 + uint8 pixels, C-order).  Everything around that boundary —
+schema, generation, decode, resize, per-channel stats, frame sampling,
+Arrow batch shapes — is real, executed, and tested.  Real codecs
+(``jpeg``/``png``/…) raise NotImplementedError with the reason, at the
+same call site a codec library would plug into.
+
+Scale notes: generation and decode are embarrassingly parallel
+(mapInPandas, no shuffle); stats is one narrow aggregation; frame
+sampling is a pure-JVM filter (``frame_idx % k``) that never touches
+the frame bytes — at 100 TB the bytes for dropped frames are never
+deserialized past the parquet reader.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_HEADER = struct.Struct("<iii")  # width, height, channels
+
+
+def encode_raw(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, c) uint8 array as RAWv1 bytes."""
+    h, w, c = pixels.shape
+    return _HEADER.pack(w, h, c) + pixels.tobytes(order="C")
+
+
+def decode_raw(buf: bytes) -> np.ndarray:
+    """Decode RAWv1 bytes to an (h, w, c) uint8 array."""
+    w, h, c = _HEADER.unpack_from(buf, 0)
+    px = np.frombuffer(buf, dtype=np.uint8, offset=_HEADER.size)
+    return px.reshape(h, w, c)
+
+
+def _decode_any(buf: bytes, fmt: str) -> np.ndarray:
+    if fmt == "rawv1":
+        return decode_raw(buf)
+    # the honest codec boundary: this is where an image library would
+    # be called; none exists in this container
+    raise NotImplementedError(
+        f"image format {fmt!r} requires a codec library not present in "
+        "this environment (only the deterministic 'rawv1' fixture format "
+        "decodes here)"
+    )
+
+
+def _synth_pixels(img_id: int, w: int, h: int, c: int) -> np.ndarray:
+    """Deterministic pixels from the id: cheap integer field, unique
+    per image, reproducible across sessions/partitions."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 7 + yy * 13 + img_id * 31) % 251
+    chans = [(base + 17 * k) % 256 for k in range(c)]
+    return np.stack(chans, axis=-1).astype(np.uint8)
+
+
+IMAGES_SCHEMA = StructType(
+    [
+        StructField("img_id", LongType()),
+        StructField("bytes", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("fmt", StringType()),
+    ]
+)
+
+
+def images_df(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """Deterministic synthetic image table — mapInPandas over an id
+    range (generation is distributed; no driver-side loop)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = {"img_id": [], "bytes": [], "width": [], "height": [],
+                    "channels": [], "fmt": []}
+            for i in ids:
+                w = 32 + int(i) % 5 * 16   # 32..96
+                h = 24 + int(i) % 3 * 24   # 24..72
+                px = _synth_pixels(int(i), w, h, 3)
+                rows["img_id"].append(int(i))
+                rows["bytes"].append(encode_raw(px))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(3)
+                rows["fmt"].append("rawv1")
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(
+        gen, schema=IMAGES_SCHEMA
+    )
+
+
+def decode_image_stats(df: DataFrame) -> DataFrame:
+    """Decode + per-channel mean/std feature extraction.  Binary in →
+    narrow numeric out: the pixels never leave the Python worker."""
+    out_schema = StructType(
+        [
+            StructField("img_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mean_r", DoubleType()),
+            StructField("mean_g", DoubleType()),
+            StructField("mean_b", DoubleType()),
+            StructField("std_all", DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in out_schema.fields}
+            for _, row in pdf.iterrows():
+                px = _decode_any(row["bytes"], row["fmt"]).astype(np.float64)
+                out["img_id"].append(int(row["img_id"]))
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["mean_r"].append(float(px[:, :, 0].mean()))
+                out["mean_g"].append(float(px[:, :, 1].mean()))
+                out["mean_b"].append(float(px[:, :, 2].mean()))
+                out["std_all"].append(float(px.std()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize to (out_w, out_h), re-encoded as RAWv1.
+    Pure numpy — needs no codec library — and keeps the binary-in /
+    binary-out column contract of a production resize stage."""
+    out_schema = StructType(
+        [
+            StructField("img_id", LongType()),
+            StructField("bytes", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("fmt", StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in out_schema.fields}
+            for _, row in pdf.iterrows():
+                px = _decode_any(row["bytes"], row["fmt"])
+                h, w, c = px.shape
+                ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                rs = px[ys][:, xs]
+                out["img_id"].append(int(row["img_id"]))
+                out["bytes"].append(encode_raw(rs))
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["channels"].append(c)
+                out["fmt"].append("rawv1")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, every_n: int, idx_col: str = "frame_idx") -> DataFrame:
+    """Video frame sampling: keep every n-th frame per video.  A video
+    is rows of (video_id, frame_idx, bytes, …); the filter is pure JVM
+    on the index column, so the dropped frames' bytes are never
+    deserialized into Python at all — the correct shape at 100 TB."""
+    return df.filter(F.pmod(F.col(idx_col), F.lit(every_n)) == 0)
+
+
+def frames_df(spark: SparkSession, n_videos: int, frames_per_video: int,
+              partitions: int = 8) -> DataFrame:
+    """Synthetic video table: one row per frame, frames are RAWv1
+    images derived deterministically from (video_id, frame_idx)."""
+    base = spark.range(0, n_videos * frames_per_video, numPartitions=partitions)
+    ids = base.select(
+        (F.col("id") / frames_per_video).cast("long").alias("video_id"),
+        F.pmod(F.col("id"), F.lit(frames_per_video)).cast("int").alias("frame_idx"),
+        F.col("id"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"video_id": [], "frame_idx": [], "bytes": [], "fmt": []}
+            for _, row in pdf.iterrows():
+                px = _synth_pixels(int(row["id"]), 32, 24, 3)
+                out["video_id"].append(int(row["video_id"]))
+                out["frame_idx"].append(int(row["frame_idx"]))
+                out["bytes"].append(encode_raw(px))
+                out["fmt"].append("rawv1")
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [
+            StructField("video_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("bytes", BinaryType()),
+            StructField("fmt", StringType()),
+        ]
+    )
+    return ids.mapInPandas(gen, schema=schema)
