@@ -82,6 +82,7 @@ class JeplEngine:
         slide: Union[str, None] = None,
         session_gap: Union[str, None] = None,
         watermark: Union[str, None] = "0 seconds",
+        non_null=frozenset(),
     ) -> DataFrame:
         """Compile a rule into an event-time-windowed aggregation over a
         (streaming or static) DataFrame — the streaming front door.
@@ -92,5 +93,5 @@ class JeplEngine:
         stmt = parse_statement(text)
         return windowed_select(
             stmt, source, ts_col=ts_col, duration=duration, slide=slide,
-            session_gap=session_gap, watermark=watermark,
+            session_gap=session_gap, watermark=watermark, non_null=non_null,
         )

@@ -58,12 +58,15 @@ def windowed_select(
     slide: Optional[str] = None,
     session_gap: Optional[str] = None,
     watermark: Optional[str] = None,
+    non_null=frozenset(),
 ) -> DataFrame:
     """Compile a JEPL rule into a windowed aggregation over ``df``.
 
     Output columns: window_start, window_end, <dims...>, <fields...>.
     Works on both static and streaming DataFrames; pass ``watermark``
     (e.g. "10 minutes") for streaming append-mode emission.
+    ``non_null``: caller-declared never-null columns (see
+    compiler.expr.ExprCompiler) — guard-free predicates reach the scan.
     """
     stmt = (
         parse_statement(stmt_or_sql)
@@ -74,7 +77,7 @@ def windowed_select(
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
 
-    compiler = ExprCompiler(df.schema)
+    compiler = ExprCompiler(df.schema, non_null=non_null)
     parts = compile_select_parts(stmt, compiler)
 
     win = window_column(ts_col, duration, slide, session_gap)
