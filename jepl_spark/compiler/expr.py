@@ -270,9 +270,17 @@ class ExprCompiler:
     # schema-non-nullable columns compile guard-free too (OR-trees then
     # reach the scan as plain Or(...) pushed filters).
     def _guarded(self, lhs: CExpr, rhs: CExpr, rhs_col: Column, result: Column) -> CExpr:
-        if self._relaxed or not rhs.nullable:
+        # A JSONANY rhs can be NULL at runtime even when its COLUMN is
+        # declared never-null: the coercion (try_cast / _json_as_bool)
+        # introduces NULLs for type-mismatched values, and the
+        # reference answers false there, not nil — so JSONANY always
+        # keeps the rhs guard outside relaxed mode (in relaxed AND
+        # trees NULL ≡ false at the filter root, so dropping it is
+        # observationally safe).
+        rhs_maybe_null = rhs.nullable or rhs.jtype is JType.JSONANY
+        if self._relaxed or not rhs_maybe_null:
             return CExpr(
-                result, JType.BOOL, nullable=lhs.nullable or rhs.nullable
+                result, JType.BOOL, nullable=lhs.nullable or rhs_maybe_null
             )
         col = F.when(rhs_col.isNull(), F.lit(False)).otherwise(result)
         if lhs.nullable:
@@ -339,10 +347,17 @@ class ExprCompiler:
             if lhs.maybe_nan or rhs.maybe_nan:
                 # Go float comparisons are IEEE: NaN op x → false,
                 # NaN != x → true.  Spark instead orders NaN greatest
-                # and equates NaN=NaN, so guard explicitly.  (NULL
-                # operands fall through to the nil guards below.)
+                # and equates NaN=NaN, so guard explicitly.  The guard
+                # fires ONLY when both operands are non-null: a nil
+                # operand must keep flowing to the nil guards below
+                # (isnan(NULL) is false, so a bare isnan-OR would turn
+                # `nil > NaN` into a definite false where the
+                # reference yields nil).
                 res = F.when(
-                    F.isnan(lc) | F.isnan(rc), F.lit(op is Tok.NEQ)
+                    lc.isNotNull()
+                    & rc.isNotNull()
+                    & (F.isnan(lc) | F.isnan(rc)),
+                    F.lit(op is Tok.NEQ),
                 ).otherwise(res)
             return self._guarded(lhs, rhs, rc, res)
 
@@ -371,8 +386,12 @@ class ExprCompiler:
             if lhs.jtype is JType.INT:
                 zero_case = F.lit(0.0)
             else:
+                # isnan FIRST: Spark orders NaN greatest, so `lc > 0.0`
+                # is TRUE for a NaN numerator and would yield +Inf
+                # where Go float64 NaN/0 is NaN
                 zero_case = (
-                    F.when(lc > 0.0, F.lit(float("inf")))
+                    F.when(F.isnan(lc), F.lit(float("nan")))
+                    .when(lc > 0.0, F.lit(float("inf")))
                     .when(lc < 0.0, F.lit(float("-inf")))
                     .otherwise(F.lit(float("nan")))
                 )

@@ -138,9 +138,11 @@ class PostSelect:
             if expr.op is Tok.DIV:
                 if lint:  # int64 literal ÷ float64 → live 0.0 guard
                     zero_case = F.lit(0.0)
-                else:  # float64 ÷ 0 → Go float division
+                else:  # float64 ÷ 0 → Go float division (isnan FIRST:
+                    # Spark's NaN-greatest ordering makes NaN > 0 true)
                     zero_case = (
-                        F.when(lc > 0.0, F.lit(float("inf")))
+                        F.when(F.isnan(lc), F.lit(float("nan")))
+                        .when(lc > 0.0, F.lit(float("inf")))
                         .when(lc < 0.0, F.lit(float("-inf")))
                         .otherwise(F.lit(float("nan")))
                     )

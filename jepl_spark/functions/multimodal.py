@@ -131,9 +131,14 @@ def decode_image_stats(df: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k.name: [] for k in out_schema.fields}
-            for _, row in pdf.iterrows():
-                px = _decode_any(row["bytes"], row["fmt"]).astype(np.float64)
-                out["img_id"].append(int(row["img_id"]))
+            # zip over raw column arrays, not iterrows(): per-row
+            # Series construction would dominate the decode stage
+            for img_id, buf, fmt in zip(
+                pdf["img_id"].to_numpy(), pdf["bytes"].to_numpy(),
+                pdf["fmt"].to_numpy(),
+            ):
+                px = _decode_any(buf, fmt).astype(np.float64)
+                out["img_id"].append(int(img_id))
                 out["height"].append(px.shape[0])
                 out["width"].append(px.shape[1])
                 out["mean_r"].append(float(px[:, :, 0].mean()))
@@ -163,13 +168,16 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k.name: [] for k in out_schema.fields}
-            for _, row in pdf.iterrows():
-                px = _decode_any(row["bytes"], row["fmt"])
+            for img_id, buf, fmt in zip(
+                pdf["img_id"].to_numpy(), pdf["bytes"].to_numpy(),
+                pdf["fmt"].to_numpy(),
+            ):
+                px = _decode_any(buf, fmt)
                 h, w, c = px.shape
                 ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
                 rs = px[ys][:, xs]
-                out["img_id"].append(int(row["img_id"]))
+                out["img_id"].append(int(img_id))
                 out["bytes"].append(encode_raw(rs))
                 out["width"].append(out_w)
                 out["height"].append(out_h)
@@ -202,10 +210,13 @@ def frames_df(spark: SparkSession, n_videos: int, frames_per_video: int,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"video_id": [], "frame_idx": [], "bytes": [], "fmt": []}
-            for _, row in pdf.iterrows():
-                px = _synth_pixels(int(row["id"]), 32, 24, 3)
-                out["video_id"].append(int(row["video_id"]))
-                out["frame_idx"].append(int(row["frame_idx"]))
+            for vid, fidx, i in zip(
+                pdf["video_id"].to_numpy(), pdf["frame_idx"].to_numpy(),
+                pdf["id"].to_numpy(),
+            ):
+                px = _synth_pixels(int(i), 32, 24, 3)
+                out["video_id"].append(int(vid))
+                out["frame_idx"].append(int(fidx))
                 out["bytes"].append(encode_raw(px))
                 out["fmt"].append("rawv1")
             yield pd.DataFrame(out)

@@ -169,12 +169,17 @@ def minhash_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     max_band_bucket: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band,
     annotated with estimated Jaccard = fraction of matching minhashes.
 
     ``max_band_bucket`` drops degenerate hot buckets (boilerplate
-    collisions) before the self-join — the explicit skew control."""
+    collisions) before the self-join — the explicit skew control.
+    ``materialize=False`` returns the fully LAZY plan with no persist /
+    checkpoint side effects (signatures recompute per consumer) — for
+    plan audits and composition into larger pipelines that manage their
+    own caching."""
     rows = num_hashes // bands
     # Cache the signature table: it feeds four consumers (banding,
     # bucket sizing, both sides of the pair join) and would otherwise
@@ -190,7 +195,9 @@ def minhash_candidates(
         minhash_signature(
             word_shingles(F.col(text_col), shingle_n), num_hashes
         ).alias("__sig"),
-    ).persist()
+    )
+    if materialize:
+        base = base.persist()
     banded = base.select(
         "__id",
         "__sig",
@@ -234,13 +241,14 @@ def minhash_candidates(
         / F.lit(float(num_hashes))
     )
     out = pairs.select("id_a", "id_b", est.alias("est_jaccard"))
-    # Materialize the candidate pairs (tiny vs the corpus: banded +
-    # bucket-capped), then drop the signature cache.  Executor-local
-    # checkpoint blocks hold only (id, id, double) rows, so this is
-    # safe at cluster scale too, and the operator leaves no cache
-    # entry behind.
-    out = out.localCheckpoint(eager=True)
-    base.unpersist()
+    if materialize:
+        # Materialize the candidate pairs (tiny vs the corpus: banded +
+        # bucket-capped), then drop the signature cache.  Executor-local
+        # checkpoint blocks hold only (id, id, double) rows, so this is
+        # safe at cluster scale too, and the operator leaves no cache
+        # entry behind.
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
     return out
 
 
@@ -337,10 +345,13 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     min_jaccard: float = 0.1,
     max_shingle_df: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets via inverted-index
     self-join.  Stop-shingles (document frequency > ``max_shingle_df``)
     are dropped before the join — the standard blowup/skew control.
+    ``materialize=False`` returns the lazy, side-effect-free plan
+    (see minhash_candidates).
 
     Shingles are replaced by their xxhash64 BEFORE anything shuffles:
     the df-count groupBy and the self-join then move 8-byte longs
@@ -362,7 +373,8 @@ def ngram_jaccard_pairs(
     # measured ~2× the whole operator's wall at sf0.1.  The persisted
     # shape is (long, int, long) — a fraction of the text it came from
     # — and is released before returning (result is materialized).
-    base = base.persist()
+    if materialize:
+        base = base.persist()
 
     shingle_df = base.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     pruned = base.join(
@@ -396,6 +408,7 @@ def ngram_jaccard_pairs(
     out = common.select(
         "id_a", "id_b", jac.alias("jaccard")
     ).filter(F.col("jaccard") >= min_jaccard)
-    out = out.localCheckpoint(eager=True)  # tiny: thresholded pairs
-    base.unpersist()
+    if materialize:
+        out = out.localCheckpoint(eager=True)  # tiny: thresholded pairs
+        base.unpersist()
     return out

@@ -142,12 +142,10 @@ class LshIndex:
         self.id_col = id_col
 
     @classmethod
-    def load(cls, path: str) -> "LshIndex":
+    def load(cls, spark, path: str) -> "LshIndex":
         import json
-        import os
 
-        with open(os.path.join(path, cls._META)) as f:
-            meta = json.load(f)
+        meta = json.loads(_hadoop_read_text(spark, f"{path}/{cls._META}"))
         return cls(path, meta["planes_per_table"], meta["vec_col"], meta["id_col"])
 
     def query_buckets(self, query: Sequence[float]) -> list[tuple[int, int]]:
@@ -174,6 +172,36 @@ class LshIndex:
         return brute_force_topk(cands, query, k, self.vec_col, self.id_col)
 
 
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _hadoop_write_text(spark, path: str, content: str) -> None:
+    """Write a small text file through the JVM Hadoop FS API — works on
+    local, HDFS, and object-store paths alike (driver-local open()
+    would not)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark, path: str) -> str:
+    fs, jpath = _hadoop_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        # py4j passes arrays by value (a Python bytearray is never
+        # written back), so drain the stream JVM-side
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def lsh_bucketize(
     df: DataFrame,
     path: str,
@@ -186,7 +214,6 @@ def lsh_bucketize(
     """Build and persist the bucket-partitioned LSH index (see
     ``LshIndex``).  Deterministic for fixed (seed, planes, tables)."""
     import json
-    import os
 
     dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = dim_probe[0]["d"] if dim_probe else 0
@@ -220,8 +247,9 @@ def lsh_bucketize(
         "seed": seed,
         "dim": dim,
     }
-    with open(os.path.join(path, LshIndex._META), "w") as f:
-        json.dump(meta, f)
+    _hadoop_write_text(
+        df.sparkSession, f"{path}/{LshIndex._META}", json.dumps(meta)
+    )
     return LshIndex(path, planes_per_table, vec_col, id_col)
 
 

@@ -228,8 +228,9 @@ def test_lsh_index_build_query_recall(spark, tmp_path):
     plan = approx_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
 
-    # persisted metadata: a fresh load answers identically
-    idx2 = S.LshIndex.load(path)
+    # persisted metadata: a fresh load answers identically (meta I/O
+    # goes through the Hadoop FS API, so this works on cluster FSes)
+    idx2 = S.LshIndex.load(spark, path)
     approx2 = [r["vec_id"] for r in idx2.topk(spark, q, k=10).collect()]
     assert approx2 == approx
     assert idx2.query_buckets(q) == idx.query_buckets(q)

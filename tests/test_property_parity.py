@@ -116,12 +116,21 @@ def test_predicate_parity_bulk(spark):
     df = spark.createDataFrame(rows, schema=schema)
     compiler = ExprCompiler(schema)
 
-    # one Spark pass: a column per predicate
+    # one Spark pass: a column per predicate.  A generated int÷int-0
+    # (e.g. `0 / 0`) raises on BOTH sides — the compiler at constant
+    # fold, the oracle at eval (the reference panics there) — which is
+    # itself parity; assert the oracle agrees and drop the case.
+    from jepl_spark.compiler.expr import JeplCompileError
+
     cols = [F.col("__i")]
     kept = []
     for j, p in enumerate(preds):
         try:
             pred_col = compiler.compile_predicate(parse_expr(p))
+        except JeplCompileError:
+            with pytest.raises(ZeroDivisionError):
+                eval_expr(parse_expr(p), docs[0])
+            continue
         except Exception as e:  # pragma: no cover
             pytest.fail(f"compile failed for {p!r}: {e}")
         cols.append(F.coalesce(pred_col, F.lit(False)).alias(f"p{j}"))
@@ -175,7 +184,16 @@ def test_rule_parity_bulk(spark):
             stmt = parse_statement(sql)
         except Exception:
             continue  # generator produced an invalid rule; skip
-        expected = eval_sql(sql, docs)
+        try:
+            expected = eval_sql(sql, docs)
+        except ZeroDivisionError:
+            # int÷int-0 in a constant subtree: the reference panics;
+            # the compiler must reject the same rule
+            from jepl_spark.compiler.expr import JeplCompileError
+
+            with pytest.raises(JeplCompileError):
+                compile_select(stmt, df)
+            continue
         result = compile_select(stmt, df)
         rows = result.collect()
         n_dims = 1 if group else 0
