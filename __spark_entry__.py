@@ -109,7 +109,12 @@ def q_jepl_postagg_arith(spark, sf_dir):
 
 
 def q_jepl_in_or_regex(spark, sf_dir):
+    """OR-tree rule compiled under the events non-null contract
+    (event_type is a required column in this corpus): the predicate
+    compiles guard-free and the In(...) arm reaches the parquet scan
+    as a pushed filter — demonstrated under the hard oracle signal."""
     eng = _engine(spark, sf_dir)
+    eng.non_null["events"] = frozenset({"event_type"})
     df = eng.sql(
         "select count(event_id) AS n from events "
         "where event_type IN ['click','view'] OR event_type =~ /^err/"

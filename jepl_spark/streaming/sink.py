@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 import time
 from typing import Callable, Optional
 
@@ -48,21 +47,46 @@ def add_lineage(df: DataFrame, batch_id: Optional[int] = None) -> DataFrame:
     return out
 
 
+# URI schemes whose rename is NOT atomic — the commit-marker protocol
+# would be unsound there; Iceberg's snapshot commit is the answer on
+# object stores
+_NON_ATOMIC_RENAME_SCHEMES = ("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
+
+
 class IdempotentParquetSink:
-    """Exactly-once parquet sink keyed by foreachBatch batch_id."""
+    """Exactly-once parquet sink keyed by foreachBatch batch_id.
+
+    Marker I/O goes through the Hadoop FileSystem API, so the protocol
+    holds anywhere rename is atomic: local/NFS paths AND hdfs:// /
+    viewfs:// — the cluster story no longer depends on driver-local
+    POSIX.  Object-store schemes (s3a://, gs://, abfs://, …) are
+    rejected: their rename is copy+delete, which breaks the atomicity
+    the commit marker relies on — use IcebergSink there."""
 
     def __init__(self, root: str, lineage: bool = True) -> None:
-        if "://" in root:
-            # markers use driver-local POSIX rename for atomicity; on an
-            # object store / HDFS the data and markers would land in
-            # different places and break the committed-read contract
+        scheme = root.split("://", 1)[0].lower() if "://" in root else ""
+        if scheme in _NON_ATOMIC_RENAME_SCHEMES:
             raise ValueError(
-                "IdempotentParquetSink requires a local/NFS path; use "
-                "IcebergSink for object-store or HDFS destinations"
+                f"IdempotentParquetSink needs atomic rename; {scheme}:// "
+                "does not provide it — use IcebergSink for object stores"
             )
         self.root = root
         self.lineage = lineage
-        os.makedirs(self._commits_dir, exist_ok=True)
+
+    # -- Hadoop FS helpers (work for bare local paths too) ----------------
+
+    @staticmethod
+    def _fs(spark: SparkSession, path: str):
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+    @staticmethod
+    def _active_spark() -> SparkSession:
+        s = SparkSession.getActiveSession()
+        if s is None:  # pragma: no cover - foreachBatch always has one
+            raise RuntimeError("no active SparkSession for sink marker I/O")
+        return s
 
     @property
     def _commits_dir(self) -> str:
@@ -71,41 +95,53 @@ class IdempotentParquetSink:
     def _commit_marker(self, batch_id: int) -> str:
         return os.path.join(self._commits_dir, str(int(batch_id)))
 
-    def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._commit_marker(batch_id))
+    def is_committed(self, batch_id: int, spark: Optional[SparkSession] = None) -> bool:
+        spark = spark or self._active_spark()
+        fs, jpath, _ = self._fs(spark, self._commit_marker(batch_id))
+        return fs.exists(jpath)
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The foreachBatch callback.  Replays of an already-committed
         batch are no-ops; replays of an uncommitted batch overwrite
         their own directory before the marker lands — idempotent."""
-        if self.is_committed(batch_id):
+        spark = batch_df.sparkSession
+        if self.is_committed(batch_id, spark):
             return
         out = add_lineage(batch_df, batch_id) if self.lineage else batch_df
         path = os.path.join(self.root, "data", f"batch={int(batch_id)}")
         out.write.mode("overwrite").parquet(path)
-        # atomic commit marker (os.rename is atomic on POSIX/HDFS)
-        fd, tmp = tempfile.mkstemp(dir=self._commits_dir)
-        with os.fdopen(fd, "w") as f:
-            json.dump({"batch_id": int(batch_id), "ts": time.time()}, f)
-        os.rename(tmp, self._commit_marker(batch_id))
+        # atomic commit marker: write a temp file, then FS rename
+        # (atomic on POSIX and HDFS; object stores are rejected above)
+        fs, _, jvm = self._fs(spark, self._commits_dir)
+        payload = json.dumps({"batch_id": int(batch_id), "ts": time.time()})
+        tmp_path = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(self._commits_dir, f"_tmp_{int(batch_id)}_{os.getpid()}")
+        )
+        stream = fs.create(tmp_path, True)
+        try:
+            stream.write(bytearray(payload.encode("utf-8")))
+        finally:
+            stream.close()
+        fs.rename(tmp_path, jvm.org.apache.hadoop.fs.Path(self._commit_marker(batch_id)))
 
     def foreach_batch(self) -> Callable[[DataFrame, int], None]:
         return self.write_batch
 
-    def committed_batches(self) -> list[int]:
-        if not os.path.isdir(self._commits_dir):
+    def committed_batches(self, spark: Optional[SparkSession] = None) -> list[int]:
+        spark = spark or self._active_spark()
+        fs, jpath, _ = self._fs(spark, self._commits_dir)
+        if not fs.exists(jpath):
             return []
-        # ignore orphaned mkstemp temp files left by a crash between
-        # marker creation and the atomic rename — that crash window is
-        # exactly what this protocol exists to survive
-        return sorted(
-            int(x) for x in os.listdir(self._commits_dir) if x.isdigit()
-        )
+        # ignore orphaned temp files left by a crash between marker
+        # creation and the atomic rename — that crash window is exactly
+        # what this protocol exists to survive
+        names = [st.getPath().getName() for st in fs.listStatus(jpath)]
+        return sorted(int(x) for x in names if x.isdigit())
 
     def read_committed(self, spark: SparkSession) -> DataFrame:
         """Read exactly the committed batches (uncommitted partials,
         which can exist transiently after a crash, are invisible)."""
-        batches = self.committed_batches()
+        batches = self.committed_batches(spark)
         if not batches:
             raise ValueError(f"no committed batches under {self.root}")
         paths = [

@@ -623,3 +623,25 @@ def test_iceberg_sink_protocol(spark, monkeypatch):
     m.append.assert_called_once_with()
     lineage = {r["_lineage_batch"] for r in written_df.select("_lineage_batch").collect()}
     assert lineage == {7}
+
+
+def test_sink_scheme_handling(spark, tmp_path):
+    """Marker I/O goes through the Hadoop FS API: an explicit file://
+    URI must work end-to-end (the scheme-ful code path HDFS would
+    take), and object-store schemes whose rename is not atomic must be
+    rejected at construction."""
+    import pytest as _pytest
+
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    for scheme in ("s3a", "gs", "abfss"):
+        with _pytest.raises(ValueError, match="atomic rename"):
+            IdempotentParquetSink(f"{scheme}://bucket/out")
+
+    sink = IdempotentParquetSink(f"file://{tmp_path}/sink")
+    df = spark.createDataFrame([(1, 2.0)], ["k", "v"])
+    sink.write_batch(df, 0)
+    sink.write_batch(df, 0)  # replay → no-op (single committed batch)
+    assert sink.committed_batches(spark) == [0]
+    out = sink.read_committed(spark)
+    assert out.count() == 1 and set(out.columns) >= {"k", "v", "_lineage_batch"}
