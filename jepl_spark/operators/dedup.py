@@ -303,8 +303,10 @@ def simhash64(text: Column) -> Column:
     Implementation: one pass over tokens; each 64-bit hash splits into
     8 bytes, each byte maps to its ±1 octet through a literal 256-entry
     lookup, and an array accumulator adds them — ~10× faster than
-    per-bit string extraction, still pure JVM-side SQL."""
-    toks = F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")
+    per-bit string extraction, still pure JVM-side SQL.  Tokenization
+    is the single-regex-split fast path (identical token list to
+    replace-then-split; see word_shingles)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
     table = _byte_signs_table()
 
     def signs_of(t: Column) -> Column:
