@@ -237,7 +237,17 @@ def lsh_bucketize(
     ).select(
         id_col, vec_col, F.col("__tb.lsh_table"), F.col("__tb.lsh_bucket")
     )
-    entries.write.mode("overwrite").partitionBy("lsh_table", "lsh_bucket").parquet(path)
+    # repartition BY the partition columns first: otherwise every task
+    # writes a file into every (table, bucket) directory it touches —
+    # tasks × 2^planes × tables small files at scale.  After the
+    # repartition each bucket is one task's output (AQE coalesces
+    # small shuffle partitions).
+    (
+        entries.repartition("lsh_table", "lsh_bucket")
+        .write.mode("overwrite")
+        .partitionBy("lsh_table", "lsh_bucket")
+        .parquet(path)
+    )
     meta = {
         "planes_per_table": planes_per_table,
         "vec_col": vec_col,
