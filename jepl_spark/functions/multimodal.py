@@ -138,12 +138,15 @@ def decode_image_stats(df: DataFrame) -> DataFrame:
                 pdf["fmt"].to_numpy(),
             ):
                 px = _decode_any(buf, fmt).astype(np.float64)
+                c = px.shape[2]
                 out["img_id"].append(int(img_id))
                 out["height"].append(px.shape[0])
                 out["width"].append(px.shape[1])
+                # channel means fall back to the last channel present
+                # so 1/2-channel RAWv1 images stay decodable here
                 out["mean_r"].append(float(px[:, :, 0].mean()))
-                out["mean_g"].append(float(px[:, :, 1].mean()))
-                out["mean_b"].append(float(px[:, :, 2].mean()))
+                out["mean_g"].append(float(px[:, :, min(1, c - 1)].mean()))
+                out["mean_b"].append(float(px[:, :, min(2, c - 1)].mean()))
                 out["std_all"].append(float(px.std()))
             yield pd.DataFrame(out)
 
@@ -202,7 +205,9 @@ def frames_df(spark: SparkSession, n_videos: int, frames_per_video: int,
     images derived deterministically from (video_id, frame_idx)."""
     base = spark.range(0, n_videos * frames_per_video, numPartitions=partitions)
     ids = base.select(
-        (F.col("id") / frames_per_video).cast("long").alias("video_id"),
+        # integer division (`div`), not float division + cast: the
+        # double quotient loses exactness near 2^53
+        F.expr(f"id div {int(frames_per_video)}").alias("video_id"),
         F.pmod(F.col("id"), F.lit(frames_per_video)).cast("int").alias("frame_idx"),
         F.col("id"),
     )

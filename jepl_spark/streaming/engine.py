@@ -52,6 +52,7 @@ def run_rule_stream(
     slide: Optional[str] = None,
     session_gap: Optional[str] = None,
     watermark: Optional[str] = None,
+    non_null=frozenset(),
     sink: Optional[IdempotentParquetSink] = None,
     checkpoint: str,
     output_mode: str = "append",
@@ -76,6 +77,7 @@ def run_rule_stream(
         slide=slide,
         session_gap=session_gap,
         watermark=watermark,
+        non_null=non_null,
     )
     writer = (
         result.writeStream.outputMode(output_mode)

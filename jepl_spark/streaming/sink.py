@@ -47,10 +47,12 @@ def add_lineage(df: DataFrame, batch_id: Optional[int] = None) -> DataFrame:
     return out
 
 
-# URI schemes whose rename is NOT atomic — the commit-marker protocol
-# would be unsound there; Iceberg's snapshot commit is the answer on
-# object stores
-_NON_ATOMIC_RENAME_SCHEMES = ("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
+# URI schemes with ATOMIC rename — the only ones the commit-marker
+# protocol is sound on.  An allowlist, not a blocklist: any unknown
+# scheme (s3a, gs, swift, custom FUSE, …) is rejected so the contract
+# cannot rot as new stores appear; Iceberg's snapshot commit is the
+# answer on object stores.
+_ATOMIC_RENAME_SCHEMES = ("", "file", "hdfs", "viewfs")
 
 
 class IdempotentParquetSink:
@@ -59,16 +61,17 @@ class IdempotentParquetSink:
     Marker I/O goes through the Hadoop FileSystem API, so the protocol
     holds anywhere rename is atomic: local/NFS paths AND hdfs:// /
     viewfs:// — the cluster story no longer depends on driver-local
-    POSIX.  Object-store schemes (s3a://, gs://, abfs://, …) are
-    rejected: their rename is copy+delete, which breaks the atomicity
-    the commit marker relies on — use IcebergSink there."""
+    POSIX.  Every other scheme is rejected (object-store rename is
+    copy+delete, which breaks marker atomicity) — use IcebergSink
+    there."""
 
     def __init__(self, root: str, lineage: bool = True) -> None:
         scheme = root.split("://", 1)[0].lower() if "://" in root else ""
-        if scheme in _NON_ATOMIC_RENAME_SCHEMES:
+        if scheme not in _ATOMIC_RENAME_SCHEMES:
             raise ValueError(
                 f"IdempotentParquetSink needs atomic rename; {scheme}:// "
-                "does not provide it — use IcebergSink for object stores"
+                "is not known to provide it — use IcebergSink for object "
+                "stores"
             )
         self.root = root
         self.lineage = lineage
@@ -122,7 +125,15 @@ class IdempotentParquetSink:
             stream.write(bytearray(payload.encode("utf-8")))
         finally:
             stream.close()
-        fs.rename(tmp_path, jvm.org.apache.hadoop.fs.Path(self._commit_marker(batch_id)))
+        # Hadoop rename reports most failures by returning FALSE, not
+        # raising — swallowing it would let the checkpoint advance past
+        # a batch that no reader will ever see (silent data loss)
+        marker = jvm.org.apache.hadoop.fs.Path(self._commit_marker(batch_id))
+        if not fs.rename(tmp_path, marker):
+            raise IOError(
+                f"commit-marker rename failed for batch {int(batch_id)} "
+                f"({tmp_path} -> {marker}); refusing to ack the batch"
+            )
 
     def foreach_batch(self) -> Callable[[DataFrame, int], None]:
         return self.write_batch
