@@ -1,0 +1,142 @@
+"""Scale smoke: run the dedup / similarity lanes on a synthetic corpus
+N× the sf0.1 fixtures to verify the operators' scale shape empirically
+(no blowup in the banded/inverted-index self-joins, index build+query
+cost) — receipts for the 100 TB design claims in README.md.
+
+Usage: PYTHONPATH=. python tools/scale_smoke.py [n_docs] [n_vectors]
+Prints one JSON line with per-lane wall seconds and output sizes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def synth_documents(spark, n_docs: int, dup_rate: float = 0.05):
+    """Deterministic document corpus: templated sentences with planted
+    near-duplicates (mapInPandas — distributed generation)."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    words = [f"tok{i}" for i in range(5000)]
+
+    def gen(batches):
+        import random
+
+        for pdf in batches:
+            rows = {"doc_id": [], "text": []}
+            for i in pdf["id"]:
+                i = int(i)
+                rng = random.Random(i if i % int(1 / dup_rate) else i - 1)
+                n = 40 + rng.randrange(120)
+                toks = [words[rng.randrange(len(words))] for _ in range(n)]
+                if i % int(1 / dup_rate) == 0 and i > 0:
+                    # near-dup of doc i-1: same seed stream, one edit
+                    toks[len(toks) // 2] = "mutated"
+                rows["doc_id"].append(i)
+                rows["text"].append(" ".join(toks))
+            yield pd.DataFrame(rows)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    return spark.range(0, n_docs, numPartitions=64).mapInPandas(gen, schema=schema)
+
+
+def synth_embeddings(spark, n: int, dim: int = 64):
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = {"vec_id": [], "embedding": []}
+            for i in ids:
+                rng = np.random.RandomState(int(i) % 2**31)
+                rows["vec_id"].append(int(i))
+                rows["embedding"].append(rng.randn(dim).tolist())
+            yield pd.DataFrame(rows)
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    return spark.range(0, n, numPartitions=64).mapInPandas(gen, schema=schema)
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from jepl_spark.operators import dedup as D
+    from jepl_spark.operators import similarity as S
+
+    work = tempfile.mkdtemp(prefix="scale-smoke-")
+    res: dict = {"n_docs": n_docs, "n_vectors": n_vecs}
+
+    # materialize inputs once (excluded from lane timings)
+    docs_path = os.path.join(work, "docs")
+    synth_documents(spark, n_docs).write.mode("overwrite").parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+    emb_path = os.path.join(work, "emb")
+    synth_embeddings(spark, n_vecs).write.mode("overwrite").parquet(emb_path)
+    emb = spark.read.parquet(emb_path)
+
+    t0 = time.time()
+    res["exact_dedup_groups"] = D.exact_dedup_stats(docs).count()
+    res["exact_dedup_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    res["minhash_pairs"] = (
+        D.minhash_candidates(docs, bands=16, num_hashes=64)
+        .filter("est_jaccard >= 0.5").count()
+    )
+    res["minhash_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    res["ngram_pairs"] = D.ngram_jaccard_pairs(docs, min_jaccard=0.5).count()
+    res["ngram_s"] = round(time.time() - t0, 1)
+
+    qvec = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    t0 = time.time()
+    idx = S.lsh_bucketize(emb, os.path.join(work, "idx"), planes=8, tables=4)
+    res["index_build_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    res["index_topk_rows"] = idx.topk(spark, qvec, k=10).count()
+    res["index_query_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    res["brute_topk_rows"] = S.brute_force_topk(emb, qvec, k=10).count()
+    res["brute_query_s"] = round(time.time() - t0, 2)
+
+    print(json.dumps(res))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
