@@ -645,3 +645,61 @@ def test_sink_scheme_handling(spark, tmp_path):
     assert sink.committed_batches(spark) == [0]
     out = sink.read_committed(spark)
     assert out.count() == 1 and set(out.columns) >= {"k", "v", "_lineage_batch"}
+
+
+def test_randomized_streaming_parity(spark, tmp_path):
+    """Randomized streaming fixtures (random batches / event times /
+    values / rules) vs the append-emission simulator — the streaming
+    analogue of the batch property fuzz.  Seeded for determinism."""
+    import random
+
+    rng = random.Random(424242)
+    rules = [
+        "select sum(value) AS s, count(value) AS n from s where kind = 'click' group by user",
+        "select count(value) AS n from s where value > 3 OR kind = 'view'",
+        "select max(value) AS mx, min(value) AS mn from s where kind != 'error' group by user",
+    ]
+    for case in range(3):
+        sql = rules[case]
+        batches = []
+        t = 0.0
+        for _ in range(rng.randrange(2, 5)):
+            batch = []
+            for _ in range(rng.randrange(2, 7)):
+                t += rng.uniform(0.5, 20.0)
+                batch.append(_doc(
+                    f"u{rng.randrange(3)}",
+                    rng.choice(["click", "view", "error"]),
+                    float(rng.randrange(0, 9)),
+                    t,
+                ))
+            batches.append(batch)
+        batches.extend(_sentinels(t + 1000))
+        sub = tmp_path / f"case{case}"
+        sub.mkdir()
+        got = _run_fixture(spark, sub, batches, sql)
+        stmt = parse_statement(sql)
+        n_dims = len(stmt.dimensions)
+        cols = ["window_start", "window_end"] + (["user"] if n_dims else [])
+        agg_cols = stmt.column_names()  # exactly the rule's fields
+        rows = [
+            r for r in got.select(*cols, *agg_cols).collect()
+            if (not n_dims) or r["user"] != "zz"
+        ]
+        expected = {
+            k: v
+            for k, v in simulate_append_output(
+                sql, batches, ts_field="event_time", window_s=30.0, delay_s=10.0
+            ).items()
+            if "zz" not in k[1] and "'sentinel'" not in k[1]
+        }
+        if not n_dims:
+            # sentinel rows fold into the same (ungrouped) key — drop
+            # windows past the data horizon instead
+            horizon = t + 900
+            expected = {k: v for k, v in expected.items() if k[0] < horizon}
+            rows = [
+                r for r in rows
+                if (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds() < horizon
+            ]
+        _assert_matches(expected, _rows_to_map(sql, rows, n_dims))
