@@ -204,9 +204,11 @@ def minhash_candidates(
     )
     if materialize:
         base = base.persist()
+    # banding carries ONLY (id, band, bandkey): the 64-long signature
+    # array must not ride the ×bands explode and the skew-cap join —
+    # it re-attaches to the (tiny) candidate pair set at the end
     banded = base.select(
         "__id",
-        "__sig",
         F.posexplode(minhash_bands(F.col("__sig"), bands, rows)).alias(
             "__band", "__bandkey"
         ),
