@@ -24,10 +24,15 @@ Quirk rules carried over (SURVEY.md §2.9):
   preserved exactly
 
 Known, documented divergence: values extracted from raw-JSON string
-columns via ``get_json_object`` lose their JSON type — a JSON string
-``"5"`` used in numeric context compares equal to 5.0 where the
-reference would answer false.  Fixture corpora keep JSON value types
-consistent with usage, as the reference's own corpus does.
+columns via ``get_json_object`` lose their JSON type.  Consequences,
+all of the same root cause and all outside the reference's own corpus:
+a JSON string ``"5"`` used in numeric context compares equal to 5.0
+where the reference answers false; regex operators run against the
+extracted text of non-string values (JSON number 5 → ``"5" rlike p``)
+where the reference yields nil; and numeric-LOOKING string pairs
+compare numerically under JSONANY=JSONANY equality.  Fixture corpora
+keep JSON value types consistent with usage, as the reference's own
+corpus does.
 """
 
 from __future__ import annotations
@@ -419,31 +424,40 @@ class ExprCompiler:
             return CExpr(col, JType.BOOL, nullable=lhs.nullable)
         return _NIL()  # relational/arith/AND/OR on strings → nil
 
+    def _json_num(self, lhs: CExpr) -> CExpr:
+        """Numeric view of a JSON-extracted value.  maybe_nan is set:
+        try_cast('NaN') yields a real runtime NaN (from the JSON
+        STRING "NaN" — JSON numbers cannot encode NaN), which must hit
+        the NaN comparison guards, not Spark's NaN-greatest ordering."""
+        return CExpr(lhs.col.try_cast("double"), JType.FLOAT, maybe_nan=True)
+
     def _jsonany_lhs(self, op: Tok, lhs: CExpr, rhs: CExpr) -> CExpr:
         """Coerce a JSON-extracted lhs by the rhs's static type."""
         if rhs.jtype in (JType.FLOAT, JType.INT):
-            return self._numeric_lhs(
-                op, CExpr(lhs.col.try_cast("double"), JType.FLOAT), rhs
-            )
+            return self._numeric_lhs(op, self._json_num(lhs), rhs)
         if rhs.jtype is JType.JSONANY:
-            # two JSON-extracted values: equality compares the scalar
-            # text; relational ops compare numerically (JSON numbers
-            # order numerically in the reference; non-numeric values
-            # yield null → no match)
+            # two JSON-extracted values: equality compares numerically
+            # when BOTH parse as numbers (the reference sees float64 on
+            # both sides, so JSON 5 = 5.0 — text equality would say
+            # false) and as text otherwise; relational ops compare
+            # numerically (non-numeric → null → no match)
             if op in (Tok.EQ, Tok.NEQ):
-                return self._string_lhs(op, CExpr(lhs.col, JType.STRING), rhs)
-            return self._numeric_lhs(
-                op, CExpr(lhs.col.try_cast("double"), JType.FLOAT), rhs
-            )
+                ld = lhs.col.try_cast("double")
+                rd = rhs.col.try_cast("double")
+                both_num = ld.isNotNull() & rd.isNotNull()
+                if op is Tok.EQ:
+                    res = F.when(both_num, ld == rd).otherwise(lhs.col == rhs.col)
+                else:
+                    res = F.when(both_num, ld != rd).otherwise(lhs.col != rhs.col)
+                return self._guarded(lhs, rhs, rhs.col, res)
+            return self._numeric_lhs(op, self._json_num(lhs), rhs)
         if rhs.jtype is JType.STRING:
             return self._string_lhs(op, CExpr(lhs.col, JType.STRING), rhs)
         if rhs.jtype is JType.BOOL:
             return self._bool_lhs(op, CExpr(self._json_as_bool(lhs.col), JType.BOOL), rhs)
         if op in _ARITH_OPS or op in _CMP_OPS:
             # rhs nil/other: numeric view → false/nil per numeric rules
-            return self._numeric_lhs(
-                op, CExpr(lhs.col.try_cast("double"), JType.FLOAT), rhs
-            )
+            return self._numeric_lhs(op, self._json_num(lhs), rhs)
         return _NIL()
 
     def _compile_in(self, lhs: CExpr, vals: list, negate: bool) -> CExpr:
@@ -470,9 +484,18 @@ class ExprCompiler:
                 col = (~inside) if negate else inside
                 return CExpr(col, JType.BOOL)
             if floats and not strings:
-                lc, elems = lhs.col.try_cast("double"), floats
-            else:
-                lc, elems = lhs.col, strings
+                # present-but-non-numeric value: try_cast → NULL, and a
+                # bare isin would propagate it — but the reference
+                # answers a definite false (inList returns false for a
+                # string vs float list, eval.go:367-382), so NI must
+                # MATCH such rows.  Only a truly missing value is nil.
+                num = F.coalesce(
+                    lhs.col.try_cast("double").isin(floats), F.lit(False)
+                )
+                inside = F.when(lhs.col.isNull(), F.lit(None)).otherwise(num)
+                col = (~inside) if negate else inside
+                return CExpr(col, JType.BOOL, nullable=lhs.nullable)
+            lc, elems = lhs.col, strings
         else:
             return _NIL()  # bool lhs: no IN case in eval.go:139-151
 

@@ -197,7 +197,22 @@ def compile_select_parts(
                 f"GROUP BY dimension {d} is not a scalar expression "
                 f"(the reference interpreter crashes on it, groupby.go:18-34)"
             )
-        dim_cols.append((name, dim_ce.col))
+        dim_col = dim_ce.col
+        if dim_ce.nullable:
+            # a dimension that is null on SOME row: the reference
+            # panics at runtime (nil Expr String deref) and the repo
+            # oracle raises ValueError — a silent NULL-keyed group
+            # would make the three sides disagree, so fail the job the
+            # way the reference does
+            dim_col = F.when(
+                dim_col.isNull(),
+                F.raise_error(F.lit(
+                    f"GROUP BY dimension {d} is null/missing on an input "
+                    f"row — the reference interpreter panics here "
+                    f"(groupby.go:18-34)"
+                )),
+            ).otherwise(dim_col)
+        dim_cols.append((name, dim_col))
 
     # aggregate expressions
     agg_exprs: list[Column] = [
@@ -236,6 +251,7 @@ def compile_select(
 
     ``non_null``: caller-declared never-null columns (see ExprCompiler)
     — lets OR-predicates compile guard-free and push into the scan."""
+    _require_where(stmt)
     compiler = ExprCompiler(df.schema, non_null=non_null)
     parts = compile_select_parts(stmt, compiler)
 
@@ -254,6 +270,19 @@ def compile_select(
     )
     agged = filtered.agg(*true_parts.agg_exprs)
     return agged.select(*true_parts.post_select.columns([]))
+
+
+def _require_where(stmt: ast.SelectStatement) -> None:
+    """WHERE is effectively mandatory: EvalSQL dereferences the
+    condition before anything else (eval.go:41 / groupby.go:36) and
+    crashes on WHERE-less rules; the repo oracle raises the same way —
+    silently executing a match-all here would be an untestable
+    divergence (SURVEY §2.9.7)."""
+    if stmt.condition is None:
+        raise JeplCompileError(
+            "WHERE is required: the reference crashes on WHERE-less "
+            "rules (eval.go:41)"
+        )
 
 
 def _with_condition_true(stmt: ast.SelectStatement) -> ast.SelectStatement:

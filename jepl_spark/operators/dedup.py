@@ -186,6 +186,13 @@ def minhash_candidates(
     checkpoint side effects (signatures recompute per consumer) — for
     plan audits and composition into larger pipelines that manage their
     own caching."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}): leftover hashes would be silently excluded "
+            f"from banding while est_jaccard still averaged over all "
+            f"of them — not the (b, r) scheme the caller computed"
+        )
     rows = num_hashes // bands
     # Cache the signature table: it feeds four consumers (banding,
     # bucket sizing, both sides of the pair join) and would otherwise

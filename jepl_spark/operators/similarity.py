@@ -294,8 +294,10 @@ def embedding_near_dups(
     cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
         _dot(F.col("__va"), F.col("__vb")) / denom
     )
-    return (
-        pairs.select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
+    # no dropDuplicates: each vector has exactly ONE bucket (single
+    # hyperplane table, no explode), so the id_a < id_b self-join emits
+    # every pair at most once — a dedup here would be a full extra
+    # shuffle of the thresholded pair set for nothing
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
     )

@@ -67,9 +67,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of case-folded, whitespace-collapsed
-    text — equal fingerprints ⇔ same normalized content."""
-    normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
-    return F.md5(normalized)
+    text — equal fingerprints ⇔ same normalized content.  Shares
+    dedup.content_hash so the fingerprint/exact-dedup equivalence the
+    gate oracles assume cannot drift."""
+    from .dedup import content_hash
+
+    return content_hash(text)
 
 
 # Minimal per-language stopword lists for n-gram-free heuristic language

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..compiler.expr import ExprCompiler
-from ..compiler.select import compile_select_parts
+from ..compiler.select import _require_where, compile_select_parts
 from ..lang import ast
 from ..lang.parser import parse_statement
 
@@ -73,6 +73,7 @@ def windowed_select(
         if isinstance(stmt_or_sql, str)
         else stmt_or_sql
     )
+    _require_where(stmt)  # reference crashes on WHERE-less rules
     df = ensure_event_timestamp(df, ts_col)
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)

@@ -583,3 +583,99 @@ def test_jsonany_rhs_cast_null_with_non_null_hint(spark, tmp_path):
     pm = eval_sql(rule, [{"value": 5.0, "props": {"k": "abc"}},
                          {"value": 5.0, "props": {"k": 1}}])
     assert pm["(value > props.k) = false"] == [1.0]
+
+
+def test_jsonany_numeric_ni_nonnumeric_value(spark):
+    """Review r3: NI over a float-only list with a present-but-
+    non-numeric JSON value must MATCH (reference inList → false →
+    NI true); only a truly missing key is nil."""
+    from jepl_spark.compiler.select import compile_select
+    from jepl_spark.lang.parser import parse_statement
+
+    schema = StructType([StructField("props", StringType())])
+    docs = [
+        {"props": '{"k": "abc"}'},  # present, non-numeric → NI matches
+        {"props": '{"k": 1.0}'},    # member → NI no-match
+        {"props": '{"k": 7}'},      # non-member number → NI matches
+        {"props": "{}"},            # missing → nil → no match
+    ]
+    df = docs_to_df(spark, docs, schema)
+    out = compile_select(
+        parse_statement("select count(props.k) AS n from t where props.k NI [1.0, 2.0]"),
+        df,
+    ).collect()
+    assert out[0]["n"] == 2.0
+    out = compile_select(
+        parse_statement("select count(props.k) AS n from t where props.k IN [1.0, 2.0]"),
+        df,
+    ).collect()
+    assert out[0]["n"] == 1.0
+
+
+def test_jsonany_equality_numeric_first(spark):
+    """Review r3: JSON 5 = JSON 5.0 must match (the reference compares
+    float64, not the raw texts '5' vs '5.0')."""
+    from jepl_spark.compiler.select import compile_select
+    from jepl_spark.lang.parser import parse_statement
+
+    schema = StructType([StructField("props", StringType())])
+    docs = [
+        {"props": '{"a": 5, "b": 5.0}'},      # numerically equal → match
+        {"props": '{"a": 5, "b": 6}'},        # differ → no match
+        {"props": '{"a": "x", "b": "x"}'},    # equal strings → match
+        {"props": '{"a": "x", "b": "y"}'},    # differ → no match
+        {"props": '{"a": 1}'},                # rhs missing → nil
+    ]
+    df = docs_to_df(spark, docs, schema)
+    out = compile_select(
+        parse_statement("select count(props.a) AS n from t where props.a = props.b"),
+        df,
+    ).collect()
+    assert out[0]["n"] == 2.0
+
+
+def test_runtime_null_group_dim_fails_like_reference(spark):
+    """Review r3: a dimension null on SOME row must fail the job (the
+    reference panics, the oracle raises) instead of silently forming a
+    NULL-keyed group."""
+    from jepl_spark.compiler.select import compile_select
+    from jepl_spark.lang.parser import parse_statement
+    from jepl_spark.oracle import eval_sql
+
+    schema = StructType(
+        [StructField("uid", DoubleType()), StructField("k", StringType())]
+    )
+    docs = [{"uid": 1.0, "k": "a"}, {"uid": 2.0, "k": None}]
+    df = docs_to_df(spark, docs, schema)
+    plan = compile_select(
+        parse_statement("select count(uid) AS n from t where uid > 0 group by k"),
+        df,
+    )
+    with pytest.raises(Exception, match="GROUP BY dimension"):
+        plan.collect()
+    with pytest.raises(ValueError, match="missing from document"):
+        eval_sql("select count(uid) AS n from t where uid > 0 group by k", docs)
+
+
+def test_where_less_rules_rejected(spark):
+    """Review r3: the reference crashes on WHERE-less rules (eval.go:41)
+    and the oracle raises — the compiler must reject them too."""
+    from jepl_spark.compiler.expr import JeplCompileError
+    from jepl_spark.compiler.select import compile_select
+    from jepl_spark.lang.parser import parse_statement
+    from jepl_spark.streaming.windows import windowed_select
+
+    schema = StructType([StructField("v", DoubleType())])
+    df = docs_to_df(spark, [{"v": 1.0}], schema)
+    with pytest.raises(JeplCompileError, match="WHERE is required"):
+        compile_select(parse_statement("select sum(v) from t"), df)
+    df2 = df.withColumn("ts", F.lit("2024-01-01").cast("timestamp"))
+    with pytest.raises(JeplCompileError, match="WHERE is required"):
+        windowed_select("select sum(v) from t", df2, ts_col="ts", duration="1 hour")
+
+
+def test_minhash_bands_divisibility():
+    from jepl_spark.operators.dedup import minhash_candidates
+
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_candidates(None, num_hashes=64, bands=12)

@@ -148,7 +148,8 @@ def test_golden_invariant_across_parallelism(spark, tmp_path):
     """The same pinned fixture produces identical rows at two
     parallelism levels (shuffle/state partitions 1 vs 8) — byte-identical
     input, order-insensitive comparison (SURVEY.md §5)."""
-    sql = "select sum(value) AS s, count(value) AS n from s group by user"
+    sql = ("select sum(value) AS s, count(value) AS n from s "
+           "where value >= 0 group by user")
     batches = [
         [_doc("u1", "k", 1.0, 1), _doc("u2", "k", 2.0, 2), _doc("u1", "k", 4.0, 31)],
         *_sentinels(1000),
