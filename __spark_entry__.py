@@ -327,6 +327,29 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF index machinery under the hard signal: cells from FIXED,
+    data-derived centroids (the embeddings of vec_id < 16, a rule
+    DuckDB can replay exactly), squared-Euclidean argmin assignment,
+    nprobe=4 probed cells, exact cosine rescoring.  The trained-
+    quantizer path (MLlib KMeans) shares everything but the centroid
+    source and is covered by tests (recall ≥ 0.9 on clustered data)."""
+    import tempfile
+
+    df = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in df.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    qvec = cents[0]
+    path = tempfile.mkdtemp(prefix="entry-ivf-") + "/idx"
+    idx = S.ivf_build_fixed(df, path, cents)
+    return idx.topk(spark, qvec, k=10, nprobe=4).select(
+        "vec_id", _r(F.col("cosine"), 4).alias("cosine")
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (LSH bucket self-join → exact
     cosine → threshold), oracle-checked by replaying the bucket math
@@ -690,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_index_topk": q_ann_index_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_signatures": q_simhash_signatures,
@@ -1096,6 +1120,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_index_topk": _ann_index_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        # IVF with data-derived centroids: assignment = argmin squared
+        # Euclidean over the embeddings of vec_id < 16 (ties → lowest
+        # centroid id, matching Spark's array_position-of-min); query
+        # probes the 4 nearest cells, exact cosine rescoring
+        "ann_ivf_topk": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            assign AS (
+              SELECT e.vec_id, e.v,
+                (SELECT c.cid FROM c
+                 ORDER BY list_distance(e.v, c.cv) ASC, c.cid ASC
+                 LIMIT 1) AS cell
+              FROM e
+            ),
+            qcells AS (
+              SELECT c.cid AS cell FROM c, q
+              ORDER BY list_distance(q.qv, c.cv) ASC, c.cid ASC LIMIT 4
+            ),
+            cand AS (
+              SELECT a.vec_id, a.v FROM assign a
+              WHERE a.cell IN (SELECT cell FROM qcells)
+            ),
+            s AS (SELECT cand.vec_id, {_cosine_sql('cand.v', 'q.qv')} AS c_full
+                  FROM cand, q)
+            SELECT vec_id, round(c_full, 4) AS cosine
+            FROM s ORDER BY c_full DESC, vec_id ASC LIMIT 10
+        """,
         "embedding_near_dups": _embedding_near_dups_oracle_sql(),
         # exact 3-shingle Jaccard >= 0.5 pair set == the minhash
         # candidate set on this corpus (threshold well-separated)

@@ -263,6 +263,154 @@ def lsh_bucketize(
     return LshIndex(path, planes_per_table, vec_col, id_col)
 
 
+class IvfIndex:
+    """IVF (inverted-file) ANN index: a k-means coarse quantizer
+    assigns every vector to its nearest centroid; vectors persist
+    partitioned by centroid id, and a query scans only the ``nprobe``
+    centroids nearest to it — the second scale path next to LshIndex
+    (IVF wins when the data is genuinely clustered; LSH needs no
+    training pass).
+
+    Scale shape: training samples the corpus (bounded driver cost),
+    assignment is one map-side pass, the write is partition-pruned on
+    read exactly like the LSH index, and centroids persist in the meta
+    sidecar so any session can load and query."""
+
+    _META = "_ivf_meta.json"
+
+    def __init__(self, path: str, centroids: list[list[float]],
+                 vec_col: str, id_col: str) -> None:
+        self.path = path
+        self.centroids = centroids
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        import json
+
+        meta = json.loads(_hadoop_read_text(spark, f"{path}/{cls._META}"))
+        return cls(path, meta["centroids"], meta["vec_col"], meta["id_col"])
+
+    def query_cells(self, query: Sequence[float], nprobe: int) -> list[int]:
+        """nprobe centroid ids nearest the query (driver-side: k is
+        small by construction)."""
+        import math as _m
+
+        def d2(c):
+            return sum((a - b) ** 2 for a, b in zip(c, query))
+
+        order = sorted(range(len(self.centroids)), key=lambda i: d2(self.centroids[i]))
+        _ = _m
+        return order[:nprobe]
+
+    def topk(self, spark, query: Sequence[float], k: int = 10,
+             nprobe: int = 4) -> DataFrame:
+        cells = self.query_cells(query, nprobe)
+        df = spark.read.parquet(self.path)
+        cands = df.filter(F.col("ivf_cell").isin(cells)).select(
+            self.id_col, self.vec_col
+        )
+        return brute_force_topk(cands, query, k, self.vec_col, self.id_col)
+
+
+def ivf_assign(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
+    """Nearest-centroid cell id (squared-Euclidean argmin over literal
+    centroid arrays — pure JVM expressions; ties break to the lowest
+    centroid index, matching IvfIndex.query_cells)."""
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in centroids
+    ])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_build_fixed(
+    df: DataFrame,
+    path: str,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> IvfIndex:
+    """Build the IVF index around caller-supplied centroids (no
+    training pass) — used when centroids come from another system, a
+    previous model, or (in the correctness gate) a deterministic
+    data-derived rule that an SQL oracle can replay."""
+    import json
+
+    cents = [list(map(float, c)) for c in centroids]
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col),
+        ivf_assign(F.col(vec_col), cents).alias("ivf_cell"),
+    )
+    (
+        assigned.repartition("ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+    meta = {"centroids": cents, "vec_col": vec_col, "id_col": id_col,
+            "n_cells": len(cents), "seed": None}
+    _hadoop_write_text(df.sparkSession, f"{path}/{IvfIndex._META}", json.dumps(meta))
+    return IvfIndex(path, cents, vec_col, id_col)
+
+
+def ivf_build(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 64,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> IvfIndex:
+    """Train the coarse quantizer (Spark MLlib KMeans on a sample),
+    assign cells map-side, persist partitioned by cell."""
+    import json
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    if sample_fraction < 1.0:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    centroids = [
+        (c.toArray() if hasattr(c, "toArray") else c).tolist()
+        for c in model.clusterCenters()
+    ]
+
+    # map-side assignment via the model itself (no shuffle)
+    assigned = model.transform(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
+    ).select(id_col, vec_col, F.col("prediction").alias("ivf_cell"))
+    _ = vector_to_array
+    (
+        assigned.repartition("ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+    meta = {"centroids": centroids, "vec_col": vec_col, "id_col": id_col,
+            "n_cells": n_cells, "seed": seed}
+    _hadoop_write_text(df.sparkSession, f"{path}/{IvfIndex._META}", json.dumps(meta))
+    return IvfIndex(path, centroids, vec_col, id_col)
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

@@ -234,3 +234,34 @@ def test_lsh_index_build_query_recall(spark, tmp_path):
     approx2 = [r["vec_id"] for r in idx2.topk(spark, q, k=10).collect()]
     assert approx2 == approx
     assert idx2.query_buckets(q) == idx.query_buckets(q)
+
+
+def test_ivf_index_build_query_recall(spark, tmp_path):
+    """IVF coarse-quantizer index (the brief's 'IVF or LSH' second
+    variant): on clustered data the nprobe-cell scan must reach
+    recall@10 ≥ 0.9 vs brute force, read only the probed cell
+    partitions, and reload identically from its persisted centroids."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(20, 16) * 4.0
+    vecs = [
+        (i, (centers[i % 20] + rng.randn(16) * 0.2).astype(float).tolist())
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = vecs[9][1]
+
+    path = str(tmp_path / "ivf")
+    idx = S.ivf_build(df, path, n_cells=20, seed=42)
+    exact = [r["vec_id"] for r in S.brute_force_topk(df, q, k=10).collect()]
+    approx_df = idx.topk(spark, q, k=10, nprobe=3)
+    approx = [r["vec_id"] for r in approx_df.collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, (recall, exact, approx)
+
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    idx2 = S.IvfIndex.load(spark, path)
+    assert [r["vec_id"] for r in idx2.topk(spark, q, k=10, nprobe=3).collect()] == approx
