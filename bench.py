@@ -156,6 +156,19 @@ def batch_queries(spark, sf_dir):
     def ann_index_query():
         return _drain(_idx.topk(spark, _idx_q, k=20))
 
+    _ivf_cents = [
+        r["embedding"]
+        for r in _emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+    ]
+    _ivf = S.ivf_build_fixed(
+        _emb, os.path.join(tempfile.mkdtemp(prefix="jepl-bench-ivf-"), "idx"),
+        _ivf_cents,
+    )
+
+    def ann_ivf_query():
+        return _drain(_ivf.topk(spark, _idx_q, k=20, nprobe=4))
+
     def text_quality():
         df = load_table(spark, sf_dir, "documents")
         return _drain(T.quality_features(df).select(
@@ -171,6 +184,7 @@ def batch_queries(spark, sf_dir):
         "ngram_jaccard": ngram_jaccard,
         "ann_brute_topk": ann_brute_topk,
         "ann_index_query": ann_index_query,
+        "ann_ivf_query": ann_ivf_query,
         "text_quality": text_quality,
     }
 

@@ -704,3 +704,39 @@ def test_randomized_streaming_parity(spark, tmp_path):
                 if (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds() < horizon
             ]
         _assert_matches(expected, _rows_to_map(sql, rows, n_dims))
+
+
+def test_randomized_sliding_window_parity(spark, tmp_path):
+    """Randomized SLIDING-window streaming fixture vs the simulator
+    (the randomized test above covers tumbling only)."""
+    import random
+
+    rng = random.Random(99)
+    sql = "select sum(value) AS s, count(value) AS n from s where value >= 1"
+    batches = []
+    t = 0.0
+    for _ in range(3):
+        batch = []
+        for _ in range(rng.randrange(3, 7)):
+            t += rng.uniform(1.0, 25.0)
+            batch.append(_doc("u1", "k", float(rng.randrange(0, 7)), t))
+        batches.append(batch)
+    batches.extend(_sentinels(t + 1000))
+    got = _run_fixture(
+        spark, tmp_path, batches, sql,
+        window="60 seconds", window_s=60.0, slide="30 seconds", slide_s=30.0,
+    )
+    horizon = t + 900
+    rows = [
+        r for r in got.select("window_start", "window_end", "s", "n").collect()
+        if (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds() < horizon
+    ]
+    expected = {
+        k: v
+        for k, v in simulate_append_output(
+            sql, batches, ts_field="event_time",
+            window_s=60.0, delay_s=10.0, slide_s=30.0,
+        ).items()
+        if k[0] < horizon
+    }
+    _assert_matches(expected, _rows_to_map(sql, rows, 0))
