@@ -79,6 +79,24 @@ class CExpr:
 
 _NIL = lambda: CExpr(F.lit(None), JType.NIL, nullable=True)  # noqa: E731
 
+
+def _float_div_zero_case(lc: Column, rc: Column) -> Column:
+    """Go float division by a zero divisor: ±Inf by the SIGNS of both
+    operands, NaN for 0/±0 or NaN/±0.  Two Spark pitfalls handled:
+    isnan comes FIRST (Spark orders NaN greatest, so `NaN > 0` is
+    true), and the divisor's sign bit matters (x / -0.0 → -Inf for
+    x > 0) — ±0.0 compare equal, so the sign is read from the JVM
+    string rendering ('-0.0'), evaluated only on zero-divisor rows."""
+    neg_divisor = rc.cast("string").startswith("-")
+    base = (
+        F.when(lc > 0.0, F.lit(float("inf")))
+        .when(lc < 0.0, F.lit(float("-inf")))
+    )
+    return (
+        F.when(F.isnan(lc) | (lc == 0.0), F.lit(float("nan")))
+        .otherwise(F.when(neg_divisor, -base).otherwise(base))
+    )
+
 _CMP_OPS = {Tok.EQ, Tok.NEQ, Tok.LT, Tok.LTE, Tok.GT, Tok.GTE}
 _ARITH_OPS = {Tok.ADD, Tok.SUB, Tok.MUL, Tok.DIV}
 _BOOLISH_OPS = {Tok.AND, Tok.OR, Tok.EQ, Tok.NEQ}
@@ -383,23 +401,13 @@ class ExprCompiler:
                              maybe_nan=True)
             # DIV — reference typed dispatch (see module docstring):
             # int-literal lhs ÷ 0.0 → 0.0 (eval.go:227-231, the one live
-            # guard); float lhs ÷ 0 → Go float division: ±Inf, NaN for
-            # 0/0 (eval.go:192-200 — guard dead). Nil operands stay nil.
-            # (-0.0 divisor edge: Go would flip the Inf sign; the sign
-            # bit of a zero is not observable via Spark comparisons and
-            # no corpus exercises it.)
+            # guard); float lhs ÷ 0 → Go float division: ±Inf with BOTH
+            # operands' signs, NaN for 0/0 (eval.go:192-200 — guard
+            # dead).  Nil operands stay nil.
             if lhs.jtype is JType.INT:
                 zero_case = F.lit(0.0)
             else:
-                # isnan FIRST: Spark orders NaN greatest, so `lc > 0.0`
-                # is TRUE for a NaN numerator and would yield +Inf
-                # where Go float64 NaN/0 is NaN
-                zero_case = (
-                    F.when(F.isnan(lc), F.lit(float("nan")))
-                    .when(lc > 0.0, F.lit(float("inf")))
-                    .when(lc < 0.0, F.lit(float("-inf")))
-                    .otherwise(F.lit(float("nan")))
-                )
+                zero_case = _float_div_zero_case(lc, rc)
             if lhs.nullable or rhs.nullable:
                 col = (
                     F.when(lc.isNull() | rc.isNull(), F.lit(None))

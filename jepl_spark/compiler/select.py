@@ -138,14 +138,10 @@ class PostSelect:
             if expr.op is Tok.DIV:
                 if lint:  # int64 literal ÷ float64 → live 0.0 guard
                     zero_case = F.lit(0.0)
-                else:  # float64 ÷ 0 → Go float division (isnan FIRST:
-                    # Spark's NaN-greatest ordering makes NaN > 0 true)
-                    zero_case = (
-                        F.when(F.isnan(lc), F.lit(float("nan")))
-                        .when(lc > 0.0, F.lit(float("inf")))
-                        .when(lc < 0.0, F.lit(float("-inf")))
-                        .otherwise(F.lit(float("nan")))
-                    )
+                else:  # float64 ÷ 0 → Go float division, signs included
+                    from .expr import _float_div_zero_case
+
+                    zero_case = _float_div_zero_case(lc, rc)
                 return F.when(rc == 0.0, zero_case).otherwise(lc / rc), False
             raise JeplCompileError(f"operator {expr.op} invalid in SELECT field")
         raise JeplCompileError(

@@ -60,15 +60,24 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 # -- shingling ---------------------------------------------------------------
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text.
+def _norm_tokens(text: Column) -> Column:
+    """Lower-cased whitespace tokens, identical to the classic
+    regexp_replace(\\s+ → ' ') + trim + split(' ') normalization but in
+    ONE regex pass (~7× faster tokenize): split on \\s+ and drop the
+    empty edge tokens that leading/trailing whitespace produces —
+    Spark's trim() strips only ASCII spaces, so a bare
+    split(trim(x)) silently keeps tab/newline edges (review r4).
+    Empty / all-whitespace text yields the [""] singleton, as the
+    classic form does."""
+    toks = F.filter(
+        F.split(F.lower(text), r"\s+"), lambda x: x != F.lit("")
+    )
+    return F.when(F.size(toks) == 0, F.array(F.lit(""))).otherwise(toks)
 
-    Tokenization is a single regex split (``split(lower(trim(x)),
-    '\\s+')``) — one pass, measured 7× faster than
-    regexp_replace-then-split with an identical token list (interior
-    runs collapse either way; trim handles the edges; empty text gives
-    the [""] singleton in both forms)."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text."""
+    toks = _norm_tokens(text)
     return F.when(F.size(toks) < n, F.array_distinct(F.array(F.concat_ws(" ", toks)))).otherwise(
         F.array_distinct(
             F.transform(
@@ -313,9 +322,8 @@ def simhash64(text: Column) -> Column:
     8 bytes, each byte maps to its ±1 octet through a literal 256-entry
     lookup, and an array accumulator adds them — ~10× faster than
     per-bit string extraction, still pure JVM-side SQL.  Tokenization
-    is the single-regex-split fast path (identical token list to
-    replace-then-split; see word_shingles)."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    shares _norm_tokens (fast path, classic-normalization-identical)."""
+    toks = _norm_tokens(text)
     table = _byte_signs_table()
 
     def signs_of(t: Column) -> Column:

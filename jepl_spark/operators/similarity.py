@@ -20,6 +20,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .. import fsutil as _fsutil
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -145,7 +147,7 @@ class LshIndex:
     def load(cls, spark, path: str) -> "LshIndex":
         import json
 
-        meta = json.loads(_hadoop_read_text(spark, f"{path}/{cls._META}"))
+        meta = json.loads(_fsutil.read_text(spark, f"{path}/{cls._META}"))
         return cls(path, meta["planes_per_table"], meta["vec_col"], meta["id_col"])
 
     def query_buckets(self, query: Sequence[float]) -> list[tuple[int, int]]:
@@ -170,36 +172,6 @@ class LshIndex:
             .dropDuplicates([self.id_col])  # a vector can match in several tables
         )
         return brute_force_topk(cands, query, k, self.vec_col, self.id_col)
-
-
-def _hadoop_fs(spark, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
-
-
-def _hadoop_write_text(spark, path: str, content: str) -> None:
-    """Write a small text file through the JVM Hadoop FS API — works on
-    local, HDFS, and object-store paths alike (driver-local open()
-    would not)."""
-    fs, jpath = _hadoop_fs(spark, path)
-    out = fs.create(jpath, True)
-    try:
-        out.write(bytearray(content.encode("utf-8")))
-    finally:
-        out.close()
-
-
-def _hadoop_read_text(spark, path: str) -> str:
-    fs, jpath = _hadoop_fs(spark, path)
-    stream = fs.open(jpath)
-    try:
-        # py4j passes arrays by value (a Python bytearray is never
-        # written back), so drain the stream JVM-side
-        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        return bytes(data).decode("utf-8")
-    finally:
-        stream.close()
 
 
 def lsh_bucketize(
@@ -257,7 +229,7 @@ def lsh_bucketize(
         "seed": seed,
         "dim": dim,
     }
-    _hadoop_write_text(
+    _fsutil.write_text(
         df.sparkSession, f"{path}/{LshIndex._META}", json.dumps(meta)
     )
     return LshIndex(path, planes_per_table, vec_col, id_col)
@@ -289,19 +261,16 @@ class IvfIndex:
     def load(cls, spark, path: str) -> "IvfIndex":
         import json
 
-        meta = json.loads(_hadoop_read_text(spark, f"{path}/{cls._META}"))
+        meta = json.loads(_fsutil.read_text(spark, f"{path}/{cls._META}"))
         return cls(path, meta["centroids"], meta["vec_col"], meta["id_col"])
 
     def query_cells(self, query: Sequence[float], nprobe: int) -> list[int]:
         """nprobe centroid ids nearest the query (driver-side: k is
         small by construction)."""
-        import math as _m
-
         def d2(c):
             return sum((a - b) ** 2 for a, b in zip(c, query))
 
         order = sorted(range(len(self.centroids)), key=lambda i: d2(self.centroids[i]))
-        _ = _m
         return order[:nprobe]
 
     def topk(self, spark, query: Sequence[float], k: int = 10,
@@ -359,7 +328,7 @@ def ivf_build_fixed(
     )
     meta = {"centroids": cents, "vec_col": vec_col, "id_col": id_col,
             "n_cells": len(cents), "seed": None}
-    _hadoop_write_text(df.sparkSession, f"{path}/{IvfIndex._META}", json.dumps(meta))
+    _fsutil.write_text(df.sparkSession, f"{path}/{IvfIndex._META}", json.dumps(meta))
     return IvfIndex(path, cents, vec_col, id_col)
 
 
@@ -377,7 +346,7 @@ def ivf_build(
     import json
 
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     train = df.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
@@ -398,7 +367,6 @@ def ivf_build(
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
         )
     ).select(id_col, vec_col, F.col("prediction").alias("ivf_cell"))
-    _ = vector_to_array
     (
         assigned.repartition("ivf_cell")
         .write.mode("overwrite")
@@ -407,7 +375,7 @@ def ivf_build(
     )
     meta = {"centroids": centroids, "vec_col": vec_col, "id_col": id_col,
             "n_cells": n_cells, "seed": seed}
-    _hadoop_write_text(df.sparkSession, f"{path}/{IvfIndex._META}", json.dumps(meta))
+    _fsutil.write_text(df.sparkSession, f"{path}/{IvfIndex._META}", json.dumps(meta))
     return IvfIndex(path, centroids, vec_col, id_col)
 
 

@@ -34,6 +34,8 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsutil as _fsutil
+
 
 def add_lineage(df: DataFrame, batch_id: Optional[int] = None) -> DataFrame:
     """Stamp per-partition lineage columns onto a batch DataFrame."""
@@ -76,13 +78,8 @@ class IdempotentParquetSink:
         self.root = root
         self.lineage = lineage
 
-    # -- Hadoop FS helpers (work for bare local paths too) ----------------
-
-    @staticmethod
-    def _fs(spark: SparkSession, path: str):
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+    # -- Hadoop FS helpers live in jepl_spark.fsutil (shared with the
+    # ANN index metadata sidecars) -----------------------------------------
 
     @staticmethod
     def _active_spark() -> SparkSession:
@@ -100,7 +97,7 @@ class IdempotentParquetSink:
 
     def is_committed(self, batch_id: int, spark: Optional[SparkSession] = None) -> bool:
         spark = spark or self._active_spark()
-        fs, jpath, _ = self._fs(spark, self._commit_marker(batch_id))
+        fs, jpath, _ = _fsutil.hadoop_fs(spark, self._commit_marker(batch_id))
         return fs.exists(jpath)
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -114,33 +111,23 @@ class IdempotentParquetSink:
         path = os.path.join(self.root, "data", f"batch={int(batch_id)}")
         out.write.mode("overwrite").parquet(path)
         # atomic commit marker: write a temp file, then FS rename
-        # (atomic on POSIX and HDFS; object stores are rejected above)
-        fs, _, jvm = self._fs(spark, self._commits_dir)
+        # (atomic on POSIX and HDFS; object stores are rejected above).
+        # fsutil.rename raises on Hadoop's false-return failure mode —
+        # swallowing it would let the checkpoint advance past a batch
+        # no reader will ever see (silent data loss).
         payload = json.dumps({"batch_id": int(batch_id), "ts": time.time()})
-        tmp_path = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(self._commits_dir, f"_tmp_{int(batch_id)}_{os.getpid()}")
+        tmp = os.path.join(
+            self._commits_dir, f"_tmp_{int(batch_id)}_{os.getpid()}"
         )
-        stream = fs.create(tmp_path, True)
-        try:
-            stream.write(bytearray(payload.encode("utf-8")))
-        finally:
-            stream.close()
-        # Hadoop rename reports most failures by returning FALSE, not
-        # raising — swallowing it would let the checkpoint advance past
-        # a batch that no reader will ever see (silent data loss)
-        marker = jvm.org.apache.hadoop.fs.Path(self._commit_marker(batch_id))
-        if not fs.rename(tmp_path, marker):
-            raise IOError(
-                f"commit-marker rename failed for batch {int(batch_id)} "
-                f"({tmp_path} -> {marker}); refusing to ack the batch"
-            )
+        _fsutil.write_text(spark, tmp, payload)
+        _fsutil.rename(spark, tmp, self._commit_marker(batch_id))
 
     def foreach_batch(self) -> Callable[[DataFrame, int], None]:
         return self.write_batch
 
     def committed_batches(self, spark: Optional[SparkSession] = None) -> list[int]:
         spark = spark or self._active_spark()
-        fs, jpath, _ = self._fs(spark, self._commits_dir)
+        fs, jpath, _ = _fsutil.hadoop_fs(spark, self._commits_dir)
         if not fs.exists(jpath):
             return []
         # ignore orphaned temp files left by a crash between marker

@@ -679,3 +679,49 @@ def test_minhash_bands_divisibility():
 
     with pytest.raises(ValueError, match="divisible"):
         minhash_candidates(None, num_hashes=64, bands=12)
+
+
+def test_negative_zero_divisor_sign(spark):
+    """Review r4: Go float division takes the DIVISOR's sign into the
+    Inf — x / -0.0 → -Inf for x > 0 (±0.0 compare equal, so the sign
+    comes from the zero's sign bit; reachable via y*z with y<0, z=0)."""
+    schema = StructType(
+        [StructField("x", DoubleType()), StructField("y", DoubleType()),
+         StructField("z", DoubleType())]
+    )
+    docs = [{"x": 2.0, "y": -1.0, "z": 0.0}]
+    assert_matches_oracle(
+        spark, "select count(x) AS n from t where x / (y * z) > 0", docs, schema
+    )
+    assert_matches_oracle(
+        spark, "select sum(x / (y * z)) AS s from t where x > 0", docs, schema
+    )
+    assert_matches_oracle(
+        spark,
+        "select count(x) AS n from t where x / (y * z) > 0",
+        [{"x": 2.0, "y": 1.0, "z": 0.0}],
+        schema,
+    )
+
+
+def test_tokenizer_edge_whitespace_consistency(spark):
+    """Review r4: Spark trim() strips only spaces — tab/newline-edged
+    text must still tokenize identically to the classic
+    replace-then-split normalization (shingles, simhash, and the md5
+    content groups all have to agree)."""
+    from jepl_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(0, "foo bar baz"), (1, "\tfoo bar baz\n"), (2, "  foo\tbar\nbaz ")],
+        ["doc_id", "text"],
+    )
+    rows = df.select(
+        "doc_id",
+        D.word_shingles(F.col("text"), 3).alias("sh"),
+        D.simhash64(F.col("text")).alias("sim"),
+        D.content_hash(F.col("text")).alias("md5"),
+    ).collect()
+    r = {x["doc_id"]: x for x in rows}
+    assert sorted(r[0]["sh"]) == sorted(r[1]["sh"]) == sorted(r[2]["sh"])
+    assert r[0]["sim"] == r[1]["sim"] == r[2]["sim"]
+    assert r[0]["md5"] == r[1]["md5"] == r[2]["md5"]
