@@ -60,8 +60,10 @@ class CExpr:
     operand-only node kinds (list values / regex pattern).
 
     ``maybe_nan`` marks float values that can be IEEE NaN at runtime.
-    JSON cannot encode NaN, so field values never are — NaN enters only
-    through arithmetic (0/0, Inf−Inf, overflow×0).  Comparisons involving
+    JSON cannot encode NaN, so JSON-origin field values never are — NaN
+    enters through arithmetic (0/0, Inf−Inf, overflow×0) or through a
+    parquet double column that holds stored NaN, which the caller must
+    DECLARE via ``nan_cols`` (see ExprCompiler).  Comparisons involving
     a maybe_nan operand need explicit guards because Spark orders NaN
     greatest and equates NaN=NaN, while Go comparisons are IEEE (all
     false, ``!=`` true)."""
@@ -167,11 +169,24 @@ class ExprCompiler:
     cannot reach the scan as pushed filters; declaring the (typically
     required) key columns turns `a = 1 OR b = 'x'` into a bare
     Or(...) parquet filter.  Declaring a column that does hold nulls
-    voids the reference-parity warranty for rows where it is null."""
+    voids the reference-parity warranty for rows where it is null.
 
-    def __init__(self, schema: StructType, non_null=frozenset()) -> None:
+    ``nan_cols``: dotted FLOAT column names the caller declares as
+    possibly holding a stored IEEE NaN.  The engine's default data
+    contract is NaN-free floats (the reference ingests JSON, which
+    cannot encode NaN), so plain column comparisons compile guard-free
+    and push into the scan; parquet, however, CAN store NaN in a double
+    column, and an undeclared stored NaN would silently hit Spark's
+    NaN-greatest / NaN=NaN semantics instead of the reference's IEEE
+    all-false.  Declaring the column buys reference parity at the cost
+    of a per-comparison NaN guard (which blocks pushdown on that
+    column's predicates only)."""
+
+    def __init__(self, schema: StructType, non_null=frozenset(),
+                 nan_cols=frozenset()) -> None:
         self.schema = schema
         self.non_null = frozenset(non_null)
+        self.nan_cols = frozenset(nan_cols)
         # Relaxed mode (set only while compiling an OR-free predicate):
         # the reference's false-vs-nil distinction is observable *only*
         # through an enclosing OR (eval.go:146: `bool OR nil` → false
@@ -197,7 +212,10 @@ class ExprCompiler:
             nullable = ref.nullable and expr.val not in self.non_null
             if ref.jtype is JType.NIL:
                 nullable = True  # statically-missing is nil on every row
-            return CExpr(ref.col, ref.jtype, nullable=nullable)
+            return CExpr(
+                ref.col, ref.jtype, nullable=nullable,
+                maybe_nan=(ref.jtype is JType.FLOAT and expr.val in self.nan_cols),
+            )
         if isinstance(expr, ast.ParenExpr):
             return self.compile(expr.expr)
         if isinstance(expr, ast.BinaryExpr):
@@ -490,7 +508,10 @@ class ExprCompiler:
                 s = F.coalesce(lhs.col.isin(strings), F.lit(False))
                 inside = F.when(lhs.col.isNull(), F.lit(None)).otherwise(num | s)
                 col = (~inside) if negate else inside
-                return CExpr(col, JType.BOOL)
+                # propagate lhs nullability like the single-type branches:
+                # a non-null-declared lhs must not re-taint the enclosing
+                # AND/OR tree and block the guard-free pushdown path
+                return CExpr(col, JType.BOOL, nullable=lhs.nullable)
             if floats and not strings:
                 # present-but-non-numeric value: try_cast → NULL, and a
                 # bare isin would propagate it — but the reference

@@ -237,7 +237,8 @@ def compile_select_parts(
 
 
 def compile_select(
-    stmt: ast.SelectStatement, df: DataFrame, non_null=frozenset()
+    stmt: ast.SelectStatement, df: DataFrame, non_null=frozenset(),
+    nan_cols=frozenset(),
 ) -> DataFrame:
     """Batch plan.  With dims: conditional aggregation over the
     unfiltered frame (group enumeration pre-WHERE).  Without dims:
@@ -246,9 +247,11 @@ def compile_select(
     nothing matches, as the reference does).
 
     ``non_null``: caller-declared never-null columns (see ExprCompiler)
-    — lets OR-predicates compile guard-free and push into the scan."""
+    — lets OR-predicates compile guard-free and push into the scan.
+    ``nan_cols``: caller-declared may-hold-stored-NaN float columns —
+    buys IEEE comparison parity for parquet NaN data (see ExprCompiler)."""
     _require_where(stmt)
-    compiler = ExprCompiler(df.schema, non_null=non_null)
+    compiler = ExprCompiler(df.schema, non_null=non_null, nan_cols=nan_cols)
     parts = compile_select_parts(stmt, compiler)
 
     if parts.dim_cols:
@@ -262,7 +265,8 @@ def compile_select(
     filtered = df.filter(parts.matched)
     # re-compile aggregates with matched ≡ true over the filtered frame
     true_parts = compile_select_parts(
-        _with_condition_true(stmt), ExprCompiler(df.schema, non_null=non_null)
+        _with_condition_true(stmt),
+        ExprCompiler(df.schema, non_null=non_null, nan_cols=nan_cols),
     )
     agged = filtered.agg(*true_parts.agg_exprs)
     return agged.select(*true_parts.post_select.columns([]))

@@ -25,15 +25,25 @@ class JeplEngine:
         spark: SparkSession,
         tables: Union[dict[str, Union[DataFrame, str]], None] = None,
         non_null: Union[dict[str, set], None] = None,
+        nan_cols: Union[dict[str, set], None] = None,
     ) -> None:
         """``non_null``: per-table sets of dotted column names declared
         never-null (data contract).  Spark relaxes parquet read schemas
         to all-nullable, so this is the handle that lets OR-predicates
         over required columns compile guard-free and push into the
-        scan (see compiler.expr.ExprCompiler)."""
+        scan (see compiler.expr.ExprCompiler).
+
+        ``nan_cols``: per-table sets of float column names declared as
+        possibly holding stored IEEE NaN.  The default data contract is
+        NaN-free floats (the reference ingests JSON, which cannot encode
+        NaN) — but parquet CAN store NaN in a double column; declare such
+        columns here to get the reference's IEEE comparison semantics
+        (NaN op x → false, != → true) at the cost of a per-comparison
+        guard on that column (see compiler.expr.ExprCompiler)."""
         self.spark = spark
         self.tables = dict(tables or {})
         self.non_null = {k: frozenset(v) for k, v in (non_null or {}).items()}
+        self.nan_cols = {k: frozenset(v) for k, v in (nan_cols or {}).items()}
 
     def register(self, name: str, source: Union[DataFrame, str]) -> None:
         self.tables[name] = source
@@ -62,7 +72,9 @@ class JeplEngine:
         name = stmt.sources[0].database
         df = self.table(name)
         return compile_select(
-            stmt, df, non_null=self.non_null.get(name, frozenset())
+            stmt, df,
+            non_null=self.non_null.get(name, frozenset()),
+            nan_cols=self.nan_cols.get(name, frozenset()),
         )
 
     def sql_on(self, text: str, df: DataFrame) -> DataFrame:

@@ -38,13 +38,14 @@ def _group_key(stmt: ast.SelectStatement, dim_values: list[Any]) -> str:
 
 
 def assert_matches_oracle(
-    spark: SparkSession, sql: str, docs: list[dict], schema
+    spark: SparkSession, sql: str, docs: list[dict], schema,
+    nan_cols=frozenset(),
 ) -> None:
     """Run `sql` through BOTH the Spark compiler and the reference
     oracle over the same docs; assert identical group→metrics maps."""
     stmt = parse_statement(sql)
     df = docs_to_df(spark, docs, schema)
-    result = compile_select(stmt, df)
+    result = compile_select(stmt, df, nan_cols=nan_cols)
 
     expected = eval_sql(sql, docs)
 

@@ -725,3 +725,49 @@ def test_tokenizer_edge_whitespace_consistency(spark):
     assert sorted(r[0]["sh"]) == sorted(r[1]["sh"]) == sorted(r[2]["sh"])
     assert r[0]["sim"] == r[1]["sim"] == r[2]["sim"]
     assert r[0]["md5"] == r[1]["md5"] == r[2]["md5"]
+
+
+def test_nan_cols_contract_ieee_comparisons(spark, tmp_path):
+    """ADVICE r2: parquet CAN store NaN in a double column even though
+    JSON cannot.  The `nan_cols` data contract buys the reference's
+    IEEE comparison semantics for such columns (NaN op x -> false,
+    != -> true); without the declaration the documented divergence is
+    Spark's NaN-greatest ordering."""
+    import math
+
+    from jepl_spark.engine import JeplEngine
+
+    path = str(tmp_path / "nan_ev")
+    schema = StructType([
+        StructField("uid", DoubleType()), StructField("v", DoubleType()),
+    ])
+    docs = [
+        {"uid": 1.0, "v": float("nan")},
+        {"uid": 2.0, "v": 10.0},
+        {"uid": 3.0, "v": 5.0},
+    ]
+    docs_to_df(spark, docs, schema).write.mode("overwrite").parquet(path)
+
+    eng = JeplEngine(spark, {"t": path}, nan_cols={"t": {"v"}})
+
+    def n(engine, rule):
+        return engine.sql(f"select count(uid) AS n from t where {rule}").collect()[0]["n"]
+
+    # IEEE: NaN > x and NaN = NaN are false, NaN != x is true
+    assert n(eng, "v > 5") == 1.0
+    assert n(eng, "v != 5") == 2.0
+    assert n(eng, "v = v") == 2.0
+    # the oracle agrees (its Go-semantics float comparisons are IEEE)
+    assert_matches_oracle(
+        spark, "select count(uid) AS n from t where v > 5", docs, schema,
+        nan_cols={"v"},
+    )
+    assert_matches_oracle(
+        spark, "select sum(uid) AS s from t where v != 5 group by uid",
+        docs, schema, nan_cols={"v"},
+    )
+
+    # undeclared: Spark's NaN-greatest ordering leaks through — the
+    # documented divergence this contract exists to close
+    plain = JeplEngine(spark, {"t": path})
+    assert n(plain, "v > 5") == 2.0
