@@ -837,9 +837,21 @@ def _embedding_near_dups_oracle_sql() -> str:
 
 
 def _lang_id_oracle_sql() -> str:
-    """DuckDB twin of operators.text.lang_id, generated from the same
-    stopword lists so they cannot drift."""
-    from jepl_spark.operators.text import _STOPWORDS
+    """DuckDB twin of operators.text.lang_id, generated from the SAME
+    checked-in fixture (jepl_spark/fixtures/lang_id.json) the Spark
+    operator loads \u2014 frozen constants, so a code change on either side
+    that diverges from the spec fails the gate instead of shifting both
+    sides identically."""
+    import json
+    import os
+
+    fx = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "jepl_spark", "fixtures", "lang_id.json",
+    )
+    with open(fx, encoding="utf-8") as f:
+        spec = json.load(f)
+    stopwords, scripts = spec["stopwords"], spec["scripts"]
 
     toks = "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))"
     scores = {
@@ -847,12 +859,21 @@ def _lang_id_oracle_sql() -> str:
             f"array_length(list_intersect({toks}, "
             f"[{', '.join(repr(w) for w in words)}]))"
         )
-        for lang, words in _STOPWORDS.items()
+        for lang, words in stopwords.items()
     }
+    script_cols = ",\n              ".join(
+        f"length(regexp_replace(text, '[^{lo}-{hi}]', '', 'g')) AS scr_{lang}"
+        for lang, lo, hi, _ in scripts
+    )
+    script_branches = " ".join(
+        f"WHEN length(text) > 0 AND CAST(scr_{lang} AS DOUBLE) / n_chars > {thr} "
+        f"THEN '{lang}'"
+        for lang, _, _, thr in scripts
+    )
     branches = []
-    for lang in _STOPWORDS:
+    for lang in stopwords:
         cond = " AND ".join(
-            [f"s_{lang} > s_{o}" for o in _STOPWORDS if o != lang] + [f"s_{lang} > 0"]
+            [f"s_{lang} > s_{o}" for o in stopwords if o != lang] + [f"s_{lang} > 0"]
         )
         branches.append(f"WHEN {cond} THEN '{lang}'")
     score_cols = ",\n              ".join(
@@ -861,13 +882,13 @@ def _lang_id_oracle_sql() -> str:
     return f"""
         WITH sc AS (
           SELECT doc_id, text,
-              length(regexp_replace(text, '[^\u4e00-\u9fff]', '', 'g')) AS cjk,
               CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS n_chars,
+              {script_cols},
               {score_cols}
           FROM documents
         )
         SELECT doc_id,
-          CASE WHEN length(text) > 0 AND CAST(cjk AS DOUBLE) / n_chars > 0.2 THEN 'zh'
+          CASE {script_branches}
                {' '.join(branches)}
                ELSE 'und' END AS lang_guess
         FROM sc

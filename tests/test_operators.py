@@ -265,3 +265,47 @@ def test_ivf_index_build_query_recall(spark, tmp_path):
 
     idx2 = S.IvfIndex.load(spark, path)
     assert [r["vec_id"] for r in idx2.topk(spark, q, k=10, nprobe=3).collect()] == approx
+
+
+def test_lang_id_broadened(spark):
+    """VERDICT r2 item 7: >= 8 stopword languages + script-ratio
+    fallbacks beyond CJK (kana, Hangul, Cyrillic, Arabic, Greek,
+    Devanagari, Hebrew), spec frozen in fixtures/lang_id.json."""
+    from pyspark.sql import functions as F
+
+    from jepl_spark.operators.text import lang_id
+
+    cases = [
+        ("the cat sat on the mat and it is for you", "en"),
+        ("le chat est sur la table et il est pour toi", "fr"),
+        ("el gato es de los grandes y por una causa", "es"),
+        ("der hund und die katze ist ein tier von uns", "de"),
+        ("il gatto che dorme per la casa e non di fuori", "it"),
+        ("o gato que dorme para a casa com um amigo não está", "pt"),
+        ("de kat het een dier en van dat is op te voor", "nl"),
+        ("och att det som en katt är av för på med", "sv"),
+        ("这是一个中文句子用于测试语言识别", "zh"),
+        ("これはにほんごのぶんしょうです", "ja"),
+        ("한국어 문장입니다 언어 감지 테스트", "ko"),
+        ("это русское предложение для теста", "ru"),
+        ("هذه جملة عربية للاختبار", "ar"),
+        ("αυτή είναι μια ελληνική πρόταση", "el"),
+        ("यह एक हिंदी वाक्य है", "hi"),
+        ("זה משפט בעברית לבדיקה", "he"),
+        # kanji-heavy Japanese with enough kana must be ja, not zh
+        ("日本語の文章を書く時、漢字とかなを使います", "ja"),
+        # ties / zero overlap -> und
+        ("zzz qqq xxx", "und"),
+        ("", "und"),
+        # balanced en/fr stopword tie -> und (strict argmax)
+        ("the le", "und"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", lang_id(F.col("text")).alias("g")).collect()
+    }
+    for i, (text, want) in enumerate(cases):
+        assert got[i] == want, f"{text!r}: got {got[i]}, want {want}"

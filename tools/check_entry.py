@@ -1,7 +1,8 @@
 """Local replica of the driver's correctness gate: run every
 queries()[name] against oracle_sql()[name] via DuckDB at a given sf.
 
-Usage: PYTHONPATH=. python tools/check_entry.py [sf_dir]
+Usage: PYTHONPATH=. python tools/check_entry.py [sf_dir] [query ...]
+(optional query names restrict the run to just those gates)
 """
 
 from __future__ import annotations
@@ -55,6 +56,12 @@ def main() -> int:
         )
 
     qs = entrymod.queries()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
