@@ -351,14 +351,19 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (LSH bucket self-join → exact
-    cosine → threshold), oracle-checked by replaying the bucket math
-    in DuckDB with generated hyperplane literals.  Threshold 0.3 (not
-    the 0.95 production default) because this synthetic embedding
-    corpus has no planted near-identical vectors — max off-diagonal
-    cosine ≈ 0.37 — and an empty result set would be a vacuous gate."""
+    """Embedding-cosine near-dup pairs (multi-table LSH bucket
+    self-join, ids-only → vector re-attach → exact cosine → threshold),
+    oracle-checked by replaying the per-table bucket math in DuckDB
+    with the frozen hyperplane literals (fixtures/hyperplanes.json).
+    tables=2 exercises the OR-amplification + cross-table pair dedup
+    path.  Threshold 0.3 (not the 0.95 production default) because this
+    synthetic embedding corpus has no planted near-identical vectors —
+    max off-diagonal cosine ≈ 0.37 — and an empty result set would be a
+    vacuous gate."""
     df = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dups(df, threshold=0.3, planes=4, seed=42).select(
+    return S.embedding_near_dups(
+        df, threshold=0.3, planes=4, tables=2, seed=42
+    ).select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
         _r(F.col("cosine"), 4).alias("cosine"),
@@ -731,6 +736,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 
+def _gate_hyperplanes(planes: int, seed: int) -> list[list[float]]:
+    """Gate hyperplanes from the CHECKED-IN fixture
+    (jepl_spark/fixtures/hyperplanes.json) — not from the generator
+    code, so the oracle side is frozen: an accidental change to
+    similarity.hyperplanes cannot shift both gate sides identically
+    (a drift test pins generator == fixture separately)."""
+    import json
+    import os
+
+    fx = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "jepl_spark", "fixtures", "hyperplanes.json",
+    )
+    with open(fx, encoding="utf-8") as f:
+        entries = json.load(f)["entries"]
+    return entries[f"planes{planes}_seed{seed}"]
+
+
 def _cosine_sql(v: str, qv: str) -> str:
     """Exact cosine in DuckDB, zero-norm → 0.0 (mirrors
     similarity.cosine_to_query)."""
@@ -745,9 +768,9 @@ def _cosine_sql(v: str, qv: str) -> str:
 
 def _lsh_bucket_sql(vcol: str, hp) -> str:
     """DuckDB expression for a random-hyperplane bucket id — the
-    hyperplane constants are generated from the SAME code as the Spark
-    side (jepl_spark.operators.similarity.hyperplanes) so they cannot
-    drift; bit i = sign(v·plane_i), matching similarity.lsh_bucket."""
+    hyperplane constants come from the checked-in fixture (see
+    _gate_hyperplanes); bit i = sign(v·plane_i), matching
+    similarity.lsh_bucket."""
     bits = []
     for i, plane in enumerate(hp):
         arr = "[" + ", ".join(repr(x) for x in plane) + "]"
@@ -763,11 +786,8 @@ def _ann_index_oracle_sql() -> str:
     bucket = sign bits of v·plane_i; candidates = vectors matching the
     query's bucket in ANY table; exact cosine rescoring; top-10 by
     full-precision cosine, id tie-break."""
-    from jepl_spark.operators.similarity import hyperplanes
-
-    dim = 64  # embeddings tables are 64-dim at every SF
     pt = [
-        hyperplanes(dim, _ANN_IDX_PLANES, _ANN_IDX_SEED + 1000 * t)
+        _gate_hyperplanes(_ANN_IDX_PLANES, _ANN_IDX_SEED + 1000 * t)
         for t in range(_ANN_IDX_TABLES)
     ]
 
@@ -801,9 +821,7 @@ def _ann_lsh_oracle_sql() -> str:
     """DuckDB twin of the ad-hoc (single-table, full-scan) lsh_topk
     path: candidates = same 4-plane bucket as the query, exact cosine,
     top-10 with id tie-break."""
-    from jepl_spark.operators.similarity import hyperplanes
-
-    hp = hyperplanes(64, 4, 42)
+    hp = _gate_hyperplanes(4, 42)
     return f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -816,20 +834,24 @@ def _ann_lsh_oracle_sql() -> str:
 
 
 def _embedding_near_dups_oracle_sql() -> str:
-    """DuckDB twin of embedding_near_dups: same-bucket self-join
-    (4-plane LSH, literal hyperplanes) → exact pairwise cosine →
-    threshold."""
-    from jepl_spark.operators.similarity import hyperplanes
-
-    hp = hyperplanes(64, 4, 42)
+    """DuckDB twin of embedding_near_dups with tables=2: per-table
+    bucket from the frozen hyperplane literals, pair candidates = same
+    bucket in ANY table (OR-amplification, deduplicated by the id-pair
+    projection itself), exact pairwise cosine, threshold."""
+    pt = [_gate_hyperplanes(4, 42 + 1000 * t) for t in range(2)]
+    bk_cols = ", ".join(
+        f"({_lsh_bucket_sql('CAST(embedding AS DOUBLE[])', hp)}) AS bk{t}"
+        for t, hp in enumerate(pt)
+    )
+    any_table = " OR ".join(f"a.bk{t} = b.bk{t}" for t in range(len(pt)))
     pair_cos = _cosine_sql("a.v", "b.v")
     return f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                          ({_lsh_bucket_sql('CAST(embedding AS DOUBLE[])', hp)}) AS bk
+                          {bk_cols}
                    FROM embeddings),
         p AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b, {pair_cos} AS c_full
-          FROM e a JOIN e b ON a.bk = b.bk AND a.vec_id < b.vec_id
+          FROM e a JOIN e b ON ({any_table}) AND a.vec_id < b.vec_id
         )
         SELECT id_a, id_b, round(c_full, 4) AS cosine
         FROM p WHERE c_full >= 0.3

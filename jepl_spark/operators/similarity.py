@@ -383,37 +383,75 @@ def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,
     planes: int = 12,
+    tables: int = 1,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket: int = 10_000,
+    materialize: bool = True,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH bucket self-join →
-    exact cosine within bucket → threshold.  ``max_bucket`` caps
-    degenerate buckets (skew control)."""
+    """Embedding-cosine near-duplicate pairs: multi-table LSH bucket
+    self-join → exact cosine on the candidate pairs → threshold.
+
+    ``tables`` OR-amplifies recall exactly like ``LshIndex``: a true
+    near-dup pair is missed only if the two vectors hash apart in EVERY
+    table (per-table hyperplanes seeded ``seed + 1000·t``, the LshIndex
+    scheme).  Near-threshold pairs that a single table systematically
+    drops become tunable via ``tables`` (VERDICT r2 item 2).
+
+    Scale shape (the ``minhash_candidates`` pattern): only
+    (table, bucket, id) rides the explode, the skew-cap join, and the
+    self-join — the wide embedding vectors re-attach afterwards to the
+    (much smaller) deduplicated candidate pair set, one id-keyed join
+    per side, instead of riding the bucket exchange on BOTH sides.
+    ``max_bucket`` caps degenerate buckets per (table, bucket) before
+    the self-join (skew control).  ``materialize=False`` returns the
+    lazy, side-effect-free plan (see minhash_candidates)."""
     dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = dim_probe[0]["d"] if dim_probe else 0
-    hp = hyperplanes(dim, planes, seed)
+    planes_per_table = [
+        hyperplanes(dim, planes, seed + 1000 * t) for t in range(tables)
+    ]
+    # ids-only banding: the per-table buckets are computed in ONE
+    # map-side projection; the vector itself never leaves the scan
     bucketed = df.select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        lsh_bucket(F.col(vec_col), hp).alias("__b"),
+        F.posexplode(
+            F.array(*[lsh_bucket(F.col(vec_col), hp) for hp in planes_per_table])
+        ).alias("__t", "__b"),
     )
-    sizes = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
-    bucketed = bucketed.join(
-        sizes.filter(F.col("__n") <= max_bucket), on="__b", how="inner"
+    # bucketed feeds three consumers (sizes + both self-join sides);
+    # persist the (id, int, long) rows so the planes×dim dot products
+    # run once, released before returning (see minhash_candidates)
+    if materialize:
+        bucketed = bucketed.persist()
+    sizes = bucketed.groupBy("__t", "__b").agg(F.count(F.lit(1)).alias("__n"))
+    capped = bucketed.join(
+        sizes.filter(F.col("__n") <= max_bucket), on=["__t", "__b"], how="inner"
     )
-    a = bucketed.select("__b", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    b = bucketed.select("__b", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
-    pairs = a.join(b, on="__b", how="inner").filter(F.col("id_a") < F.col("id_b"))
+    a = capped.select("__t", "__b", F.col("__id").alias("id_a"))
+    b = capped.select("__t", "__b", F.col("__id").alias("id_b"))
+    pairs = (
+        a.join(b, on=["__t", "__b"], how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    if tables > 1:
+        # a pair colliding in several tables must score once, not T× —
+        # with a single table each pair appears at most once already
+        pairs = pairs.distinct()
+    # re-attach vectors to the candidate pairs only
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    pairs = pairs.join(va, "id_a").join(vb, "id_b")
     denom = _norm(F.col("__va")) * _norm(F.col("__vb"))
     cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
         _dot(F.col("__va"), F.col("__vb")) / denom
     )
-    # no dropDuplicates: each vector has exactly ONE bucket (single
-    # hyperplane table, no explode), so the id_a < id_b self-join emits
-    # every pair at most once — a dedup here would be a full extra
-    # shuffle of the thresholded pair set for nothing
-    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+    out = pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)  # tiny: thresholded pairs
+        bucketed.unpersist()
+    return out

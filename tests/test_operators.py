@@ -309,3 +309,68 @@ def test_lang_id_broadened(spark):
     }
     for i, (text, want) in enumerate(cases):
         assert got[i] == want, f"{text!r}: got {got[i]}, want {want}"
+
+
+def test_embedding_near_dups_multi_table_recall(spark):
+    """VERDICT r2 item 2: OR-amplification — tables=4 must recover
+    strictly more of the true near-threshold pair set than tables=1
+    (a pair is missed only if it hashes apart in EVERY table), and
+    every returned pair must be a true pair (exact cosine rescoring
+    means precision is 1.0 by construction)."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, 16)
+    rows, truth = [], set()
+    for i, v in enumerate(base):
+        rows.append((2 * i, (v / np.linalg.norm(v)).tolist()))
+        # planted near-threshold partner: cosine ~0.85-0.95
+        w = v + rng.randn(16) * 0.25
+        rows.append((2 * i + 1, (w / np.linalg.norm(w)).tolist()))
+    arr = {i: np.array(v) for i, v in rows}
+    thr = 0.8
+    ids = sorted(arr)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if float(arr[a] @ arr[b]) >= thr:
+                truth.add((a, b))
+    assert len(truth) >= 40  # the fixture actually has near-threshold pairs
+
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def found(tables):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in S.embedding_near_dups(
+                df, threshold=thr, planes=8, tables=tables, seed=3
+            ).collect()
+        }
+        assert got <= truth  # exact rescoring: no false positives
+        return got
+
+    r1, r4 = found(1), found(4)
+    assert len(r4) > len(r1), (len(r1), len(r4))
+    assert r1 <= r4  # tables=4 includes every table-0 collision
+
+
+def test_gate_constants_frozen_fixture_drift():
+    """VERDICT r2 item 5: the oracle twins read frozen fixtures; this
+    test pins generator code == fixture so neither can silently drift
+    (a generator change must consciously regenerate the fixture)."""
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "jepl_spark/fixtures/hyperplanes.json")) as f:
+        fx = json.load(f)
+    for t in range(4):
+        seed = 42 + 1000 * t
+        assert fx["entries"][f"planes4_seed{seed}"] == S.hyperplanes(64, 4, seed), (
+            f"hyperplanes(64, 4, {seed}) diverged from the checked-in fixture; "
+            "if the change is intentional, regenerate fixtures/hyperplanes.json"
+        )
+    from jepl_spark.operators.text import _SCRIPTS, _STOPWORDS
+
+    with open(os.path.join(root, "jepl_spark/fixtures/lang_id.json")) as f:
+        lf = json.load(f)
+    assert _STOPWORDS == lf["stopwords"]
+    assert [list(s) for s in _SCRIPTS] == lf["scripts"]
