@@ -390,8 +390,40 @@ def q_minhash_near_dups(spark, sf_dir):
 
 
 def q_simhash_signatures(spark, sf_dir):
+    """Rows-only: packed 64-bit SimHash per doc (no SQL twin of
+    xxhash64; determinism/normalization pinned by
+    simhash_dup_consistency, packing by unit tests)."""
     df = load_table(spark, sf_dir, "documents")
     return df.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
+
+
+def q_simhash_hamming_near_dups(spark, sf_dir):
+    """The banded Hamming search MACHINERY under the hard signal: the
+    operator runs with a deterministic surrogate signature
+    (n_chars·2³² + n_tokens — DuckDB replays it exactly; xxhash64 has
+    no SQL twin, and this corpus has no exact dups so an md5 surrogate
+    would yield a vacuous empty gate), so the oracle's brute-force
+    O(n²) xor+bit_count pair scan must equal the banded path — the
+    pigeonhole guarantee (max_hamming=3 < bands=4) makes banding
+    lossless, so any difference is a real bug in the banding/join/
+    popcount pipeline (~3k qualifying pairs at sf0.01).  The production
+    path (real simhash64 signatures) shares everything but the
+    signature expression and is covered by planted-signature unit
+    tests."""
+    from jepl_spark.operators import text as T2
+
+    df = load_table(spark, sf_dir, "documents")
+    surrogate = (
+        F.length(F.col("text")).cast("long") * F.lit(4294967296).cast("long")
+        + T2.token_count(F.col("text")).cast("long")
+    )
+    return D.simhash_hamming_near_dups(
+        df, max_hamming=3, bands=4, sig=surrogate
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
 
 
 def q_simhash_dup_consistency(spark, sf_dir):
@@ -723,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_signatures": q_simhash_signatures,
         "simhash_dup_consistency": q_simhash_dup_consistency,
+        "simhash_hamming_near_dups": q_simhash_hamming_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "lang_id": q_lang_id,
         "text_bpe_tokens": q_text_bpe_tokens,
@@ -1222,6 +1255,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS n_sigs
             FROM documents
             GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+        """,
+        # brute-force O(n²) Hamming twin of the banded search: surrogate
+        # signature = n_chars·2³² + n_tokens (deterministic, replayable);
+        # banding is lossless for max_hamming < bands, so the pair sets
+        # must be identical
+        "simhash_hamming_near_dups": """
+            WITH s AS (
+              SELECT doc_id,
+                CAST(length(text) AS BIGINT) * 4294967296
+                + CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE array_length(string_split_regex(trim(text), '\\s+'))
+                  END AS sig
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sig, b.sig)) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
         # streaming session windows: gaps-and-islands + append-mode
         # cutoff (a session is emitted once the watermark — max(ts)

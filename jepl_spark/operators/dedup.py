@@ -310,15 +310,20 @@ def _byte_signs_table() -> Column:
 
 
 def simhash64(text: Column) -> Column:
-    """64-bit SimHash over whitespace tokens, returned as a 64-char bit
-    string (MSB first): bit p is 1 iff the sum over tokens of ±1 (by bit
-    p of xxhash64(token)) ≥ 0.
+    """64-bit SimHash over whitespace tokens, packed into one BIGINT
+    (bit p of the hash = bit 63−p of the long): bit p is 1 iff the sum
+    over tokens of ±1 (by bit p of xxhash64(token)) ≥ 0.
 
     Implementation: one pass over tokens; each 64-bit hash splits into
     8 bytes, each byte maps to its ±1 octet through a literal 256-entry
     lookup, and an array accumulator adds them — ~10× faster than
-    per-bit string extraction, still pure JVM-side SQL.  Tokenization
-    shares _norm_tokens (fast path, classic-normalization-identical)."""
+    per-bit string extraction, still pure JVM-side SQL.  The final
+    packing is a weighted sum over literal powers of two (the MSB's
+    2^63 weight is applied as the two's-complement offset, since +2^63
+    itself overflows a Java long under ANSI mode).  A packed long is
+    8 bytes stored/shuffled per document vs 64 for the bit-string form
+    it replaces, and feeds xor+bit_count Hamming search directly.
+    Tokenization shares _norm_tokens (classic-normalization-identical)."""
     toks = _norm_tokens(text)
     table = _byte_signs_table()
 
@@ -339,13 +344,115 @@ def simhash64(text: Column) -> Column:
         F.array_repeat(F.lit(0), 64),
         lambda acc, t: F.zip_with(acc, signs_of(t), lambda a, s: a + s),
     )
-    bits = F.transform(sums, lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.array_join(bits, "")
+    # weights[0] = 0: the MSB cannot carry +2^63 in a signed long, so it
+    # is folded in afterwards as the two's-complement offset −2^63
+    weights = F.lit([0] + [1 << (63 - i) for i in range(1, 64)]).cast("array<long>")
+    body = F.aggregate(
+        F.zip_with(
+            sums, weights,
+            lambda s, w: F.when(s >= 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return F.when(
+        F.element_at(sums, 1) >= 0, body + F.lit(-(1 << 63)).cast("long")
+    ).otherwise(body)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed 64-bit signatures."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_hamming_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    sig: Column | None = None,
+    max_band_bucket: int = 100_000,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``
+    via banded search: the 64-bit signature splits into ``bands``
+    equal-width slices, candidates share ≥1 slice, exact distance is
+    xor+bit_count on the candidates only.
+
+    Recall is EXACT, not probabilistic: by pigeonhole, ≤ max_hamming
+    differing bits cannot touch all ``bands`` slices when
+    max_hamming < bands, so every qualifying pair shares a slice —
+    hence the constructor rejects max_hamming ≥ bands rather than
+    silently losing pairs.
+
+    Scale shape (the minhash_candidates pattern): only
+    (id, band, 16-bit key) rides the explode and self-join; signatures
+    re-attach to the deduplicated candidate pairs.  ``max_band_bucket``
+    caps degenerate slice buckets (boilerplate skew) — identical
+    signatures collide in EVERY band, so a hot bucket caps at the
+    largest identical-content group, not the corpus.
+
+    ``sig``: override the signature expression (any BIGINT column) —
+    the correctness gate uses an md5-derived surrogate a SQL oracle can
+    replay, since no SQL twin of xxhash64 exists."""
+    if 64 % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide 64")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
+            f"pigeonhole recall guarantee needs one untouched band per "
+            f"qualifying pair — raise bands (narrower slices) instead"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sig_expr = sig if sig is not None else simhash64(F.col(text_col))
+    base = df.select(F.col(id_col).alias("__id"), sig_expr.alias("__sig"))
+    if materialize:
+        base = base.persist()  # feeds banding + both re-attach sides
+    banded = base.select(
+        "__id",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("__sig"), width * b).bitwiseAND(
+                    F.lit(mask)
+                )
+                for b in range(bands)
+            ])
+        ).alias("__band", "__key"),
+    )
+    sizes = banded.groupBy("__band", "__key").agg(F.count(F.lit(1)).alias("__n"))
+    banded = banded.join(
+        sizes.filter(F.col("__n") <= max_band_bucket),
+        on=["__band", "__key"], how="inner",
+    )
+    a = banded.select("__band", "__key", F.col("__id").alias("id_a"))
+    b = banded.select("__band", "__key", F.col("__id").alias("id_b"))
+    pairs = (
+        a.join(b, on=["__band", "__key"], how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sig_a = base.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa"))
+    sig_b = base.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb"))
+    out = (
+        pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+        .select(
+            "id_a", "id_b",
+            hamming64(F.col("__sa"), F.col("__sb")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    if materialize:
+        out = out.localCheckpoint(eager=True)  # tiny: thresholded pairs
+        base.unpersist()
+    return out
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-signature SimHash dedup: keep min-id per 64-bit signature.
-    (Hamming-distance>0 search would band the signature like MinHash.)"""
+    (Hamming-distance>0 search: simhash_hamming_near_dups.)"""
     sig = simhash64(F.col(text_col)).alias("__sim")
     reps = (
         df.select(sig, F.col(id_col))

@@ -59,12 +59,86 @@ def test_minhash_dedup_removes_near_dups(spark, docs_df):
 def test_simhash(spark, docs_df):
     sigs = {r["doc_id"]: r["sig"] for r in docs_df.select(
         "doc_id", D.simhash64(F.col("text")).alias("sig")).collect()}
-    assert len(sigs[0]) == 64 and set(sigs[0]) <= {"0", "1"}
+    assert all(isinstance(s, int) for s in sigs.values())  # packed BIGINT
     assert sigs[0] == sigs[3]            # identical text → same signature
     assert sigs[2] == sigs[4]            # normalization folds case/ws
-    ham01 = sum(a != b for a, b in zip(sigs[0], sigs[1]))
-    ham02 = sum(a != b for a, b in zip(sigs[0], sigs[2]))
-    assert ham01 < ham02                 # near-dup closer than unrelated
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])  # near-dup closer
+
+
+def test_simhash_packing_matches_python_reference(spark):
+    """The packed long must equal a from-first-principles Python SimHash
+    built on Spark's own xxhash64 token hashes (bit p of the hash →
+    bit 63−p of the long, MSB via two's complement)."""
+    text = "the quick brown fox jumps over the lazy dog"
+    toks = text.split()
+    hashes = {
+        r["t"]: r["h"]
+        for r in spark.createDataFrame([(t,) for t in set(toks)], ["t"])
+        .select("t", F.xxhash64(F.col("t")).alias("h")).collect()
+    }
+    sums = [0] * 64
+    for t in toks:  # non-distinct tokens each contribute, as in the operator
+        h = hashes[t] & ((1 << 64) - 1)
+        for p in range(64):
+            sums[p] += 1 if (h >> (63 - p)) & 1 else -1
+    unsigned = 0
+    for p in range(64):
+        if sums[p] >= 0:
+            unsigned |= 1 << (63 - p)
+    expect = unsigned - (1 << 64) if unsigned >= (1 << 63) else unsigned
+
+    got = (
+        spark.createDataFrame([(text,)], ["text"])
+        .select(D.simhash64(F.col("text")).alias("s")).collect()[0]["s"]
+    )
+    assert got == expect
+
+
+def test_simhash_hamming_near_dups_planted(spark):
+    """Banded Hamming search on planted signatures: pairs at distance
+    0/1/3 found, distance 4 excluded at max_hamming=3; the pigeonhole
+    guard rejects max_hamming >= bands."""
+    base = 0x0123456789ABCDEF
+    rows = [
+        (0, base),
+        (1, base),                       # hamming 0
+        (2, base ^ 0x1),                 # hamming 1
+        (3, base ^ (0x8000000000000001 - 2**64)),  # hamming 2, MSB touched
+        (4, base ^ 0x0007000000000000), # hamming 3
+        (5, base ^ 0x3300),              # hamming >= 4 from all — excluded
+        (6, 0x7EDCBA9876543210),         # far away
+    ]
+    signed = [(i, v - 2**64 if v >= 2**63 else v) for i, v in rows]
+    df = spark.createDataFrame(signed, ["doc_id", "sig"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_hamming_near_dups(
+            df, id_col="doc_id", sig=F.col("sig"), max_hamming=3, bands=4
+        ).collect()
+    }
+    assert got[(0, 1)] == 0
+    assert got[(0, 2)] == 1 and got[(1, 2)] == 1
+    assert got[(0, 3)] == 2
+    assert got[(0, 4)] == 3
+    assert not any(5 in p or 6 in p for p in got)
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_hamming_near_dups(df, sig=F.col("sig"), max_hamming=4, bands=4)
+
+
+def test_simhash_hamming_near_dups_real_text(spark, docs_df):
+    """Production path: real simhash64 signatures over the doc corpus —
+    the exact/normalized dup pairs land at hamming 0."""
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_hamming_near_dups(docs_df, max_hamming=3).collect()
+    }
+    assert got[(0, 3)] == 0   # exact dup
+    assert got[(2, 4)] == 0   # case/whitespace-normalized dup
 
 
 def test_ngram_jaccard_exact_value(spark, docs_df):
