@@ -715,6 +715,56 @@ def q_stream_stateful_rule(spark, sf_dir):
     )
 
 
+def q_stream_dedup_rule(spark, sf_dir):
+    """Streaming exact dedup under the hard signal: the documents table
+    plus a full duplicate copy (+30 min event time, inside the 1 h
+    dedup horizon) staged as an ordered file stream →
+    dropDuplicatesWithinWatermark on content_hash → exactly-once sink.
+    Exactly one row per distinct content survives; WHICH copy survives
+    is execution-order-dependent, so the gate projects group-invariant
+    columns only (the hash and the per-content length) — the oracle is
+    simply the distinct content set.  Watermark-expiry re-emission
+    (a dup arriving after eviction) is order-sensitive by contract and
+    is pinned by tests/test_streaming.py instead."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-sdedup-")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        (F2.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F2.make_interval(secs=F2.col("doc_id").cast("double"))).alias("event_time"),
+    )
+    dups = docs.select(
+        (F2.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+        (F2.col("event_time") + F2.expr("INTERVAL 30 MINUTES")).alias("event_time"),
+    )
+    src = f"{work}/src"
+    docs.unionByName(dups).write.mode("overwrite").parquet(src)
+    deduped = D.stream_exact_dedup(
+        file_stream(spark, src, docs.schema),
+        text_col="text", ts_col="event_time", watermark="1 hour",
+    )
+    sink = IdempotentParquetSink(f"{work}/sink")
+    q = (
+        deduped.select("content_hash", F2.length("text").alias("n_chars"))
+        .writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    out = sink.read_committed(spark)
+    return out.select(
+        "content_hash", F2.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
 def q_lang_id(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     return df.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
@@ -764,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_rule": q_stream_windowed_rule,
         "stream_session_rule": q_stream_session_rule,
         "stream_stateful_rule": q_stream_stateful_rule,
+        "stream_dedup_rule": q_stream_dedup_rule,
     }
 
 
@@ -1320,6 +1371,17 @@ def oracle_sql() -> dict[str, str]:
             ), m AS (SELECT epoch(max(ts)) AS mx FROM events)
             SELECT g.ws, g.user_id, g.cnt, g.v_sum, g.v_avg, g.v_min, g.v_max
             FROM g, m WHERE g.ws + 21600 <= m.mx - 3600
+        """,
+        # streaming dedup: dedup state filters rather than holds, so
+        # every first-seen content hash is emitted regardless of the
+        # watermark cutoff — the expected set is simply the distinct
+        # normalized-content set (the +30min duplicate copy falls inside
+        # the 1h horizon and never survives)
+        "stream_dedup_rule": """
+            SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+                   CAST(min(length(text)) AS BIGINT) AS n_chars
+            FROM documents
+            GROUP BY 1
         """,
         # multimodal: the oracle regenerates the synthetic pixel values
         # from the formula in multimodal._synth_pixels and aggregates

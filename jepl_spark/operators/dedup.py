@@ -57,6 +57,37 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def stream_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for training-data ingest: first occurrence
+    of each normalized-content hash passes through, later copies are
+    dropped.  Rows are emitted immediately (dedup state filters, it
+    does not hold rows), so this composes in front of windowed
+    aggregation / the exactly-once sink without adding latency.
+
+    With ``ts_col``: ``dropDuplicatesWithinWatermark`` — state for a
+    hash is evicted once the event-time watermark passes its timestamp
+    + delay, so state is bounded by the stream's rate × delay (the only
+    shape that survives an unbounded 10¹²-clip stream).  A duplicate
+    arriving after its original's state was evicted is re-emitted —
+    that is the documented contract of watermark-bounded dedup, not a
+    bug; size ``watermark`` to the ingest pipeline's real dedup horizon.
+
+    Without ``ts_col``: plain ``dropDuplicates`` on the hash —
+    exact-forever dedup with state that grows with distinct content;
+    only for bounded backfills."""
+    out = stream.withColumn("content_hash", content_hash(F.col(text_col)))
+    if ts_col is None:
+        return out.dropDuplicates(["content_hash"])
+    return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 # -- shingling ---------------------------------------------------------------
 
 

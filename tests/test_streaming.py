@@ -15,6 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -740,3 +741,88 @@ def test_randomized_sliding_window_parity(spark, tmp_path):
         if k[0] < horizon
     }
     _assert_matches(expected, _rows_to_map(sql, rows, 0))
+
+
+DEDUP_PA_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("text", pa.string()),
+        pa.field("event_time", pa.timestamp("us", tz="UTC")),
+    ]
+)
+DEDUP_SPARK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("event_time", TimestampType()),
+    ]
+)
+
+
+def test_stream_exact_dedup_watermark_bounded(spark, tmp_path):
+    """VERDICT r2 item 4, the semantics the gate cannot pin: a duplicate
+    inside the watermark horizon is dropped even ACROSS batches, while
+    a duplicate arriving after its original's state was evicted is
+    re-emitted (bounded-state contract) — and normalization folds
+    case/whitespace variants into one hash."""
+    from jepl_spark.operators.dedup import stream_exact_dedup
+
+    def d(i, text, t):
+        return {"doc_id": i, "text": text, "event_time": ts(t)}
+
+    batches = [
+        [d(0, "alpha beta gamma", 0), d(1, "other content here", 1)],
+        [d(2, "Alpha  BETA gamma", 5)],        # dup of 0 modulo norm, in horizon
+        [d(3, "watermark mover", 4000)],       # advances watermark past 0+delay
+        [d(6, "watermark spacer", 4001)],      # eviction wm lags one batch (i-1)
+        [d(4, "alpha beta gamma", 3995)],      # 0's state evicted -> re-emitted
+        [d(5, "far future flush", 90000)],
+    ]
+    src = str(tmp_path / "src")
+    write_batches(src, batches, DEDUP_PA_SCHEMA)
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    stream = file_stream(spark, src, DEDUP_SPARK_SCHEMA, max_files_per_trigger=1)
+    out = stream_exact_dedup(stream, ts_col="event_time", watermark="10 seconds")
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    rows = sink.read_committed(spark).select("doc_id").collect()
+    got = sorted(r["doc_id"] for r in rows)
+    # 2 deduped (same hash as 0, within horizon); 4 re-emitted (state
+    # for 0 evicted once the watermark passed 0s + 10s)
+    assert got == [0, 1, 3, 4, 5, 6], got
+
+
+def test_stream_exact_dedup_unbounded_mode(spark, tmp_path):
+    """ts_col=None: plain dropDuplicates — exact-forever state, dups
+    dropped regardless of distance."""
+    from jepl_spark.operators.dedup import stream_exact_dedup
+
+    def d(i, text, t):
+        return {"doc_id": i, "text": text, "event_time": ts(t)}
+
+    batches = [
+        [d(0, "alpha beta", 0)],
+        [d(1, "alpha beta", 50000)],   # far away, still deduped
+        [d(2, "fresh text", 50001)],
+    ]
+    src = str(tmp_path / "src")
+    write_batches(src, batches, DEDUP_PA_SCHEMA)
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    stream = file_stream(spark, src, DEDUP_SPARK_SCHEMA, max_files_per_trigger=1)
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    got = sorted(r["doc_id"] for r in sink.read_committed(spark).collect())
+    assert got == [0, 2], got
