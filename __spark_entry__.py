@@ -606,6 +606,43 @@ def q_stream_join_windowed(spark, sf_dir):
     )
 
 
+def q_stream_manifest_sink_rule(spark, sf_dir):
+    """The rename-free exactly-once sink (ManifestCommitSink) under the
+    hard signal: the windowed JEPL rule as a live streaming query,
+    committed via atomic-PUT manifests instead of rename markers — the
+    object-store-safe lane (VERDICT r2 item 1).  Emission/oracle cutoff
+    identical to stream_windowed_rule; reading back EXACTLY the
+    manifest-listed files must reproduce the same rows."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from jepl_spark.streaming.engine import file_stream, run_rule_stream, run_to_completion
+    from jepl_spark.streaming.sink import ManifestCommitSink
+
+    work = tempfile.mkdtemp(prefix="entry-manifest-")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F2.col("ts").cast("timestamp")
+    )
+    events.write.mode("overwrite").parquet(f"{work}/src")
+    sink = ManifestCommitSink(f"{work}/sink")
+    q = run_rule_stream(
+        "select count(event_id) AS n, avg(value) AS a from events "
+        "where value > 5 group by event_type",
+        file_stream(spark, f"{work}/src", events.schema),
+        ts_col="ts", duration="6 hours", watermark="1 hour",
+        foreach_batch=sink.foreach_batch(), checkpoint=f"{work}/ckpt",
+    )
+    run_to_completion(q, timeout_s=600)
+    out = sink.read_committed(spark)
+    return out.select(
+        F2.unix_timestamp("window_start").cast("bigint").alias("ws"),
+        F2.col("event_type"),
+        F2.col("n").cast("bigint").alias("n"),
+        _r(F2.col("a")).alias("a"),
+    )
+
+
 def q_window_session(spark, sf_dir):
     """Session windows (F.session_window) under the oracle: per-user
     12h-gap sessions over events, conditional aggregation (group keys
@@ -815,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_rule": q_stream_session_rule,
         "stream_stateful_rule": q_stream_stateful_rule,
         "stream_dedup_rule": q_stream_dedup_rule,
+        "stream_manifest_sink_rule": q_stream_manifest_sink_rule,
     }
 
 
@@ -1371,6 +1409,21 @@ def oracle_sql() -> dict[str, str]:
             ), m AS (SELECT epoch(max(ts)) AS mx FROM events)
             SELECT g.ws, g.user_id, g.cnt, g.v_sum, g.v_avg, g.v_min, g.v_max
             FROM g, m WHERE g.ws + 21600 <= m.mx - 3600
+        """,
+        # manifest-commit sink lane: same append-emission cutoff as
+        # stream_windowed_rule; group keys enumerated pre-WHERE per window
+        "stream_manifest_sink_rule": """
+            WITH g AS (
+              SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS ws,
+                     event_type,
+                     CAST(count(CASE WHEN value > 5 THEN 1 END) AS BIGINT) AS n,
+                     round(CASE WHEN count(CASE WHEN value > 5 THEN 1 END) = 0 THEN 0.0
+                           ELSE coalesce(sum(CASE WHEN value > 5 THEN value END), 0.0)
+                                / count(CASE WHEN value > 5 THEN 1 END) END, 4) AS a
+              FROM events GROUP BY 1, 2
+            ), m AS (SELECT epoch(max(ts)) AS mx FROM events)
+            SELECT g.ws, g.event_type, g.n, g.a FROM g, m
+            WHERE g.ws + 21600 <= m.mx - 3600
         """,
         # streaming dedup: dedup state filters rather than holds, so
         # every first-seen content hash is emitted regardless of the

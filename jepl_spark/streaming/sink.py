@@ -7,17 +7,22 @@ protocol Iceberg implements natively with its
 ``spark.sql.streaming.commit`` snapshot property — see
 IdempotentSink.docstring).
 
-This module ships two implementations behind one interface:
+This module ships three implementations behind one interface:
 
+- ``IdempotentParquetSink``: rename-marker protocol — fastest, but
+  sound only where rename is atomic (local/NFS, hdfs://, viewfs://);
+  every other scheme is rejected.
+    data    →  <root>/data/batch=<id>/...      (overwrite on replay)
+    commit  →  <root>/_commits/<id>            (atomic rename marker)
+- ``ManifestCommitSink``: rename-FREE protocol for object stores —
+  unique attempt directories + versioned manifest objects published by
+  atomic PUT, readers follow the winning manifest's exact file list.
+  The executable answer where rename is copy+delete (s3a, gs, abfs).
 - ``IcebergSink``: appends with a WAP-style idempotency check — used
   when an Iceberg catalog is configured (not available in this sandbox;
   the class raises cleanly if the runtime lacks Iceberg).
-- ``IdempotentParquetSink``: dependency-free fallback with the same
-  semantics on any Hadoop-compatible FS:
-    data    →  <root>/data/batch=<id>/...      (overwrite on replay)
-    commit  →  <root>/_commits/<id>            (atomic rename marker)
-  A replayed batch rewrites its own directory and re-marks; readers see
-  only marked batches → exactly-once end to end.
+  ManifestCommitSink implements the same commit idea without the
+  runtime dependency.
 
 Lineage: ``add_lineage`` stamps each row with the batch id, task
 partition id, and (for file sources) the input file — the per-partition
@@ -52,8 +57,8 @@ def add_lineage(df: DataFrame, batch_id: Optional[int] = None) -> DataFrame:
 # URI schemes with ATOMIC rename — the only ones the commit-marker
 # protocol is sound on.  An allowlist, not a blocklist: any unknown
 # scheme (s3a, gs, swift, custom FUSE, …) is rejected so the contract
-# cannot rot as new stores appear; Iceberg's snapshot commit is the
-# answer on object stores.
+# cannot rot as new stores appear; ManifestCommitSink (rename-free) is
+# the answer on object stores.
 _ATOMIC_RENAME_SCHEMES = ("", "file", "hdfs", "viewfs")
 
 
@@ -72,8 +77,8 @@ class IdempotentParquetSink:
         if scheme not in _ATOMIC_RENAME_SCHEMES:
             raise ValueError(
                 f"IdempotentParquetSink needs atomic rename; {scheme}:// "
-                "is not known to provide it — use IcebergSink for object "
-                "stores"
+                "is not known to provide it — use ManifestCommitSink "
+                "(rename-free) or IcebergSink for object stores"
             )
         self.root = root
         self.lineage = lineage
@@ -148,6 +153,174 @@ class IdempotentParquetSink:
         return spark.read.option("basePath", os.path.join(self.root, "data")).parquet(
             *paths
         )
+
+
+class ManifestCommitSink:
+    """Exactly-once sink with NO atomic-rename dependency — the
+    executable object-store answer next to ``IdempotentParquetSink``
+    (rename-atomic filesystems) and ``IcebergSink`` (design-only here:
+    no Iceberg runtime in this sandbox).
+
+    Protocol (the manifest-commit variant of Iceberg's snapshot commit,
+    specialized to foreachBatch's single-writer-per-query contract):
+
+    - data files for batch B are written to a UNIQUE attempt directory
+      ``data/batch=B/attempt=<uuid>/`` — never overwritten in place, so
+      a crashed attempt can only leave ORPHANS, never torn visible data;
+    - after the write job succeeds, the attempt's part files are listed
+      and a NEW manifest object ``_manifests/v<N+1>-<uuid>.json`` is
+      PUT, carrying the full batches→files map (previous manifest's map
+      + this batch).  Readers list the manifest directory, pick the
+      highest (version, name) — a deterministic last-writer-wins — and
+      read EXACTLY the files it names;
+    - a replayed batch whose id is already in the current manifest is a
+      no-op; a replay of an uncommitted batch writes a fresh attempt and
+      publishes the next manifest version.
+
+    The only store primitives required are atomic PUT of a whole new
+    object and LIST — both hold on S3 (strongly consistent since 2020),
+    GCS, ABFS, HDFS, and POSIX.  Rename never happens, so rename
+    non-atomicity cannot lose or duplicate data.  Crash windows:
+    * after data write, before manifest PUT → orphan files, invisible
+      (not in any manifest); the replay commits a fresh attempt once.
+    * after manifest PUT → replay sees the batch committed → no-op.
+
+    Single-writer assumption: one streaming query owns one sink root
+    (Structured Streaming's foreachBatch contract).  If two zombie
+    writers ever race the same version number, last-writer-wins picks
+    one attempt's files deterministically — each candidate manifest is
+    a consistent exactly-once view, matching Iceberg's semantics when
+    its CAS is reduced to LWW.
+
+    Lineage: rows carry the same ``add_lineage`` stamps as the parquet
+    sink, plus the manifest records per-batch file lists — the
+    per-partition lineage required by the north rule survives compaction
+    decisions because readers never glob."""
+
+    _MANIFESTS = "_manifests"
+
+    def __init__(self, root: str, lineage: bool = True) -> None:
+        self.root = root
+        self.lineage = lineage
+
+    # -- manifest I/O -----------------------------------------------------
+
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, self._MANIFESTS)
+
+    @staticmethod
+    def _active_spark() -> SparkSession:
+        s = SparkSession.getActiveSession()
+        if s is None:  # pragma: no cover - foreachBatch always has one
+            raise RuntimeError("no active SparkSession for sink manifest I/O")
+        return s
+
+    def _manifest_names(self, spark: SparkSession) -> list[str]:
+        fs, jpath, _ = _fsutil.hadoop_fs(spark, self._manifest_dir)
+        if not fs.exists(jpath):
+            return []
+        names = [st.getPath().getName() for st in fs.listStatus(jpath)]
+        return [n for n in names if n.startswith("v") and n.endswith(".json")]
+
+    def current_manifest(self, spark: Optional[SparkSession] = None) -> dict:
+        """The winning manifest: highest (zero-padded version, name) —
+        deterministic for any fixed set of manifest objects."""
+        spark = spark or self._active_spark()
+        names = self._manifest_names(spark)
+        if not names:
+            return {"version": 0, "batches": {}}
+        winner = max(names)  # v%012d- prefix makes lexicographic == numeric
+        return json.loads(
+            _fsutil.read_text(spark, os.path.join(self._manifest_dir, winner))
+        )
+
+    # -- protocol ----------------------------------------------------------
+
+    def is_committed(self, batch_id: int, spark: Optional[SparkSession] = None) -> bool:
+        return str(int(batch_id)) in self.current_manifest(spark)["batches"]
+
+    def committed_batches(self, spark: Optional[SparkSession] = None) -> list[int]:
+        return sorted(
+            int(b) for b in self.current_manifest(spark)["batches"]
+        )
+
+    def _list_parquet(self, spark: SparkSession, directory: str) -> list[str]:
+        fs, jpath, _ = _fsutil.hadoop_fs(spark, directory)
+        return sorted(
+            str(st.getPath().toString())
+            for st in fs.listStatus(jpath)
+            if st.getPath().getName().endswith(".parquet")
+        )
+
+    def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import uuid
+
+        spark = batch_df.sparkSession
+        man = self.current_manifest(spark)
+        if str(int(batch_id)) in man["batches"]:
+            return  # replay of a committed batch → no-op
+        attempt = uuid.uuid4().hex
+        out = add_lineage(batch_df, batch_id) if self.lineage else batch_df
+        attempt_dir = os.path.join(
+            self.root, "data", f"batch={int(batch_id)}", f"attempt={attempt}"
+        )
+        # errorifexists: the attempt dir is unique by construction, so an
+        # existing one means a protocol violation worth failing loudly on
+        out.write.mode("error").parquet(attempt_dir)
+        files = self._list_parquet(spark, attempt_dir)
+        new_man = {
+            "version": int(man["version"]) + 1,
+            "batches": {**man["batches"], str(int(batch_id)): files},
+            "ts": time.time(),
+        }
+        name = f"v{new_man['version']:012d}-{attempt}.json"
+        # atomic PUT of a whole new object — the commit point
+        _fsutil.write_text(
+            spark, os.path.join(self._manifest_dir, name), json.dumps(new_man)
+        )
+
+    def foreach_batch(self) -> Callable[[DataFrame, int], None]:
+        return self.write_batch
+
+    # -- readers / maintenance ----------------------------------------------
+
+    def read_committed(self, spark: SparkSession) -> DataFrame:
+        """Read EXACTLY the files named by the winning manifest —
+        orphans from crashed attempts are invisible by construction."""
+        man = self.current_manifest(spark)
+        if not man["batches"]:
+            raise ValueError(f"no committed batches under {self.root}")
+        files = [f for fl in man["batches"].values() for f in fl]
+        if not files:
+            raise ValueError(
+                f"committed batches under {self.root} contain no data files "
+                "(all batches were empty) — nothing to infer a schema from"
+            )
+        return spark.read.parquet(*files)
+
+    def orphan_files(self, spark: SparkSession) -> list[str]:
+        """Data files not referenced by the winning manifest (crashed or
+        superseded attempts) — safe to delete any time; listed rather
+        than auto-deleted so vacuuming stays an explicit operation."""
+        man = self.current_manifest(spark)
+        referenced = {f for fl in man["batches"].values() for f in fl}
+        data_root = os.path.join(self.root, "data")
+        fs, jroot, _ = _fsutil.hadoop_fs(spark, data_root)
+        if not fs.exists(jroot):
+            return []
+        out = []
+        for bdir in fs.listStatus(jroot):
+            if not bdir.isDirectory():
+                continue
+            for adir in fs.listStatus(bdir.getPath()):
+                if not adir.isDirectory():
+                    continue
+                for st in fs.listStatus(adir.getPath()):
+                    p = str(st.getPath().toString())
+                    if p.endswith(".parquet") and p not in referenced:
+                        out.append(p)
+        return sorted(out)
 
 
 class IcebergSink:

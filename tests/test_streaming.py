@@ -826,3 +826,191 @@ def test_stream_exact_dedup_unbounded_mode(spark, tmp_path):
     run_to_completion(q)
     got = sorted(r["doc_id"] for r in sink.read_committed(spark).collect())
     assert got == [0, 2], got
+
+
+# -- ManifestCommitSink: the rename-free exactly-once matrix ---------------
+
+
+def test_manifest_sink_idempotent(spark, tmp_path):
+    from jepl_spark.streaming.sink import ManifestCommitSink
+
+    sink = ManifestCommitSink(str(tmp_path / "msink"))
+    df = spark.range(5).select(F.col("id"))
+    sink.write_batch(df, 0)
+    sink.write_batch(df, 0)  # replay → no-op
+    sink.write_batch(df, 1)
+    assert sink.committed_batches() == [0, 1]
+    got = sink.read_committed(spark)
+    assert got.count() == 10
+    assert set(got.columns) >= {"id", "_lineage_partition", "_lineage_batch"}
+    # two commits → manifest v1, v2; replay did NOT publish a version
+    assert sink.current_manifest(spark)["version"] == 2
+
+
+def test_manifest_sink_crash_before_manifest_put(spark, tmp_path):
+    """Crash AFTER the attempt's data files are fully written but BEFORE
+    the manifest PUT: the files are orphans (invisible to readers), the
+    replay commits a fresh attempt exactly once, and orphan_files()
+    reports the dead attempt for vacuuming."""
+    from jepl_spark.streaming.sink import ManifestCommitSink, add_lineage
+
+    sink = ManifestCommitSink(str(tmp_path / "msink"))
+    df = spark.range(7).select(F.col("id"))
+
+    # simulate the first (crashing) attempt: data written, no manifest
+    dead_dir = os.path.join(sink.root, "data", "batch=0", "attempt=deadbeef")
+    add_lineage(df, 0).write.mode("error").parquet(dead_dir)
+    assert sink.committed_batches() == []
+    with pytest.raises(ValueError, match="no committed batches"):
+        sink.read_committed(spark)
+
+    # the replay (what foreachBatch does on restart)
+    sink.write_batch(df, 0)
+    assert sink.committed_batches() == [0]
+    assert sink.read_committed(spark).count() == 7  # not 14: orphans invisible
+    orphans = sink.orphan_files(spark)
+    assert orphans and all("attempt=deadbeef" in p for p in orphans)
+
+
+def test_manifest_sink_last_writer_wins_deterministic(spark, tmp_path):
+    """Two same-version manifests (the zombie-writer race): every reader
+    picks the SAME winner — max (version, name) — and sees a consistent
+    exactly-once view (one attempt's files, never a mix)."""
+    import json as _json
+
+    from jepl_spark import fsutil
+    from jepl_spark.streaming.sink import ManifestCommitSink
+
+    sink = ManifestCommitSink(str(tmp_path / "msink"), lineage=False)
+    df_a = spark.range(3).select(F.col("id"))
+    df_b = spark.range(100, 105).select(F.col("id"))
+
+    # attempt A commits batch 0 normally (v1)
+    sink.write_batch(df_a, 0)
+    man_a = sink.current_manifest(spark)
+
+    # zombie attempt B races the same version with different files
+    dir_b = os.path.join(sink.root, "data", "batch=0", "attempt=zzzz")
+    df_b.write.mode("error").parquet(dir_b)
+    files_b = sink._list_parquet(spark, dir_b)
+    man_b = {"version": 1, "batches": {"0": files_b}, "ts": 0}
+    fsutil.write_text(
+        spark,
+        os.path.join(sink.root, "_manifests", "v000000000001-zzzz.json"),
+        _json.dumps(man_b),
+    )
+
+    got = sink.current_manifest(spark)
+    assert got["version"] == 1
+    # 'zzzz' sorts after attempt A's uuid with probability ~1; assert the
+    # tie-break picked exactly one attempt's files, not a mix
+    assert got["batches"]["0"] in (man_a["batches"]["0"], files_b)
+    n = sink.read_committed(spark).count()
+    assert n in (3, 5)  # one consistent view
+    # and every fresh reader agrees
+    assert ManifestCommitSink(sink.root).current_manifest(spark) == got
+
+
+def test_manifest_sink_checkpoint_kill_resume(spark, tmp_path):
+    """The kill/resume matrix on the rename-free sink: same checkpoint,
+    new data after restart, every window exactly once."""
+    from jepl_spark.streaming.sink import ManifestCommitSink
+
+    sql = "select count(value) AS n, sum(value) AS s from s where value > 0"
+    src = str(tmp_path / "src")
+    sink = ManifestCommitSink(str(tmp_path / "msink"))
+    ckpt = str(tmp_path / "ckpt")
+
+    phase1 = [
+        [_doc("u1", "click", 1.0, 1), _doc("u2", "click", 2.0, 2)],
+        [_doc("u1", "click", 3.0, 31)],
+    ]
+    write_batches(src, phase1, PA_SCHEMA)
+    q = run_rule_stream(
+        sql, file_stream(spark, src, SPARK_SCHEMA, max_files_per_trigger=1),
+        ts_col="event_time", duration="30 seconds", watermark="10 seconds",
+        foreach_batch=sink.foreach_batch(), checkpoint=ckpt,
+    )
+    run_to_completion(q)
+    committed_after_1 = sink.committed_batches()
+
+    phase2 = [
+        [_doc("u2", "click", 5.0, 62)],
+        *_sentinels(1000),
+    ]
+    import time as _t
+
+    for i, docs in enumerate(phase2):
+        write_batches(str(tmp_path / "stage2"), [docs], PA_SCHEMA)
+        srcfile = os.path.join(str(tmp_path / "stage2"), "00000.parquet")
+        dst = os.path.join(src, f"1{i:04d}.parquet")
+        os.replace(srcfile, dst)
+        os.utime(dst, (_t.time() + i, _t.time() + i))
+
+    q2 = run_rule_stream(
+        sql, file_stream(spark, src, SPARK_SCHEMA, max_files_per_trigger=1),
+        ts_col="event_time", duration="30 seconds", watermark="10 seconds",
+        foreach_batch=sink.foreach_batch(), checkpoint=ckpt,
+    )
+    run_to_completion(q2)
+    assert len(sink.committed_batches()) > len(committed_after_1)
+
+    rows = {
+        (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds():
+        (r["n"], r["s"])
+        for r in sink.read_committed(spark).collect()
+        if (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds() < 900
+    }
+    assert rows == {0.0: (2.0, 3.0), 30.0: (1.0, 3.0), 60.0: (1.0, 5.0)}
+
+
+def test_manifest_sink_streaming_crash_replay(spark, tmp_path):
+    """Full streaming crash-mid-batch drive: die between the data write
+    and the manifest PUT inside foreachBatch, restart from the same
+    checkpoint, assert exactly-once output."""
+    from jepl_spark.streaming.sink import ManifestCommitSink, add_lineage
+
+    sql = "select count(value) AS n from s where value > 0"
+    src = str(tmp_path / "src")
+    batches = [
+        [_doc("u1", "k", 1.0, 1), _doc("u1", "k", 2.0, 2)],
+        *_sentinels(1000),
+    ]
+    write_batches(src, batches, PA_SCHEMA)
+    sink = ManifestCommitSink(str(tmp_path / "msink"))
+
+    crash_on = {1}
+
+    def crashing_write(bdf, bid):
+        if bid in crash_on and not sink.is_committed(bid):
+            path = os.path.join(sink.root, "data", f"batch={int(bid)}",
+                                "attempt=crashed0")
+            add_lineage(bdf, bid).write.mode("error").parquet(path)
+            crash_on.discard(bid)
+            raise RuntimeError("injected crash before manifest put")
+        sink.write_batch(bdf, bid)
+
+    q = run_rule_stream(
+        sql, file_stream(spark, src, SPARK_SCHEMA, max_files_per_trigger=1),
+        ts_col="event_time", duration="30 seconds", watermark="10 seconds",
+        foreach_batch=crashing_write, checkpoint=str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        run_to_completion(q)
+    assert 1 not in sink.committed_batches()
+
+    q2 = run_rule_stream(
+        sql, file_stream(spark, src, SPARK_SCHEMA, max_files_per_trigger=1),
+        ts_col="event_time", duration="30 seconds", watermark="10 seconds",
+        foreach_batch=crashing_write, checkpoint=str(tmp_path / "ckpt"),
+    )
+    run_to_completion(q2)
+
+    rows = {
+        (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds(): r["n"]
+        for r in sink.read_committed(spark).collect()
+        if (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds() < 900
+    }
+    assert rows == {0.0: 2.0}
+    # the crashed attempt's files are orphans, reported for vacuum
+    assert any("attempt=crashed0" in p for p in sink.orphan_files(spark))
