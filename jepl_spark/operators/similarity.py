@@ -257,11 +257,29 @@ class IvfIndex:
         self.vec_col = vec_col
         self.id_col = id_col
 
+    @staticmethod
+    def centroid_fingerprint(centroids) -> str:
+        """md5 over the exact float64 centroid values (json round-trips
+        doubles losslessly) — persisted in the meta sidecar so a reload
+        can PROVE it will reproduce the build's cell assignment."""
+        import hashlib
+        import json
+
+        payload = json.dumps([[float(x) for x in c] for c in centroids])
+        return hashlib.md5(payload.encode()).hexdigest()
+
     @classmethod
     def load(cls, spark, path: str) -> "IvfIndex":
         import json
 
         meta = json.loads(_fsutil.read_text(spark, f"{path}/{cls._META}"))
+        fp = meta.get("centroid_fingerprint")
+        if fp is not None and fp != cls.centroid_fingerprint(meta["centroids"]):
+            raise ValueError(
+                f"IVF meta sidecar at {path} is corrupt: stored centroid "
+                f"fingerprint does not match the stored centroids — "
+                f"querying it would probe the wrong cells silently"
+            )
         return cls(path, meta["centroids"], meta["vec_col"], meta["id_col"])
 
     def query_cells(self, query: Sequence[float], nprobe: int) -> list[int]:
@@ -327,7 +345,8 @@ def ivf_build_fixed(
         .parquet(path)
     )
     meta = {"centroids": cents, "vec_col": vec_col, "id_col": id_col,
-            "n_cells": len(cents), "seed": None}
+            "n_cells": len(cents), "seed": None,
+            "centroid_fingerprint": IvfIndex.centroid_fingerprint(cents)}
     _fsutil.write_text(df.sparkSession, f"{path}/{IvfIndex._META}", json.dumps(meta))
     return IvfIndex(path, cents, vec_col, id_col)
 
@@ -373,8 +392,13 @@ def ivf_build(
         .partitionBy("ivf_cell")
         .parquet(path)
     )
+    # the training provenance (seed + sample fraction) and the exact
+    # centroid fingerprint persist alongside the data: any session can
+    # verify on load that it probes the same quantizer the build used
     meta = {"centroids": centroids, "vec_col": vec_col, "id_col": id_col,
-            "n_cells": n_cells, "seed": seed}
+            "n_cells": n_cells, "seed": seed,
+            "sample_fraction": sample_fraction,
+            "centroid_fingerprint": IvfIndex.centroid_fingerprint(centroids)}
     _fsutil.write_text(df.sparkSession, f"{path}/{IvfIndex._META}", json.dumps(meta))
     return IvfIndex(path, centroids, vec_col, id_col)
 
