@@ -358,14 +358,23 @@ def run_suite(cores: int, sf_dir: str, with_stream: bool = True) -> dict:
         spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(1).collect()
         qs = batch_queries(spark, sf_dir)
         for name, fn in qs.items():
-            # cache hygiene: no query may inherit (or lose memory to)
-            # another query's cached/persisted frames — the round-1
-            # ngram regression was a minhash persist squatting on
-            # storage memory during the very next timing
-            spark.catalog.clearCache()
-            t0 = time.time()
-            fn()  # warm not separated: single-shot timing, consistent per round
-            results[name] = round(time.time() - t0, 3)
+            # min of two runs: the first call pays plan compilation +
+            # codegen JIT that a long-lived engine pays once ever, and
+            # the sustained-throughput question is about the warm state
+            # (same methodology as the clips_stream lane and the
+            # BASELINE.md "final" figures — VERDICT r2 item 6)
+            best = None
+            for _ in range(2):
+                # cache hygiene: no run may inherit (or lose memory to)
+                # another's cached/persisted frames — the round-1 ngram
+                # regression was a minhash persist squatting on storage
+                # memory during the very next timing
+                spark.catalog.clearCache()
+                t0 = time.time()
+                fn()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            results[name] = round(best, 3)
         return {"queries": results, "stream": None}
     finally:
         spark.stop()
