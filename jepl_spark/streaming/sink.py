@@ -287,17 +287,83 @@ class ManifestCommitSink:
 
     def read_committed(self, spark: SparkSession) -> DataFrame:
         """Read EXACTLY the files named by the winning manifest —
-        orphans from crashed attempts are invisible by construction."""
+        orphans from crashed attempts are invisible by construction.
+        File lists are de-duplicated: after compact() several batch ids
+        share one rewritten file set."""
         man = self.current_manifest(spark)
         if not man["batches"]:
             raise ValueError(f"no committed batches under {self.root}")
-        files = [f for fl in man["batches"].values() for f in fl]
+        files = sorted({f for fl in man["batches"].values() for f in fl})
         if not files:
             raise ValueError(
                 f"committed batches under {self.root} contain no data files "
                 "(all batches were empty) — nothing to infer a schema from"
             )
         return spark.read.parquet(*files)
+
+    def compact(self, spark: SparkSession, min_batches: int = 2,
+                target_partitions: int = 1) -> bool:
+        """Rewrite all committed data files into ``target_partitions``
+        files and publish the next manifest version, with every
+        non-empty batch id mapped to the shared compacted file set.
+
+        This is the maintenance half the 10¹²-row story needs: an
+        availableNow/minutely stream commits one small file set per
+        micro-batch, and a year of micro-batches is millions of tiny
+        parquet files — the classic small-file collapse of any
+        object-store table.  Because readers follow the manifest (never
+        a directory glob), compaction is just another atomic manifest
+        PUT: concurrent readers see the old or the new version, both
+        complete; replay idempotency is untouched since batch IDS stay
+        in the map.  Old files become orphans for ``vacuum()``.
+
+        Same single-writer assumption as write_batch: run from the
+        owning maintenance process, not concurrently with an active
+        writer racing manifest versions.  Returns False (no-op) when
+        fewer than ``min_batches`` non-empty batches exist."""
+        import uuid
+
+        man = self.current_manifest(spark)
+        nonempty = [b for b, fl in man["batches"].items() if fl]
+        if len(nonempty) < min_batches:
+            return False
+        files = sorted({f for fl in man["batches"].values() for f in fl})
+        attempt = uuid.uuid4().hex
+        outdir = os.path.join(
+            self.root, "data", "batch=compacted", f"attempt={attempt}"
+        )
+        (
+            spark.read.parquet(*files)
+            .repartition(target_partitions)
+            .write.mode("error")
+            .parquet(outdir)
+        )
+        newfiles = self._list_parquet(spark, outdir)
+        new_man = {
+            "version": int(man["version"]) + 1,
+            "batches": {
+                b: (newfiles if fl else []) for b, fl in man["batches"].items()
+            },
+            "ts": time.time(),
+        }
+        name = f"v{new_man['version']:012d}-{attempt}.json"
+        _fsutil.write_text(
+            spark, os.path.join(self._manifest_dir, name), json.dumps(new_man)
+        )
+        return True
+
+    def vacuum(self, spark: SparkSession) -> list[str]:
+        """Delete the orphan data files (crashed or superseded attempts)
+        and return what was deleted.  Safe against readers — they only
+        open manifest-listed files — but NOT against a concurrent
+        writer mid-attempt (its not-yet-committed files look like
+        orphans), so run it under the same single-writer ownership as
+        compact()."""
+        orphans = self.orphan_files(spark)
+        for p in orphans:
+            fs, jpath, _ = _fsutil.hadoop_fs(spark, p)
+            fs.delete(jpath, False)
+        return orphans
 
     def orphan_files(self, spark: SparkSession) -> list[str]:
         """Data files not referenced by the winning manifest (crashed or

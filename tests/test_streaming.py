@@ -1014,3 +1014,39 @@ def test_manifest_sink_streaming_crash_replay(spark, tmp_path):
     assert rows == {0.0: 2.0}
     # the crashed attempt's files are orphans, reported for vacuum
     assert any("attempt=crashed0" in p for p in sink.orphan_files(spark))
+
+
+def test_manifest_sink_compact_and_vacuum(spark, tmp_path):
+    """Compaction publishes one rewritten file set behind the same
+    batch-id map (replay idempotency intact, rows identical), old files
+    become orphans, vacuum physically removes exactly them."""
+    from jepl_spark.streaming.sink import ManifestCommitSink
+
+    sink = ManifestCommitSink(str(tmp_path / "msink"), lineage=False)
+    for b in range(3):
+        sink.write_batch(spark.range(b * 10, b * 10 + 5).select(F.col("id")), b)
+    before = sorted(r["id"] for r in sink.read_committed(spark).collect())
+    old_files = {
+        f for fl in sink.current_manifest(spark)["batches"].values() for f in fl
+    }
+
+    assert sink.compact(spark) is True
+    man = sink.current_manifest(spark)
+    assert man["version"] == 4  # 3 commits + 1 compaction
+    # every batch id survives (idempotency), sharing ONE compacted set
+    assert sink.committed_batches() == [0, 1, 2]
+    newfiles = {f for fl in man["batches"].values() for f in fl}
+    assert len(newfiles) == 1 and newfiles.isdisjoint(old_files)
+    assert sorted(r["id"] for r in sink.read_committed(spark).collect()) == before
+    # replay of a compacted batch is still a no-op
+    sink.write_batch(spark.range(99).select(F.col("id")), 1)
+    assert sink.current_manifest(spark)["version"] == 4
+
+    # old files are orphans; vacuum removes them and readers still work
+    deleted = set(sink.vacuum(spark))
+    assert deleted == old_files
+    assert sink.orphan_files(spark) == []
+    assert sorted(r["id"] for r in sink.read_committed(spark).collect()) == before
+
+    # below min_batches → no-op
+    assert sink.compact(spark, min_batches=99) is False
