@@ -42,6 +42,8 @@ def main() -> int:
         "stream_join_windowed",
         "stream_session_rule",
         "stream_stateful_rule",
+        "stream_dedup_rule",
+        "stream_manifest_sink_rule",
     }
     # these gate fns materialize eagerly (checkpointed result would
     # audit as a trivial ExistingRDD scan) — rebuild their LAZY plans
@@ -63,9 +65,30 @@ def main() -> int:
             min_jaccard=0.2, materialize=False,
         )
 
+    from jepl_spark.operators import similarity as S
+    from jepl_spark.operators import text as T
+
+    def _lazy_embedding_near_dups(spark_, sf):
+        return S.embedding_near_dups(
+            load_table(spark_, sf, "embeddings"), threshold=0.3, planes=4,
+            tables=2, seed=42, materialize=False,
+        )
+
+    def _lazy_hamming(spark_, sf):
+        docs = load_table(spark_, sf, "documents")
+        surrogate = (
+            F.length(F.col("text")).cast("long") * F.lit(4294967296).cast("long")
+            + T.token_count(F.col("text")).cast("long")
+        )
+        return D.simhash_hamming_near_dups(
+            docs, max_hamming=3, bands=4, sig=surrogate, materialize=False,
+        )
+
     lazy_overrides = {
         "minhash_near_dups": _lazy_minhash,
         "ngram_jaccard_pairs": _lazy_ngram,
+        "embedding_near_dups": _lazy_embedding_near_dups,
+        "simhash_hamming_near_dups": _lazy_hamming,
     }
     bad = 0
     for name, fn in entrymod.queries().items():
