@@ -368,8 +368,14 @@ def run_suite(cores: int, sf_dir: str, with_stream: bool = True) -> dict:
                 # cache hygiene: no run may inherit (or lose memory to)
                 # another's cached/persisted frames — the round-1 ngram
                 # regression was a minhash persist squatting on storage
-                # memory during the very next timing
+                # memory during the very next timing.  clearCache does
+                # NOT drop localCheckpoint RDD blocks (the dedup ops
+                # return checkpointed frames); dropping the Python refs
+                # + gc lets the ContextCleaner release those too.
+                import gc
+
                 spark.catalog.clearCache()
+                gc.collect()
                 t0 = time.time()
                 fn()
                 dt = time.time() - t0

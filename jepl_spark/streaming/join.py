@@ -31,19 +31,30 @@ def audio_transcript_join(
     audio: DataFrame,
     transcripts: DataFrame,
     *,
-    audio_watermark: str = "30 seconds",
-    transcript_watermark: str = "30 seconds",
+    audio_watermark: Optional[str] = "30 seconds",
+    transcript_watermark: Optional[str] = "30 seconds",
     max_delay: str = "60 seconds",
     ts_col: str = "event_time",
     salt: Optional[int] = None,
 ) -> DataFrame:
     """audio(clip_id, bytes, …, event_time) ⋈ transcripts(clip_id,
     transcript, event_time): transcript must arrive within
-    [audio.event_time, audio.event_time + max_delay]."""
+    [audio.event_time, audio.event_time + max_delay].
+
+    Pass ``None`` for a side's watermark when that input is ALREADY
+    watermarked upstream (e.g. stream_exact_dedup applied before the
+    join) — Spark rejects watermark redefinition, and stream-stream
+    join state eviction still requires both sides to carry one."""
     audio = ensure_event_timestamp(audio, ts_col)
     transcripts = ensure_event_timestamp(transcripts, ts_col)
-    a = audio.withWatermark(ts_col, audio_watermark).alias("a")
-    t = transcripts.withWatermark(ts_col, transcript_watermark).alias("t")
+    a = (
+        audio.withWatermark(ts_col, audio_watermark)
+        if audio_watermark is not None else audio
+    ).alias("a")
+    t = (
+        transcripts.withWatermark(ts_col, transcript_watermark)
+        if transcript_watermark is not None else transcripts
+    ).alias("t")
 
     if salt is not None and salt > 1:
         a = a.withColumn(

@@ -7,6 +7,8 @@
         --sink <dir> --checkpoint <dir> \\
         [--rule "select count(clip_id) AS n from clips where ..."] \\
         [--window "1 minute"] [--watermark "30 seconds"] [--salt 8] \\
+        [--sink-protocol marker|manifest]  # manifest = rename-free (object stores)
+        [--dedup-watermark "1 hour"]       # streaming exact dedup on transcript text
         [--synthesize N]          # generate deterministic inputs first
 
 Pipeline: audio stream → Arrow decode/feature UDF (bytes cross the
@@ -15,8 +17,10 @@ join with the transcript stream on clip_id → windowed per-codec JEPL
 aggregation → exactly-once sink with per-partition lineage.  Metrics are
 printed as one JSON line at exit (MetricsListener summary).
 
-On a real cluster the file source/sink swap for Iceberg tables
-(streaming/sink.IcebergSink) with no plan changes; checkpoint +
+On a real cluster the file source swaps for an Iceberg table scan
+with no plan changes; for the sink, --sink-protocol manifest selects
+ManifestCommitSink, whose exactly-once commit needs only atomic PUT +
+LIST (s3a/gs/abfs-safe, no rename atomicity assumed).  Checkpoint +
 idempotent commits give exactly-once across restarts at either size.
 Run at N and 4N executors with identical input to measure scaling.
 """
@@ -40,6 +44,14 @@ def main(argv: list[str]) -> int:
     p.add_argument("--watermark", default="30 seconds")
     p.add_argument("--max-delay", default="60 seconds")
     p.add_argument("--salt", type=int, default=None)
+    p.add_argument("--sink-protocol", choices=("marker", "manifest"),
+                   default="marker",
+                   help="marker = atomic-rename commit markers (local/HDFS); "
+                        "manifest = rename-free manifest commits (object stores)")
+    p.add_argument("--dedup-watermark", default=None,
+                   help="if set, apply streaming exact dedup (content_hash of "
+                        "the transcript) with this event-time horizon before "
+                        "the join")
     p.add_argument("--synthesize", type=int, default=0)
     p.add_argument("--continuous", action="store_true",
                    help="keep running (processingTime trigger) instead of availableNow")
@@ -56,7 +68,10 @@ def main(argv: list[str]) -> int:
     from jepl_spark.streaming.engine import file_stream, run_to_completion
     from jepl_spark.streaming.join import audio_transcript_join
     from jepl_spark.streaming.listener import MetricsListener
-    from jepl_spark.streaming.sink import IdempotentParquetSink
+    from jepl_spark.streaming.sink import (
+        IdempotentParquetSink,
+        ManifestCommitSink,
+    )
     from jepl_spark.streaming.windows import windowed_select
 
     if args.synthesize:
@@ -76,6 +91,13 @@ def main(argv: list[str]) -> int:
     t0 = time.time()
     a = file_stream(spark, args.audio_path, schema_a)
     t = file_stream(spark, args.transcript_path, schema_t).drop("seq")
+    if args.dedup_watermark:
+        from jepl_spark.operators.dedup import stream_exact_dedup
+
+        t = stream_exact_dedup(
+            t, text_col="transcript", ts_col="event_time",
+            watermark=args.dedup_watermark,
+        ).drop("content_hash")
     slim = with_audio_features(a).select(
         "clip_id", "codec", "sr_hz", "dur_ms", "event_time",
         F.col("af.rms").alias("rms"),
@@ -85,7 +107,9 @@ def main(argv: list[str]) -> int:
     joined = audio_transcript_join(
         slim, t,
         audio_watermark=args.watermark,
-        transcript_watermark=args.watermark,
+        # the dedup operator already watermarked the transcript side —
+        # Spark rejects redefinition, so the join must not re-apply one
+        transcript_watermark=None if args.dedup_watermark else args.watermark,
         max_delay=args.max_delay,
         salt=args.salt,
     )
@@ -99,7 +123,11 @@ def main(argv: list[str]) -> int:
         rule, joined, ts_col="event_time", duration=args.window, watermark=None
     )
 
-    sink = IdempotentParquetSink(args.sink)
+    sink_cls = (
+        ManifestCommitSink if args.sink_protocol == "manifest"
+        else IdempotentParquetSink
+    )
+    sink = sink_cls(args.sink)
     writer = (
         result.writeStream.outputMode("append")
         .foreachBatch(sink.foreach_batch())
