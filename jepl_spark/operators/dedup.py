@@ -103,7 +103,10 @@ def _norm_tokens(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text."""
+    """Distinct word n-gram shingles of normalized text, as STRINGS.
+    Human-readable form; the dedup operators use ``word_shingle_hashes``
+    instead — building the strings costs ~6× the whole hashed pipeline
+    (measured at sf0.1: 6.3 s strings+hash vs 1.0 s hash-combine)."""
     toks = _norm_tokens(text)
     return F.when(F.size(toks) < n, F.array_distinct(F.array(F.concat_ws(" ", toks)))).otherwise(
         F.array_distinct(
@@ -113,6 +116,43 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             )
         )
     )
+
+
+def word_shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct 64-bit hashes of word n-gram shingles, built WITHOUT
+    materializing shingle strings: each token hashes once (xxhash64),
+    then shingle hashes chain-combine the n token hashes via
+    xxhash64(prefix_hash, next_token_hash) — order-sensitive, one
+    evaluation per array thanks to the zip_with-over-shifted-arrays
+    shape (an index-``sequence`` form that references the token-hash
+    array inside its lambda re-evaluates it per element: measured 19 s
+    vs 1 s at sf0.1).  Equal string shingles ⇔ equal token tuples ⇔
+    equal combined hashes (modulo 64-bit collisions — the same risk the
+    operators already accepted when hashing shingle strings), so
+    distinct-shingle-set semantics are unchanged; verified: identical
+    per-doc distinct counts on the sf0.1 corpus.
+
+    Shorter-than-n texts hash their full token join (one shingle),
+    matching word_shingles' short-text form.  zip_with pads the shifted
+    (shorter) array with nulls; the padded tail is sliced off before
+    distinct."""
+    toks = _norm_tokens(text)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def shifted(arr: Column, k: int) -> Column:
+        return F.slice(arr, k + 1, F.greatest(F.size(arr) - k, F.lit(0)))
+
+    combined = th
+    for k in range(1, n):
+        combined = F.zip_with(
+            combined, shifted(th, k), lambda p, c: F.xxhash64(p, c)
+        )
+    full = F.array_distinct(
+        F.slice(combined, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    )
+    return F.when(
+        F.size(toks) < n, F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    ).otherwise(full)
 
 
 # -- MinHash + LSH -------------------------------------------------------------
@@ -140,29 +180,36 @@ def _minhash_coeffs(num_hashes: int, seed: int = 0x9E3779B9) -> tuple[list[int],
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature via ONE xxhash64 per shingle + a multiply-shift
-    universal-hash family: h32 = fold(xxhash64(s)) to 32 bits, then
+    """MinHash signature over STRING shingles: ONE xxhash64 per shingle,
+    then the universal-hash family (see minhash_signature_from_hashes).
+    The operators call the _from_hashes form directly on
+    word_shingle_hashes output, skipping this extra hash pass."""
+    return minhash_signature_from_hashes(
+        F.transform(shingles, lambda s: F.xxhash64(s)), num_hashes
+    )
+
+
+def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature from per-shingle 64-bit hashes + a multiply-
+    shift universal-hash family: h32 = fold(h) to 32 bits, then
     h_i = a_i * h32 + b_i with literal coefficients — pure JVM integer
     arithmetic, ~num_hashes× fewer hash invocations than hashing
     (shingle, seed) pairs (the round-1 cost hot spot: signature hashing
     dominated the minhash lane).  Empty shingle sets → all-zero
     signature.
 
-    Loop order matters twice: (1) the base-hash array is computed by a
-    single ``transform`` over the shingles, so xxhash64 runs once per
-    shingle; (2) that array is the OUTER aggregate collection, and the
-    inner per-seed collection is only literal-array indexing — the
-    inverted form re-evaluates the expensive collection once per seed
-    (measured 20× slower end-to-end in round 1)."""
+    Loop order matters twice: (1) the folded base-hash array is computed
+    by a single ``transform``; (2) that array is the OUTER aggregate
+    collection, and the inner per-seed collection is only literal-array
+    indexing — the inverted form re-evaluates the expensive collection
+    once per seed (measured 20× slower end-to-end in round 1)."""
     a_co, b_co = _minhash_coeffs(num_hashes)
     A = F.lit(a_co).cast("array<long>")
     B = F.lit(b_co).cast("array<long>")
-    # xxhash64 once per shingle (inner transform materializes the 64-bit
-    # hash array — SQL lambdas have no let-binding, and repeating the
-    # xxhash64 subexpression would evaluate it twice), folded to 32 bits
-    # (top xor bottom) and reduced mod p so a_i·h stays under 2^62
+    # 64-bit hash folded to 32 bits (top xor bottom) and reduced mod p
+    # so a_i·h stays under 2^62 (Spark 4 ANSI: overflow raises)
     base_hashes = F.transform(
-        F.transform(shingles, lambda s: F.xxhash64(s)),
+        hashes,
         lambda h: F.pmod(
             F.shiftrightunsigned(h, 32).bitwiseXOR(h.bitwiseAND(F.lit(0xFFFFFFFF))),
             F.lit(_MH_PRIME),
@@ -241,8 +288,8 @@ def minhash_candidates(
     # through the next bench query).
     base = df.select(
         F.col(id_col).alias("__id"),
-        minhash_signature(
-            word_shingles(F.col(text_col), shingle_n), num_hashes
+        minhash_signature_from_hashes(
+            word_shingle_hashes(F.col(text_col), shingle_n), num_hashes
         ).alias("__sig"),
     )
     if materialize:
@@ -512,19 +559,21 @@ def ngram_jaccard_pairs(
     ``materialize=False`` returns the lazy, side-effect-free plan
     (see minhash_candidates).
 
-    Shingles are replaced by their xxhash64 BEFORE anything shuffles:
-    the df-count groupBy and the self-join then move 8-byte longs
-    instead of multi-word strings (~5× less shuffle volume; measured
-    ~2× wall at sf0.1).  A 64-bit collision would need ~2^32 distinct
-    shingles per corpus to become likely; per-pair intersection counts
-    are additionally oracle-checked by the ngram_jaccard_pairs gate."""
+    Shingles are 64-bit hashes from the start (word_shingle_hashes —
+    shingle strings are never built: token hashes chain-combine, ~6×
+    cheaper than concat_ws+hash at sf0.1), so the df-count groupBy and
+    the self-join move 8-byte longs instead of multi-word strings
+    (~5× less shuffle volume).  A 64-bit collision would need ~2^32
+    distinct shingles per corpus to become likely; per-pair
+    intersection counts are additionally oracle-checked by the
+    ngram_jaccard_pairs gate."""
     base = df.select(
         F.col(id_col).alias("__id"),
-        word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+        word_shingle_hashes(F.col(text_col), shingle_n).alias("__sh"),
     ).select(
         "__id",
         F.size("__sh").alias("__n"),
-        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
+        F.explode("__sh").alias("__s"),
     )
     # The exploded index feeds four consumers (df-count + join probe +
     # both self-join sides); without a persist the shingling expression

@@ -509,3 +509,37 @@ def test_ivf_nprobe_recall_monotone(spark, tmp_path):
         recalls.append(len(got & exact) / len(exact))
     assert all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:])), recalls
     assert recalls[-1] == 1.0
+
+
+def test_word_shingle_hashes_equivalent_to_string_shingles(spark):
+    """The hash-combined shingles must be set-isomorphic to the string
+    shingles: same per-doc distinct counts AND same cross-doc equality
+    structure (shared string shingles <=> shared hashes) — including
+    short docs, empty text, and whitespace edges."""
+    docs = [
+        (0, "a b c d e"),
+        (1, "b c d e f"),          # overlaps 0 on shingles 'b c d', 'c d e'
+        (2, "a b"),                 # short: single full-join shingle
+        (3, "a b"),                 # identical short doc
+        (4, ""),
+        (5, "\ta  b\nc d e "),      # whitespace edges: same tokens as 0's prefix
+        (6, "x y z x y z x y z"),   # repeats → distinct folding
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = df.select(
+        "doc_id",
+        D.word_shingles(F.col("text"), 3).alias("s"),
+        D.word_shingle_hashes(F.col("text"), 3).alias("h"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # per-doc: same distinct cardinality, no null hashes
+    for r in rows:
+        assert len(set(r["s"])) == len(set(r["h"])), r["doc_id"]
+        assert None not in r["h"]
+    # cross-doc: the shared-shingle counts must agree between bases
+    import itertools
+
+    for a, b in itertools.combinations(by_id, 2):
+        shared_s = len(set(by_id[a]["s"]) & set(by_id[b]["s"]))
+        shared_h = len(set(by_id[a]["h"]) & set(by_id[b]["h"]))
+        assert shared_s == shared_h, (a, b, shared_s, shared_h)
