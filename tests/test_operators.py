@@ -543,3 +543,46 @@ def test_word_shingle_hashes_equivalent_to_string_shingles(spark):
         shared_s = len(set(by_id[a]["s"]) & set(by_id[b]["s"]))
         shared_h = len(set(by_id[a]["h"]) & set(by_id[b]["h"]))
         assert shared_s == shared_h, (a, b, shared_s, shared_h)
+
+
+def test_simhash_hamming_banded_equals_bruteforce_randomized(spark):
+    """Pigeonhole losslessness on 300 random signatures with planted
+    near pairs: the banded search must return EXACTLY the brute-force
+    Hamming<=3 pair set (seeded, deterministic)."""
+    import random
+
+    rng = random.Random(77)
+    sigs = {}
+    i = 0
+    for _ in range(100):
+        base = rng.getrandbits(64)
+        sigs[i] = base
+        # partner at a random distance 1..6 (some qualify, some don't)
+        flipped = base
+        for _ in range(rng.randint(1, 6)):
+            flipped ^= 1 << rng.randrange(64)
+        sigs[i + 1] = flipped
+        sigs[i + 2] = rng.getrandbits(64)
+        i += 3
+
+    def signed(v):
+        return v - 2**64 if v >= 2**63 else v
+
+    expect = set()
+    ids = sorted(sigs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                expect.add((a, b))
+
+    df = spark.createDataFrame(
+        [(k, signed(v)) for k, v in sigs.items()], ["doc_id", "sig"]
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_hamming_near_dups(
+            df, sig=F.col("sig"), max_hamming=3, bands=4
+        ).collect()
+    }
+    assert got == expect and len(expect) > 20
