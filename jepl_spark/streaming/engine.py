@@ -25,8 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
-from .sink import IdempotentParquetSink
 from .windows import windowed_select
+
 
 
 def file_stream(
@@ -53,7 +53,7 @@ def run_rule_stream(
     session_gap: Optional[str] = None,
     watermark: Optional[str] = None,
     non_null=frozenset(),
-    sink: Optional[IdempotentParquetSink] = None,
+    sink=None,  # IdempotentParquetSink | ManifestCommitSink | IcebergSink
     checkpoint: str,
     output_mode: str = "append",
     available_now: bool = True,

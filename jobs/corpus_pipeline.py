@@ -1,0 +1,127 @@
+"""Training-corpus curation pipeline, packaged for spark-submit.
+
+    spark-submit --master <cluster> --py-files jepl_spark.zip \\
+        jobs/corpus_pipeline.py \\
+        --input <documents.parquet> --output <dir> \\
+        [--min-tokens 5] [--max-punct-ratio 0.3] \\
+        [--langs en,fr,es,de] \\
+        [--near-dup-threshold 0.8] [--minhash-bands 16] \\
+        [--report-only]
+
+Composes the library's text/dedup operators into the standard curation
+sequence a large-scale training-data pipeline runs, in the order that
+minimizes work for the expensive stages:
+
+  1. quality gate   — pure JVM projections (length/token/punct ratios):
+                      cheapest filter first, cuts the corpus before
+                      anything shuffles
+  2. language gate  — lang_id allowlist (still per-row JVM, no shuffle)
+  3. exact dedup    — one shuffle on the 128-bit content hash
+  4. near-dup dedup — MinHash+LSH banding (skew-capped); only the
+                      survivors of 1-3 pay the signature cost
+
+Each stage's row count is reported in one JSON line at exit, so a run
+doubles as a corpus-quality report (--report-only skips the write).
+
+Scale notes: every stage is either a per-row projection or a
+banded/capped shuffle of ids+hashes — no stage materializes text on
+the shuffle or collects to the driver; output is written partitioned
+by language for downstream partition-pruned reads.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", default=None)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--max-punct-ratio", type=float, default=0.3)
+    p.add_argument("--langs", default=None,
+                   help="comma-separated allowlist, e.g. en,fr ('und' is "
+                        "always dropped when this is set)")
+    p.add_argument("--near-dup-threshold", type=float, default=0.8)
+    p.add_argument("--minhash-bands", type=int, default=16)
+    p.add_argument("--minhash-hashes", type=int, default=64)
+    p.add_argument("--report-only", action="store_true")
+    args = p.parse_args(argv)
+    if not args.report_only and not args.output:
+        p.error("--output is required unless --report-only")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from jepl_spark.operators import dedup as D
+    from jepl_spark.operators import text as T
+
+    spark = SparkSession.builder.appName("jepl-corpus-pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    t0 = time.time()
+    stages: dict[str, int] = {}
+    df = spark.read.parquet(args.input)
+    stages["input"] = df.count()
+
+    # 1. quality gate (per-row JVM; Catalyst fuses with the scan)
+    q = T.quality_features(df, args.text_col)
+    df = (
+        q.filter(
+            (F.col("q_n_tokens") >= args.min_tokens)
+            & (F.col("q_punct_ratio") <= args.max_punct_ratio)
+        )
+        .drop(*[c for c in q.columns if c.startswith("q_")])
+    )
+    stages["after_quality"] = df.count()
+
+    # 2. language gate
+    df = df.withColumn("lang", T.lang_id(F.col(args.text_col)))
+    if args.langs:
+        allow = [x.strip() for x in args.langs.split(",") if x.strip()]
+        df = df.filter(F.col("lang").isin(allow))
+    stages["after_lang"] = df.count()
+
+    # 3. exact dedup (one shuffle on the content hash; min-id wins)
+    df = D.exact_dedup(df, args.text_col, args.id_col)
+    stages["after_exact_dedup"] = df.count()
+
+    # 4. near-dup dedup (MinHash+LSH candidates -> threshold -> drop
+    #    the higher-id member of each near-dup pair)
+    df = D.minhash_dedup(
+        df, args.text_col, args.id_col,
+        threshold=args.near_dup_threshold,
+        bands=args.minhash_bands, num_hashes=args.minhash_hashes,
+    )
+    stages["after_near_dedup"] = df.count()
+
+    if not args.report_only:
+        # partitioned by language: downstream per-language reads prune
+        (
+            df.repartition("lang")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(args.output)
+        )
+
+    out = {
+        "stages": stages,
+        "kept_fraction": (
+            round(stages["after_near_dedup"] / stages["input"], 4)
+            if stages["input"] else None
+        ),
+        "wall_s": round(time.time() - t0, 2),
+        "output": None if args.report_only else args.output,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
