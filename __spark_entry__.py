@@ -397,6 +397,19 @@ def q_simhash_signatures(spark, sf_dir):
     return df.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
 
 
+def hamming_surrogate_sig():
+    """The Hamming gate's surrogate signature (n_chars·2³² + n_tokens)
+    as a Column — exported so tools/explain_all.py audits the SAME
+    expression the gate runs (a divergent copy would audit a stale
+    plan while the gate kept passing)."""
+    from jepl_spark.operators import text as T2
+
+    return (
+        F.length(F.col("text")).cast("long") * F.lit(4294967296).cast("long")
+        + T2.token_count(F.col("text")).cast("long")
+    )
+
+
 def q_simhash_hamming_near_dups(spark, sf_dir):
     """The banded Hamming search MACHINERY under the hard signal: the
     operator runs with a deterministic surrogate signature
@@ -410,15 +423,9 @@ def q_simhash_hamming_near_dups(spark, sf_dir):
     path (real simhash64 signatures) shares everything but the
     signature expression and is covered by planted-signature unit
     tests."""
-    from jepl_spark.operators import text as T2
-
     df = load_table(spark, sf_dir, "documents")
-    surrogate = (
-        F.length(F.col("text")).cast("long") * F.lit(4294967296).cast("long")
-        + T2.token_count(F.col("text")).cast("long")
-    )
     return D.simhash_hamming_near_dups(
-        df, max_hamming=3, bands=4, sig=surrogate
+        df, max_hamming=3, bands=4, sig=hamming_surrogate_sig()
     ).select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),

@@ -155,6 +155,44 @@ def word_shingle_hashes(text: Column, n: int = 3) -> Column:
     ).otherwise(full)
 
 
+def banded_candidate_pairs(
+    banded: DataFrame,
+    max_bucket: int | None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Candidate id pairs from a banded ``(__id, __band, __key)`` frame —
+    the shared core of the MinHash / embedding-LSH / SimHash-Hamming
+    candidate generators, so the scale lessons live in ONE place:
+
+    - the hot-bucket cap (``max_bucket``; ``None`` disables) is applied
+      BEFORE the self-join — the explicit skew control that keeps a
+      boilerplate bucket from turning into an O(bucket²) task;
+    - only (band, key, id) rides the self-join shuffle — payloads
+      (signatures / vectors) re-attach to the resulting pair set in the
+      caller;
+    - ``dedup`` removes cross-band duplicates of a pair (skip it only
+      when each id provably emits one band, e.g. single-table LSH).
+
+    Returns (id_a, id_b) with id_a < id_b."""
+    if max_bucket is not None:
+        sizes = banded.groupBy("__band", "__key").agg(
+            F.count(F.lit(1)).alias("__bucket_n")
+        )
+        banded = banded.join(
+            sizes.filter(F.col("__bucket_n") <= max_bucket),
+            on=["__band", "__key"],
+            how="inner",
+        )
+    a = banded.select("__band", "__key", F.col("__id").alias("id_a"))
+    b = banded.select("__band", "__key", F.col("__id").alias("id_b"))
+    pairs = (
+        a.join(b, on=["__band", "__key"], how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return pairs.distinct() if dedup else pairs
+
+
 # -- MinHash + LSH -------------------------------------------------------------
 
 
@@ -300,32 +338,10 @@ def minhash_candidates(
     banded = base.select(
         "__id",
         F.posexplode(minhash_bands(F.col("__sig"), bands, rows)).alias(
-            "__band", "__bandkey"
+            "__band", "__key"
         ),
     )
-    # skew control: drop buckets larger than the cap
-    bucket_sizes = banded.groupBy("__band", "__bandkey").agg(
-        F.count(F.lit(1)).alias("__bucket_n")
-    )
-    banded = banded.join(
-        bucket_sizes.filter(F.col("__bucket_n") <= max_band_bucket),
-        on=["__band", "__bandkey"],
-        how="inner",
-    )
-    # candidate ids first, signatures re-attached after dedup — the
-    # 64-long signature arrays never ride the self-join/distinct shuffle
-    a = banded.select(
-        F.col("__band"), F.col("__bandkey"), F.col("__id").alias("id_a")
-    )
-    b = banded.select(
-        F.col("__band"), F.col("__bandkey"), F.col("__id").alias("id_b")
-    )
-    pairs = (
-        a.join(b, on=["__band", "__bandkey"], how="inner")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = banded_candidate_pairs(banded, max_band_bucket)
     sig_a = base.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a"))
     sig_b = base.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b"))
     pairs = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
@@ -450,7 +466,7 @@ def simhash_hamming_near_dups(
     max_hamming: int = 3,
     bands: int = 4,
     sig: Column | None = None,
-    max_band_bucket: int = 100_000,
+    max_band_bucket: int | None = None,
     materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``
@@ -458,8 +474,8 @@ def simhash_hamming_near_dups(
     equal-width slices, candidates share ≥1 slice, exact distance is
     xor+bit_count on the candidates only.
 
-    Recall is EXACT, not probabilistic: by pigeonhole, ≤ max_hamming
-    differing bits cannot touch all ``bands`` slices when
+    Recall is EXACT by default, not probabilistic: by pigeonhole,
+    ≤ max_hamming differing bits cannot touch all ``bands`` slices when
     max_hamming < bands, so every qualifying pair shares a slice —
     hence the constructor rejects max_hamming ≥ bands rather than
     silently losing pairs.
@@ -467,13 +483,20 @@ def simhash_hamming_near_dups(
     Scale shape (the minhash_candidates pattern): only
     (id, band, 16-bit key) rides the explode and self-join; signatures
     re-attach to the deduplicated candidate pairs.  ``max_band_bucket``
-    caps degenerate slice buckets (boilerplate skew) — identical
-    signatures collide in EVERY band, so a hot bucket caps at the
-    largest identical-content group, not the corpus.
+    (default ``None`` = no cap, preserving the lossless guarantee) is
+    the skew escape hatch for corpora with huge identical-signature
+    boilerplate groups: a group of G identical signatures collides in
+    every band and costs O(G²) pairs — capping drops those groups'
+    pairs ENTIRELY (they share all four hot buckets), so setting it
+    trades the exactness promise for bounded work; run exact_dedup
+    first instead where possible, which removes identical content and
+    usually the need for a cap.
 
     ``sig``: override the signature expression (any BIGINT column) —
-    the correctness gate uses an md5-derived surrogate a SQL oracle can
-    replay, since no SQL twin of xxhash64 exists."""
+    the correctness gate uses a length-derived surrogate
+    (n_chars·2³² + n_tokens) a SQL oracle can replay, since no SQL twin
+    of xxhash64 exists (and the corpus has no exact dups, which made a
+    hash-derived surrogate a vacuous empty gate)."""
     if 64 % bands != 0:
         raise ValueError(f"bands ({bands}) must divide 64")
     if max_hamming >= bands:
@@ -499,19 +522,7 @@ def simhash_hamming_near_dups(
             ])
         ).alias("__band", "__key"),
     )
-    sizes = banded.groupBy("__band", "__key").agg(F.count(F.lit(1)).alias("__n"))
-    banded = banded.join(
-        sizes.filter(F.col("__n") <= max_band_bucket),
-        on=["__band", "__key"], how="inner",
-    )
-    a = banded.select("__band", "__key", F.col("__id").alias("id_a"))
-    b = banded.select("__band", "__key", F.col("__id").alias("id_b"))
-    pairs = (
-        a.join(b, on=["__band", "__key"], how="inner")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = banded_candidate_pairs(banded, max_band_bucket)
     sig_a = base.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa"))
     sig_b = base.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb"))
     out = (

@@ -442,28 +442,19 @@ def embedding_near_dups(
         F.col(id_col).alias("__id"),
         F.posexplode(
             F.array(*[lsh_bucket(F.col(vec_col), hp) for hp in planes_per_table])
-        ).alias("__t", "__b"),
+        ).alias("__band", "__key"),
     )
     # bucketed feeds three consumers (sizes + both self-join sides);
     # persist the (id, int, long) rows so the planes×dim dot products
     # run once, released before returning (see minhash_candidates)
     if materialize:
         bucketed = bucketed.persist()
-    sizes = bucketed.groupBy("__t", "__b").agg(F.count(F.lit(1)).alias("__n"))
-    capped = bucketed.join(
-        sizes.filter(F.col("__n") <= max_bucket), on=["__t", "__b"], how="inner"
-    )
-    a = capped.select("__t", "__b", F.col("__id").alias("id_a"))
-    b = capped.select("__t", "__b", F.col("__id").alias("id_b"))
-    pairs = (
-        a.join(b, on=["__t", "__b"], how="inner")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    if tables > 1:
-        # a pair colliding in several tables must score once, not T× —
-        # with a single table each pair appears at most once already
-        pairs = pairs.distinct()
+    from .dedup import banded_candidate_pairs
+
+    # dedup only with >1 table: a pair colliding in several tables must
+    # score once, not T× — with a single table each vector emits one
+    # bucket, so every pair appears at most once already
+    pairs = banded_candidate_pairs(bucketed, max_bucket, dedup=tables > 1)
     # re-attach vectors to the candidate pairs only
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))

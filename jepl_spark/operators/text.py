@@ -89,10 +89,15 @@ def _load_lang_spec() -> dict:
     )
     with open(path, encoding="utf-8") as f:
         spec = json.load(f)
-    # fail fast on a malformed fixture rather than misclassifying
-    assert len(spec["stopwords"]) >= 8 and len(spec["scripts"]) >= 8
+    # fail fast on a malformed fixture rather than misclassifying —
+    # real raises, not asserts (python -O compiles asserts out)
+    if len(spec["stopwords"]) < 8 or len(spec["scripts"]) < 8:
+        raise ValueError(f"lang_id fixture {path} is malformed: too few entries")
     for lang, lo, hi, thr in spec["scripts"]:
-        assert len(lo) == 1 and len(hi) == 1 and ord(lo) < ord(hi) and 0 < thr < 1
+        if not (len(lo) == 1 and len(hi) == 1 and ord(lo) < ord(hi) and 0 < thr < 1):
+            raise ValueError(
+                f"lang_id fixture {path}: bad script row {[lang, lo, hi, thr]}"
+            )
     return spec
 
 

@@ -67,6 +67,18 @@ def main(argv: list[str]) -> int:
 
     t0 = time.time()
     stages: dict[str, int] = {}
+    persisted = []
+
+    def checkpoint_stage(frame, name):
+        """Persist a stage boundary so per-stage counts and downstream
+        stages do not re-execute the upstream lineage (scan + quality +
+        lang projections would otherwise run once per count plus once
+        for the final write)."""
+        frame = frame.persist()
+        persisted.append(frame)
+        stages[name] = frame.count()
+        return frame
+
     df = spark.read.parquet(args.input)
     stages["input"] = df.count()
 
@@ -79,18 +91,21 @@ def main(argv: list[str]) -> int:
         )
         .drop(*[c for c in q.columns if c.startswith("q_")])
     )
-    stages["after_quality"] = df.count()
+    stages["after_quality"] = df.count()  # fused with the lang stage below
 
     # 2. language gate
     df = df.withColumn("lang", T.lang_id(F.col(args.text_col)))
     if args.langs:
         allow = [x.strip() for x in args.langs.split(",") if x.strip()]
         df = df.filter(F.col("lang").isin(allow))
-    stages["after_lang"] = df.count()
+    # first persist point: everything above is per-row projection the
+    # optimizer fuses into one scan; below it feeds multiple consumers
+    df = checkpoint_stage(df, "after_lang")
 
     # 3. exact dedup (one shuffle on the content hash; min-id wins)
-    df = D.exact_dedup(df, args.text_col, args.id_col)
-    stages["after_exact_dedup"] = df.count()
+    df = checkpoint_stage(
+        D.exact_dedup(df, args.text_col, args.id_col), "after_exact_dedup"
+    )
 
     # 4. near-dup dedup (MinHash+LSH candidates -> threshold -> drop
     #    the higher-id member of each near-dup pair)
@@ -99,7 +114,7 @@ def main(argv: list[str]) -> int:
         threshold=args.near_dup_threshold,
         bands=args.minhash_bands, num_hashes=args.minhash_hashes,
     )
-    stages["after_near_dedup"] = df.count()
+    df = checkpoint_stage(df, "after_near_dedup")
 
     if not args.report_only:
         # partitioned by language: downstream per-language reads prune
@@ -119,6 +134,8 @@ def main(argv: list[str]) -> int:
         "wall_s": round(time.time() - t0, 2),
         "output": None if args.report_only else args.output,
     }
+    for frame in persisted:
+        frame.unpersist()
     print(json.dumps(out))
     return 0
 

@@ -66,7 +66,6 @@ def main() -> int:
         )
 
     from jepl_spark.operators import similarity as S
-    from jepl_spark.operators import text as T
 
     def _lazy_embedding_near_dups(spark_, sf):
         return S.embedding_near_dups(
@@ -76,12 +75,10 @@ def main() -> int:
 
     def _lazy_hamming(spark_, sf):
         docs = load_table(spark_, sf, "documents")
-        surrogate = (
-            F.length(F.col("text")).cast("long") * F.lit(4294967296).cast("long")
-            + T.token_count(F.col("text")).cast("long")
-        )
+        # the SAME surrogate expression the gate runs (shared function)
         return D.simhash_hamming_near_dups(
-            docs, max_hamming=3, bands=4, sig=surrogate, materialize=False,
+            docs, max_hamming=3, bands=4,
+            sig=entrymod.hamming_surrogate_sig(), materialize=False,
         )
 
     lazy_overrides = {
