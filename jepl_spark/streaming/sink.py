@@ -225,22 +225,41 @@ class ManifestCommitSink:
 
     def current_manifest(self, spark: Optional[SparkSession] = None) -> dict:
         """The winning manifest: highest (zero-padded version, name) —
-        deterministic for any fixed set of manifest objects."""
+        deterministic for any fixed set of manifest objects.
+
+        Fields: ``version``; ``batches`` (id → exact file list for
+        batches newer than any pruning compaction); and the bounded-
+        history pair ``compacted_through`` (every batch id ≤ this is
+        committed; −1 = none) + ``compacted_files`` (the shared
+        rewritten file set those batches live in)."""
         spark = spark or self._active_spark()
         names = self._manifest_names(spark)
         if not names:
-            return {"version": 0, "batches": {}}
+            return {"version": 0, "batches": {},
+                    "compacted_through": -1, "compacted_files": []}
         winner = max(names)  # v%012d- prefix makes lexicographic == numeric
-        return json.loads(
+        man = json.loads(
             _fsutil.read_text(spark, os.path.join(self._manifest_dir, winner))
         )
+        man.setdefault("compacted_through", -1)
+        man.setdefault("compacted_files", [])
+        return man
 
     # -- protocol ----------------------------------------------------------
 
     def is_committed(self, batch_id: int, spark: Optional[SparkSession] = None) -> bool:
-        return str(int(batch_id)) in self.current_manifest(spark)["batches"]
+        man = self.current_manifest(spark)
+        # the watermark is sound for streaming replay: batch ids from one
+        # checkpoint are monotonic, so if id N committed, every id < N did
+        return int(batch_id) <= man["compacted_through"] or (
+            str(int(batch_id)) in man["batches"]
+        )
 
     def committed_batches(self, spark: Optional[SparkSession] = None) -> list[int]:
+        """Explicitly-listed committed batch ids.  After a
+        prune_history compaction the pre-watermark ids are summarized
+        by ``compacted_through`` (see current_manifest) and no longer
+        enumerated here."""
         return sorted(
             int(b) for b in self.current_manifest(spark)["batches"]
         )
@@ -258,7 +277,8 @@ class ManifestCommitSink:
 
         spark = batch_df.sparkSession
         man = self.current_manifest(spark)
-        if str(int(batch_id)) in man["batches"]:
+        if (int(batch_id) <= man["compacted_through"]
+                or str(int(batch_id)) in man["batches"]):
             return  # replay of a committed batch → no-op
         attempt = uuid.uuid4().hex
         out = add_lineage(batch_df, batch_id) if self.lineage else batch_df
@@ -272,6 +292,8 @@ class ManifestCommitSink:
         new_man = {
             "version": int(man["version"]) + 1,
             "batches": {**man["batches"], str(int(batch_id)): files},
+            "compacted_through": man["compacted_through"],
+            "compacted_files": man["compacted_files"],
             "ts": time.time(),
         }
         name = f"v{new_man['version']:012d}-{attempt}.json"
@@ -291,9 +313,12 @@ class ManifestCommitSink:
         File lists are de-duplicated: after compact() several batch ids
         share one rewritten file set."""
         man = self.current_manifest(spark)
-        if not man["batches"]:
+        if not man["batches"] and man["compacted_through"] < 0:
             raise ValueError(f"no committed batches under {self.root}")
-        files = sorted({f for fl in man["batches"].values() for f in fl})
+        files = sorted(
+            {f for fl in man["batches"].values() for f in fl}
+            | set(man["compacted_files"])
+        )
         if not files:
             raise ValueError(
                 f"committed batches under {self.root} contain no data files "
@@ -302,7 +327,8 @@ class ManifestCommitSink:
         return spark.read.parquet(*files)
 
     def compact(self, spark: SparkSession, min_batches: int = 2,
-                target_partitions: int = 1) -> bool:
+                target_partitions: int = 1,
+                prune_history: bool = False) -> bool:
         """Rewrite all committed data files into ``target_partitions``
         files and publish the next manifest version, with every
         non-empty batch id mapped to the shared compacted file set.
@@ -317,6 +343,16 @@ class ManifestCommitSink:
         complete; replay idempotency is untouched since batch IDS stay
         in the map.  Old files become orphans for ``vacuum()``.
 
+        ``prune_history=True`` additionally collapses the per-batch map
+        into the ``compacted_through`` watermark (every id ≤ watermark
+        is committed) — withOUT it, the manifest's batches→files map
+        repeats the shared file list per batch id and still grows with
+        every micro-batch ever committed; WITH it, manifest size is
+        bounded by the batches committed since the last compaction.
+        This is the analogue of Iceberg's snapshot expiry: use it on
+        unbounded streams, skip it if you need the exact historical
+        batch-id → file mapping.
+
         Same single-writer assumption as write_batch: run from the
         owning maintenance process, not concurrently with an active
         writer racing manifest versions.  Returns False (no-op) when
@@ -324,10 +360,18 @@ class ManifestCommitSink:
         import uuid
 
         man = self.current_manifest(spark)
-        nonempty = [b for b, fl in man["batches"].items() if fl]
-        if len(nonempty) < min_batches:
+        # the existing compacted set counts as one foldable unit: a
+        # post-pruning manifest with batches newer than the watermark
+        # must still be compactable into it
+        nonempty = len([b for b, fl in man["batches"].items() if fl]) + (
+            1 if man["compacted_files"] else 0
+        )
+        if nonempty < min_batches:
             return False
-        files = sorted({f for fl in man["batches"].values() for f in fl})
+        files = sorted(
+            {f for fl in man["batches"].values() for f in fl}
+            | set(man["compacted_files"])
+        )
         attempt = uuid.uuid4().hex
         outdir = os.path.join(
             self.root, "data", "batch=compacted", f"attempt={attempt}"
@@ -339,38 +383,66 @@ class ManifestCommitSink:
             .parquet(outdir)
         )
         newfiles = self._list_parquet(spark, outdir)
-        new_man = {
-            "version": int(man["version"]) + 1,
-            "batches": {
-                b: (newfiles if fl else []) for b, fl in man["batches"].items()
-            },
-            "ts": time.time(),
-        }
+        if prune_history:
+            watermark = max(
+                [man["compacted_through"]]
+                + [int(b) for b in man["batches"]]
+            )
+            new_man = {
+                "version": int(man["version"]) + 1,
+                "batches": {},
+                "compacted_through": watermark,
+                "compacted_files": newfiles,
+                "ts": time.time(),
+            }
+        else:
+            new_man = {
+                "version": int(man["version"]) + 1,
+                "batches": {
+                    b: (newfiles if fl else [])
+                    for b, fl in man["batches"].items()
+                },
+                "compacted_through": man["compacted_through"],
+                "compacted_files": newfiles if man["compacted_files"] else [],
+                "ts": time.time(),
+            }
         name = f"v{new_man['version']:012d}-{attempt}.json"
         _fsutil.write_text(
             spark, os.path.join(self._manifest_dir, name), json.dumps(new_man)
         )
         return True
 
-    def vacuum(self, spark: SparkSession) -> list[str]:
+    def vacuum(self, spark: SparkSession, keep_manifests: int = 3) -> list[str]:
         """Delete the orphan data files (crashed or superseded attempts)
-        and return what was deleted.  Safe against readers — they only
-        open manifest-listed files — but NOT against a concurrent
-        writer mid-attempt (its not-yet-committed files look like
-        orphans), so run it under the same single-writer ownership as
-        compact()."""
-        orphans = self.orphan_files(spark)
-        for p in orphans:
+        AND superseded manifest objects (keeping the newest
+        ``keep_manifests``), returning the deleted paths.  Without
+        manifest pruning the _manifests/ directory grows one object per
+        commit forever, and every current_manifest() LIST pays for it.
+        Safe against readers — they only open the winning manifest's
+        files and older manifests are never the winner — but NOT
+        against a concurrent writer mid-attempt (its not-yet-committed
+        files look like orphans), so run it under the same
+        single-writer ownership as compact()."""
+        deleted = list(self.orphan_files(spark))
+        for p in deleted:
             fs, jpath, _ = _fsutil.hadoop_fs(spark, p)
             fs.delete(jpath, False)
-        return orphans
+        names = sorted(self._manifest_names(spark))
+        for n in names[:-keep_manifests] if keep_manifests > 0 else names[:-1]:
+            path = os.path.join(self._manifest_dir, n)
+            fs, jpath, _ = _fsutil.hadoop_fs(spark, path)
+            fs.delete(jpath, False)
+            deleted.append(path)
+        return deleted
 
     def orphan_files(self, spark: SparkSession) -> list[str]:
         """Data files not referenced by the winning manifest (crashed or
         superseded attempts) — safe to delete any time; listed rather
         than auto-deleted so vacuuming stays an explicit operation."""
         man = self.current_manifest(spark)
-        referenced = {f for fl in man["batches"].values() for f in fl}
+        referenced = {f for fl in man["batches"].values() for f in fl} | set(
+            man["compacted_files"]
+        )
         data_root = os.path.join(self.root, "data")
         fs, jroot, _ = _fsutil.hadoop_fs(spark, data_root)
         if not fs.exists(jroot):

@@ -1042,11 +1042,54 @@ def test_manifest_sink_compact_and_vacuum(spark, tmp_path):
     sink.write_batch(spark.range(99).select(F.col("id")), 1)
     assert sink.current_manifest(spark)["version"] == 4
 
-    # old files are orphans; vacuum removes them and readers still work
-    deleted = set(sink.vacuum(spark))
-    assert deleted == old_files
+    # old files are orphans; vacuum removes them (plus superseded
+    # manifest objects beyond keep_manifests) and readers still work
+    deleted = set(sink.vacuum(spark, keep_manifests=2))
+    assert {p for p in deleted if p.endswith(".parquet")} == old_files
+    assert len(sink._manifest_names(spark)) == 2  # pruned to keep_manifests
     assert sink.orphan_files(spark) == []
     assert sorted(r["id"] for r in sink.read_committed(spark).collect()) == before
+    assert sink.committed_batches() == [0, 1, 2]  # winner survived pruning
 
     # below min_batches → no-op
     assert sink.compact(spark, min_batches=99) is False
+
+
+def test_manifest_sink_compact_prune_history_watermark(spark, tmp_path):
+    """prune_history=True collapses the per-batch map into the
+    compacted_through watermark: manifest stays bounded, replay of any
+    pre-watermark batch id is still a no-op, new batches append after
+    the watermark, and rows survive a second (folding) compaction."""
+    from jepl_spark.streaming.sink import ManifestCommitSink
+
+    sink = ManifestCommitSink(str(tmp_path / "msink"), lineage=False)
+    for b in range(3):
+        sink.write_batch(spark.range(b * 10, b * 10 + 4).select(F.col("id")), b)
+    before = sorted(r["id"] for r in sink.read_committed(spark).collect())
+
+    assert sink.compact(spark, prune_history=True) is True
+    man = sink.current_manifest(spark)
+    assert man["batches"] == {} and man["compacted_through"] == 2
+    assert sink.is_committed(0) and sink.is_committed(2)
+    assert not sink.is_committed(3)
+    assert sink.committed_batches() == []  # summarized by the watermark
+    assert sorted(r["id"] for r in sink.read_committed(spark).collect()) == before
+
+    # replay of a pre-watermark batch is a no-op
+    v = man["version"]
+    sink.write_batch(spark.range(99).select(F.col("id")), 1)
+    assert sink.current_manifest(spark)["version"] == v
+
+    # new batches append normally after the watermark
+    sink.write_batch(spark.range(100, 103).select(F.col("id")), 3)
+    got = sorted(r["id"] for r in sink.read_committed(spark).collect())
+    assert got == before + [100, 101, 102]
+    assert sink.committed_batches() == [3]
+
+    # a second pruning compaction folds the old compacted files + batch 3
+    assert sink.compact(spark, prune_history=True) is True
+    man2 = sink.current_manifest(spark)
+    assert man2["compacted_through"] == 3 and man2["batches"] == {}
+    assert sorted(
+        r["id"] for r in sink.read_committed(spark).collect()
+    ) == before + [100, 101, 102]
