@@ -1,0 +1,79 @@
+"""Command-line JEPL runner.
+
+    python -m jepl_spark "select count(x) AS n from t where x > 1" \\
+        --table t=/path/to/t.parquet [--table u=/path/u.parquet] \\
+        [--non-null t=x,y] [--master local[4]] [--json]
+
+Parses the rule, compiles it against the registered parquet tables, and
+prints the result rows (one JSON object per line with --json, otherwise
+Spark's .show()).  Exit code 1 on parse/validation/compile errors, with
+the reference-identical error message on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m jepl_spark")
+    p.add_argument("rule", help="JEPL statement")
+    p.add_argument("--table", action="append", default=[],
+                   metavar="NAME=PATH", help="register a parquet table")
+    p.add_argument("--non-null", action="append", default=[],
+                   metavar="NAME=COL[,COL...]",
+                   help="declare never-null columns (unlocks OR pushdown)")
+    p.add_argument("--nan-col", action="append", default=[],
+                   metavar="NAME=COL[,COL...]",
+                   help="declare float columns that may hold stored NaN")
+    p.add_argument("--master", default="local[*]")
+    p.add_argument("--json", action="store_true",
+                   help="print one JSON object per row instead of .show()")
+    args = p.parse_args(argv)
+
+    def parse_kv(entries):
+        out = {}
+        for e in entries:
+            if "=" not in e:
+                p.error(f"expected NAME=VALUE, got {e!r}")
+            k, v = e.split("=", 1)
+            out[k] = v
+        return out
+
+    tables = parse_kv(args.table)
+    non_null = {k: set(v.split(",")) for k, v in parse_kv(args.non_null).items()}
+    nan_cols = {k: set(v.split(",")) for k, v in parse_kv(args.nan_col).items()}
+
+    from pyspark.sql import SparkSession
+
+    from jepl_spark.compiler.expr import JeplCompileError
+    from jepl_spark.engine import JeplEngine
+    from jepl_spark.lang.ast import JeplValidationError
+    from jepl_spark.lang.parser import JeplParseError
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("jepl-cli")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        eng = JeplEngine(spark, tables, non_null=non_null, nan_cols=nan_cols)
+        df = eng.sql(args.rule)
+        if args.json:
+            for row in df.collect():
+                print(json.dumps(row.asDict(), default=str))
+        else:
+            df.show(100, truncate=False)
+        return 0
+    except (JeplParseError, JeplValidationError, JeplCompileError) as e:
+        print(str(e), file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
