@@ -46,3 +46,25 @@ def test_corpus_pipeline_stages(spark, tmp_path, capsys, monkeypatch):
     kept = spark.read.parquet(out)
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 3]
     assert set(kept.select("lang").distinct().toPandas()["lang"]) == {"en"}
+
+
+def test_cli_runner(spark, capsys):
+    """python -m jepl_spark happy path (json rows) and compile-error
+    path (reference-identical message, exit 1)."""
+    import json as _json
+
+    from jepl_spark.__main__ import main
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    rc = main([
+        "select count(event_id) AS n from events where event_type = 'click'",
+        "--table", f"events={src}", "--json",
+        "--master", "local[2]",
+    ])
+    assert rc == 0
+    row = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["n"] > 0
+
+    rc = main(["select sum(value) from events", "--table", f"events={src}"])
+    captured = capsys.readouterr()
+    assert rc == 1 and "WHERE is required" in captured.err
