@@ -350,6 +350,23 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_topk_batch(spark, sf_dir):
+    """Batched exact top-k (the serving shape): 3 query vectors scored
+    in ONE corpus pass (broadcast queries), per-query rank window.
+    Oracle replays the window + full-precision tie-break in DuckDB."""
+    df = load_table(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id").isin([0, 7, 123])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return S.brute_force_topk_batch(df, queries, k=5).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _r(F.col("cosine"), 4).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (multi-table LSH bucket
     self-join, ids-only → vector re-attach → exact cosine → threshold),
@@ -843,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_scores": q_ann_cosine_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_topk_batch": q_ann_topk_batch,
         "ann_index_topk": q_ann_index_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1289,6 +1307,19 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT e.vec_id, {_cosine_sql('e.v', 'q.qv')} AS c_full FROM e, q)
             SELECT vec_id, round(c_full, 4) AS cosine
             FROM s ORDER BY c_full DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_topk_batch": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 7, 123)),
+            s AS (SELECT q.query_id, e.vec_id,
+                         {_cosine_sql('e.v', 'q.qv')} AS c_full
+                  FROM e, q),
+            r AS (SELECT query_id, vec_id, c_full,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY c_full DESC, vec_id ASC) AS rank
+                  FROM s)
+            SELECT query_id, vec_id, round(c_full, 4) AS cosine, rank
+            FROM r WHERE rank <= 5
         """,
         "ann_index_topk": _ann_index_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),

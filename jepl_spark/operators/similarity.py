@@ -71,6 +71,52 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def brute_force_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k for a BATCH of queries — the realistic serving /
+    evaluation shape (score a query set, not one vector at a time).
+
+    Plan: broadcast the (small) query table against the embedding scan
+    — one pass over the corpus scores every query, no shuffle of the
+    corpus — then per-query top-k via a rank window partitioned by
+    query id (each partition's heap is k-bounded by the filter; the
+    only shuffle is (query_id, vec_id, cosine) rows, never vectors).
+    Ties break by id for determinism, matching brute_force_topk.
+
+    Returns (query_id, vec_id, cosine, rank) with rank 1..k."""
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(query_vec_col).alias("__qv"),
+        )
+    )
+    denom = _norm(F.col(vec_col)) * _norm(F.col("__qv"))
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        _dot(F.col(vec_col), F.col("__qv")) / denom
+    )
+    scored = df.crossJoin(q).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (Gaussian, seeded stdlib RNG —
     no numpy dependency in the plan)."""

@@ -586,3 +586,35 @@ def test_simhash_hamming_banded_equals_bruteforce_randomized(spark):
         ).collect()
     }
     assert got == expect and len(expect) > 20
+
+
+def test_brute_force_topk_batch_matches_single(spark):
+    """Per-query batched results must equal the single-query operator
+    (same values, same tie-break), and the plan must broadcast the
+    query side (one corpus pass, no corpus shuffle)."""
+    rng = np.random.RandomState(9)
+    rows = [(i, rng.randn(8).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qids = [3, 42, 250]
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in qids], ["query_id", "query_vec"]
+    )
+    batch = S.brute_force_topk_batch(df, queries, k=7)
+    got = {
+        qid: [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in batch.filter(F.col("query_id") == qid)
+            .orderBy("rank").collect()
+        ]
+        for qid in qids
+    }
+    for qid in qids:
+        single = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in S.brute_force_topk(df, rows[qid][1], k=7).collect()
+        ]
+        assert got[qid] == single, qid
+        assert got[qid][0][0] == qid  # self is rank 1
+
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
