@@ -214,3 +214,84 @@ def test_rule_parity_bulk(spark):
                     failures.append((sql, key, got[key], expected[key]))
                     break
     assert not failures, f"{len(failures)} rule mismatches; first: {failures[0]}"
+
+
+# -- JSONANY lane: dotted extraction from raw-JSON string columns -----------
+
+
+def gen_json_pred(rng: random.Random, depth: int) -> str:
+    """Predicates over props.p (always JSON number or missing) and
+    props.q (always JSON string or missing) — value types consistent
+    with usage, as the reference corpus keeps them (the documented
+    JSONANY divergence only bites on type-punned data)."""
+    if depth <= 0 or rng.random() < 0.4:
+        kind = rng.randrange(5)
+        if kind == 0:
+            cmp = rng.choice(["=", "!=", "<", "<=", ">", ">="])
+            return f"props.p {cmp} {gen_num_expr(rng, 1)}"
+        if kind == 1:
+            return f"props.q {rng.choice(['=', '!='])} '{rng.choice(STR_VALUES)}'"
+        if kind == 2:
+            vals = sorted({round(rng.uniform(0, 8), 1) for _ in range(3)})
+            return f"props.p {rng.choice(['IN', 'NI'])} [{', '.join(map(str, vals))}]"
+        if kind == 3:
+            pat = rng.choice(["^x", "z+", "y$", "."])
+            return f"props.q {rng.choice(['=~', '!~'])} /{pat}/"
+        cmp = rng.choice(["=", "!=", "<", ">"])
+        return f"a {cmp} props.p"
+    op = rng.choice(["AND", "OR"])
+    return f"{gen_json_pred(rng, depth - 1)} {op} {gen_json_pred(rng, depth - 1)}"
+
+
+def test_jsonany_predicate_parity_bulk(spark):
+    """100 random predicates over dotted raw-JSON extraction
+    (get_json_object lane) × 40 docs: compiled filter vs oracle."""
+    import json as _json
+
+    rng = random.Random(31337)
+    docs = []
+    for _ in range(N_DOCS):
+        d = gen_doc(rng)
+        props = {}
+        if rng.random() < 0.8:
+            props["p"] = round(rng.uniform(-2, 9), 1)
+        if rng.random() < 0.8:
+            props["q"] = rng.choice(STR_VALUES)
+        if props or rng.random() < 0.7:
+            d["props"] = props
+        docs.append(d)
+
+    schema = StructType(
+        list(SCHEMA.fields)
+        + [StructField("props", StringType()), StructField("__i", DoubleType())]
+    )
+    rows = [
+        dict(
+            full_row(d),
+            props=_json.dumps(d["props"]) if "props" in d else None,
+            __i=float(i),
+        )
+        for i, d in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    compiler = ExprCompiler(schema)
+
+    preds = [gen_json_pred(rng, 2) for _ in range(100)]
+    cols = [F.col("__i")]
+    for j, p in enumerate(preds):
+        pred_col = compiler.compile_predicate(parse_expr(p))
+        cols.append(F.coalesce(pred_col, F.lit(False)).alias(f"p{j}"))
+    out = {int(r["__i"]): r for r in df.select(*cols).collect()}
+
+    mismatches = []
+    for j, p in enumerate(preds):
+        for i, d in enumerate(docs):
+            oracle_pass = eval_expr(parse_expr(p), d) is True
+            spark_pass = bool(out[i][f"p{j}"])
+            if oracle_pass != spark_pass:
+                mismatches.append((p, d, spark_pass, oracle_pass))
+    assert not mismatches, (
+        f"{len(mismatches)} mismatches; first: "
+        f"pred={mismatches[0][0]!r} doc={mismatches[0][1]} "
+        f"spark={mismatches[0][2]} oracle={mismatches[0][3]}"
+    )
