@@ -1093,3 +1093,60 @@ def test_manifest_sink_compact_prune_history_watermark(spark, tmp_path):
     assert sorted(
         r["id"] for r in sink.read_committed(spark).collect()
     ) == before + [100, 101, 102]
+
+
+def test_continuous_processing_time_trigger(spark, tmp_path):
+    """The sustained-streaming path (processingTime trigger, files
+    arriving WHILE the query runs): rows flow across multiple triggers
+    into the exactly-once sink, and a graceful stop leaves only
+    committed batches behind."""
+    import threading
+    import time as _t
+
+    sql = "select count(value) AS n, sum(value) AS s from s where value > 0"
+    src = str(tmp_path / "src")
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    write_batches(src, [[_doc("u1", "k", 1.0, 1), _doc("u2", "k", 2.0, 2)]],
+                  PA_SCHEMA)
+
+    q = run_rule_stream(
+        sql, file_stream(spark, src, SPARK_SCHEMA, max_files_per_trigger=1),
+        ts_col="event_time", duration="30 seconds", watermark="10 seconds",
+        sink=sink, checkpoint=str(tmp_path / "ckpt"),
+        available_now=False,
+    )
+    # availableNow=False leaves the default micro-batch trigger running
+    # continuously; feed more files while it runs
+    def feed():
+        for i, docs in enumerate(
+            [[_doc("u1", "k", 3.0, 31)], *_sentinels(1000)]
+        ):
+            _t.sleep(1.0)
+            write_batches(str(tmp_path / f"feed{i}"), [docs], PA_SCHEMA)
+            os.replace(
+                os.path.join(str(tmp_path / f"feed{i}"), "00000.parquet"),
+                os.path.join(src, f"9{i:04d}.parquet"),
+            )
+
+    t = threading.Thread(target=feed)
+    t.start()
+    deadline = _t.time() + 60
+    want = {0.0: (2.0, 3.0), 30.0: (1.0, 3.0)}
+    got = {}
+    while _t.time() < deadline:
+        _t.sleep(2.0)
+        try:
+            got = {
+                (r["window_start"].replace(tzinfo=timezone.utc) - BASE).total_seconds():
+                (r["n"], r["s"])
+                for r in sink.read_committed(spark).collect()
+                if (r["window_start"].replace(tzinfo=timezone.utc) - BASE)
+                .total_seconds() < 900
+            }
+        except ValueError:
+            continue  # nothing committed yet
+        if got == want:
+            break
+    t.join()
+    q.stop()
+    assert got == want, got
