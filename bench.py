@@ -301,7 +301,7 @@ def clips_stream_run(
     close_lat = (
         sum(emit_trigs) / len(emit_trigs)
         if emit_trigs
-        else wall / max(1, len(sink.committed_batches()))
+        else wall / max(1, sink.committed_count())
     )
     return {
         "wall_s": wall,

@@ -46,6 +46,7 @@ def main(argv: list[str]) -> int:
     non_null = {k: set(v.split(",")) for k, v in parse_kv(args.non_null).items()}
     nan_cols = {k: set(v.split(",")) for k, v in parse_kv(args.nan_col).items()}
 
+    from pyspark.errors import AnalysisException
     from pyspark.sql import SparkSession
 
     from jepl_spark.compiler.expr import JeplCompileError
@@ -53,6 +54,7 @@ def main(argv: list[str]) -> int:
     from jepl_spark.lang.ast import JeplValidationError
     from jepl_spark.lang.parser import JeplParseError
 
+    preexisting = SparkSession.getActiveSession()
     spark = (
         SparkSession.builder.master(args.master)
         .appName("jepl-cli")
@@ -60,7 +62,10 @@ def main(argv: list[str]) -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
-    spark.sparkContext.setLogLevel("ERROR")
+    if preexisting is None:
+        # only quiet a session we created — never mutate a host session
+        # (e.g. the pytest fixture) behind its owner's back
+        spark.sparkContext.setLogLevel("ERROR")
     try:
         eng = JeplEngine(spark, tables, non_null=non_null, nan_cols=nan_cols)
         df = eng.sql(args.rule)
@@ -72,6 +77,11 @@ def main(argv: list[str]) -> int:
         return 0
     except (JeplParseError, JeplValidationError, JeplCompileError) as e:
         print(str(e), file=sys.stderr)
+        return 1
+    except AnalysisException as e:
+        # unregistered FROM table / bad --table path: one clean line,
+        # not a multi-screen JVM traceback
+        print(f"analysis error: {e.getMessage().splitlines()[0]}", file=sys.stderr)
         return 1
 
 

@@ -88,22 +88,29 @@ def brute_force_topk_batch(
     corpus — then per-query top-k via a rank window partitioned by
     query id (each partition's heap is k-bounded by the filter; the
     only shuffle is (query_id, vec_id, cosine) rows, never vectors).
-    Ties break by id for determinism, matching brute_force_topk.
+    Both norms are precomputed on their own side of the join (once per
+    corpus row / once per query), so per-pair work is ONE dot product
+    instead of three array folds.  Ties break by id for determinism,
+    matching brute_force_topk.
 
     Returns (query_id, vec_id, cosine, rank) with rank 1..k."""
     from pyspark.sql.window import Window
 
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__vn")
+    )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("__qid"),
             F.col(query_vec_col).alias("__qv"),
+            _norm(F.col(query_vec_col)).alias("__qn"),
         )
     )
-    denom = _norm(F.col(vec_col)) * _norm(F.col("__qv"))
+    denom = F.col("__vn") * F.col("__qn")
     cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
         _dot(F.col(vec_col), F.col("__qv")) / denom
     )
-    scored = df.crossJoin(q).select(
+    scored = corpus.crossJoin(q).select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col),
         cos.alias("cosine"),

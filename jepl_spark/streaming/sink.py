@@ -141,6 +141,11 @@ class IdempotentParquetSink:
         names = [st.getPath().getName() for st in fs.listStatus(jpath)]
         return sorted(int(x) for x in names if x.isdigit())
 
+    def committed_count(self, spark: Optional[SparkSession] = None) -> int:
+        """Total committed batches (same accessor as ManifestCommitSink,
+        so callers can report counts sink-agnostically)."""
+        return len(self.committed_batches(spark))
+
     def read_committed(self, spark: SparkSession) -> DataFrame:
         """Read exactly the committed batches (uncommitted partials,
         which can exist transiently after a crash, are invisible)."""
@@ -235,14 +240,15 @@ class ManifestCommitSink:
         spark = spark or self._active_spark()
         names = self._manifest_names(spark)
         if not names:
-            return {"version": 0, "batches": {},
-                    "compacted_through": -1, "compacted_files": []}
+            return {"version": 0, "batches": {}, "compacted_through": -1,
+                    "compacted_files": [], "n_compacted": 0}
         winner = max(names)  # v%012d- prefix makes lexicographic == numeric
         man = json.loads(
             _fsutil.read_text(spark, os.path.join(self._manifest_dir, winner))
         )
         man.setdefault("compacted_through", -1)
         man.setdefault("compacted_files", [])
+        man.setdefault("n_compacted", 0)
         return man
 
     # -- protocol ----------------------------------------------------------
@@ -259,10 +265,16 @@ class ManifestCommitSink:
         """Explicitly-listed committed batch ids.  After a
         prune_history compaction the pre-watermark ids are summarized
         by ``compacted_through`` (see current_manifest) and no longer
-        enumerated here."""
+        enumerated here — use ``committed_count`` for the total."""
         return sorted(
             int(b) for b in self.current_manifest(spark)["batches"]
         )
+
+    def committed_count(self, spark: Optional[SparkSession] = None) -> int:
+        """TOTAL committed batches, surviving prune_history compactions
+        (the ``n_compacted`` counter carries the folded ids' count)."""
+        man = self.current_manifest(spark)
+        return int(man["n_compacted"]) + len(man["batches"])
 
     def _list_parquet(self, spark: SparkSession, directory: str) -> list[str]:
         fs, jpath, _ = _fsutil.hadoop_fs(spark, directory)
@@ -294,6 +306,7 @@ class ManifestCommitSink:
             "batches": {**man["batches"], str(int(batch_id)): files},
             "compacted_through": man["compacted_through"],
             "compacted_files": man["compacted_files"],
+            "n_compacted": int(man["n_compacted"]),
             "ts": time.time(),
         }
         name = f"v{new_man['version']:012d}-{attempt}.json"
@@ -347,52 +360,81 @@ class ManifestCommitSink:
         into the ``compacted_through`` watermark (every id ≤ watermark
         is committed) — withOUT it, the manifest's batches→files map
         repeats the shared file list per batch id and still grows with
-        every micro-batch ever committed; WITH it, manifest size is
-        bounded by the batches committed since the last compaction.
-        This is the analogue of Iceberg's snapshot expiry: use it on
-        unbounded streams, skip it if you need the exact historical
-        batch-id → file mapping.
+        every micro-batch ever committed (empty batches included); WITH
+        it, manifest size is bounded by the batches committed since the
+        last compaction.  This is the analogue of Iceberg's snapshot
+        expiry: use it on unbounded streams, skip it if you need the
+        exact historical batch-id → file mapping.  Pruning REQUIRES the
+        committed ids to be gap-free above the previous watermark
+        (Structured Streaming's monotonic batch ids guarantee this) and
+        raises otherwise — a gap folded under the watermark would turn
+        a future commit of the missing id into a silent no-op.  When
+        every foldable batch is empty, pruning publishes a
+        metadata-only manifest (no data rewrite) so idle streams stay
+        bounded too.
 
         Same single-writer assumption as write_batch: run from the
         owning maintenance process, not concurrently with an active
         writer racing manifest versions.  Returns False (no-op) when
-        fewer than ``min_batches`` non-empty batches exist."""
+        fewer than ``min_batches`` foldable entries exist (non-empty
+        batches + the existing compacted set; with prune_history, empty
+        batches count too — they are map entries worth folding)."""
         import uuid
 
         man = self.current_manifest(spark)
-        # the existing compacted set counts as one foldable unit: a
-        # post-pruning manifest with batches newer than the watermark
-        # must still be compactable into it
-        nonempty = len([b for b, fl in man["batches"].items() if fl]) + (
-            1 if man["compacted_files"] else 0
-        )
-        if nonempty < min_batches:
+        ids = sorted(int(b) for b in man["batches"])
+        has_compacted = 1 if man["compacted_files"] else 0
+        if prune_history:
+            # every map entry (empty ones included) is foldable into
+            # the watermark; an idle stream's empty-batch entries are
+            # exactly the unbounded growth pruning exists to stop
+            foldable = len(ids) + has_compacted
+        else:
+            foldable = (
+                len([b for b, fl in man["batches"].items() if fl])
+                + has_compacted
+            )
+        if foldable < min_batches:
             return False
+        if prune_history and ids:
+            # the watermark claims every id ≤ max is committed — refuse
+            # if that would swallow a gap (non-streaming id patterns)
+            expect = list(range(man["compacted_through"] + 1, ids[-1] + 1))
+            if ids != expect:
+                raise ValueError(
+                    f"prune_history requires gap-free batch ids above the "
+                    f"watermark ({man['compacted_through']}); got {ids} — "
+                    f"a gap folded under the watermark would silently "
+                    f"no-op a future commit of the missing id"
+                )
         files = sorted(
             {f for fl in man["batches"].values() for f in fl}
             | set(man["compacted_files"])
         )
         attempt = uuid.uuid4().hex
-        outdir = os.path.join(
-            self.root, "data", "batch=compacted", f"attempt={attempt}"
-        )
-        (
-            spark.read.parquet(*files)
-            .repartition(target_partitions)
-            .write.mode("error")
-            .parquet(outdir)
-        )
-        newfiles = self._list_parquet(spark, outdir)
-        if prune_history:
-            watermark = max(
-                [man["compacted_through"]]
-                + [int(b) for b in man["batches"]]
+        if files:
+            outdir = os.path.join(
+                self.root, "data", "batch=compacted", f"attempt={attempt}"
             )
+            (
+                spark.read.parquet(*files)
+                .repartition(target_partitions)
+                .write.mode("error")
+                .parquet(outdir)
+            )
+            newfiles = self._list_parquet(spark, outdir)
+        elif prune_history:
+            newfiles = []  # metadata-only fold of empty batches
+        else:
+            return False  # nothing to rewrite and nothing to fold
+        if prune_history:
+            watermark = max([man["compacted_through"]] + ids)
             new_man = {
                 "version": int(man["version"]) + 1,
                 "batches": {},
                 "compacted_through": watermark,
                 "compacted_files": newfiles,
+                "n_compacted": int(man.get("n_compacted", 0)) + len(ids),
                 "ts": time.time(),
             }
         else:
@@ -404,6 +446,7 @@ class ManifestCommitSink:
                 },
                 "compacted_through": man["compacted_through"],
                 "compacted_files": newfiles if man["compacted_files"] else [],
+                "n_compacted": int(man.get("n_compacted", 0)),
                 "ts": time.time(),
             }
         name = f"v{new_man['version']:012d}-{attempt}.json"
@@ -415,20 +458,28 @@ class ManifestCommitSink:
     def vacuum(self, spark: SparkSession, keep_manifests: int = 3) -> list[str]:
         """Delete the orphan data files (crashed or superseded attempts)
         AND superseded manifest objects (keeping the newest
-        ``keep_manifests``), returning the deleted paths.  Without
-        manifest pruning the _manifests/ directory grows one object per
-        commit forever, and every current_manifest() LIST pays for it.
-        Safe against readers — they only open the winning manifest's
-        files and older manifests are never the winner — but NOT
-        against a concurrent writer mid-attempt (its not-yet-committed
-        files look like orphans), so run it under the same
-        single-writer ownership as compact()."""
+        ``keep_manifests``; values < 1 are clamped to 1 — the winning
+        manifest is never deleted), returning the deleted paths.
+        Without manifest pruning the _manifests/ directory grows one
+        object per commit forever, and every current_manifest() LIST
+        pays for it.
+
+        Reader-safety caveat: data files referenced by the WINNING
+        manifest are never touched, but a reader that LISTed manifests
+        and then stalls past ``keep_manifests`` further commits can
+        find its (no longer winning) manifest object deleted — size
+        keep_manifests above the worst-case reader staleness measured
+        in commits, or retry current_manifest on a missing object.
+        NOT safe against a concurrent writer mid-attempt (its
+        not-yet-committed files look like orphans), so run it under the
+        same single-writer ownership as compact()."""
         deleted = list(self.orphan_files(spark))
         for p in deleted:
             fs, jpath, _ = _fsutil.hadoop_fs(spark, p)
             fs.delete(jpath, False)
+        keep = max(1, int(keep_manifests))
         names = sorted(self._manifest_names(spark))
-        for n in names[:-keep_manifests] if keep_manifests > 0 else names[:-1]:
+        for n in names[:-keep]:
             path = os.path.join(self._manifest_dir, n)
             fs, jpath, _ = _fsutil.hadoop_fs(spark, path)
             fs.delete(jpath, False)

@@ -144,7 +144,7 @@ def main(argv: list[str]) -> int:
     summary = listener.summary()
     summary.update(
         wall_s=round(wall, 2),
-        committed_batches=len(sink.committed_batches()),
+        committed_batches=sink.committed_count(),
         clips_per_sec=round(summary["input_rows"] / wall, 1) if wall else None,
     )
     print(json.dumps(summary))

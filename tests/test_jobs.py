@@ -56,10 +56,11 @@ def test_cli_runner(spark, capsys):
     from jepl_spark.__main__ import main
 
     src = "/root/testdata/sf0.001/events.parquet"
+    # no --master: under pytest getOrCreate() returns the fixture
+    # session regardless, so passing one would only mislead
     rc = main([
         "select count(event_id) AS n from events where event_type = 'click'",
         "--table", f"events={src}", "--json",
-        "--master", "local[2]",
     ])
     assert rc == 0
     row = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])

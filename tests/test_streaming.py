@@ -1150,3 +1150,48 @@ def test_continuous_processing_time_trigger(spark, tmp_path):
     t.join()
     q.stop()
     assert got == want, got
+
+
+def test_manifest_sink_prune_gap_rejected_and_idle_fold(spark, tmp_path):
+    """Review r3 follow-ups: (a) prune_history REFUSES gap'd batch ids
+    (the watermark would silently no-op a future commit of the missing
+    id); (b) an idle stream's all-empty batches fold metadata-only so
+    the manifest stays bounded; (c) committed_count survives pruning."""
+    from jepl_spark.streaming.sink import ManifestCommitSink
+
+    # (a) gap: ids 0,1 then 5
+    sink = ManifestCommitSink(str(tmp_path / "gap"), lineage=False)
+    for b in (0, 1, 5):
+        sink.write_batch(spark.range(3).select(F.col("id")), b)
+    with pytest.raises(ValueError, match="gap-free"):
+        sink.compact(spark, prune_history=True)
+    # non-pruning compaction is still fine on gap'd ids
+    assert sink.compact(spark, prune_history=False) is True
+
+    # (b) idle: three 0-row batches (Spark still writes one empty part
+    # file per batch) — pruning folds them into the watermark and ONE
+    # tiny compacted file set, so the manifest stays bounded; the
+    # metadata-only branch covers stores where empty writes produce no
+    # files at all
+    idle = ManifestCommitSink(str(tmp_path / "idle"), lineage=False)
+    empty = spark.range(1).select(F.col("id")).filter(F.col("id") < 0)
+    for b in range(3):
+        idle.write_batch(empty, b)
+    assert idle.committed_count() == 3
+    assert idle.compact(spark, prune_history=True) is True
+    man = idle.current_manifest(spark)
+    assert man["batches"] == {} and man["compacted_through"] == 2
+    assert len(man["compacted_files"]) <= 1
+    assert idle.committed_count() == 3      # n_compacted carries the total
+    assert idle.is_committed(1) and not idle.is_committed(3)
+    assert idle.read_committed(spark).count() == 0
+
+    # (c) counts across a data-bearing prune
+    full = ManifestCommitSink(str(tmp_path / "full"), lineage=False)
+    for b in range(4):
+        full.write_batch(spark.range(2).select(F.col("id")), b)
+    assert full.committed_count() == 4
+    full.compact(spark, prune_history=True)
+    assert full.committed_count() == 4
+    full.write_batch(spark.range(2).select(F.col("id")), 4)
+    assert full.committed_count() == 5
