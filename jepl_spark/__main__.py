@@ -1,13 +1,27 @@
 """Command-line JEPL runner.
 
+Batch:
+
     python -m jepl_spark "select count(x) AS n from t where x > 1" \\
         --table t=/path/to/t.parquet [--table u=/path/u.parquet] \\
         [--non-null t=x,y] [--master local[4]] [--json]
 
-Parses the rule, compiles it against the registered parquet tables, and
-prints the result rows (one JSON object per line with --json, otherwise
-Spark's .show()).  Exit code 1 on parse/validation/compile errors, with
-the reference-identical error message on stderr.
+Streaming (event-time windowed, availableNow, exactly-once sink):
+
+    python -m jepl_spark "select count(x) AS n from t where x > 1" \\
+        --table t=/path/to/dir --window "1 hour" --ts-col ts \\
+        [--slide "30 minutes" | --session-gap "10 minutes"] \\
+        [--watermark "1 hour"] --sink /out/dir --checkpoint /ckpt [--json]
+
+Parses the rule, compiles it against the registered parquet table(s),
+and prints the result rows (one JSON object per line with --json,
+otherwise Spark's .show()).  In streaming mode the FROM table is read
+as a file stream, the rule runs as a windowed Structured Streaming
+query into an IdempotentParquetSink, and the committed rows are
+printed after the availableNow drain; re-running with the same
+--checkpoint resumes exactly-once.  Exit code 1 on
+parse/validation/compile errors, with the reference-identical error
+message on stderr.
 """
 
 from __future__ import annotations
@@ -31,7 +45,17 @@ def main(argv: list[str]) -> int:
     p.add_argument("--master", default="local[*]")
     p.add_argument("--json", action="store_true",
                    help="print one JSON object per row instead of .show()")
+    p.add_argument("--window", default=None,
+                   help="streaming mode: tumbling window duration")
+    p.add_argument("--slide", default=None)
+    p.add_argument("--session-gap", default=None)
+    p.add_argument("--watermark", default="0 seconds")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--sink", default=None, help="streaming output dir")
+    p.add_argument("--checkpoint", default=None)
     args = p.parse_args(argv)
+    if args.window and not (args.sink and args.checkpoint):
+        p.error("--window requires --sink and --checkpoint")
 
     def parse_kv(entries):
         out = {}
@@ -68,7 +92,39 @@ def main(argv: list[str]) -> int:
         spark.sparkContext.setLogLevel("ERROR")
     try:
         eng = JeplEngine(spark, tables, non_null=non_null, nan_cols=nan_cols)
-        df = eng.sql(args.rule)
+        if args.window:
+            from jepl_spark.lang.parser import parse_statement
+            from jepl_spark.streaming.engine import (
+                file_stream,
+                run_rule_stream,
+                run_to_completion,
+            )
+            from jepl_spark.streaming.sink import IdempotentParquetSink
+
+            stmt = parse_statement(args.rule)
+            name = stmt.sources[0].database if stmt.sources else None
+            if name not in tables:
+                print(f"streaming mode: FROM table {name!r} must be "
+                      f"registered with --table", file=sys.stderr)
+                return 1
+            schema = spark.read.parquet(tables[name]).schema
+            sink = IdempotentParquetSink(args.sink)
+            q = run_rule_stream(
+                args.rule,
+                file_stream(spark, tables[name], schema),
+                ts_col=args.ts_col,
+                duration=args.window or "0",
+                slide=args.slide,
+                session_gap=args.session_gap,
+                watermark=args.watermark,
+                non_null=non_null.get(name, frozenset()),
+                sink=sink,
+                checkpoint=args.checkpoint,
+            )
+            run_to_completion(q, timeout_s=3600)
+            df = sink.read_committed(spark)
+        else:
+            df = eng.sql(args.rule)
         if args.json:
             for row in df.collect():
                 print(json.dumps(row.asDict(), default=str))

@@ -69,3 +69,44 @@ def test_cli_runner(spark, capsys):
     rc = main(["select sum(value) from events", "--table", f"events={src}"])
     captured = capsys.readouterr()
     assert rc == 1 and "WHERE is required" in captured.err
+
+
+def test_cli_streaming_mode(spark, tmp_path, capsys):
+    """CLI --window runs the rule as a windowed streaming query through
+    the exactly-once sink; re-running with the same checkpoint is a
+    no-op (no duplicate rows)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from jepl_spark.__main__ import main
+
+    src = str(tmp_path / "events")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .write.parquet(src)
+    )
+    argv = [
+        "select count(event_id) AS n from events where event_type = 'click'",
+        "--table", f"events={src}",
+        "--window", "6 hours", "--watermark", "1 hour", "--ts-col", "ts",
+        "--sink", str(tmp_path / "out"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--json",
+    ]
+    assert main(argv) == 0
+    rows1 = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert rows1 and all("window_start" in r and r["n"] >= 0 for r in rows1)
+
+    # resume from the same checkpoint with no new data: identical output
+    assert main(argv) == 0
+    rows2 = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    key = lambda r: (r["window_start"], r.get("n"))  # noqa: E731
+    assert sorted(map(key, rows1)) == sorted(map(key, rows2))
