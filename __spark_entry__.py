@@ -826,6 +826,19 @@ def q_stream_dedup_rule(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints under the hard
+    signal: base-31 codepoint polynomial k-grams + min-in-window
+    selection, replayed EXACTLY in DuckDB (identical integer
+    arithmetic — no modulus, k ≤ 8 keeps the polynomial under 2^63).
+    One row per (doc, fingerprint)."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.explode(T.winnow_fingerprints(F.col("text"), k=8, window=4)).alias("fp"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     return df.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
@@ -871,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "lang_id": q_lang_id,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "audio_decode_stats": q_audio_decode_stats,
         "image_decode_stats": q_image_decode_stats,
         "stream_windowed_rule": q_stream_windowed_rule,
@@ -1061,6 +1075,48 @@ def _lang_id_oracle_sql() -> str:
                {' '.join(branches)}
                ELSE 'und' END AS lang_guess
         FROM sc
+    """
+
+
+def _winnow_oracle_sql(k: int = 8, window: int = 4) -> str:
+    """DuckDB twin of text.winnow_fingerprints: identical base-31
+    codepoint polynomial per k-gram (literal 31-powers), identical
+    min-in-window selection, identical short/empty handling."""
+    poly = " + ".join(
+        f"codes[CAST(i AS INT) + {j}] * {31 ** (k - 1 - j)}" for j in range(k)
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, length(t) AS n,
+                 list_transform(range(1, length(t) + 1),
+                   i -> CAST(ascii(substring(t, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+          FROM s
+        ),
+        g AS (
+          SELECT doc_id, n, codes,
+                 CASE WHEN n >= {k} THEN
+                   list_transform(range(1, n - {k} + 2), i -> {poly})
+                 END AS grams
+          FROM c
+        ),
+        sel AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN n = 0 THEN []
+                   WHEN n < {k} THEN [list_reduce(codes, (a, b) -> a * 31 + b)]
+                   ELSE list_sort(list_distinct(
+                     list_transform(range(1, greatest(len(grams) - {window} + 2, 2)),
+                       j -> list_aggregate(
+                         grams[CAST(j AS INT):CAST(j AS INT) + {window - 1}],
+                         'min'))))
+                 END AS fps
+          FROM g
+        )
+        SELECT doc_id, unnest(fps) AS fp FROM sel
     """
 
 
@@ -1301,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_id": _lang_id_oracle_sql(),
+        "winnow_fingerprints": _winnow_oracle_sql(),
         "ann_topk": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT v AS qv FROM e WHERE vec_id = 0),

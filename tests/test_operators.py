@@ -618,3 +618,83 @@ def test_brute_force_topk_batch_matches_single(spark):
 
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def _winnow_ref(text, k=8, w=4):
+    """From-first-principles Python winnowing (the operator's spec)."""
+    import re
+
+    s = re.sub(r"\s+", " ", text).strip().lower()
+    if not s:
+        return []
+    codes = [ord(c) for c in s]
+    if len(codes) < k:
+        h = 0
+        for c in codes:
+            h = h * 31 + c
+        return [h]
+    grams = []
+    for i in range(len(codes) - k + 1):
+        h = 0
+        for c in codes[i:i + k]:
+            h = h * 31 + c
+        grams.append(h)
+    # fewer grams than the window -> one fingerprint (min of all),
+    # matching the operator's least-with-null-padding behavior
+    return sorted({min(grams[j:j + w]) for j in range(max(len(grams) - w + 1, 1))})
+
+
+def test_winnow_fingerprints_reference_and_edges(spark):
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "THE  Quick brown\tfox jumps over the lazy dog"),  # normalization
+        (2, "ab"), (3, ""), (4, "   "), (5, "exactly8"),  # short/empty edges
+        (6, "unicode éàü 中文 test string here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", T.winnow_fingerprints(F.col("text")).alias("fp")
+        ).collect()
+    }
+    for i, text in docs:
+        assert got[i] == _winnow_ref(text), (i, text)
+    assert got[0] == got[1]          # normalization folds case/ws
+    assert got[3] == [] and got[4] == []
+
+    with pytest.raises(ValueError, match="k must be"):
+        T.winnow_fingerprints(F.col("text"), k=9)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The winnowing theorem on random docs: ANY planted shared
+    substring of length >= window + k - 1 (= 11 at k=8,w=4) yields at
+    least one common fingerprint."""
+    import random
+
+    rng = random.Random(12)
+    alphabet = "abcdefghij "
+    chunk = "".join(rng.choice(alphabet) for _ in range(24)).replace("  ", " x")
+    rows = []
+    for i in range(20):
+        pre = "".join(rng.choice(alphabet) for _ in range(rng.randint(5, 40)))
+        post = "".join(rng.choice(alphabet) for _ in range(rng.randint(5, 40)))
+        rows.append((i, f"{pre}{chunk}{post}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", T.winnow_fingerprints(F.col("text")).alias("fp")
+        ).collect()
+    }
+    import itertools
+
+    for a, b in itertools.combinations(fps, 2):
+        assert fps[a] & fps[b], (a, b)
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in T.fingerprint_overlap_pairs(df, min_shared=1).collect()
+    }
+    assert len(pairs) == 20 * 19 // 2  # every pair shares the chunk
