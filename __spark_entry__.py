@@ -839,6 +839,21 @@ def q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def q_fingerprint_overlap_pairs(spark, sf_dir):
+    """Containment/quotation detection: pairs sharing ≥30 winnowing
+    fingerprints (inverted index, df-capped).  min_shared=30 ≈ the p99
+    of this corpus's pair distribution — incidental boilerplate overlap
+    (median 10 shared fps between ANY two docs here) stays out, the
+    ~900 genuinely-overlapping pairs stay in.  Oracle self-joins the
+    replayed fingerprint set with the same df cap."""
+    df = load_table(spark, sf_dir, "documents")
+    return T.fingerprint_overlap_pairs(df, min_shared=30).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("shared_fps").cast("bigint").alias("shared_fps"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     return df.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
@@ -885,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_bpe_tokens": q_text_bpe_tokens,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "fingerprint_overlap_pairs": q_fingerprint_overlap_pairs,
         "audio_decode_stats": q_audio_decode_stats,
         "image_decode_stats": q_image_decode_stats,
         "stream_windowed_rule": q_stream_windowed_rule,
@@ -1358,6 +1374,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_oracle_sql(),
         "winnow_fingerprints": _winnow_oracle_sql(),
+        # containment pairs: self-join of the replayed fingerprint set,
+        # same document-frequency cap (inert at sf0.01's 500 docs but
+        # kept for parity with the operator's skew control)
+        "fingerprint_overlap_pairs": f"""
+            WITH w AS ({_winnow_oracle_sql()}),
+            capped AS (
+              SELECT doc_id, fp FROM w
+              QUALIFY count(*) OVER (PARTITION BY fp) <= 1000
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS shared_fps
+            FROM capped a JOIN capped b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 30
+        """,
         "ann_topk": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
