@@ -182,6 +182,11 @@ def batch_queries(spark, sf_dir):
         return _drain(T.quality_features(df).select(
             "doc_id", "q_n_tokens", "q_punct_ratio", "q_mean_token_len"))
 
+    def winnow_fps():
+        df = load_table(spark, sf_dir, "documents")
+        return _drain(df.select(
+            "doc_id", F.explode(T.winnow_fingerprints(F.col("text"))).alias("fp")))
+
     return {
         "jepl_lineitem_agg": jepl_lineitem_agg,
         "jepl_events_rule": jepl_events_rule,
@@ -194,6 +199,7 @@ def batch_queries(spark, sf_dir):
         "ann_index_query": ann_index_query,
         "ann_ivf_query": ann_ivf_query,
         "text_quality": text_quality,
+        "winnow_fps": winnow_fps,
     }
 
 

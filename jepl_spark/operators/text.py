@@ -1,11 +1,16 @@
 """Text-analysis operators for training-data pipelines.
 
-All pure ``pyspark.sql.functions`` / SQL lambda expressions — JVM-side,
-whole-stage-codegen'd, no Python UDFs — so they scale linearly with
-input splits and add no shuffle (all are per-row projections).
+Pure ``pyspark.sql.functions`` / SQL lambda expressions — JVM-side,
+whole-stage-codegen'd — for everything except ``winnow_fingerprints``,
+which is an Arrow-batched pandas UDF by measurement (interpreted JVM
+array lambdas were 32× slower for its char-level rolling math; see its
+docstring).  All are per-row projections: linear with input splits, no
+shuffle.
 """
 
 from __future__ import annotations
+
+import re as _re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -78,26 +83,27 @@ def winnow_fingerprints(text: Column, k: int = 8, window: int = 4) -> Column:
     partial-overlap/containment detector (quotation and boilerplate
     reuse that whole-document MinHash misses).
 
-    Implementation notes:
-    - the gram hash is Horner's rule over codepoints built by chained
-      ``zip_with`` over shifted copies of the code array (the
-      word_shingle_hashes shape: one evaluation per shift, never the
-      index-sequence form that re-evaluates the array per element);
-    - the window minimum is the same chained-``zip_with`` trick with
-      ``least`` — no per-position slice+array_min (which would
-      re-evaluate the gram array per window position);
+    Implementation: an Arrow-batched pandas UDF over numpy — the ONE
+    text operator here that is not pure JVM SQL, deliberately: the
+    char-level rolling computation needs ~n·(k+window) element steps
+    per document, and Spark's higher-order array lambdas execute
+    interpreted with per-element allocation (a chained-zip_with JVM
+    version measured 32 s at sf0.1; a substring-per-position version
+    is O(n²) because UTF8String.substring seeks from the start).
+    Vectorized numpy does the same math in C over Arrow batches.  The
+    SEMANTICS stay SQL-replayable (the gate's DuckDB twin reruns the
+    identical integer arithmetic):
+
+    - normalization matches content_hash — Java-regex-equivalent ASCII
+      whitespace collapse + lower, so fingerprint equality composes
+      with the dedup operators';
     - k ≤ 8 is enforced: max codepoint (0x10FFFF) times Σ31^j for
-      j<8 stays under 2^63, so the UNREDUCED polynomial cannot
-      overflow a Java long under ANSI mode (and the identical integer
-      arithmetic is replayable in an SQL oracle — no modulus games);
+      j<8 stays under 2^63 — the UNREDUCED polynomial cannot overflow
+      int64, making the arithmetic portable to any SQL oracle;
     - texts shorter than k yield ONE fingerprint (Horner over the whole
       text); texts with fewer grams than the window also yield one
-      (the minimum of all grams — `least` with zip_with's null padding
-      does this naturally); empty/whitespace-only text yields an empty
-      array.  The SQL oracle twin replays all three boundaries.
-
-    Normalization matches content_hash (lower + collapse whitespace),
-    so fingerprint equality composes with the dedup operators'."""
+      (min of all grams); empty/whitespace-only text yields an empty
+      array.  The oracle twin replays all three boundaries."""
     if not (1 <= k <= 8):
         raise ValueError(
             f"k must be in [1, 8]: codepoint·Σ31^j stays under 2^63 only "
@@ -106,30 +112,48 @@ def winnow_fingerprints(text: Column, k: int = 8, window: int = 4) -> Column:
         )
     if window < 1:
         raise ValueError(f"window must be ≥ 1 (got {window})")
-    s = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
-    codes = F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long"))
-    n = F.size(codes)
 
-    def shifted(arr: Column, t: int) -> Column:
-        return F.slice(arr, t + 1, F.greatest(F.size(arr) - t, F.lit(0)))
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    gram = codes
-    for j in range(1, k):
-        gram = F.zip_with(gram, shifted(codes, j), lambda p, c: p * 31 + c)
-    grams = F.slice(gram, 1, F.greatest(n - (k - 1), F.lit(0)))
+    weights = np.array([31 ** (k - 1 - j) for j in range(k)], dtype=np.int64)
 
-    m = grams
-    for t in range(1, window):
-        m = F.zip_with(m, shifted(grams, t), lambda a, b: F.least(a, b))
-    selected = F.slice(m, 1, F.greatest(F.size(grams) - (window - 1), F.lit(1)))
+    def one(text_val) -> list:
+        if text_val is None:
+            return []
+        # Java \s is ASCII-only; python \s is unicode-aware — use the
+        # explicit class so normalization matches the JVM operators
+        s = _re.sub(r"[ \t\n\x0b\f\r]+", " ", text_val).strip(" ").lower()
+        if not s:
+            return []
+        codes = np.frombuffer(
+            s.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        n = codes.shape[0]
+        if n < k:
+            h = 0
+            for c in codes.tolist():
+                h = h * 31 + c
+            return [h]
+        grams = np.zeros(n - k + 1, dtype=np.int64)
+        for j in range(k):
+            grams += codes[j:n - k + 1 + j] * weights[j]
+        if grams.shape[0] < window:
+            return [int(grams.min())]
+        mins = np.lib.stride_tricks.sliding_window_view(
+            grams, window
+        ).min(axis=1)
+        return sorted(set(mins.tolist()))
 
-    whole = F.array(F.aggregate(codes, F.lit(0).cast("long"),
-                                lambda acc, c: acc * 31 + c))
-    return (
-        F.when(F.length(s) == 0, F.array().cast("array<long>"))
-        .when(n < k, whole)
-        .otherwise(F.array_sort(F.array_distinct(selected)))
-    )
+    def _winnow(texts):
+        return texts.map(one)
+
+    # `from __future__ import annotations` stringifies hints module-wide
+    # and pyspark's typehint resolver rejects the strings — attach the
+    # real class objects instead
+    _winnow.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_winnow, "array<long>")(text)
 
 
 def fingerprint_overlap_pairs(
