@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from jepl_spark.engine import JeplEngine
 from jepl_spark.operators import dedup as D
+from jepl_spark.operators import joins as JN
 from jepl_spark.operators import similarity as S
 from jepl_spark.operators import text as T
 from jepl_spark.sources.tables import load_table
@@ -859,6 +860,85 @@ def q_lang_id(spark, sf_dir):
     return df.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
 
 
+def q_asof_join_events(spark, sf_dir):
+    """As-of join (DuckDB ASOF JOIN twin): each purchase gets the
+    user's most recent preceding view, nulled when the gap exceeds the
+    2-day tolerance.  Union + last-ignorenulls window plan — one
+    exchange per side on user_id, no nested-loop join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = JN.asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        tolerance=F.lit(2 * 86400 * 1_000_000),
+        right_prefix="view_",
+    )
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros(F.col("view_ts").cast("timestamp")).alias("view_ts_us"),
+        _r(F.col("view_value"), 4).alias("view_value"),
+    )
+
+
+def q_range_join_events(spark, sf_dir):
+    """Point-in-interval range join (bin-bucketed equi-join, no
+    nested loop): purchases attributed to the signup's 12-hour
+    activation window for the same user."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("e"),
+    )
+    pts = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts", "value"
+    )
+    out = JN.range_join(
+        pts, iv, point_time="ts", start_col="s", end_col="e",
+        on="user_id", bin_width="4 hours",
+    )
+    return out.select(
+        F.col("win_id").cast("bigint").alias("win_id"),
+        F.col("p_p_id").cast("bigint").alias("p_id"),
+        _r(F.col("p_value"), 4).alias("p_value"),
+    )
+
+
+def q_interval_overlap_events(spark, sf_dir):
+    """Interval-overlap join with the first-shared-bin exactly-once
+    trick: signup activation windows (12 h) × error windows (6 h) per
+    user."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("e"),
+    )
+    b = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"),
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("e"),
+    )
+    out = JN.interval_overlap_join(
+        a, b, "s", "e", "s", "e", on="user_id", bin_width="3 hours"
+    )
+    return out.select(
+        F.col("a_id").cast("bigint").alias("a_id"),
+        F.col("b_b_id").cast("bigint").alias("b_id"),
+    )
+
+
 def q_text_bpe_tokens(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     return df.select(
@@ -900,6 +980,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_bpe_tokens": q_text_bpe_tokens,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
+        "interval_overlap_events": q_interval_overlap_events,
         "fingerprint_overlap_pairs": q_fingerprint_overlap_pairs,
         "audio_decode_stats": q_audio_decode_stats,
         "image_decode_stats": q_image_decode_stats,
@@ -1374,6 +1457,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_oracle_sql(),
         "winnow_fingerprints": _winnow_oracle_sql(),
+        "asof_join_events": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 r AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'view')
+            SELECT l.event_id AS event_id, l.user_id AS user_id,
+                   CASE WHEN r.ts IS NOT NULL
+                             AND l.ts - r.ts <= INTERVAL 2 DAY
+                        THEN epoch_us(r.ts) END AS view_ts_us,
+                   CASE WHEN r.ts IS NOT NULL
+                             AND l.ts - r.ts <= INTERVAL 2 DAY
+                        THEN round(r.value, 4) END AS view_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_events": """
+            WITH iv AS (SELECT event_id AS win_id, user_id, ts AS s,
+                               ts + INTERVAL 12 HOUR AS e
+                        FROM events WHERE event_type = 'signup'),
+                 p AS (SELECT event_id AS p_id, user_id, ts, value
+                       FROM events WHERE event_type = 'purchase')
+            SELECT iv.win_id AS win_id, p.p_id AS p_id,
+                   round(p.value, 4) AS p_value
+            FROM iv JOIN p
+              ON iv.user_id = p.user_id AND p.ts >= iv.s AND p.ts <= iv.e
+        """,
+        "interval_overlap_events": """
+            WITH a AS (SELECT event_id AS a_id, user_id, ts AS s,
+                              ts + INTERVAL 12 HOUR AS e
+                       FROM events WHERE event_type = 'signup'),
+                 b AS (SELECT event_id AS b_id, user_id, ts AS s,
+                              ts + INTERVAL 6 HOUR AS e
+                       FROM events WHERE event_type = 'error')
+            SELECT a.a_id AS a_id, b.b_id AS b_id
+            FROM a JOIN b
+              ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+        """,
         # containment pairs: self-join of the replayed fingerprint set,
         # same document-frequency cap (inert at sf0.01's 500 docs but
         # kept for parity with the operator's skew control)
