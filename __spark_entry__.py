@@ -939,6 +939,21 @@ def q_interval_overlap_events(spark, sf_dir):
     )
 
 
+def q_kmv_distinct_users(spark, sf_dir):
+    """KMV distinct-count sketch (k=64) of users per event type — a
+    mergeable cardinality sketch on a deterministic md5-derived 60-bit
+    hash, so DuckDB replays the ESTIMATOR itself (k-th smallest hash),
+    not just a row count.  True distinct (150 at every SF) > k, so the
+    estimation path is exercised, not the exact fallback."""
+    ev = load_table(spark, sf_dir, "events")
+    from jepl_spark.operators import sketch as K
+
+    out = K.kmv_distinct(ev, "user_id", k=64, group_by="event_type")
+    return out.select(
+        "event_type", _r(F.col("est_distinct"), 4).alias("est_distinct")
+    )
+
+
 def q_text_bpe_tokens(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     return df.select(
@@ -981,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "winnow_fingerprints": q_winnow_fingerprints,
         "asof_join_events": q_asof_join_events,
+        "kmv_distinct_users": q_kmv_distinct_users,
         "range_join_events": q_range_join_events,
         "interval_overlap_events": q_interval_overlap_events,
         "fingerprint_overlap_pairs": q_fingerprint_overlap_pairs,
@@ -1482,6 +1498,24 @@ def oracle_sql() -> dict[str, str]:
                    round(p.value, 4) AS p_value
             FROM iv JOIN p
               ON iv.user_id = p.user_id AND p.ts >= iv.s AND p.ts <= iv.e
+        """,
+        "kmv_distinct_users": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS h
+              FROM events
+            ),
+            r AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS m
+              FROM h
+            )
+            SELECT event_type,
+                   round(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                         ELSE 63.0 * 1152921504606846976.0 / h END, 4) AS est_distinct
+            FROM r WHERE rn = least(m, 64)
         """,
         "interval_overlap_events": """
             WITH a AS (SELECT event_id AS a_id, user_id, ts AS s,
