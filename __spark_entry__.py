@@ -939,6 +939,33 @@ def q_interval_overlap_events(spark, sf_dir):
     )
 
 
+def q_rollup_cascade_events(spark, sf_dir):
+    """Hypertable-style rollup cascade: raw → 5-minute → 1-hour, the
+    hourly level re-aggregated from the 5-minute rollup (algebraic
+    count/sum/min/max cascade, avg re-derived) — the oracle aggregates
+    RAW rows at 1 hour directly, so a cascade bug (double count,
+    boundary straddle) cannot hide."""
+    from jepl_spark.operators import rollup as R
+
+    ev = load_table(spark, sf_dir, "events")
+    cascade = R.rollup_cascade(
+        ev, "ts", "value", levels=("5 minutes", "1 hour"), keys="event_type"
+    )
+    hourly = R.with_avg(cascade["1 hour"])
+    # avg is re-derived from the exact-integer cents sum on BOTH sides
+    # (engine cascades partial doubles, oracle sums raw rows — their
+    # last-bit difference would flip half-way roundings otherwise)
+    return hourly.select(
+        F.unix_timestamp(F.col("window_start").cast("timestamp")).alias("ws"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        _cents(F.col("s")).alias("s_cents"),
+        _r(F.col("mn"), 4).alias("mn"),
+        _r(F.col("mx"), 4).alias("mx"),
+        _r(_cents(F.col("s")) / (F.lit(100.0) * F.col("n")), 4).alias("avg_v"),
+    )
+
+
 def q_kmv_distinct_users(spark, sf_dir):
     """KMV distinct-count sketch (k=64) of users per event type — a
     mergeable cardinality sketch on a deterministic md5-derived 60-bit
@@ -997,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "asof_join_events": q_asof_join_events,
         "kmv_distinct_users": q_kmv_distinct_users,
+        "rollup_cascade_events": q_rollup_cascade_events,
         "range_join_events": q_range_join_events,
         "interval_overlap_events": q_interval_overlap_events,
         "fingerprint_overlap_pairs": q_fingerprint_overlap_pairs,
@@ -1498,6 +1526,18 @@ def oracle_sql() -> dict[str, str]:
                    round(p.value, 4) AS p_value
             FROM iv JOIN p
               ON iv.user_id = p.user_id AND p.ts >= iv.s AND p.ts <= iv.e
+        """,
+        "rollup_cascade_events": """
+            SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS ws,
+                   event_type,
+                   count(value) AS n,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS s_cents,
+                   round(min(value), 4) AS mn,
+                   round(max(value), 4) AS mx,
+                   round(CAST(round(sum(value) * 100) AS BIGINT)
+                         / (100.0 * count(value)), 4) AS avg_v
+            FROM events
+            GROUP BY 1, 2
         """,
         "kmv_distinct_users": """
             WITH h AS (
