@@ -966,6 +966,58 @@ def q_rollup_cascade_events(spark, sf_dir):
     )
 
 
+def q_split_train_val_test(spark, sf_dir):
+    """Deterministic hash split of the document corpus into
+    train/val/test — per-split count plus id- and content-derived
+    checksums prove exact row membership, and the oracle replays the
+    md5-threshold rule, so the selection is pinned row-for-row."""
+    from jepl_spark.operators import sampling as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = S.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Per-language sampling rates (corpus rebalancing): keep all
+    of de/fr/zh, 30% of en, 50% of everything else — per-stratum
+    seeded hash so each language's kept set is independent."""
+    from jepl_spark.operators import sampling as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = S.stratified_hash_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"de": 1.0, "fr": 1.0, "zh": 1.0, "en": 0.3},
+        default_fraction=0.5,
+    )
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
+def q_reservoir_events(spark, sf_dir):
+    """Deterministic reservoir: 5 uniform events per event_type,
+    rank exposed — the oracle replays the hash-ranked window, pinning
+    the exact rows AND their order within each group."""
+    from jepl_spark.operators import sampling as S
+
+    ev = load_table(spark, sf_dir, "events")
+    out = S.deterministic_reservoir(
+        ev, "event_id", 5, group_by="event_type", rank_col="rk"
+    )
+    return out.select(
+        "event_type", F.col("rk").cast("bigint").alias("rk"), "event_id"
+    )
+
+
 def q_kmv_distinct_users(spark, sf_dir):
     """KMV distinct-count sketch (k=64) of users per event type — a
     mergeable cardinality sketch on a deterministic md5-derived 60-bit
@@ -1024,6 +1076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "asof_join_events": q_asof_join_events,
         "kmv_distinct_users": q_kmv_distinct_users,
+        "split_train_val_test": q_split_train_val_test,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "reservoir_events": q_reservoir_events,
         "rollup_cascade_events": q_rollup_cascade_events,
         "range_join_events": q_range_join_events,
         "interval_overlap_events": q_interval_overlap_events,
@@ -1538,6 +1593,48 @@ def oracle_sql() -> dict[str, str]:
                          / (100.0 * count(value)), 4) AS avg_v
             FROM events
             GROUP BY 1, 2
+        """,
+        "split_train_val_test": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS h
+              FROM documents
+            )
+            SELECT CASE WHEN h < 922337203685477632 THEN 'train'
+                        WHEN h < 1037629354146162304 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n,
+                   sum(doc_id) AS sum_ids,
+                   sum(n_chars) AS sum_chars
+            FROM h GROUP BY 1
+        """,
+        "stratified_sample_docs": """
+            WITH h AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5('stratified:' || lang || '|'
+                                              || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS h
+              FROM documents
+            )
+            SELECT lang, count(*) AS n, sum(doc_id) AS sum_ids
+            FROM h
+            WHERE h < CASE WHEN lang IN ('de','fr','zh') THEN 1152921504606846976
+                           WHEN lang = 'en' THEN 345876451382054080
+                           ELSE 576460752303423488 END
+            GROUP BY 1
+        """,
+        "reservoir_events": """
+            WITH r AS (
+              SELECT event_type, event_id,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(('0x' || substr(md5('reservoir:'
+                                || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     ) AS rk
+              FROM events
+            )
+            SELECT event_type, rk, event_id FROM r WHERE rk <= 5
         """,
         "kmv_distinct_users": """
             WITH h AS (

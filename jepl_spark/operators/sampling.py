@@ -1,0 +1,164 @@
+"""Deterministic hash-based sampling and dataset splits.
+
+Training-data pipelines need samples and train/val/test splits that are
+REPRODUCIBLE: re-running the job on the same corpus — or on the corpus
+re-partitioned 1000 ways on a different cluster — must select exactly
+the same rows.  ``DataFrame.sample`` cannot promise that (its Bernoulli
+draw is seeded per partition, so any repartition reshuffles the
+selection).  These operators decide membership from a deterministic
+per-row hash of a caller-chosen identity column, so the selection is a
+pure function of the data: partition-count-independent, resumable,
+and exactly replayable in the DuckDB oracle.
+
+Scale shape: ``hash_sample`` / ``hash_split`` / ``stratified_hash_sample``
+are single-pass JVM filters — no shuffle, predicate-pushdown friendly,
+linear in input splits.  ``deterministic_reservoir`` is one hash-ranked
+window per key (one exchange on the key), bounded output k·|keys|.
+
+Hash: the same md5 → first-15-hex-chars → 60-bit uniform integer used
+by the KMV sketch (sketch.kmv_hash), so every membership decision is
+`h(id) / 2^60 < fraction` with h replayable on any engine.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jepl_spark.operators.sketch import kmv_hash
+
+_DOMAIN = float(1 << 60)
+
+GroupCols = Union[str, Sequence[str]]
+
+
+def _sample_hash(id_col: Column, seed: str) -> Column:
+    """60-bit uniform hash of (seed, id) — changing the seed draws an
+    independent sample; DuckDB replay:
+    CAST(('0x' || substr(md5(seed || ':' || id), 1, 15)) AS BIGINT)."""
+    return kmv_hash(F.concat_ws(":", F.lit(seed), id_col.cast("string")))
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    seed: str = "sample",
+) -> DataFrame:
+    """Keep rows whose hash falls below ``fraction`` of the domain.
+    Deterministic in the row identity — independent of partitioning,
+    ordering, and cluster size.  0 ≤ fraction ≤ 1."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(
+        _sample_hash(F.col(id_col), seed) < F.lit(int(fraction * _DOMAIN))
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float],
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row with a split name ('train'/'val'/'test'/…) by
+    cumulative hash thresholds.  Splits are disjoint, exhaustive, and
+    deterministic: a row's split never changes when the corpus grows,
+    shrinks, or is re-partitioned — the property that keeps eval sets
+    uncontaminated across pipeline re-runs.  Weights must sum to 1
+    (±1e-9); split boundaries follow the mapping's iteration order."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    h = _sample_hash(F.col(id_col), seed)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = h < F.lit(int(cum * _DOMAIN))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    labeled = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, labeled)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "stratified",
+) -> DataFrame:
+    """Per-stratum sampling rates (e.g. keep 100% of rare languages,
+    1% of English) — the rebalancing step of corpus curation.  Still a
+    pure JVM filter: the per-stratum threshold is a CASE expression,
+    no shuffle, no join."""
+    for k, v in fractions.items():
+        if not (0.0 <= v <= 1.0):
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    if not (0.0 <= default_fraction <= 1.0):
+        raise ValueError(f"default_fraction must be in [0, 1]")
+    thr = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(name)
+        lim = F.lit(int(frac * _DOMAIN))
+        thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+    default_lim = F.lit(int(default_fraction * _DOMAIN))
+    thr = default_lim if thr is None else thr.otherwise(default_lim)
+    # seed the hash per stratum so resampling one stratum's rate does
+    # not disturb which rows other strata keep
+    h = _sample_hash(
+        F.concat_ws("|", F.col(strata_col).cast("string"), F.col(id_col).cast("string")),
+        seed,
+    )
+    return df.where(h < thr)
+
+
+def deterministic_reservoir(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    group_by: Optional[GroupCols] = None,
+    seed: str = "reservoir",
+    rank_col: Optional[str] = None,
+) -> DataFrame:
+    """Uniform k rows without replacement (per group): rank rows by
+    their hash and keep the k smallest — the deterministic equivalent
+    of reservoir sampling, with the same marginal distribution.  One
+    exchange on the group keys; the window ranks within each group.
+    Ties are impossible for distinct ids (60-bit hash of the id), so
+    the result is a pure function of the data.  ``rank_col`` optionally
+    exposes the 1-based rank (a stable "which k" order for callers that
+    later shrink k without resampling)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    groups: list[str]
+    if group_by is None:
+        groups = []
+    elif isinstance(group_by, str):
+        groups = [group_by]
+    else:
+        groups = list(group_by)
+    h = _sample_hash(F.col(id_col), seed)
+    w = (
+        Window.partitionBy(*[F.col(g) for g in groups]).orderBy(h)
+        if groups
+        else Window.partitionBy(F.lit(1)).orderBy(h)
+    )
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    out = ranked.where(F.col("__rk") <= k)
+    if rank_col is not None:
+        return out.withColumnRenamed("__rk", rank_col)
+    return out.drop("__rk")
