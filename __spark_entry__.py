@@ -966,6 +966,21 @@ def q_rollup_cascade_events(spark, sf_dir):
     )
 
 
+def q_cms_user_counts(spark, sf_dir):
+    """Count-Min sketch of per-user event counts at width=512 (narrow
+    enough that collisions actually occur at sf0.01), point-queried for
+    users 0-19 — the oracle rebuilds every counter from raw rows and
+    replays the min-over-depth lookup, so both the sketch construction
+    and the estimator are pinned hash-for-hash."""
+    from jepl_spark.operators import sketch as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = SK.cms_sketch(ev, "user_id", width=512, depth=3)
+    qs = spark.range(0, 20).selectExpr("id AS user_id")
+    out = SK.cms_lookup(sk, qs, "user_id", width=512, depth=3)
+    return out.select("user_id", F.col("est").cast("bigint").alias("est"))
+
+
 def q_split_train_val_test(spark, sf_dir):
     """Deterministic hash split of the document corpus into
     train/val/test — per-split count plus id- and content-derived
@@ -1076,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "asof_join_events": q_asof_join_events,
         "kmv_distinct_users": q_kmv_distinct_users,
+        "cms_user_counts": q_cms_user_counts,
         "split_train_val_test": q_split_train_val_test,
         "stratified_sample_docs": q_stratified_sample_docs,
         "reservoir_events": q_reservoir_events,
@@ -1593,6 +1609,30 @@ def oracle_sql() -> dict[str, str]:
                          / (100.0 * count(value)), 4) AS avg_v
             FROM events
             GROUP BY 1, 2
+        """,
+        "cms_user_counts": """
+            WITH ds AS (SELECT unnest(range(0, 3)) AS d),
+            sketch AS (
+              SELECT ds.d,
+                     CAST(('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':'
+                              || CAST(e.user_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 512 AS bucket,
+                     count(*) AS cnt
+              FROM events e CROSS JOIN ds
+              GROUP BY 1, 2
+            ),
+            q AS (SELECT unnest(range(0, 20)) AS user_id),
+            qb AS (
+              SELECT q.user_id, ds.d,
+                     CAST(('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':'
+                              || CAST(q.user_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 512 AS bucket
+              FROM q CROSS JOIN ds
+            )
+            SELECT qb.user_id,
+                   CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+            FROM qb LEFT JOIN sketch s ON s.d = qb.d AND s.bucket = qb.bucket
+            GROUP BY 1
         """,
         "split_train_val_test": """
             WITH h AS (

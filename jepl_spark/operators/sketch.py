@@ -143,3 +143,121 @@ def kmv_distinct(
         *groups,
         kmv_estimate(F.col("kmv"), F.col("kmv_k")).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data
+# stream summary: the count-min sketch and its applications")
+#
+# Same deterministic-hash philosophy as KMV: rows (group, d, bucket,
+# cnt) with bucket = md5-derived-60-bit(f"{d}:{value}") mod width, so
+# the sketch — and every point estimate — is a pure function of the
+# data, replayable on any engine (the DuckDB oracle rebuilds it from
+# raw rows and must match hash-for-hash).
+#
+# Scale shape: building is one map-side explode (×depth, longs only —
+# the value column itself never shuffles, only its hash) into one
+# partially-aggregated groupBy on (group, d, bucket): output cardinality
+# is bounded by depth·width per group regardless of input size.  The
+# row-based layout (not a w×d array) is what keeps it mergeable with a
+# plain sum and lets Spark's map-side combine collapse the explode
+# before the exchange.  CMS error is one-sided: est ≥ true count,
+# est ≤ true + ε·N with probability 1-δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉.
+
+
+def cms_bucket(col: Column, d_idx: Column, width: int) -> Column:
+    """Row-d bucket of a value: 60-bit md5 hash of 'd:value' mod width.
+    DuckDB replay: CAST(('0x' || substr(md5(d || ':' || v), 1, 15))
+    AS BIGINT) % width."""
+    h = kmv_hash(F.concat_ws(":", d_idx.cast("string"), col.cast("string")))
+    return F.pmod(h, F.lit(width))
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 4,
+    group_by: Optional[GroupCols] = None,
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Build the sketch: rows (group..., d, bucket, cnt).  ``weight_col``
+    generalizes from counts to weighted sums (e.g. bytes per key)."""
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2 and depth >= 1, got {width}x{depth}")
+    groups = _groups(group_by)
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    rows = df.select(
+        *groups,
+        F.explode(
+            F.array(*[F.lit(d) for d in range(depth)])
+        ).alias("d"),
+        F.col(col).alias("__v"),
+        w.alias("__w"),
+    ).select(
+        *groups,
+        "d",
+        cms_bucket(F.col("__v"), F.col("d"), width).alias("bucket"),
+        "__w",
+    )
+    return (
+        rows.groupBy(*groups, "d", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+        .withColumn("cms_width", F.lit(width))
+        .withColumn("cms_depth", F.lit(depth))
+    )
+
+
+def cms_merge(
+    sketches: DataFrame,
+    group_by: Optional[GroupCols] = None,
+) -> DataFrame:
+    """Merge sketches to coarser groups (or one global sketch): CMS
+    counters are sums, so merge = re-sum per (d, bucket).  The result
+    is IDENTICAL to sketching the union of the raw inputs.  width and
+    depth are carried through and must agree across inputs."""
+    groups = _groups(group_by)
+    merged = sketches.groupBy(*groups, "d", "bucket").agg(
+        F.sum("cnt").alias("cnt"),
+        F.min("cms_width").alias("__wmin"),
+        F.max("cms_width").alias("cms_width"),
+        F.min("cms_depth").alias("__dmin"),
+        F.max("cms_depth").alias("cms_depth"),
+    )
+    bad = (F.col("__wmin") != F.col("cms_width")) | (
+        F.col("__dmin") != F.col("cms_depth")
+    )
+    merged = merged.withColumn(
+        "cnt",
+        F.when(bad, F.raise_error(F.lit("cms_merge: mixed width/depth")))
+        .otherwise(F.col("cnt")),
+    )
+    return merged.drop("__wmin", "__dmin")
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    queries: DataFrame,
+    query_col: str,
+    width: int,
+    depth: int,
+    group_by: Optional[GroupCols] = None,
+) -> DataFrame:
+    """Point estimates for a set of query values: min over the depth
+    rows of the queried buckets (an absent bucket is a true zero).
+    Output: group columns + query column + ``est`` (long, ≥ the true
+    count/weight).  The query side explodes ×depth and joins on
+    (group, d, bucket) — with a stored bucket-partitioned sketch this
+    is a broadcast of the (small) query set, never a corpus scan."""
+    groups = _groups(group_by)
+    q = queries.select(
+        *groups,
+        F.col(query_col),
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+    ).withColumn("bucket", cms_bucket(F.col(query_col), F.col("d"), width))
+    joined = q.join(
+        sketch.select(*groups, "d", "bucket", "cnt"),
+        on=[*groups, "d", "bucket"],
+        how="left",
+    ).fillna({"cnt": 0})
+    return joined.groupBy(*groups, query_col).agg(F.min("cnt").alias("est"))

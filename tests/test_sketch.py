@@ -99,3 +99,98 @@ def test_k_validation(spark):
     df = spark.range(10).selectExpr("id AS v")
     with pytest.raises(ValueError):
         K.kmv_sketch(df, "v", k=1)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+
+
+@pytest.fixture(scope="module")
+def zipfy(spark):
+    """Skewed key frequencies: key i appears (50 - i) times, i in 0..49
+    — exact counts are known in closed form."""
+    return (
+        spark.range(0, 50)
+        .selectExpr("id AS k", "50 - id AS reps")
+        .selectExpr("k", "explode(sequence(1, reps)) AS _")
+        .select("k")
+        .persist()
+    )
+
+
+def _exact(zipfy):
+    return {r["k"]: r["n"] for r in
+            zipfy.groupBy("k").agg(F.count("*").alias("n")).collect()}
+
+
+class TestCountMin:
+    def test_one_sided_error_and_exact_when_wide(self, spark, zipfy):
+        exact = _exact(zipfy)
+        qs = spark.range(0, 50).selectExpr("id AS k")
+        # narrow sketch: collisions guaranteed, est must never undershoot
+        narrow = K.cms_sketch(zipfy, "k", width=16, depth=3)
+        est_n = {r["k"]: r["est"] for r in
+                 K.cms_lookup(narrow, qs, "k", width=16, depth=3).collect()}
+        assert all(est_n[k] >= exact[k] for k in exact)
+        assert any(est_n[k] > exact[k] for k in exact)  # collisions real
+        # wide sketch: 50 keys in 4096x4 buckets -> exact w.h.p.
+        wide = K.cms_sketch(zipfy, "k", width=4096, depth=4)
+        est_w = {r["k"]: r["est"] for r in
+                 K.cms_lookup(wide, qs, "k", width=4096, depth=4).collect()}
+        assert est_w == exact
+
+    def test_absent_key_estimates_small(self, spark, zipfy):
+        qs = spark.range(1000, 1010).selectExpr("id AS k")
+        est = {r["k"]: r["est"] for r in
+               K.cms_lookup(K.cms_sketch(zipfy, "k", width=4096, depth=4),
+                             qs, "k", width=4096, depth=4).collect()}
+        assert all(v == 0 for v in est.values())
+
+    def test_merge_equals_whole(self, spark, zipfy):
+        """Sketch(A) + Sketch(B) == Sketch(A ∪ B), counter for counter."""
+        a = zipfy.where("k < 25")
+        b = zipfy.where("k >= 25")
+        merged = K.cms_merge(
+            K.cms_sketch(a, "k", width=64, depth=3).unionByName(
+                K.cms_sketch(b, "k", width=64, depth=3)
+            )
+        )
+        whole = K.cms_sketch(zipfy, "k", width=64, depth=3)
+        ms = sorted(map(tuple, merged.select("d", "bucket", "cnt").collect()))
+        ws = sorted(map(tuple, whole.select("d", "bucket", "cnt").collect()))
+        assert ms == ws
+
+    def test_mixed_shape_merge_rejected(self, spark, zipfy):
+        bad = K.cms_sketch(zipfy, "k", width=64, depth=3).unionByName(
+            K.cms_sketch(zipfy, "k", width=128, depth=3)
+        )
+        with pytest.raises(Exception, match="mixed width/depth"):
+            K.cms_merge(bad).collect()
+
+    def test_weighted(self, spark):
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 5), ("b", 7)], ["k", "bytes"]
+        )
+        sk = K.cms_sketch(df, "k", width=1024, depth=3, weight_col="bytes")
+        qs = spark.createDataFrame([("a",), ("b",)], ["k"])
+        est = {r["k"]: r["est"] for r in
+               K.cms_lookup(sk, qs, "k", width=1024, depth=3).collect()}
+        assert est == {"a": 15, "b": 7}
+
+    def test_grouped(self, spark, zipfy):
+        g = zipfy.withColumn("grp", (F.col("k") % 2).cast("string"))
+        sk = K.cms_sketch(g, "k", width=2048, depth=3, group_by="grp")
+        qs = (
+            spark.range(0, 10)
+            .selectExpr("id AS k", "CAST(id % 2 AS STRING) AS grp")
+        )
+        est = {(r["grp"], r["k"]): r["est"] for r in
+               K.cms_lookup(sk, qs, "k", width=2048, depth=3,
+                             group_by="grp").collect()}
+        # key k only lives in group k%2 and appears 50-k times
+        for (grp, k), v in est.items():
+            assert v == (50 - k if int(grp) == k % 2 else 0)
+
+    def test_bad_shape(self, spark, zipfy):
+        with pytest.raises(ValueError):
+            K.cms_sketch(zipfy, "k", width=1, depth=0)
