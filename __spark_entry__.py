@@ -966,6 +966,55 @@ def q_rollup_cascade_events(spark, sf_dir):
     )
 
 
+def q_pii_scrub_docs(spark, sf_dir):
+    """PII redaction gate: inject a deterministic email/URL/IP/phone
+    per document (built from doc_id IN SQL ON BOTH SIDES — the corpus
+    itself is PII-free, which would make a scrub gate vacuous), then
+    md5 the scrubbed text and count redactions per category.  Pins the
+    full regexp_replace chain Java-vs-RE2 character for character."""
+    from jepl_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://ex.org/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ip 10.0.0.1 tel +1 555 000 1234."),
+        ),
+    )
+    counted = T.pii_counts(aug)
+    return counted.select(
+        "doc_id",
+        F.md5(T.scrub_pii(F.col("text"))).alias("scrub_md5"),
+        "n_url",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+    )
+
+
+def q_repetition_docs(spark, sf_dir):
+    """Gopher-style line-repetition quality signals over the corpus;
+    the oracle replays the explode → per-line count → ratio pipeline
+    in SQL, so trimming, blank-line handling, and the zero-line
+    fallback are all pinned."""
+    from jepl_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.repetition_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        _r(F.col("dup_line_frac"), 6).alias("dup_frac"),
+        _r(F.col("top_line_frac"), 6).alias("top_frac"),
+        _r(F.col("distinct_line_ratio"), 6).alias("distinct_ratio"),
+    )
+
+
 def q_cms_user_counts(spark, sf_dir):
     """Count-Min sketch of per-user event counts at width=512 (narrow
     enough that collisions actually occur at sf0.01), point-queried for
@@ -1092,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "kmv_distinct_users": q_kmv_distinct_users,
         "cms_user_counts": q_cms_user_counts,
+        "pii_scrub_docs": q_pii_scrub_docs,
+        "repetition_docs": q_repetition_docs,
         "split_train_val_test": q_split_train_val_test,
         "stratified_sample_docs": q_stratified_sample_docs,
         "reservoir_events": q_reservoir_events,
@@ -1609,6 +1660,59 @@ def oracle_sql() -> dict[str, str]:
                          / (100.0 * count(value)), 4) AS avg_v
             FROM events
             GROUP BY 1, 2
+        """,
+        "pii_scrub_docs": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com via https://ex.org/'
+                          || CAST(doc_id AS VARCHAR)
+                          || ' ip 10.0.0.1 tel +1 555 000 1234.' AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text,
+                         'https?://[^\\s]+', '<URL>', 'g'),
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                         '\\+\\d[\\d\\- ]{6,}\\d', '<PHONE>', 'g')) AS scrub_md5,
+                   CAST(len(string_split_regex(text, 'https?://[^\\s]+')) - 1
+                        AS BIGINT) AS n_url,
+                   CAST(len(string_split_regex(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) - 1
+                        AS BIGINT) AS n_email,
+                   CAST(len(string_split_regex(text,
+                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) - 1
+                        AS BIGINT) AS n_ipv4,
+                   CAST(len(string_split_regex(text, '\\+\\d[\\d\\- ]{6,}\\d')) - 1
+                        AS BIGINT) AS n_phone
+            FROM aug
+        """,
+        "repetition_docs": """
+            WITH l AS (
+              SELECT doc_id,
+                     trim(unnest(string_split(text, chr(10)))) AS line
+              FROM documents
+            ),
+            nb AS (SELECT doc_id, line FROM l WHERE length(line) > 0),
+            c AS (
+              SELECT doc_id, line, count(*) AS c FROM nb GROUP BY 1, 2
+            ),
+            a AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_lines,
+                     CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup,
+                     max(c) AS top,
+                     count(*) AS dst
+              FROM c GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_lines, 0) AS n_lines,
+                   round(coalesce(1.0 * a.dup / a.n_lines, 0.0), 6) AS dup_frac,
+                   round(coalesce(1.0 * a.top / a.n_lines, 0.0), 6) AS top_frac,
+                   round(coalesce(1.0 * a.dst / a.n_lines, 1.0), 6) AS distinct_ratio
+            FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
         """,
         "cms_user_counts": """
             WITH ds AS (SELECT unnest(range(0, 3)) AS d),

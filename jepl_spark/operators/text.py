@@ -280,3 +280,97 @@ def lang_id(text: Column) -> Column:
         ratio = F.length(F.regexp_replace(text, f"[^{lo}-{hi}]", "")) / safe_len
         guess = F.when((n_chars > 0) & (ratio > thr), F.lit(lang)).otherwise(guess)
     return guess
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+
+
+# Order matters: URLs first (they may contain @ and digits), then
+# emails, then IPv4, then international-format phones.  Every pattern
+# stays inside the Java-regex ∩ RE2 common dialect (no lookaround, no
+# backrefs, ASCII classes) so the DuckDB oracle replays the exact
+# replacement chain; the '+'-prefix requirement on phones is what keeps
+# dates and plain ids from being swallowed.
+PII_PATTERNS: tuple = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\- ]{6,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace URLs, emails, IPv4 addresses, and international-format
+    phone numbers with placeholder tokens — the redaction step of a
+    training-corpus pipeline.  Pure chained ``regexp_replace``: JVM-side,
+    codegen'd, per-row, no shuffle."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document count of each PII category (how much the scrubber
+    would redact — the audit view).  Occurrences are counted as
+    non-overlapping matches via split, replaying exactly in SQL."""
+    text = F.col(text_col)
+    cols = [
+        (F.size(F.split(text, pat, -1)) - 1).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    return df.select("*", *cols)
+
+
+# ---------------------------------------------------------------------------
+# Repetition features (Gopher-rule style quality signals)
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document line-repetition signals (Rae et al. 2021, "Scaling
+    Language Models" [Gopher], app. A — repetitious documents are
+    low-quality): over non-blank trimmed lines,
+
+      n_lines            total
+      dup_line_frac      fraction of lines whose line occurs > once
+      top_line_frac      share of the single most frequent line
+      distinct_line_ratio distinct / total
+
+    Shape: explode lines → one partial-aggregated exchange on
+    (id, line) → one on id.  Line text leaves the executor only as
+    grouped counts, never re-collected; documents with zero non-blank
+    lines get 0-valued fractions (ratio 1.0) rather than nulls."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    per_line = (
+        df.select(F.col(id_col), F.explode(lines).alias("__line"))
+        .groupBy(id_col, "__line")
+        .agg(F.count("*").alias("__c"))
+    )
+    agg = per_line.groupBy(id_col).agg(
+        F.sum("__c").alias("n_lines"),
+        F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias("__dup"),
+        F.max("__c").alias("__top"),
+        F.count("*").alias("__distinct"),
+    )
+    out = agg.select(
+        id_col,
+        F.col("n_lines"),
+        (F.col("__dup") / F.col("n_lines")).alias("dup_line_frac"),
+        (F.col("__top") / F.col("n_lines")).alias("top_line_frac"),
+        (F.col("__distinct") / F.col("n_lines")).alias("distinct_line_ratio"),
+    )
+    # blank documents drop out of the explode — restore them as zeros
+    base = df.select(F.col(id_col))
+    return base.join(out, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+        F.coalesce("top_line_frac", F.lit(0.0)).alias("top_line_frac"),
+        F.coalesce("distinct_line_ratio", F.lit(1.0)).alias("distinct_line_ratio"),
+    )

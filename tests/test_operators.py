@@ -698,3 +698,83 @@ def test_winnowing_shared_substring_guarantee(spark):
         for r in T.fingerprint_overlap_pairs(df, min_shared=1).collect()
     }
     assert len(pairs) == 20 * 19 // 2  # every pair shares the chunk
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+
+
+def test_scrub_pii_all_categories(spark):
+    raw = (
+        "mail me at jane.doe+spam@sub.example.co.uk or visit "
+        "https://example.com/a?b=c#d from 192.168.1.254, "
+        "call +1 555-867-5309 today"
+    )
+    df = spark.createDataFrame([(raw,)], ["text"])
+    out = df.select(T.scrub_pii(F.col("text")).alias("t")).collect()[0]["t"]
+    assert "<EMAIL>" in out and "<URL>" in out and "<IP>" in out and "<PHONE>" in out
+    assert "jane.doe" not in out and "example.com" not in out
+    assert "192.168" not in out and "867-5309" not in out
+
+
+def test_scrub_pii_leaves_dates_and_ids_alone(spark):
+    raw = "released 2026-08-16 build 12345678 version 3.2.1 at 12:30"
+    df = spark.createDataFrame([(raw,)], ["text"])
+    out = df.select(T.scrub_pii(F.col("text")).alias("t")).collect()[0]["t"]
+    assert out == raw  # no '+' prefix, no dots-in-quad, no scheme, no @
+
+
+def test_scrub_pii_url_wins_over_parts(spark):
+    raw = "see https://a.b/c@d.ef and 10.0.0.1 inside http://10.0.0.2/x"
+    df = spark.createDataFrame([(raw,)], ["text"])
+    out = df.select(T.scrub_pii(F.col("text")).alias("t")).collect()[0]["t"]
+    # the email-ish and ip-ish substrings inside URLs were consumed by <URL>
+    assert out == "see <URL> and <IP> inside <URL>"
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a@b.co and c@d.org plus https://x.y"),
+            (1, "nothing here"),
+            (2, "+49 30 1234567 and 8.8.8.8"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in T.pii_counts(df).collect()}
+    assert rows[0]["n_email"] == 2 and rows[0]["n_url"] == 1
+    assert rows[1]["n_email"] == rows[1]["n_url"] == rows[1]["n_ipv4"] == rows[1]["n_phone"] == 0
+    assert rows[2]["n_phone"] == 1 and rows[2]["n_ipv4"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Repetition features
+
+
+def test_repetition_features_known_answers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a\nb\nc\nd"),               # all distinct
+            (1, "x\nx\nx\nx"),               # one line repeated 4x
+            (2, "u\nu\nv\nw"),               # half duplicated
+            (3, "   \n\n  "),                # blank doc
+            (4, "only"),                     # single line
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in T.repetition_features(df).collect()}
+    assert rows[0]["n_lines"] == 4 and rows[0]["dup_line_frac"] == 0.0
+    assert rows[0]["distinct_line_ratio"] == 1.0
+    assert rows[1]["dup_line_frac"] == 1.0 and rows[1]["top_line_frac"] == 1.0
+    assert rows[1]["distinct_line_ratio"] == 0.25
+    assert rows[2]["dup_line_frac"] == 0.5 and rows[2]["top_line_frac"] == 0.5
+    assert rows[3]["n_lines"] == 0 and rows[3]["dup_line_frac"] == 0.0
+    assert rows[3]["distinct_line_ratio"] == 1.0
+    assert rows[4]["n_lines"] == 1 and rows[4]["top_line_frac"] == 1.0
+
+
+def test_repetition_trims_and_ignores_blank_lines(spark):
+    df = spark.createDataFrame([(0, "  a  \n\na\n   \nb")], ["doc_id", "text"])
+    r = T.repetition_features(df).collect()[0]
+    # '  a  ' and 'a' are the same trimmed line; blanks dropped
+    assert r["n_lines"] == 3 and r["dup_line_frac"] == 2 / 3
