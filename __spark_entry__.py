@@ -966,6 +966,27 @@ def q_rollup_cascade_events(spark, sf_dir):
     )
 
 
+def q_audio_chunks(spark, sf_dir):
+    """Audio chunking lane: segment the deterministic clip corpus into
+    250 ms windows at a 200 ms hop (tails ≥ 100 ms kept).  The oracle
+    replays the integer boundary math — n = sr·dur//1000, full chunks
+    = (n-chunk)//hop + 1, tail rule — from the clip generator's own
+    (sr, dur) formulas, pinning every chunk's index, start sample, and
+    length; PCM content is pinned by reconstruction/SNR tests."""
+    from jepl_spark.functions.audio_udfs import chunk_clips
+    from jepl_spark.sources.clips import clips_df
+
+    clips = clips_df(spark, 400)  # fixed n — the oracle replays range(400)
+    out = chunk_clips(clips, chunk_ms=250, hop_ms=200, min_tail_ms=100)
+    return out.select(
+        "clip_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start_sample").cast("bigint").alias("start_sample"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("sr_hz").cast("bigint").alias("sr_hz"),
+    )
+
+
 def q_pii_scrub_docs(spark, sf_dir):
     """PII redaction gate: inject a deterministic email/URL/IP/phone
     per document (built from doc_id IN SQL ON BOTH SIDES — the corpus
@@ -1141,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "kmv_distinct_users": q_kmv_distinct_users,
         "cms_user_counts": q_cms_user_counts,
+        "audio_chunks": q_audio_chunks,
         "pii_scrub_docs": q_pii_scrub_docs,
         "repetition_docs": q_repetition_docs,
         "split_train_val_test": q_split_train_val_test,
@@ -1660,6 +1682,48 @@ def oracle_sql() -> dict[str, str]:
                          / (100.0 * count(value)), 4) AS avg_v
             FROM events
             GROUP BY 1, 2
+        """,
+        "audio_chunks": """
+            WITH c AS (
+              SELECT i,
+                     CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          ELSE 44100 END AS sr,
+                     200 + (i * 37) % 1801 AS dur
+              FROM range(400) t(i)
+            ),
+            p AS (
+              SELECT i, sr,
+                     (sr * dur) // 1000 AS n,
+                     (sr * 250) // 1000 AS chunk_n,
+                     (sr * 200) // 1000 AS hop_n,
+                     (sr * 100) // 1000 AS tail_n
+              FROM c
+            ),
+            f AS (
+              SELECT i, sr, n, chunk_n, hop_n, tail_n,
+                     CASE WHEN n >= chunk_n
+                          THEN (n - chunk_n) // hop_n + 1 ELSE 0 END AS fulls
+              FROM p
+            ),
+            fc AS (
+              SELECT i, sr, unnest(range(fulls)) AS idx, hop_n, chunk_n
+              FROM f
+            ),
+            allc AS (
+              SELECT i, sr, idx AS chunk_idx, idx * hop_n AS start_sample,
+                     chunk_n AS n_samples
+              FROM fc
+              UNION ALL
+              SELECT i, sr, fulls, fulls * hop_n, n - fulls * hop_n
+              FROM f
+              WHERE fulls * hop_n < n AND (n - fulls * hop_n) >= tail_n
+            )
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(start_sample AS BIGINT) AS start_sample,
+                   CAST(n_samples AS BIGINT) AS n_samples,
+                   CAST(sr AS BIGINT) AS sr_hz
+            FROM allc
         """,
         "pii_scrub_docs": """
             WITH aug AS (

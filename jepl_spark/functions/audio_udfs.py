@@ -26,9 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     FloatType,
     IntegerType,
+    LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -263,3 +266,85 @@ def with_spectral_features(df: DataFrame, out_col: str = "features") -> DataFram
 # deterministic RAWv1 fake codec, decode + stats, resize, frame
 # sampling — real plumbing, tested, with real codec formats raising
 # NotImplementedError at the same boundary a codec library would fill.
+
+
+def chunk_clips(
+    df: DataFrame,
+    chunk_ms: int,
+    hop_ms: int | None = None,
+    min_tail_ms: int = 0,
+) -> DataFrame:
+    """Segment clips into fixed-duration training windows (the audio
+    analog of text chunking): decode once per clip, slice the PCM at
+    ``hop_ms`` strides into ``chunk_ms`` windows, re-encode each slice
+    as pcm16.  A shorter final tail is kept iff it is at least
+    ``min_tail_ms`` (0 drops tails entirely).
+
+    Boundary math is pure integer arithmetic on (sr_hz, dur_ms) —
+    n = sr·dur//1000, chunk_n = sr·chunk_ms//1000, hop_n likewise,
+    full chunks = (n-chunk_n)//hop_n + 1 — so chunk counts, indexes,
+    and start samples are exactly replayable by the SQL oracle; PCM
+    content is pinned separately by reconstruction/SNR tests.
+
+    Shape: one ``mapInPandas`` pass, numpy decode + zero-copy slices
+    per Arrow batch (no per-row Python plan nodes), no shuffle — chunk
+    rows inherit the input partitioning, output size ≈ input·overlap
+    factor.  At 10^12 clips this is the map stage in front of the
+    feature/training sink; cap Arrow batch sizes as in bench.py for
+    wide-binary rows."""
+    if chunk_ms <= 0:
+        raise ValueError(f"chunk_ms must be positive, got {chunk_ms}")
+    hop = chunk_ms if hop_ms is None else hop_ms
+    if hop <= 0:
+        raise ValueError(f"hop_ms must be positive, got {hop}")
+    if min_tail_ms < 0:
+        raise ValueError(f"min_tail_ms must be >= 0, got {min_tail_ms}")
+
+    out_schema = StructType(
+        [
+            StructField("clip_id", StringType()),
+            StructField("chunk_idx", IntegerType()),
+            StructField("start_sample", LongType()),
+            StructField("n_samples", IntegerType()),
+            StructField("sr_hz", IntegerType()),
+            StructField("codec", StringType()),
+            StructField("bytes", BinaryType()),
+            StructField("transcript", StringType()),
+        ]
+    )
+    has_transcript = "transcript" in df.columns
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            transcripts = (
+                pdf["transcript"] if has_transcript else [None] * len(pdf)
+            )
+            for cid, blob, c, sr, tr in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["codec"],
+                pdf["sr_hz"], transcripts,
+            ):
+                x = audio.decode(blob, c)
+                sr = int(sr)
+                n = x.size
+                chunk_n = sr * chunk_ms // 1000
+                hop_n = sr * hop // 1000
+                tail_n = sr * min_tail_ms // 1000
+                fulls = (n - chunk_n) // hop_n + 1 if n >= chunk_n else 0
+                for idx in range(fulls):
+                    s = idx * hop_n
+                    rows.append(
+                        (cid, idx, s, chunk_n, sr, "pcm16",
+                         audio.pcm16_encode(x[s : s + chunk_n]), tr)
+                    )
+                ts = fulls * hop_n
+                if min_tail_ms > 0 and ts < n and (n - ts) >= tail_n:
+                    rows.append(
+                        (cid, fulls, ts, n - ts, sr, "pcm16",
+                         audio.pcm16_encode(x[ts:]), tr)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return df.mapInPandas(gen, schema=out_schema)
