@@ -966,6 +966,27 @@ def q_rollup_cascade_events(spark, sf_dir):
     )
 
 
+def q_bloom_prune_orders(spark, sf_dir):
+    """Map-side semi-join prune: a Bloom filter built from the
+    customers of nations 0-4 prunes the orders scan with ZERO
+    fact-side shuffle.  n_bits is deliberately small (4032) so false
+    positives occur and the oracle — which rebuilds every filter word
+    from raw rows and replays all 3 probes — must match them exactly,
+    not just the true members."""
+    from jepl_spark.operators import bloom as B
+
+    cust = load_table(spark, sf_dir, "customer").where("c_nationkey < 5")
+    words = B.collect_words(
+        B.bloom_build(cust, "c_custkey", n_bits=4032, k=3), 4032
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    kept = B.bloom_prune(orders, "o_custkey", words, 4032, 3)
+    return kept.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("o_custkey").alias("sum_cust"),
+    )
+
+
 def q_audio_chunks(spark, sf_dir):
     """Audio chunking lane: segment the deterministic clip corpus into
     250 ms windows at a 200 ms hop (tails ≥ 100 ms kept).  The oracle
@@ -1163,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": q_kmv_distinct_users,
         "cms_user_counts": q_cms_user_counts,
         "audio_chunks": q_audio_chunks,
+        "bloom_prune_orders": q_bloom_prune_orders,
         "pii_scrub_docs": q_pii_scrub_docs,
         "repetition_docs": q_repetition_docs,
         "split_train_val_test": q_split_train_val_test,
@@ -1682,6 +1704,40 @@ def oracle_sql() -> dict[str, str]:
                          / (100.0 * count(value)), 4) AS avg_v
             FROM events
             GROUP BY 1, 2
+        """,
+        "bloom_prune_orders": """
+            WITH js AS (SELECT unnest(range(0, 3)) AS j),
+            bits AS (
+              SELECT DISTINCT
+                     CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':'
+                              || CAST(c.c_custkey AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 4032 AS b
+              FROM customer c CROSS JOIN js
+              WHERE c.c_nationkey < 5
+            ),
+            words AS (
+              SELECT b // 63 AS wi,
+                     bit_or(1::BIGINT << CAST(b % 63 AS INT)) AS w
+              FROM bits GROUP BY 1
+            ),
+            probes AS (
+              SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+                     CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':'
+                              || CAST(o.o_custkey AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 4032 AS b
+              FROM orders o CROSS JOIN js
+            ),
+            hits AS (
+              SELECT p.o_orderkey, p.o_custkey, p.o_orderstatus,
+                     bool_and(coalesce(
+                       (w.w & (1::BIGINT << CAST(p.b % 63 AS INT))) != 0,
+                       false)) AS ok
+              FROM probes p LEFT JOIN words w ON w.wi = p.b // 63
+              GROUP BY 1, 2, 3
+            )
+            SELECT o_orderstatus, count(*) AS n_kept,
+                   sum(o_custkey) AS sum_cust
+            FROM hits WHERE ok GROUP BY 1
         """,
         "audio_chunks": """
             WITH c AS (

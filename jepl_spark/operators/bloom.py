@@ -1,0 +1,146 @@
+"""Distributed Bloom filter for map-side semi-join pruning.
+
+The 100 TB shape this exists for: a big fact table must be semi-joined
+against a selective dimension subset.  A real join shuffles the fact
+table on the key; a Bloom filter built from the dimension side prunes
+the fact table IN THE SCAN STAGE — no fact-side shuffle at all — at the
+cost of a tunable false-positive rate (Bloom 1970, "Space/time
+trade-offs in hash coding with allowable errors"; the same idea behind
+Spark's own runtime-filter InjectRuntimeFilter, here as an explicit,
+engine-replayable operator the pipeline can persist and reuse).
+
+Layout: 63-bit words (bit 63 never set, so words survive signed-long
+engines and replay in DuckDB's BIGINT `<<` without overflow), stored as
+rows (word_idx, word).  Building is one exchange of at most
+⌈n_bits/63⌉ rows — map-side partial ``bit_or`` collapses the k-hash
+explode before the shuffle.  The dense word array (``n_bits/8`` bytes,
+e.g. 128 KiB for 2^20 bits) is then embedded as an array literal in the
+membership predicate: the fact-side test is a pure projection —
+whole-stage-codegen'd, no shuffle, no join, pushdown-compatible with
+everything around it.  ``collect_words`` is the broadcast step, bounded
+by ``n_bits`` and independent of data volume.
+
+Hashes: ``hasher="md5"`` (default) uses the deterministic md5-derived
+60-bit hash shared with the KMV/CMS sketches — exactly replayable in
+the SQL oracle.  ``hasher="xxhash64"`` is the cheaper production choice
+(JVM xxhash64(col, seed=j)) when cross-engine replay is not required.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jepl_spark.operators.sketch import kmv_hash
+
+WORD_BITS = 63
+
+
+def _bucket(col: Column, j: int, n_bits: int, hasher: str) -> Column:
+    if hasher == "md5":
+        h = kmv_hash(F.concat_ws(":", F.lit(str(j)), col.cast("string")))
+    elif hasher == "xxhash64":
+        h = F.xxhash64(col.cast("string"), F.lit(j))
+    else:
+        raise ValueError(f"hasher must be 'md5' or 'xxhash64', got {hasher!r}")
+    return F.pmod(h, F.lit(n_bits))
+
+
+def _check_shape(n_bits: int, k: int) -> None:
+    if n_bits < WORD_BITS:
+        raise ValueError(f"n_bits must be >= {WORD_BITS}, got {n_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    n_bits: int = 1 << 16,
+    k: int = 3,
+    hasher: str = "md5",
+) -> DataFrame:
+    """Build the filter from the (small) key side: rows
+    (word_idx, word) with word = OR of 1<<(bucket mod 63) over every
+    key hash landing in that word.  Sparse rows — absent word_idx means
+    an all-zero word."""
+    _check_shape(n_bits, k)
+    buckets = df.select(
+        F.explode(
+            F.array(
+                *[_bucket(F.col(col), j, n_bits, hasher) for j in range(k)]
+            )
+        ).alias("b")
+    )
+    return (
+        buckets.select(
+            F.floor(F.col("b") / WORD_BITS).cast("long").alias("word_idx"),
+            _shift_one(F.col("b") % WORD_BITS).alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("word"))
+    )
+
+
+def collect_words(filter_df: DataFrame, n_bits: int) -> List[int]:
+    """Densify the sparse word rows into a python list — the broadcast
+    step.  Size is ⌈n_bits/63⌉ longs, a function of the FILTER's
+    configuration only, never of the data: this is the one place a
+    driver-side collect is the correct distribution mechanism (it is
+    what Spark's own broadcast of a runtime bloom filter does)."""
+    n_words = (n_bits + WORD_BITS - 1) // WORD_BITS
+    words = [0] * n_words
+    for r in filter_df.select("word_idx", "word").collect():
+        words[int(r["word_idx"])] = int(r["word"])
+    return words
+
+
+def might_contain(
+    col: Column,
+    words: List[int],
+    n_bits: int,
+    k: int = 3,
+    hasher: str = "md5",
+) -> Column:
+    """Membership predicate as a pure projection over an embedded word
+    array — all k probed bits set.  False positives possible (rate
+    ≈ (1-e^{-kn/m})^k), false negatives impossible."""
+    _check_shape(n_bits, k)
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    pred = None
+    for j in range(k):
+        b = _bucket(col, j, n_bits, hasher)
+        word = F.element_at(arr, F.floor(b / WORD_BITS).cast("int") + 1)
+        pred_j = word.bitwiseAND(_shift_one(b % WORD_BITS)) != 0
+        pred = pred_j if pred is None else (pred & pred_j)
+    return pred
+
+
+def _shift_one(bit_col: Column) -> Column:
+    """1L << bit for a COLUMN shift amount (the python F.shiftleft
+    wrapper only takes int shifts; the SQL function takes any
+    expression — call_function routes Columns through)."""
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("long"), bit_col.cast("int")
+    )
+
+
+def bloom_prune(
+    df: DataFrame,
+    col: str,
+    words: List[int],
+    n_bits: int,
+    k: int = 3,
+    hasher: str = "md5",
+) -> DataFrame:
+    """Filter ``df`` to rows whose key might be in the filter — the
+    map-side semi-join prune."""
+    return df.where(might_contain(F.col(col), words, n_bits, k, hasher))
+
+
+def expected_fpr(n_items: int, n_bits: int, k: int) -> float:
+    """Classic FPR estimate (1 - e^{-kn/m})^k."""
+    return (1.0 - math.exp(-k * n_items / n_bits)) ** k

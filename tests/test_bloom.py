@@ -1,0 +1,79 @@
+"""Bloom filter: no false negatives ever, bounded false positives,
+build/probe parity with a from-first-principles Python reference."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from jepl_spark.operators import bloom as B
+
+
+def py_bucket(v, j, n_bits):
+    h = int(hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:15], 16)
+    return h % n_bits
+
+
+def py_bloom(values, n_bits, k):
+    words = [0] * ((n_bits + B.WORD_BITS - 1) // B.WORD_BITS)
+    for v in values:
+        for j in range(k):
+            b = py_bucket(v, j, n_bits)
+            words[b // B.WORD_BITS] |= 1 << (b % B.WORD_BITS)
+    return words
+
+
+N_BITS, K = 63 * 40, 3  # small on purpose: false positives must occur
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    return spark.range(0, 200).selectExpr("id * 3 AS key").persist()
+
+
+def test_words_match_python_reference(spark, keys):
+    got = B.collect_words(B.bloom_build(keys, "key", N_BITS, K), N_BITS)
+    want = py_bloom([i * 3 for i in range(200)], N_BITS, K)
+    assert got == want
+
+
+def test_no_false_negatives(spark, keys):
+    words = B.collect_words(B.bloom_build(keys, "key", N_BITS, K), N_BITS)
+    probe = spark.range(0, 200).selectExpr("id * 3 AS key")
+    kept = B.bloom_prune(probe, "key", words, N_BITS, K).count()
+    assert kept == 200  # every inserted key must pass
+
+
+def test_false_positive_rate_bounded(spark, keys):
+    words = B.collect_words(B.bloom_build(keys, "key", N_BITS, K), N_BITS)
+    # 10_000 keys that were never inserted (odd numbers)
+    probe = spark.range(0, 10_000).selectExpr("id * 2 + 1 AS key")
+    fp = B.bloom_prune(probe, "key", words, N_BITS, K).count()
+    est = B.expected_fpr(200, N_BITS, K)
+    assert 0 < fp / 10_000 < 4 * est  # positives exist but are bounded
+
+
+def test_xxhash_variant_no_false_negatives(spark, keys):
+    f = B.bloom_build(keys, "key", N_BITS, K, hasher="xxhash64")
+    words = B.collect_words(f, N_BITS)
+    probe = spark.range(0, 200).selectExpr("id * 3 AS key")
+    assert B.bloom_prune(probe, "key", words, N_BITS, K,
+                         hasher="xxhash64").count() == 200
+
+
+def test_prune_is_projection_no_shuffle(spark, keys):
+    words = B.collect_words(B.bloom_build(keys, "key", N_BITS, K), N_BITS)
+    probe = spark.range(0, 1000).selectExpr("id AS key")
+    plan = B.bloom_prune(probe, "key", words, N_BITS, K)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-side only — the operator's point
+
+
+def test_validation(spark, keys):
+    with pytest.raises(ValueError):
+        B.bloom_build(keys, "key", 10, 3)
+    with pytest.raises(ValueError):
+        B.might_contain(F.col("key"), [0], 63, 0)
+    with pytest.raises(ValueError):
+        B.bloom_build(keys, "key", 6300, 3, hasher="sha1")
