@@ -966,6 +966,47 @@ def q_rollup_cascade_events(spark, sf_dir):
     )
 
 
+def q_stream_chunked_clips(spark, sf_dir):
+    """The audio chunker under the hard signal: the deterministic clip
+    corpus staged as a file stream → stateless mapInPandas chunking →
+    exactly-once parquet sink.  Chunking holds no state, so every chunk
+    of every ingested clip must be emitted exactly once regardless of
+    batch boundaries — the oracle replays the same integer boundary
+    math as the batch gate over range(200)."""
+    import tempfile
+
+    from jepl_spark.functions.audio_udfs import chunk_clips
+    from jepl_spark.sources.clips import clips_df, CLIP_SCHEMA
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-schunk-")
+    src = f"{work}/src"
+    clips_df(spark, 200).write.mode("overwrite").parquet(src)
+    chunks = chunk_clips(
+        file_stream(spark, src, CLIP_SCHEMA),
+        chunk_ms=250, hop_ms=200, min_tail_ms=100,
+    )
+    sink = IdempotentParquetSink(f"{work}/sink")
+    q = (
+        chunks.select("clip_id", "chunk_idx", "start_sample", "n_samples", "sr_hz")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    out = sink.read_committed(spark)
+    return out.select(
+        "clip_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start_sample").cast("bigint").alias("start_sample"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("sr_hz").cast("bigint").alias("sr_hz"),
+    )
+
+
 def q_bloom_prune_orders(spark, sf_dir):
     """Map-side semi-join prune: a Bloom filter built from the
     customers of nations 0-4 prunes the orders scan with ZERO
@@ -1200,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_rule": q_stream_session_rule,
         "stream_stateful_rule": q_stream_stateful_rule,
         "stream_dedup_rule": q_stream_dedup_rule,
+        "stream_chunked_clips": q_stream_chunked_clips,
         "stream_manifest_sink_rule": q_stream_manifest_sink_rule,
     }
 
@@ -2111,6 +2153,48 @@ def oracle_sql() -> dict[str, str]:
         # watermark cutoff — the expected set is simply the distinct
         # normalized-content set (the +30min duplicate copy falls inside
         # the 1h horizon and never survives)
+        "stream_chunked_clips": """
+            WITH c AS (
+              SELECT i,
+                     CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          ELSE 44100 END AS sr,
+                     200 + (i * 37) % 1801 AS dur
+              FROM range(200) t(i)
+            ),
+            p AS (
+              SELECT i, sr,
+                     (sr * dur) // 1000 AS n,
+                     (sr * 250) // 1000 AS chunk_n,
+                     (sr * 200) // 1000 AS hop_n,
+                     (sr * 100) // 1000 AS tail_n
+              FROM c
+            ),
+            f AS (
+              SELECT i, sr, n, chunk_n, hop_n, tail_n,
+                     CASE WHEN n >= chunk_n
+                          THEN (n - chunk_n) // hop_n + 1 ELSE 0 END AS fulls
+              FROM p
+            ),
+            fc AS (
+              SELECT i, sr, unnest(range(fulls)) AS idx, hop_n, chunk_n
+              FROM f
+            ),
+            allc AS (
+              SELECT i, sr, idx AS chunk_idx, idx * hop_n AS start_sample,
+                     chunk_n AS n_samples
+              FROM fc
+              UNION ALL
+              SELECT i, sr, fulls, fulls * hop_n, n - fulls * hop_n
+              FROM f
+              WHERE fulls * hop_n < n AND (n - fulls * hop_n) >= tail_n
+            )
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(start_sample AS BIGINT) AS start_sample,
+                   CAST(n_samples AS BIGINT) AS n_samples,
+                   CAST(sr AS BIGINT) AS sr_hz
+            FROM allc
+        """,
         "stream_dedup_rule": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
                    CAST(min(length(text)) AS BIGINT) AS n_chars

@@ -44,6 +44,7 @@ def main() -> int:
         "stream_stateful_rule",
         "stream_dedup_rule",
         "stream_manifest_sink_rule",
+        "stream_chunked_clips",
     }
     # these gate fns materialize eagerly (checkpointed result would
     # audit as a trivial ExistingRDD scan) — rebuild their LAZY plans
