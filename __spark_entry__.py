@@ -966,6 +966,25 @@ def q_rollup_cascade_events(spark, sf_dir):
     )
 
 
+def q_value_percentiles(spark, sf_dir):
+    """Exact grouped percentiles (linear interpolation — the ANSI
+    percentile_cont formula Spark's `percentile` and DuckDB's
+    `quantile_cont` both implement, so values match bit for bit
+    pre-rounding)."""
+    from jepl_spark.operators import stats as ST
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ST.grouped_percentiles(
+        ev, "value", (0.5, 0.95, 0.99), group_by="event_type"
+    )
+    return out.select(
+        "event_type",
+        _r(F.col("p50"), 4).alias("p50"),
+        _r(F.col("p95"), 4).alias("p95"),
+        _r(F.col("p99"), 4).alias("p99"),
+    )
+
+
 def q_stream_chunked_clips(spark, sf_dir):
     """The audio chunker under the hard signal: the deterministic clip
     corpus staged as a file stream → stateless mapInPandas chunking →
@@ -1242,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_rule": q_stream_stateful_rule,
         "stream_dedup_rule": q_stream_dedup_rule,
         "stream_chunked_clips": q_stream_chunked_clips,
+        "value_percentiles": q_value_percentiles,
         "stream_manifest_sink_rule": q_stream_manifest_sink_rule,
     }
 
@@ -2153,6 +2173,13 @@ def oracle_sql() -> dict[str, str]:
         # watermark cutoff — the expected set is simply the distinct
         # normalized-content set (the +30min duplicate copy falls inside
         # the 1h horizon and never survives)
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY 1
+        """,
         "stream_chunked_clips": """
             WITH c AS (
               SELECT i,

@@ -1,0 +1,88 @@
+"""Grouped distribution statistics (percentiles).
+
+Two lanes, one contract:
+
+- ``grouped_percentiles`` — EXACT linear-interpolation percentiles
+  (Spark's ``percentile``, the same formula as ANSI
+  ``percentile_cont`` / DuckDB ``quantile_cont``, so results are
+  oracle-replayable bit for bit).  Exact percentile materializes each
+  group's values; it is the right tool when per-group cardinality is
+  bounded (dashboard dimensions, per-key SLO reports), wrong for
+  billion-row groups.
+- ``approx_grouped_percentiles`` — ``percentile_approx`` (Greenwald-
+  Khanna sketch, JVM-side, mergeable, bounded memory ``O(accuracy)``
+  per group): the 100 TB path.  Error ≤ 1/accuracy in RANK (not value);
+  results are deterministic for a fixed partitioning but not an
+  engine-replayable formula, so the gate pins the exact lane and a test
+  pins approx-vs-exact rank error instead.
+
+Both: one partially-aggregated exchange on the group keys.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GroupCols = Union[str, Sequence[str]]
+
+
+def _groups(group_by: Optional[GroupCols]) -> list[str]:
+    if group_by is None:
+        return []
+    if isinstance(group_by, str):
+        return [group_by]
+    return list(group_by)
+
+
+def _names(percentiles: Sequence[float]) -> list[str]:
+    out = []
+    for p in percentiles:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"percentile must be in [0, 1], got {p}")
+        # 0.5 -> p50, 0.95 -> p95, 0.999 -> p99_9
+        s = f"{p * 100:.10g}".replace(".", "_")
+        out.append(f"p{s}")
+    return out
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: Sequence[float] = (0.5, 0.95, 0.99),
+    group_by: Optional[GroupCols] = None,
+) -> DataFrame:
+    """Exact linear-interpolation percentiles per group; columns named
+    p50, p95, p99_9, …"""
+    groups = _groups(group_by)
+    aggs = [
+        F.expr(f"percentile({value_col}, {p!r})").alias(n)
+        for p, n in zip(percentiles, _names(percentiles))
+    ]
+    return df.groupBy(*groups).agg(*aggs)
+
+
+def approx_grouped_percentiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: Sequence[float] = (0.5, 0.95, 0.99),
+    group_by: Optional[GroupCols] = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles per group (rank error
+    ≤ 1/accuracy) — constant memory per group at any scale."""
+    if accuracy < 1:
+        raise ValueError(f"accuracy must be >= 1, got {accuracy}")
+    groups = _groups(group_by)
+    names = _names(percentiles)
+    arr = "array(" + ", ".join(repr(p) for p in percentiles) + ")"
+    agg = F.expr(
+        f"percentile_approx({value_col}, {arr}, {accuracy})"
+    ).alias("__ps")
+    out = df.groupBy(*groups).agg(agg)
+    return out.select(
+        *groups,
+        *[F.element_at(F.col("__ps"), i + 1).alias(n) for i, n in enumerate(names)],
+    )
