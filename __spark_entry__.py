@@ -966,6 +966,17 @@ def q_rollup_cascade_events(spark, sf_dir):
     )
 
 
+def q_vocab_top_tokens(spark, sf_dir):
+    """Vocabulary construction: top-25 lowercased whitespace tokens
+    with counts, deterministic (count desc, token asc) cutoff — the
+    oracle replays tokenize → count → min_count → ordered limit."""
+    from jepl_spark.operators import text as T2
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = T2.top_tokens(docs, k=25, min_count=2)
+    return out.select("token", F.col("cnt").cast("bigint").alias("cnt"))
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact grouped percentiles (linear interpolation — the ANSI
     percentile_cont formula Spark's `percentile` and DuckDB's
@@ -1262,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_rule": q_stream_dedup_rule,
         "stream_chunked_clips": q_stream_chunked_clips,
         "value_percentiles": q_value_percentiles,
+        "vocab_top_tokens": q_vocab_top_tokens,
         "stream_manifest_sink_rule": q_stream_manifest_sink_rule,
     }
 
@@ -2173,6 +2185,19 @@ def oracle_sql() -> dict[str, str]:
         # watermark cutoff — the expected set is simply the distinct
         # normalized-content set (the +30min duplicate copy falls inside
         # the 1h horizon and never survives)
+        "vocab_top_tokens": """
+            WITH t AS (
+              SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+              FROM documents
+            ),
+            c AS (
+              SELECT token, count(*) AS cnt FROM t
+              WHERE length(token) > 0
+              GROUP BY 1 HAVING count(*) >= 2
+            )
+            SELECT token, cnt FROM c
+            ORDER BY cnt DESC, token ASC LIMIT 25
+        """,
         "value_percentiles": """
             SELECT event_type,
                    round(quantile_cont(value, 0.5), 4) AS p50,

@@ -374,3 +374,40 @@ def repetition_features(
         F.coalesce("top_line_frac", F.lit(0.0)).alias("top_line_frac"),
         F.coalesce("distinct_line_ratio", F.lit(1.0)).alias("distinct_line_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building
+
+
+def top_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 10_000,
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary: the k most frequent whitespace tokens with
+    counts — the counting step of tokenizer/vocab construction.
+    Deterministic total order (count desc, then token asc) so the
+    k-boundary never depends on partitioning.
+
+    Shape: explode → one partially-aggregated exchange on token →
+    TakeOrderedAndProject (a k-heap per partition + k-merge on the
+    driver, never a global sort).  Output bounded by k."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    toks = _tokens(text)
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)

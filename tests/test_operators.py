@@ -778,3 +778,46 @@ def test_repetition_trims_and_ignores_blank_lines(spark):
     r = T.repetition_features(df).collect()[0]
     # '  a  ' and 'a' are the same trimmed line; blanks dropped
     assert r["n_lines"] == 3 and r["dup_line_frac"] == 2 / 3
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary
+
+
+def test_top_tokens_counts_and_cutoff(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and The dog and the bird"), (1, "cat AND dog")],
+        ["doc_id", "text"],
+    )
+    rows = [(r["token"], r["cnt"]) for r in T.top_tokens(df, k=3).collect()]
+    # counts: the=3 and=3 cat=2 dog=2 bird=1; tiebreak token asc
+    assert rows == [("and", 3), ("the", 3), ("cat", 2)]
+
+
+def test_top_tokens_min_count_and_case(spark):
+    df = spark.createDataFrame([(0, "A a b")], ["doc_id", "text"])
+    low = [(r["token"], r["cnt"])
+           for r in T.top_tokens(df, k=10, min_count=2).collect()]
+    assert low == [("a", 2)]
+    cased = [(r["token"], r["cnt"])
+             for r in T.top_tokens(df, k=10, lowercase=False).collect()]
+    assert ("A", 1) in cased and ("a", 1) in cased
+
+
+def test_top_tokens_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common") for i in range(100)],
+        ["doc_id", "text"],
+    )
+    a = [tuple(r) for r in T.top_tokens(df, k=5).collect()]
+    b = [tuple(r) for r in T.top_tokens(df.repartition(13), k=5).collect()]
+    assert a == b and a[0] == ("common", 100)
+
+
+def test_top_tokens_validation(spark):
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        T.top_tokens(df, k=0)
+    with _pt.raises(ValueError):
+        T.top_tokens(df, min_count=0)
