@@ -300,19 +300,23 @@ def chunk_clips(
     if min_tail_ms < 0:
         raise ValueError(f"min_tail_ms must be >= 0, got {min_tail_ms}")
 
-    out_schema = StructType(
-        [
-            StructField("clip_id", StringType()),
-            StructField("chunk_idx", IntegerType()),
-            StructField("start_sample", LongType()),
-            StructField("n_samples", IntegerType()),
-            StructField("sr_hz", IntegerType()),
-            StructField("codec", StringType()),
-            StructField("bytes", BinaryType()),
-            StructField("transcript", StringType()),
-        ]
-    )
+    fields = [
+        StructField("clip_id", StringType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("start_sample", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sr_hz", IntegerType()),
+        StructField("codec", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("transcript", StringType()),
+    ]
     has_transcript = "transcript" in df.columns
+    # event_time rides along when the input carries one, so chunk rows
+    # stay joinable/watermarkable in a streaming pipeline
+    has_ts = "event_time" in df.columns
+    if has_ts:
+        fields.append(df.schema["event_time"])
+    out_schema = StructType(fields)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -320,9 +324,10 @@ def chunk_clips(
             transcripts = (
                 pdf["transcript"] if has_transcript else [None] * len(pdf)
             )
-            for cid, blob, c, sr, tr in zip(
+            times = pdf["event_time"] if has_ts else [None] * len(pdf)
+            for cid, blob, c, sr, tr, et in zip(
                 pdf["clip_id"], pdf["bytes"], pdf["codec"],
-                pdf["sr_hz"], transcripts,
+                pdf["sr_hz"], transcripts, times,
             ):
                 x = audio.decode(blob, c)
                 sr = int(sr)
@@ -333,16 +338,14 @@ def chunk_clips(
                 fulls = (n - chunk_n) // hop_n + 1 if n >= chunk_n else 0
                 for idx in range(fulls):
                     s = idx * hop_n
-                    rows.append(
-                        (cid, idx, s, chunk_n, sr, "pcm16",
-                         audio.pcm16_encode(x[s : s + chunk_n]), tr)
-                    )
+                    row = (cid, idx, s, chunk_n, sr, "pcm16",
+                           audio.pcm16_encode(x[s : s + chunk_n]), tr)
+                    rows.append(row + (et,) if has_ts else row)
                 ts = fulls * hop_n
                 if min_tail_ms > 0 and ts < n and (n - ts) >= tail_n:
-                    rows.append(
-                        (cid, fulls, ts, n - ts, sr, "pcm16",
-                         audio.pcm16_encode(x[ts:]), tr)
-                    )
+                    row = (cid, fulls, ts, n - ts, sr, "pcm16",
+                           audio.pcm16_encode(x[ts:]), tr)
+                    rows.append(row + (et,) if has_ts else row)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema.fields]
             )

@@ -109,7 +109,10 @@ def might_contain(
     array — all k probed bits set.  False positives possible (rate
     ≈ (1-e^{-kn/m})^k), false negatives impossible."""
     _check_shape(n_bits, k)
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    # one ArrayType Literal, NOT F.array(*1000s of literal children):
+    # the flat literal keeps the expression tree (and codegen compile
+    # time) constant in n_bits
+    arr = F.lit([int(w) for w in words]).cast("array<bigint>")
     pred = None
     for j in range(k):
         b = _bucket(col, j, n_bits, hasher)

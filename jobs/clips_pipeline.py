@@ -55,6 +55,13 @@ def main(argv: list[str]) -> int:
     p.add_argument("--synthesize", type=int, default=0)
     p.add_argument("--continuous", action="store_true",
                    help="keep running (processingTime trigger) instead of availableNow")
+    p.add_argument("--chunk-ms", type=int, default=None,
+                   help="chunk-export mode: instead of the windowed rule, "
+                        "segment clips into fixed windows, stream-join each "
+                        "chunk with its transcript, and sink (chunk, "
+                        "transcript) training rows")
+    p.add_argument("--chunk-hop-ms", type=int, default=None)
+    p.add_argument("--chunk-min-tail-ms", type=int, default=0)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -98,30 +105,49 @@ def main(argv: list[str]) -> int:
             t, text_col="transcript", ts_col="event_time",
             watermark=args.dedup_watermark,
         ).drop("content_hash")
-    slim = with_audio_features(a).select(
-        "clip_id", "codec", "sr_hz", "dur_ms", "event_time",
-        F.col("af.rms").alias("rms"),
-        F.col("af.n_samples").alias("n_samples"),
-        F.col("af.feat").alias("feat"),
-    )
-    joined = audio_transcript_join(
-        slim, t,
-        audio_watermark=args.watermark,
-        # the dedup operator already watermarked the transcript side —
-        # Spark rejects redefinition, so the join must not re-apply one
-        transcript_watermark=None if args.dedup_watermark else args.watermark,
-        max_delay=args.max_delay,
-        salt=args.salt,
-    )
+    if args.chunk_ms:
+        # training-shard export: chunk rows (bytes are pcm16 slices)
+        # stream-joined with their transcript, no aggregation
+        from jepl_spark.functions.audio_udfs import chunk_clips
 
-    rule = args.rule or (
-        "select count(clip_id) AS n_clips, avg(rms) AS avg_rms, "
-        "max(dur_ms) AS max_dur, sum(n_samples) AS samples "
-        "from joined where rms > 0 group by codec"
-    )
-    result = windowed_select(
-        rule, joined, ts_col="event_time", duration=args.window, watermark=None
-    )
+        chunks = chunk_clips(
+            a.drop("transcript"),
+            chunk_ms=args.chunk_ms,
+            hop_ms=args.chunk_hop_ms,
+            min_tail_ms=args.chunk_min_tail_ms,
+        ).drop("transcript")
+        result = audio_transcript_join(
+            chunks, t,
+            audio_watermark=args.watermark,
+            transcript_watermark=None if args.dedup_watermark else args.watermark,
+            max_delay=args.max_delay,
+            salt=args.salt,
+        )
+    else:
+        slim = with_audio_features(a).select(
+            "clip_id", "codec", "sr_hz", "dur_ms", "event_time",
+            F.col("af.rms").alias("rms"),
+            F.col("af.n_samples").alias("n_samples"),
+            F.col("af.feat").alias("feat"),
+        )
+        joined = audio_transcript_join(
+            slim, t,
+            audio_watermark=args.watermark,
+            # the dedup operator already watermarked the transcript side —
+            # Spark rejects redefinition, so the join must not re-apply one
+            transcript_watermark=None if args.dedup_watermark else args.watermark,
+            max_delay=args.max_delay,
+            salt=args.salt,
+        )
+
+        rule = args.rule or (
+            "select count(clip_id) AS n_clips, avg(rms) AS avg_rms, "
+            "max(dur_ms) AS max_dur, sum(n_samples) AS samples "
+            "from joined where rms > 0 group by codec"
+        )
+        result = windowed_select(
+            rule, joined, ts_col="event_time", duration=args.window, watermark=None
+        )
 
     sink_cls = (
         ManifestCommitSink if args.sink_protocol == "manifest"

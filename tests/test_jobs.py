@@ -110,3 +110,41 @@ def test_cli_streaming_mode(spark, tmp_path, capsys):
     ]
     key = lambda r: (r["window_start"], r.get("n"))  # noqa: E731
     assert sorted(map(key, rows1)) == sorted(map(key, rows2))
+
+
+def test_clips_pipeline_chunk_mode(spark, tmp_path, capsys):
+    """--chunk-ms: audio stream → chunker → stream-join with the
+    transcript stream → exactly-once sink of (chunk, transcript) rows.
+    Chunk count per clip follows the integer boundary math; every chunk
+    row carries its clip's exact transcript."""
+    from jepl_spark.sources.clips import clip_row
+    from jobs.clips_pipeline import main
+
+    n = 30
+    argv = [
+        "--audio-path", str(tmp_path / "a"),
+        "--transcript-path", str(tmp_path / "t"),
+        "--sink", str(tmp_path / "sink"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--synthesize", str(n),
+        "--chunk-ms", "300", "--chunk-hop-ms", "300",
+        "--chunk-min-tail-ms", "1",
+        "--watermark", "10 seconds", "--max-delay", "60 seconds",
+    ]
+    assert main(argv) == 0
+    out = spark.read.parquet(str(tmp_path / "sink"))
+    rows = out.collect()
+    per_clip = {}
+    for r in rows:
+        per_clip.setdefault(r["clip_id"], []).append(r)
+    assert len(per_clip) == n
+    for i in range(n):
+        ref = clip_row(i)
+        got = per_clip[ref["clip_id"]]
+        # every chunk joined to exactly its own transcript
+        assert {r["joined_transcript"] for r in got} == {ref["transcript"]}
+        # full-coverage chunking: hop == chunk, all tails kept
+        n_samples = ref["sr_hz"] * ref["dur_ms"] // 1000
+        chunk_n = ref["sr_hz"] * 300 // 1000
+        want = (n_samples + chunk_n - 1) // chunk_n
+        assert len(got) == want, ref["clip_id"]
