@@ -133,15 +133,21 @@ def deterministic_reservoir(
     group_by: Optional[GroupCols] = None,
     seed: str = "reservoir",
     rank_col: Optional[str] = None,
+    partial_buckets: int = 32,
 ) -> DataFrame:
     """Uniform k rows without replacement (per group): rank rows by
     their hash and keep the k smallest — the deterministic equivalent
-    of reservoir sampling, with the same marginal distribution.  One
-    exchange on the group keys; the window ranks within each group.
+    of reservoir sampling, with the same marginal distribution.
     Ties are impossible for distinct ids (60-bit hash of the id), so
     the result is a pure function of the data.  ``rank_col`` optionally
     exposes the 1-based rank (a stable "which k" order for callers that
-    later shrink k without resampling)."""
+    later shrink k without resampling).
+
+    Scale shape (the kmv_sketch two-stage k-min): a partial window over
+    (group, hash-salt) first cuts every group — including the global
+    no-group case, which is one giant group — to ``partial_buckets``·k
+    rows, so the final per-group rank never funnels an unbounded group
+    through one partition."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     groups: list[str]
@@ -152,13 +158,20 @@ def deterministic_reservoir(
     else:
         groups = list(group_by)
     h = _sample_hash(F.col(id_col), seed)
+    ranked = df.withColumn("__h", h)
+    if partial_buckets > 1:
+        salt = F.pmod(F.col("__h"), F.lit(partial_buckets))
+        w1 = Window.partitionBy(*groups, salt).orderBy("__h")
+        ranked = ranked.withColumn("__prk", F.row_number().over(w1)).where(
+            F.col("__prk") <= k
+        ).drop("__prk")
     w = (
-        Window.partitionBy(*[F.col(g) for g in groups]).orderBy(h)
+        Window.partitionBy(*[F.col(g) for g in groups]).orderBy("__h")
         if groups
-        else Window.partitionBy(F.lit(1)).orderBy(h)
+        else Window.partitionBy(F.lit(1)).orderBy("__h")
     )
-    ranked = df.withColumn("__rk", F.row_number().over(w))
-    out = ranked.where(F.col("__rk") <= k)
+    ranked = ranked.withColumn("__rk", F.row_number().over(w))
+    out = ranked.where(F.col("__rk") <= k).drop("__h")
     if rank_col is not None:
         return out.withColumnRenamed("__rk", rank_col)
     return out.drop("__rk")
