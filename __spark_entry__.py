@@ -966,6 +966,26 @@ def q_rollup_cascade_events(spark, sf_dir):
     )
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """int8 embedding quantization: per-vector codes summarized as
+    (sum, min, max) plus the rounded scale — the oracle recomputes
+    every code with the same forced-double arithmetic, so a single
+    off-by-one rounding in any lane of any vector breaks the match."""
+    from jepl_spark.operators import similarity as S2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = S2.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        _r(F.col("q_scale").cast("double"), 6).alias("scale_r"),
+        F.aggregate(
+            "q_vec", F.lit(0).cast("bigint"), lambda a, v: a + v.cast("bigint")
+        ).alias("sum_q"),
+        F.array_min("q_vec").cast("bigint").alias("min_q"),
+        F.array_max("q_vec").cast("bigint").alias("max_q"),
+    )
+
+
 def q_vocab_top_tokens(spark, sf_dir):
     """Vocabulary construction: top-25 lowercased whitespace tokens
     with counts, deterministic (count desc, token asc) cutoff — the
@@ -1274,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_chunked_clips": q_stream_chunked_clips,
         "value_percentiles": q_value_percentiles,
         "vocab_top_tokens": q_vocab_top_tokens,
+        "quantize_embeddings": q_quantize_embeddings,
         "stream_manifest_sink_rule": q_stream_manifest_sink_rule,
     }
 
@@ -2185,6 +2206,31 @@ def oracle_sql() -> dict[str, str]:
         # watermark cutoff — the expected set is simply the distinct
         # normalized-content set (the +30min duplicate copy falls inside
         # the 1h horizon and never survives)
+        "quantize_embeddings": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))) AS scale
+              FROM embeddings
+            ),
+            q AS (
+              SELECT vec_id, scale,
+                     CASE WHEN scale = 0 THEN
+                       list_transform(embedding, x -> 0)
+                     ELSE
+                       list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 127 / scale)
+                                   AS INT))
+                     END AS qv
+              FROM s
+            )
+            SELECT vec_id,
+                   round(scale, 6) AS scale_r,
+                   CAST(list_sum(qv) AS BIGINT) AS sum_q,
+                   CAST(list_min(qv) AS BIGINT) AS min_q,
+                   CAST(list_max(qv) AS BIGINT) AS max_q
+            FROM q
+        """,
         "vocab_top_tokens": """
             WITH t AS (
               SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token

@@ -821,3 +821,46 @@ def test_top_tokens_validation(spark):
         T.top_tokens(df, k=0)
     with _pt.raises(ValueError):
         T.top_tokens(df, min_count=0)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+
+
+def test_quantize_roundtrip_and_bounds(spark):
+    rows = [
+        (0, [0.5, -1.0, 0.25, 0.0]),
+        (1, [0.001, 0.002, -0.003, 0.0005]),
+        (2, [0.0, 0.0, 0.0, 0.0]),          # all-zero vector
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = S.quantize_embeddings(df)
+    got = {r["vec_id"]: (r["q_scale"], r["q_vec"]) for r in q.collect()}
+    assert got[0][0] == 1.0 and got[0][1] == [64, -127, 32, 0]
+    assert got[2][0] == 0.0 and got[2][1] == [0, 0, 0, 0]
+    assert all(-127 <= v <= 127 for _, qs in got.values() for v in qs)
+    dq = {r["vec_id"]: r["embedding_dq"]
+          for r in S.dequantize_embeddings(q).collect()}
+    import numpy as np
+    for vid, (_, _qv) in got.items():
+        orig = np.array(rows[vid][1], dtype=np.float32)
+        rec = np.array(dq[vid], dtype=np.float32)
+        scale = got[vid][0]
+        assert np.allclose(orig, rec, atol=scale / 127 / 2 + 1e-9), vid
+
+
+def test_quantize_preserves_cosine_topk(spark):
+    """Recall check on the real embedding fixture: exact brute-force
+    top-10 vs top-10 over dequantized vectors — ≥ 9/10 overlap."""
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = S.dequantize_embeddings(S.quantize_embeddings(df))
+    qvec = df.where("vec_id = 0").collect()[0]["embedding"]
+    exact = {r["vec_id"] for r in S.brute_force_topk(df, qvec, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in S.brute_force_topk(
+            q.select("vec_id", F.col("embedding_dq").alias("embedding")),
+            qvec, k=10,
+        ).collect()
+    }
+    assert len(exact & approx) >= 9
