@@ -966,6 +966,52 @@ def q_rollup_cascade_events(spark, sf_dir):
     )
 
 
+def q_stream_rollup_cascade(spark, sf_dir):
+    """The hypertable topology under the hard signal: STREAM into the
+    finest rollup (5-minute windowed agg, watermarked, exactly-once
+    sink), then BATCH-cascade the committed finest rows to hourly.
+    The oracle aggregates raw events inside 5-minute buckets closed by
+    the final watermark (bucket end ≤ max(ts) − 1 h) and re-aggregates
+    those to hours — pinning append-mode emission AND the algebraic
+    cascade in one gate."""
+    import tempfile
+
+    from jepl_spark.operators import rollup as R
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-srollup-")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    events.write.mode("overwrite").parquet(f"{work}/src")
+    stream = file_stream(spark, f"{work}/src", events.schema).withWatermark(
+        "ts", "1 hour"
+    )
+    finest = R.rollup_finest(stream, "ts", "value", "5 minutes",
+                             keys="event_type")
+    sink = IdempotentParquetSink(f"{work}/sink")
+    q = (
+        finest.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    committed = sink.read_committed(spark)
+    hourly = R.with_avg(R.rollup_coarser(committed, "1 hour",
+                                         keys="event_type"))
+    return hourly.select(
+        F.unix_timestamp(F.col("window_start").cast("timestamp")).alias("ws"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        _cents(F.col("s")).alias("s_cents"),
+        _r(F.col("mn"), 4).alias("mn"),
+        _r(F.col("mx"), 4).alias("mx"),
+    )
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """int8 embedding quantization: per-vector codes summarized as
     (sum, min, max) plus the rounded scale — the oracle recomputes
@@ -1295,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "vocab_top_tokens": q_vocab_top_tokens,
         "quantize_embeddings": q_quantize_embeddings,
+        "stream_rollup_cascade": q_stream_rollup_cascade,
         "stream_manifest_sink_rule": q_stream_manifest_sink_rule,
     }
 
@@ -2206,6 +2253,26 @@ def oracle_sql() -> dict[str, str]:
         # watermark cutoff — the expected set is simply the distinct
         # normalized-content set (the +30min duplicate copy falls inside
         # the 1h horizon and never survives)
+        "stream_rollup_cascade": """
+            WITH m AS (SELECT epoch(max(ts)) AS mx FROM events),
+            fine AS (
+              SELECT epoch(time_bucket(INTERVAL 5 MINUTES, ts))::BIGINT AS fs,
+                     event_type,
+                     count(value) AS n, sum(value) AS s,
+                     min(value) AS mn, max(value) AS mx_v
+              FROM events GROUP BY 1, 2
+            ),
+            emitted AS (
+              SELECT fine.* FROM fine, m WHERE fine.fs + 300 <= m.mx - 3600
+            )
+            SELECT (fs // 3600) * 3600 AS ws,
+                   event_type,
+                   CAST(sum(n) AS BIGINT) AS n,
+                   CAST(round(sum(s) * 100) AS BIGINT) AS s_cents,
+                   round(min(mn), 4) AS mn,
+                   round(max(mx_v), 4) AS mx
+            FROM emitted GROUP BY 1, 2
+        """,
         "quantize_embeddings": """
             WITH s AS (
               SELECT vec_id, embedding,

@@ -45,6 +45,7 @@ def main() -> int:
         "stream_dedup_rule",
         "stream_manifest_sink_rule",
         "stream_chunked_clips",
+        "stream_rollup_cascade",
     }
     # these gate fns materialize eagerly (checkpointed result would
     # audit as a trivial ExistingRDD scan) — rebuild their LAZY plans
