@@ -966,6 +966,25 @@ def q_rollup_cascade_events(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-window document chunking (64-token windows, 16 overlap,
+    tails ≥ 8): chunk boundaries AND the md5 of every chunk's joined
+    text are replayed by the oracle, pinning tokenization, slice
+    arithmetic, and the tail rule."""
+    from jepl_spark.operators import text as T2
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = T2.chunk_documents(docs, chunk_tokens=64, overlap_tokens=16,
+                             min_tail_tokens=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start_token").cast("bigint").alias("start_token"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
 def q_stream_rollup_cascade(spark, sf_dir):
     """The hypertable topology under the hard signal: STREAM into the
     finest rollup (5-minute windowed agg, watermarked, exactly-once
@@ -1342,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": q_vocab_top_tokens,
         "quantize_embeddings": q_quantize_embeddings,
         "stream_rollup_cascade": q_stream_rollup_cascade,
+        "chunk_documents": q_chunk_documents,
         "stream_manifest_sink_rule": q_stream_manifest_sink_rule,
     }
 
@@ -2253,6 +2273,39 @@ def oracle_sql() -> dict[str, str]:
         # watermark cutoff — the expected set is simply the distinct
         # normalized-content set (the +30min duplicate copy falls inside
         # the 1h horizon and never survives)
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            p AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            f AS (
+              SELECT doc_id, toks, n,
+                     CASE WHEN n >= 64 THEN (n - 64) // 48 + 1 ELSE 0 END AS fulls
+              FROM p
+            ),
+            g AS (
+              SELECT doc_id, toks, n, fulls,
+                     fulls + CASE WHEN fulls * 48 < n
+                                   AND (n - fulls * 48) >= 8
+                             THEN 1 ELSE 0 END AS n_chunks
+              FROM f
+            ),
+            c AS (
+              SELECT doc_id, toks, n, unnest(range(n_chunks)) AS i FROM g
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(i * 48 AS BIGINT) AS start_token,
+                   CAST(least(n - i * 48, 64) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(
+                     list_slice(toks, i * 48 + 1,
+                                i * 48 + least(n - i * 48, 64)), ' ')) AS chunk_md5
+            FROM c
+        """,
         "stream_rollup_cascade": """
             WITH m AS (SELECT epoch(max(ts)) AS mx FROM events),
             fine AS (

@@ -411,3 +411,78 @@ def top_tokens(
         .where(F.col("cnt") >= min_count)
     )
     return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 0,
+    min_tail_tokens: int = 1,
+) -> DataFrame:
+    """Token-window document chunking (the text analog of
+    ``chunk_clips``, the context-window prep step of an LLM training
+    pipeline): whitespace tokens sliced into ``chunk_tokens`` windows
+    at a stride of ``chunk_tokens - overlap_tokens``; a shorter final
+    tail is kept iff ≥ ``min_tail_tokens`` (0 drops tails).  Chunk
+    text re-joins tokens with single spaces (original whitespace is
+    not preserved — the standard token-level contract).
+
+    Boundary math is pure integer arithmetic on the token count —
+    identical to the audio chunker's, and exactly replayable by the
+    SQL oracle.  Shape: pure JVM higher-order functions + one explode;
+    per-row projection, no shuffle, no Python."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not (0 <= overlap_tokens < chunk_tokens):
+        raise ValueError(
+            f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}"
+        )
+    if min_tail_tokens < 0:
+        raise ValueError(f"min_tail_tokens must be >= 0, got {min_tail_tokens}")
+    stride = chunk_tokens - overlap_tokens
+
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    fulls = F.when(n >= chunk_tokens, (n - chunk_tokens) / stride + 1).otherwise(
+        F.lit(0)
+    ).cast("int")
+    tail_start = fulls * stride
+    has_tail = (
+        (F.lit(min_tail_tokens) > 0)
+        & (tail_start < n)
+        & ((n - tail_start) >= min_tail_tokens)
+    )
+    n_chunks = fulls + has_tail.cast("int")
+    # sequence(0, cnt-1) auto-steps BACKWARD for cnt=0 — guard with an
+    # explicit empty array
+    idxs = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        idxs,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            (i * stride).alias("start_token"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_tokens"),
+            F.array_join(
+                F.slice(toks, i * stride + 1,
+                        F.least(n - i * stride, F.lit(chunk_tokens))),
+                " ",
+            ).alias("chunk_text"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("__c")
+    ).select(
+        id_col,
+        F.col("__c.chunk_idx").alias("chunk_idx"),
+        F.col("__c.start_token").alias("start_token"),
+        F.col("__c.n_tokens").alias("n_tokens"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+    )

@@ -864,3 +864,62 @@ def test_quantize_preserves_cosine_topk(spark):
         ).collect()
     }
     assert len(exact & approx) >= 9
+
+
+# ---------------------------------------------------------------------------
+# Document chunking
+
+
+def _py_doc_chunks(tokens, chunk, overlap, min_tail):
+    stride = chunk - overlap
+    n = len(tokens)
+    fulls = (n - chunk) // stride + 1 if n >= chunk else 0
+    out = [(i, i * stride, chunk, " ".join(tokens[i*stride:i*stride+chunk]))
+           for i in range(fulls)]
+    ts = fulls * stride
+    if min_tail > 0 and ts < n and (n - ts) >= min_tail:
+        out.append((fulls, ts, n - ts, " ".join(tokens[ts:])))
+    return out
+
+
+def test_chunk_documents_matches_reference(spark):
+    texts = [
+        (0, " ".join(f"t{i}" for i in range(23))),
+        (1, " ".join(f"w{i}" for i in range(8))),   # exactly one chunk
+        (2, "a b c"),                                # shorter than chunk
+        (3, ""),                                     # empty
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = T.chunk_documents(df, chunk_tokens=8, overlap_tokens=2,
+                            min_tail_tokens=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start_token"], r["n_tokens"], r["chunk_text"])
+        )
+    for did, text in texts:
+        want = _py_doc_chunks(text.split(), 8, 2, 2)
+        assert sorted(got.get(did, [])) == want, did
+
+
+def test_chunk_documents_overlap_consistency(spark):
+    """Consecutive chunks share exactly `overlap` tokens."""
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(40)))], ["doc_id", "text"]
+    )
+    rows = sorted(
+        T.chunk_documents(df, chunk_tokens=10, overlap_tokens=4,
+                          min_tail_tokens=0).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a["chunk_text"].split()[-4:] == b["chunk_text"].split()[:4]
+
+
+def test_chunk_documents_validation(spark):
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    import pytest as _pt
+    for kw in ({"chunk_tokens": 0}, {"overlap_tokens": 8, "chunk_tokens": 8},
+               {"min_tail_tokens": -1}):
+        with _pt.raises(ValueError):
+            T.chunk_documents(df, **kw)
