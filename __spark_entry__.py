@@ -1952,24 +1952,37 @@ def oracle_sql() -> dict[str, str]:
                           || ' ip 10.0.0.1 tel +1 555 000 1234.' AS text
               FROM documents
             )
+            , s1 AS (
+              SELECT doc_id, text AS t0,
+                     regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS t1
+              FROM aug
+            ),
+            s2 AS (
+              SELECT *, regexp_replace(t1,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g') AS t2 FROM s1
+            ),
+            s3 AS (
+              SELECT *, regexp_replace(t2,
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                '<IP>', 'g') AS t3 FROM s2
+            )
+            -- category i counted on the text with categories < i
+            -- already replaced, matching scrub_pii's actual redactions
             SELECT doc_id,
-                   md5(regexp_replace(regexp_replace(regexp_replace(
-                       regexp_replace(text,
-                         'https?://[^\\s]+', '<URL>', 'g'),
-                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-                         '\\+\\d[\\d\\- ]{6,}\\d', '<PHONE>', 'g')) AS scrub_md5,
-                   CAST(len(string_split_regex(text, 'https?://[^\\s]+')) - 1
+                   md5(regexp_replace(t3, '\\+\\d[\\d\\- ]{6,}\\d',
+                                      '<PHONE>', 'g')) AS scrub_md5,
+                   CAST(len(string_split_regex(t0, 'https?://[^\\s]+')) - 1
                         AS BIGINT) AS n_url,
-                   CAST(len(string_split_regex(text,
+                   CAST(len(string_split_regex(t1,
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) - 1
                         AS BIGINT) AS n_email,
-                   CAST(len(string_split_regex(text,
+                   CAST(len(string_split_regex(t2,
                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) - 1
                         AS BIGINT) AS n_ipv4,
-                   CAST(len(string_split_regex(text, '\\+\\d[\\d\\- ]{6,}\\d')) - 1
+                   CAST(len(string_split_regex(t3, '\\+\\d[\\d\\- ]{6,}\\d')) - 1
                         AS BIGINT) AS n_phone
-            FROM aug
+            FROM s3
         """,
         "repetition_docs": """
             WITH l AS (

@@ -40,10 +40,15 @@ WORD_BITS = 63
 
 
 def _bucket(col: Column, j: int, n_bits: int, hasher: str) -> Column:
+    """NULL-propagating: a NULL key gets NULL buckets, so it can never
+    pass ``might_contain`` (SQL semi-join semantics: NULL ∉ anything)
+    and never sets bits at build — matching the DuckDB oracle replay."""
     if hasher == "md5":
-        h = kmv_hash(F.concat_ws(":", F.lit(str(j)), col.cast("string")))
+        h = kmv_hash(F.concat(F.lit(f"{j}:"), col.cast("string")))
     elif hasher == "xxhash64":
-        h = F.xxhash64(col.cast("string"), F.lit(j))
+        h = F.when(
+            col.isNotNull(), F.xxhash64(col.cast("string"), F.lit(j))
+        )
     else:
         raise ValueError(f"hasher must be 'md5' or 'xxhash64', got {hasher!r}")
     return F.pmod(h, F.lit(n_bits))
@@ -66,9 +71,9 @@ def bloom_build(
     """Build the filter from the (small) key side: rows
     (word_idx, word) with word = OR of 1<<(bucket mod 63) over every
     key hash landing in that word.  Sparse rows — absent word_idx means
-    an all-zero word."""
+    an all-zero word.  NULL keys are excluded (semi-join semantics)."""
     _check_shape(n_bits, k)
-    buckets = df.select(
+    buckets = df.where(F.col(col).isNotNull()).select(
         F.explode(
             F.array(
                 *[_bucket(F.col(col), j, n_bits, hasher) for j in range(k)]
@@ -107,7 +112,8 @@ def might_contain(
 ) -> Column:
     """Membership predicate as a pure projection over an embedded word
     array — all k probed bits set.  False positives possible (rate
-    ≈ (1-e^{-kn/m})^k), false negatives impossible."""
+    ≈ (1-e^{-kn/m})^k), false negatives impossible.  NULL keys are
+    False (SQL semi-join semantics: NULL matches nothing)."""
     _check_shape(n_bits, k)
     # one ArrayType Literal, NOT F.array(*1000s of literal children):
     # the flat literal keeps the expression tree (and codegen compile
@@ -119,7 +125,7 @@ def might_contain(
         word = F.element_at(arr, F.floor(b / WORD_BITS).cast("int") + 1)
         pred_j = word.bitwiseAND(_shift_one(b % WORD_BITS)) != 0
         pred = pred_j if pred is None else (pred & pred_j)
-    return pred
+    return F.coalesce(pred, F.lit(False))
 
 
 def _shift_one(bit_col: Column) -> Column:

@@ -44,17 +44,18 @@ def _duration_s(d: str) -> int:
         raise ValueError(f"duration {d!r}: expected '<n> <unit>'")
     n, unit = parts
     unit = unit.rstrip("s")
-    if unit not in _UNIT_S or int(n) <= 0:
+    if unit not in _UNIT_S:
         raise ValueError(f"duration {d!r}: unit must be one of {sorted(_UNIT_S)}")
-    return int(n) * _UNIT_S[unit]
+    try:
+        count = int(n)
+    except ValueError:
+        raise ValueError(f"duration {d!r}: count must be an integer") from None
+    if count <= 0:
+        raise ValueError(f"duration {d!r}: count must be positive")
+    return count * _UNIT_S[unit]
 
 
-def _keys(keys: Optional[KeyCols]) -> list[str]:
-    if keys is None:
-        return []
-    if isinstance(keys, str):
-        return [keys]
-    return list(keys)
+from jepl_spark.operators.sketch import _groups as _keys  # shared normalizer
 
 
 ROLLUP_COLS = ("n", "s", "mn", "mx")
@@ -123,15 +124,21 @@ def rollup_coarser(
         )
     )
     # a fine window leaking past the coarse end means the levels don't
-    # nest -> corrupt rollup; fail loudly instead of double-counting
-    guard = F.when(
-        F.col("__max_fine_end") > F.col("window_end"),
-        F.raise_error(F.lit(
-            "rollup_coarser: finer windows straddle the coarser "
-            "boundary — durations do not nest"
-        )),
-    ).otherwise(F.col("n"))
-    return out.withColumn("n", guard).drop("__max_fine_end")
+    # nest -> corrupt rollup; fail loudly instead of double-counting.
+    # The guard is a FILTER (always-true unless it raises), not a
+    # projected column — a projection would be silently removed by
+    # column pruning whenever the guarded column isn't consumed
+    bad = F.col("__max_fine_end") > F.col("window_end")
+    out = out.where(
+        F.when(
+            bad,
+            F.raise_error(F.lit(
+                "rollup_coarser: finer windows straddle the coarser "
+                "boundary — durations do not nest"
+            )),
+        ).otherwise(F.lit(True))
+    )
+    return out.drop("__max_fine_end")
 
 
 def rollup_cascade(

@@ -28,9 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from jepl_spark.operators.sketch import kmv_hash
-
-_DOMAIN = float(1 << 60)
+from jepl_spark.operators.sketch import _DOMAIN, _groups, kmv_hash
 
 GroupCols = Union[str, Sequence[str]]
 
@@ -38,8 +36,11 @@ GroupCols = Union[str, Sequence[str]]
 def _sample_hash(id_col: Column, seed: str) -> Column:
     """60-bit uniform hash of (seed, id) — changing the seed draws an
     independent sample; DuckDB replay:
-    CAST(('0x' || substr(md5(seed || ':' || id), 1, 15)) AS BIGINT)."""
-    return kmv_hash(F.concat_ws(":", F.lit(seed), id_col.cast("string")))
+    CAST(('0x' || substr(md5(seed || ':' || id), 1, 15)) AS BIGINT).
+    NULL-propagating (F.concat, not concat_ws): a NULL id hashes to
+    NULL exactly like the SQL replay, so NULL-id rows drop out of
+    samples/filters instead of all colliding on one sentinel hash."""
+    return kmv_hash(F.concat(F.lit(seed + ":"), id_col.cast("string")))
 
 
 def hash_sample(
@@ -77,19 +78,14 @@ def hash_split(
     if any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative")
     h = _sample_hash(F.col(id_col), seed)
-    expr = None
+    # NULL ids get a NULL split, not a silent ride in the last bucket
+    expr = F.when(h.isNull(), F.lit(None).cast("string"))
     cum = 0.0
     names = list(weights)
     for name in names[:-1]:
         cum += weights[name]
-        cond = h < F.lit(int(cum * _DOMAIN))
-        expr = (
-            F.when(cond, F.lit(name))
-            if expr is None
-            else expr.when(cond, F.lit(name))
-        )
-    last = F.lit(names[-1])
-    labeled = last if expr is None else expr.otherwise(last)
+        expr = expr.when(h < F.lit(int(cum * _DOMAIN)), F.lit(name))
+    labeled = expr.otherwise(F.lit(names[-1]))
     return df.withColumn(split_col, labeled)
 
 
@@ -138,10 +134,16 @@ def deterministic_reservoir(
     """Uniform k rows without replacement (per group): rank rows by
     their hash and keep the k smallest — the deterministic equivalent
     of reservoir sampling, with the same marginal distribution.
-    Ties are impossible for distinct ids (60-bit hash of the id), so
-    the result is a pure function of the data.  ``rank_col`` optionally
-    exposes the 1-based rank (a stable "which k" order for callers that
-    later shrink k without resampling).
+    ``rank_col`` optionally exposes the 1-based rank (a stable
+    "which k" order for callers that later shrink k without
+    resampling).
+
+    DETERMINISM CONTRACT: ``id_col`` must uniquely identify rows.
+    Distinct ids cannot tie (60-bit hash), so the selection is a pure
+    function of the data; rows SHARING an id share a hash, and which
+    physical duplicate survives a k-boundary tie then depends on
+    partition order — dedup on the id (or pass a composite id) first.
+    NULL ids are excluded (their hash is NULL, like the SQL replay).
 
     Scale shape (the kmv_sketch two-stage k-min): a partial window over
     (group, hash-salt) first cuts every group — including the global
@@ -150,15 +152,9 @@ def deterministic_reservoir(
     through one partition."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    groups: list[str]
-    if group_by is None:
-        groups = []
-    elif isinstance(group_by, str):
-        groups = [group_by]
-    else:
-        groups = list(group_by)
+    groups = _groups(group_by)
     h = _sample_hash(F.col(id_col), seed)
-    ranked = df.withColumn("__h", h)
+    ranked = df.withColumn("__h", h).where(F.col("__h").isNotNull())
     if partial_buckets > 1:
         salt = F.pmod(F.col("__h"), F.lit(partial_buckets))
         w1 = Window.partitionBy(*groups, salt).orderBy("__h")

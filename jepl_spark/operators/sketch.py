@@ -168,8 +168,12 @@ def kmv_distinct(
 def cms_bucket(col: Column, d_idx: Column, width: int) -> Column:
     """Row-d bucket of a value: 60-bit md5 hash of 'd:value' mod width.
     DuckDB replay: CAST(('0x' || substr(md5(d || ':' || v), 1, 15))
-    AS BIGINT) % width."""
-    h = kmv_hash(F.concat_ws(":", d_idx.cast("string"), col.cast("string")))
+    AS BIGINT) % width.  NULL-propagating (F.concat): a NULL value gets
+    a NULL bucket, matching the SQL replay, instead of every NULL
+    colliding on md5('<d>')."""
+    h = kmv_hash(
+        F.concat(d_idx.cast("string"), F.lit(":"), col.cast("string"))
+    )
     return F.pmod(h, F.lit(width))
 
 
@@ -182,12 +186,13 @@ def cms_sketch(
     weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Build the sketch: rows (group..., d, bucket, cnt).  ``weight_col``
-    generalizes from counts to weighted sums (e.g. bytes per key)."""
+    generalizes from counts to weighted sums (e.g. bytes per key).
+    NULL values are excluded — a NULL is not a countable key."""
     if width < 2 or depth < 1:
         raise ValueError(f"need width >= 2 and depth >= 1, got {width}x{depth}")
     groups = _groups(group_by)
     w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
-    rows = df.select(
+    rows = df.where(F.col(col).isNotNull()).select(
         *groups,
         F.explode(
             F.array(*[F.lit(d) for d in range(depth)])
@@ -215,10 +220,13 @@ def cms_merge(
     """Merge sketches to coarser groups (or one global sketch): CMS
     counters are sums, so merge = re-sum per (d, bucket).  The result
     is IDENTICAL to sketching the union of the raw inputs.  width and
-    depth are carried through and must agree across inputs."""
+    depth are carried through and must agree across ALL input rows of
+    an output group — checked over the whole group, not per bucket
+    (sparse sketches with different shapes may share no bucket at all),
+    and enforced with a FILTER so column pruning cannot drop it."""
     groups = _groups(group_by)
-    merged = sketches.groupBy(*groups, "d", "bucket").agg(
-        F.sum("cnt").alias("cnt"),
+    # global (per output group) shape check, bucket-independent
+    meta = sketches.groupBy(*groups).agg(
         F.min("cms_width").alias("__wmin"),
         F.max("cms_width").alias("cms_width"),
         F.min("cms_depth").alias("__dmin"),
@@ -227,12 +235,16 @@ def cms_merge(
     bad = (F.col("__wmin") != F.col("cms_width")) | (
         F.col("__dmin") != F.col("cms_depth")
     )
-    merged = merged.withColumn(
-        "cnt",
+    meta = meta.where(
         F.when(bad, F.raise_error(F.lit("cms_merge: mixed width/depth")))
-        .otherwise(F.col("cnt")),
+        .otherwise(F.lit(True))
+    ).drop("__wmin", "__dmin")
+    merged = sketches.groupBy(*groups, "d", "bucket").agg(
+        F.sum("cnt").alias("cnt")
     )
-    return merged.drop("__wmin", "__dmin")
+    if groups:
+        return merged.join(meta, on=groups)
+    return merged.crossJoin(meta)
 
 
 def cms_lookup(

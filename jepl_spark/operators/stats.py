@@ -26,15 +26,9 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from jepl_spark.operators.sketch import _groups
+
 GroupCols = Union[str, Sequence[str]]
-
-
-def _groups(group_by: Optional[GroupCols]) -> list[str]:
-    if group_by is None:
-        return []
-    if isinstance(group_by, str):
-        return [group_by]
-    return list(group_by)
 
 
 def _names(percentiles: Sequence[float]) -> list[str]:

@@ -312,14 +312,18 @@ def scrub_pii(text: Column) -> Column:
 
 
 def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document count of each PII category (how much the scrubber
-    would redact — the audit view).  Occurrences are counted as
-    non-overlapping matches via split, replaying exactly in SQL."""
+    """Per-document count of each PII category, equal BY CONSTRUCTION
+    to the number of replacements ``scrub_pii`` makes: category i is
+    counted on the text with categories < i already replaced (an email
+    inside a URL is one <URL>, not a URL and an email).  Occurrences
+    are non-overlapping matches via split, replaying exactly in SQL."""
     text = F.col(text_col)
-    cols = [
-        (F.size(F.split(text, pat, -1)) - 1).cast("long").alias(f"n_{name}")
-        for name, pat, _ in PII_PATTERNS
-    ]
+    cols = []
+    for name, pat, token in PII_PATTERNS:
+        cols.append(
+            (F.size(F.split(text, pat, -1)) - 1).cast("long").alias(f"n_{name}")
+        )
+        text = F.regexp_replace(text, pat, token)
     return df.select("*", *cols)
 
 

@@ -77,3 +77,18 @@ def test_validation(spark, keys):
         B.might_contain(F.col("key"), [0], 63, 0)
     with pytest.raises(ValueError):
         B.bloom_build(keys, "key", 6300, 3, hasher="sha1")
+
+
+def test_null_keys_never_pass(spark):
+    """NULL keys must act like a semi-join: excluded at build, False
+    at probe (not collapsed onto a shared sentinel hash)."""
+    build = spark.createDataFrame([(1,), (2,), (None,)], "key: int")
+    words = B.collect_words(B.bloom_build(build, "key", N_BITS, K), N_BITS)
+    probe = spark.createDataFrame([(1,), (None,), (None,)], "key: int")
+    kept = B.bloom_prune(probe, "key", words, N_BITS, K).collect()
+    assert [r["key"] for r in kept] == [1]
+    # and the boolean form is False, not NULL
+    vals = probe.select(
+        B.might_contain(F.col("key"), words, N_BITS, K).alias("m")
+    ).collect()
+    assert [r["m"] for r in vals] == [True, False, False]

@@ -923,3 +923,14 @@ def test_chunk_documents_validation(spark):
                {"min_tail_tokens": -1}):
         with _pt.raises(ValueError):
             T.chunk_documents(df, **kw)
+
+
+def test_pii_counts_match_scrub_redactions(spark):
+    """Counts are sequential (category i counted after categories < i
+    are replaced): an email/IP inside a URL is one <URL> redaction."""
+    df = spark.createDataFrame(
+        [(0, "see https://a.b/c@d.ef and 10.0.0.1 inside http://10.0.0.2/x")],
+        ["doc_id", "text"],
+    )
+    r = T.pii_counts(df).collect()[0]
+    assert (r["n_url"], r["n_email"], r["n_ipv4"], r["n_phone"]) == (2, 0, 1, 0)

@@ -97,3 +97,32 @@ def test_coarser_never_scans_raw(spark, raw):
     # one Aggregate over the fine Aggregate; raw LocalRelation appears once
     assert plan.count("LocalRelation") <= 1
     assert n_fine > cascade["1 hour"].count()
+
+
+def test_nesting_guard_survives_column_pruning(spark):
+    """The straddle guard is a filter, so it fires even when the
+    consumer prunes every guarded column (e.g. bare count())."""
+    from pyspark.sql import functions as F
+
+    from jepl_spark.operators import rollup as R
+
+    ev = spark.createDataFrame(
+        # epoch-aligned 7-min window of 00:58 is [00:57, 01:04) — it
+        # straddles the hour boundary
+        [("2024-01-01 00:58:00", 1.0)], ["ts", "v"]
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "v")
+    fine = R.rollup_finest(ev, "ts", "v", "7 minutes")
+    bad = R.rollup_coarser(fine, "1 hour")
+    with pytest.raises(Exception, match="do not nest"):
+        bad.select("window_start").count()
+
+
+def test_duration_error_messages(spark):
+    from jepl_spark.operators import rollup as R
+
+    with pytest.raises(ValueError, match="count must be positive"):
+        R._duration_s("0 minutes")
+    with pytest.raises(ValueError, match="count must be an integer"):
+        R._duration_s("x minutes")
+    with pytest.raises(ValueError, match="unit must be one of"):
+        R._duration_s("5 fortnights")

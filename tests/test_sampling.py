@@ -136,3 +136,20 @@ class TestReservoir:
     def test_bad_k(self, docs):
         with pytest.raises(ValueError):
             S.deterministic_reservoir(docs, "doc_id", 0)
+
+
+class TestNullIds:
+    def test_null_ids_drop_from_sample_and_reservoir(self, spark):
+        df = spark.createDataFrame([(1,), (2,), (None,)], "doc_id: int")
+        assert None not in {
+            r["doc_id"] for r in S.hash_sample(df, "doc_id", 1.0).collect()
+        }
+        got = S.deterministic_reservoir(df, "doc_id", 10).collect()
+        assert sorted(r["doc_id"] for r in got) == [1, 2]
+
+    def test_null_ids_get_null_split(self, spark):
+        df = spark.createDataFrame([(1,), (None,)], "doc_id: int")
+        out = {r["doc_id"]: r["split"]
+               for r in S.hash_split(df, "doc_id",
+                                     {"a": 0.5, "b": 0.5}).collect()}
+        assert out[None] is None and out[1] in ("a", "b")

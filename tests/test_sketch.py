@@ -194,3 +194,27 @@ class TestCountMin:
     def test_bad_shape(self, spark, zipfy):
         with pytest.raises(ValueError):
             K.cms_sketch(zipfy, "k", width=1, depth=0)
+
+
+class TestCmsNullsAndMergeGuard:
+    def test_null_values_excluded(self, spark):
+        df = spark.createDataFrame([("a",), (None,), (None,)], "k: string")
+        sk = K.cms_sketch(df, "k", width=64, depth=2)
+        # only 'a' contributes: one bucket per depth row, each cnt=1
+        assert sorted(r["cnt"] for r in sk.collect()) == [1, 1]
+
+    def test_mixed_shape_merge_raises_even_when_buckets_disjoint(self, spark):
+        """Sparse sketches of different widths may share NO (d, bucket)
+        row — the shape check must still fire (it is per output group,
+        not per bucket, and survives column pruning)."""
+        a = K.cms_sketch(
+            spark.createDataFrame([("x",)], "k: string"), "k",
+            width=64, depth=1)
+        b = K.cms_sketch(
+            spark.createDataFrame([("y",)], "k: string"), "k",
+            width=4096, depth=1)
+        bad = a.unionByName(b)
+        if {r["bucket"] for r in a.collect()} & {r["bucket"] for r in b.collect()}:
+            pytest.skip("buckets collided; disjointness not exercised")
+        with pytest.raises(Exception, match="mixed width/depth"):
+            K.cms_merge(bad).select("d").count()  # prune-hostile consumer
