@@ -52,6 +52,17 @@ def main(argv: list[str]) -> int:
     p.add_argument("--minhash-bands", type=int, default=16)
     p.add_argument("--minhash-hashes", type=int, default=64)
     p.add_argument("--report-only", action="store_true")
+    p.add_argument("--split", default=None,
+                   help="comma-separated name=weight list (weights sum to "
+                        "1), e.g. train=0.9,val=0.05,test=0.05 — adds a "
+                        "deterministic hash-split column (stable under "
+                        "corpus growth/repartition)")
+    p.add_argument("--chunk-tokens", type=int, default=None,
+                   help="if set, the written output is token-window CHUNKS "
+                        "of the curated docs (context-window prep) instead "
+                        "of whole documents")
+    p.add_argument("--chunk-overlap", type=int, default=0)
+    p.add_argument("--chunk-min-tail", type=int, default=1)
     args = p.parse_args(argv)
     if not args.report_only and not args.output:
         p.error("--output is required unless --report-only")
@@ -116,14 +127,38 @@ def main(argv: list[str]) -> int:
     )
     df = checkpoint_stage(df, "after_near_dedup")
 
+    # 5. (optional) deterministic train/val/test split — assigned AFTER
+    #    dedup so near-identical docs cannot land in different splits
+    if args.split:
+        from jepl_spark.operators import sampling as SA
+
+        weights = {}
+        for part in args.split.split(","):
+            name, w = part.split("=")
+            weights[name.strip()] = float(w)
+        df = SA.hash_split(df, args.id_col, weights)
+
+    # 6. (optional) chunk the curated documents into token windows —
+    #    the written unit becomes a training example, not a document
+    if args.chunk_tokens:
+        carry = [c for c in ("lang", "split") if c in df.columns]
+        chunks = T.chunk_documents(
+            df, id_col=args.id_col, text_col=args.text_col,
+            chunk_tokens=args.chunk_tokens,
+            overlap_tokens=args.chunk_overlap,
+            min_tail_tokens=args.chunk_min_tail,
+        )
+        df = chunks.join(df.select(args.id_col, *carry), on=args.id_col)
+        stages["chunks"] = df.count()
+
     if not args.report_only:
         # partitioned by language: downstream per-language reads prune
-        (
-            df.repartition("lang")
-            .write.mode("overwrite")
-            .partitionBy("lang")
-            .parquet(args.output)
-        )
+        part_cols = [c for c in ("split", "lang") if c in df.columns]
+        writer = df.repartition(*part_cols) if part_cols else df
+        w = writer.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(args.output)
 
     out = {
         "stages": stages,

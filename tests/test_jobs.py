@@ -148,3 +148,36 @@ def test_clips_pipeline_chunk_mode(spark, tmp_path, capsys):
         chunk_n = ref["sr_hz"] * 300 // 1000
         want = (n_samples + chunk_n - 1) // chunk_n
         assert len(got) == want, ref["clip_id"]
+
+
+def test_corpus_pipeline_split_and_chunk(spark, tmp_path, capsys):
+    """--split + --chunk-tokens: curated docs get a stable split label,
+    then are written as token-window chunks partitioned by split/lang."""
+    docs = [
+        (i, "the quick brown fox and the lazy dog run over the old "
+            "river bank with a very long tale of the night " * 3)
+        for i in range(20)
+    ]
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "shards")
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(src)
+
+    from jobs.corpus_pipeline import main
+
+    rc = main([
+        "--input", src, "--output", out,
+        "--min-tokens", "4", "--langs", "en",
+        "--near-dup-threshold", "1.01",  # disable near-dedup folding
+        "--split", "train=0.8,val=0.2",
+        "--chunk-tokens", "16", "--chunk-overlap", "4",
+    ])
+    assert rc == 0
+    import json as _json
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    shards = spark.read.parquet(out)
+    assert report["stages"]["chunks"] == shards.count() > 0
+    assert {"chunk_idx", "chunk_text", "split", "lang"} <= set(shards.columns)
+    assert set(r["split"] for r in shards.select("split").distinct().collect()) <= {"train", "val"}
+    # identical texts -> identical chunk counts per doc; all docs survive
+    per_doc = shards.groupBy("doc_id").count().collect()
+    assert len(per_doc) == 1  # exact dedup folded the identical docs
