@@ -92,3 +92,19 @@ def test_null_keys_never_pass(spark):
         B.might_contain(F.col("key"), words, N_BITS, K).alias("m")
     ).collect()
     assert [r["m"] for r in vals] == [True, False, False]
+
+
+def test_large_filter_broadcast_path_equals_literal_path(spark, keys):
+    """Above _LITERAL_WORDS_MAX, bloom_prune switches to the broadcast
+    binding — results must be identical to the literal predicate."""
+    big_bits = 63 * (B._LITERAL_WORDS_MAX + 64)
+    words = B.collect_words(B.bloom_build(keys, "key", big_bits, K), big_bits)
+    probe = spark.range(0, 3000).selectExpr("id AS key")
+    via_prune = {r["key"] for r in
+                 B.bloom_prune(probe, "key", words, big_bits, K).collect()}
+    via_literal = {r["key"] for r in probe.where(
+        B.might_contain(F.col("key"), words, big_bits, K)).collect()}
+    assert via_prune == via_literal
+    assert {i * 3 for i in range(200)} & via_prune == {
+        i * 3 for i in range(200) if i * 3 < 3000
+    }

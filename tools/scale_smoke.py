@@ -133,6 +133,31 @@ def main() -> int:
     res["brute_topk_rows"] = S.brute_force_topk(emb, qvec, k=10).count()
     res["brute_query_s"] = round(time.time() - t0, 2)
 
+    # round-3 lanes: bloom prune of the full corpus against a 1% key
+    # subset (map-side, xxhash64 prod hasher) and token-window chunking
+    from jepl_spark.operators import bloom as B
+    from jepl_spark.operators import text as T
+
+    t0 = time.time()
+    keys = docs.where("doc_id % 100 = 0")
+    words = B.collect_words(
+        B.bloom_build(keys, "doc_id", n_bits=1 << 20, k=3,
+                      hasher="xxhash64"),
+        1 << 20,
+    )
+    res["bloom_build_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    res["bloom_kept"] = B.bloom_prune(
+        docs, "doc_id", words, 1 << 20, 3, hasher="xxhash64"
+    ).count()
+    res["bloom_prune_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    res["doc_chunks"] = T.chunk_documents(
+        docs, chunk_tokens=32, overlap_tokens=8, min_tail_tokens=4
+    ).count()
+    res["chunk_docs_s"] = round(time.time() - t0, 1)
+
     print(json.dumps(res))
     spark.stop()
     return 0
