@@ -966,6 +966,38 @@ def q_rollup_cascade_events(spark, sf_dir):
     )
 
 
+def q_topk_users_per_type(spark, sf_dir):
+    """Exact heavy hitters: top-3 users by event count per event_type,
+    deterministic (count desc, user asc) tie-break replayed in SQL."""
+    from jepl_spark.operators import stats as ST
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ST.grouped_topk(ev, "user_id", k=3, group_by="event_type")
+    return out.select(
+        "event_type",
+        F.col("rank").cast("bigint").alias("rank"),
+        "user_id",
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+def q_skew_report_user(spark, sf_dir):
+    """Shuffle-skew diagnostic on the events join key: top-5 heaviest
+    user_ids with share and skew factor; the oracle replays the
+    rank/share/skew arithmetic exactly."""
+    from jepl_spark.operators import stats as ST
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ST.key_skew_report(ev, "user_id", top=5)
+    return out.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "user_id",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        _r(F.col("share"), 8).alias("share"),
+        _r(F.col("skew_factor"), 6).alias("skew_factor"),
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     """Token-window document chunking (64-token windows, 16 overlap,
     tails ≥ 8): chunk boundaries AND the md5 of every chunk's joined
@@ -1362,6 +1394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "stream_rollup_cascade": q_stream_rollup_cascade,
         "chunk_documents": q_chunk_documents,
+        "topk_users_per_type": q_topk_users_per_type,
+        "skew_report_user": q_skew_report_user,
         "stream_manifest_sink_rule": q_stream_manifest_sink_rule,
     }
 
@@ -2286,6 +2320,38 @@ def oracle_sql() -> dict[str, str]:
         # watermark cutoff — the expected set is simply the distinct
         # normalized-content set (the +30min duplicate copy falls inside
         # the 1h horizon and never survives)
+        "topk_users_per_type": """
+            WITH c AS (
+              SELECT event_type, user_id, count(*) AS cnt
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT event_type, user_id, cnt,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY cnt DESC, user_id ASC) AS rank
+              FROM c
+            )
+            SELECT event_type, rank, user_id, CAST(cnt AS BIGINT) AS cnt
+            FROM r WHERE rank <= 3
+        """,
+        "skew_report_user": """
+            WITH c AS (
+              SELECT user_id, count(*) AS cnt
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            ),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                         count(*) AS n_distinct FROM c),
+            r AS (
+              SELECT user_id, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rank
+              FROM c
+            )
+            SELECT r.rank, r.user_id, CAST(r.cnt AS BIGINT) AS cnt,
+                   round(1.0 * r.cnt / t.total, 8) AS share,
+                   round(1.0 * r.cnt * t.n_distinct / t.total, 6) AS skew_factor
+            FROM r, t WHERE r.rank <= 5
+        """,
         "chunk_documents": """
             WITH t AS (
               SELECT doc_id,

@@ -80,3 +80,77 @@ def approx_grouped_percentiles(
         *groups,
         *[F.element_at(F.col("__ps"), i + 1).alias(n) for i, n in enumerate(names)],
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    group_by: Optional[GroupCols] = None,
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact heavy hitters: the k most frequent values of ``key_col``
+    per group (weighted by ``weight_col`` if given), with a
+    deterministic total order (count desc, key asc) so the k-boundary
+    never depends on partitioning.  The exact counterpart of the
+    Count-Min estimate lane (sketch.cms_lookup): use this when the
+    distinct-key set per group is boundable, the sketch when it is not.
+
+    Shape: one partially-aggregated exchange on (group, key), then a
+    rank window per group over the (bounded) distinct-key rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    groups = _groups(group_by)
+    w = F.sum(weight_col) if weight_col else F.count("*")
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(*groups, key_col)
+        .agg(w.alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy(*groups).orderBy(
+        F.col("cnt").desc(), F.col(key_col).asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+    )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+) -> DataFrame:
+    """Shuffle-skew diagnostic for a prospective join/groupBy key: the
+    ``top`` heaviest keys with their row counts and share of the total
+    — the number that decides whether a key needs salting or an AQE
+    skew-join hint before a 100 TB shuffle.  One aggregation on the
+    key; totals ride a tiny cross-joined single-row frame (no second
+    scan, no driver round-trip in the plan)."""
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.count("*").alias("__distinct"),
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+    heavy = (
+        counts.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= top)
+    )
+    return heavy.crossJoin(F.broadcast(totals)).select(
+        "rank",
+        key_col,
+        "cnt",
+        (F.col("cnt") / F.col("__total")).alias("share"),
+        (F.col("cnt") * F.col("__distinct") / F.col("__total")).alias(
+            "skew_factor"  # 1.0 = perfectly uniform
+        ),
+    )

@@ -62,3 +62,46 @@ def test_validation(spark, vals):
         ST.grouped_percentiles(vals, "v", percentiles=(1.5,))
     with pytest.raises(ValueError):
         ST.approx_grouped_percentiles(vals, "v", accuracy=0)
+
+
+class TestTopkAndSkew:
+    def test_grouped_topk_deterministic(self, spark):
+        rows = (
+            [("a", "x")] * 5 + [("a", "y")] * 5 + [("a", "z")] * 2
+            + [("b", "q")] * 3
+        )
+        df = spark.createDataFrame(rows, ["g", "k"])
+        got = sorted(
+            (r["g"], r["rank"], r["k"], r["cnt"])
+            for r in ST.grouped_topk(df, "k", k=2, group_by="g").collect()
+        )
+        # x/y tie at 5 -> key asc breaks it deterministically
+        assert got == [("a", 1, "x", 5), ("a", 2, "y", 5), ("b", 1, "q", 3)]
+        rep = sorted(
+            (r["g"], r["rank"], r["k"], r["cnt"])
+            for r in ST.grouped_topk(
+                df.repartition(7), "k", k=2, group_by="g").collect()
+        )
+        assert rep == got
+
+    def test_grouped_topk_weighted(self, spark):
+        df = spark.createDataFrame(
+            [("x", 10), ("x", 1), ("y", 100)], ["k", "w"]
+        )
+        got = [(r["k"], r["cnt"]) for r in
+               ST.grouped_topk(df, "k", k=1, weight_col="w").collect()]
+        assert got == [("y", 100)]
+
+    def test_key_skew_report(self, spark):
+        rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+        df = spark.createDataFrame(rows, ["k"])
+        rep = {r["rank"]: r for r in ST.key_skew_report(df, "k", top=3).collect()}
+        assert rep[1]["k"] == "hot" and rep[1]["cnt"] == 90
+        assert abs(rep[1]["share"] - 0.9) < 1e-9
+        # 11 distinct keys, hot holds 90/100 rows -> skew 9.9
+        assert abs(rep[1]["skew_factor"] - 9.9) < 1e-9
+
+    def test_topk_validation(self, spark):
+        df = spark.createDataFrame([("x",)], ["k"])
+        with pytest.raises(ValueError):
+            ST.grouped_topk(df, "k", k=0)
