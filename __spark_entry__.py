@@ -2349,7 +2349,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT r.rank, r.user_id, CAST(r.cnt AS BIGINT) AS cnt,
                    round(1.0 * r.cnt / t.total, 8) AS share,
-                   round(1.0 * r.cnt * t.n_distinct / t.total, 6) AS skew_factor
+                   -- divide-then-multiply, matching the engine's
+                   -- overflow-safe association order exactly
+                   round((1.0 * r.cnt / t.total) * t.n_distinct, 6) AS skew_factor
             FROM r, t WHERE r.rank <= 5
         """,
         "chunk_documents": """

@@ -169,15 +169,17 @@ def bloom_prune(
         return df.where(might_contain(F.col(col), words, n_bits, k, hasher))
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+    wc = "__bloom_words"
+    while wc in df.columns:  # never clobber or shadow a caller column
+        wc += "_"
     spark = df.sparkSession
     arr_df = spark.createDataFrame(
         [([int(w) for w in words],)],
-        StructType([StructField("__bloom_words", ArrayType(LongType()), False)]),
+        StructType([StructField(wc, ArrayType(LongType()), False)]),
     )
     probe = df.crossJoin(F.broadcast(arr_df))
-    pred = _might_contain_on(F.col("__bloom_words"), F.col(col),
-                             n_bits, k, hasher)
-    return probe.where(pred).drop("__bloom_words")
+    pred = _might_contain_on(F.col(wc), F.col(col), n_bits, k, hasher)
+    return probe.where(pred).drop(wc)
 
 
 def expected_fpr(n_items: int, n_bits: int, k: int) -> float:

@@ -100,6 +100,10 @@ def grouped_topk(
     rank window per group over the (bounded) distinct-key rows."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if key_col in ("rank", "cnt"):
+        raise ValueError(
+            f"key_col {key_col!r} collides with an output column name"
+        )
     groups = _groups(group_by)
     w = F.sum(weight_col) if weight_col else F.count("*")
     counts = (
@@ -128,7 +132,12 @@ def key_skew_report(
     — the number that decides whether a key needs salting or an AQE
     skew-join hint before a 100 TB shuffle.  One aggregation on the
     key; totals ride a tiny cross-joined single-row frame (no second
-    scan, no driver round-trip in the plan)."""
+    scan — ReuseExchange dedups the shared groupBy — and no driver
+    round-trip in the plan)."""
+    if key_col in ("rank", "cnt", "share", "skew_factor"):
+        raise ValueError(
+            f"key_col {key_col!r} collides with an output column name"
+        )
     counts = (
         df.where(F.col(key_col).isNotNull())
         .groupBy(key_col)
@@ -145,12 +154,16 @@ def key_skew_report(
         counts.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= top)
     )
+    # divide BEFORE multiplying by the distinct count: cnt·distinct as
+    # int64 overflows (ANSI exception) at ~10^12 rows × 10^9 keys —
+    # exactly the scale this diagnostic exists for
+    share = F.col("cnt") / F.col("__total")
     return heavy.crossJoin(F.broadcast(totals)).select(
         "rank",
         key_col,
         "cnt",
-        (F.col("cnt") / F.col("__total")).alias("share"),
-        (F.col("cnt") * F.col("__distinct") / F.col("__total")).alias(
+        share.alias("share"),
+        (share * F.col("__distinct")).alias(
             "skew_factor"  # 1.0 = perfectly uniform
         ),
     )

@@ -134,13 +134,21 @@ def main(argv: list[str]) -> int:
 
         weights = {}
         for part in args.split.split(","):
-            name, w = part.split("=")
-            weights[name.strip()] = float(w)
+            if "=" not in part:
+                p.error(f"--split: expected name=weight, got {part!r}")
+            name, _, w = part.partition("=")
+            name = name.strip()
+            if name in weights:
+                p.error(f"--split: duplicate split name {name!r}")
+            try:
+                weights[name] = float(w)
+            except ValueError:
+                p.error(f"--split: weight for {name!r} is not a number: {w!r}")
         df = SA.hash_split(df, args.id_col, weights)
 
     # 6. (optional) chunk the curated documents into token windows —
     #    the written unit becomes a training example, not a document
-    if args.chunk_tokens:
+    if args.chunk_tokens is not None:
         carry = [c for c in ("lang", "split") if c in df.columns]
         chunks = T.chunk_documents(
             df, id_col=args.id_col, text_col=args.text_col,
@@ -148,8 +156,10 @@ def main(argv: list[str]) -> int:
             overlap_tokens=args.chunk_overlap,
             min_tail_tokens=args.chunk_min_tail,
         )
-        df = chunks.join(df.select(args.id_col, *carry), on=args.id_col)
-        stages["chunks"] = df.count()
+        df = checkpoint_stage(
+            chunks.join(df.select(args.id_col, *carry), on=args.id_col),
+            "chunks",
+        )
 
     if not args.report_only:
         # partitioned by language: downstream per-language reads prune

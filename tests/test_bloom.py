@@ -108,3 +108,14 @@ def test_large_filter_broadcast_path_equals_literal_path(spark, keys):
     assert {i * 3 for i in range(200)} & via_prune == {
         i * 3 for i in range(200) if i * 3 < 3000
     }
+
+
+def test_broadcast_path_tolerates_reserved_column_name(spark, keys):
+    big_bits = 63 * (B._LITERAL_WORDS_MAX + 64)
+    words = B.collect_words(B.bloom_build(keys, "key", big_bits, K), big_bits)
+    probe = spark.range(0, 100).selectExpr(
+        "id * 3 AS key", "array(id) AS __bloom_words"
+    )
+    out = B.bloom_prune(probe, "key", words, big_bits, K)
+    assert "__bloom_words" in out.columns  # caller's column survives
+    assert out.count() > 0

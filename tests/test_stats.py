@@ -105,3 +105,10 @@ class TestTopkAndSkew:
         df = spark.createDataFrame([("x",)], ["k"])
         with pytest.raises(ValueError):
             ST.grouped_topk(df, "k", k=0)
+
+    def test_key_col_name_collision_rejected(self, spark):
+        df = spark.createDataFrame([("x", 1)], ["rank", "cnt"])
+        with pytest.raises(ValueError, match="collides"):
+            ST.grouped_topk(df, "rank")
+        with pytest.raises(ValueError, match="collides"):
+            ST.key_skew_report(df, "cnt")
