@@ -966,6 +966,47 @@ def q_rollup_cascade_events(spark, sf_dir):
     )
 
 
+def q_stream_cms_windowed(spark, sf_dir):
+    """Windowed frequency sketch on a live stream: per-6-hour Count-Min
+    sketches of user activity built as a watermarked streaming
+    aggregation through the exactly-once sink.  The oracle rebuilds
+    every window's counters from raw rows and applies the append-mode
+    emission cutoff — sketch content AND streaming emission pinned
+    together."""
+    import tempfile
+
+    from jepl_spark.operators import sketch as SK
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-scms-")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    events.write.mode("overwrite").parquet(f"{work}/src")
+    sk = SK.cms_sketch_windowed(
+        file_stream(spark, f"{work}/src", events.schema),
+        "user_id", ts_col="ts", duration="6 hours",
+        width=256, depth=2, watermark="1 hour",
+    )
+    sink = IdempotentParquetSink(f"{work}/sink")
+    q = (
+        sk.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    out = sink.read_committed(spark)
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("ws"),
+        F.col("d").cast("bigint").alias("d"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
 def q_topk_users_per_type(spark, sf_dir):
     """Exact heavy hitters: top-3 users by event count per event_type,
     deterministic (count desc, user asc) tie-break replayed in SQL."""
@@ -1395,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_cascade": q_stream_rollup_cascade,
         "chunk_documents": q_chunk_documents,
         "topk_users_per_type": q_topk_users_per_type,
+        "stream_cms_windowed": q_stream_cms_windowed,
         "skew_report_user": q_skew_report_user,
         "stream_manifest_sink_rule": q_stream_manifest_sink_rule,
     }
@@ -2320,6 +2362,23 @@ def oracle_sql() -> dict[str, str]:
         # watermark cutoff — the expected set is simply the distinct
         # normalized-content set (the +30min duplicate copy falls inside
         # the 1h horizon and never survives)
+        "stream_cms_windowed": """
+            WITH ds AS (SELECT unnest(range(0, 2)) AS d),
+            m AS (SELECT epoch(max(ts)) AS mx FROM events),
+            s AS (
+              SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS ws,
+                     ds.d,
+                     CAST(('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':'
+                              || CAST(e.user_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 256 AS bucket,
+                     count(*) AS cnt
+              FROM events e CROSS JOIN ds
+              WHERE e.user_id IS NOT NULL
+              GROUP BY 1, 2, 3
+            )
+            SELECT s.ws, s.d, s.bucket, CAST(s.cnt AS BIGINT) AS cnt
+            FROM s, m WHERE s.ws + 21600 <= m.mx - 3600
+        """,
         "topk_users_per_type": """
             WITH c AS (
               SELECT event_type, user_id, count(*) AS cnt

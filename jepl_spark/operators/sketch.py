@@ -273,3 +273,53 @@ def cms_lookup(
         how="left",
     ).fillna({"cnt": 0})
     return joined.groupBy(*groups, query_col).agg(F.min("cnt").alias("est"))
+
+
+def cms_sketch_windowed(
+    df: DataFrame,
+    col: str,
+    ts_col: str,
+    duration: str,
+    width: int = 2048,
+    depth: int = 4,
+    watermark: str | None = None,
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Per-time-window CMS: rows (window_start, window_end, d, bucket,
+    cnt) — the streaming telemetry shape ("top talkers per hour" at
+    cardinalities where exact per-key counting cannot hold state).
+    Works identically on batch and streaming input; on a stream pass
+    ``watermark`` and the groupBy becomes a standard watermarked
+    windowed aggregation (append mode emits each window's finished
+    sketch exactly once through the sink).  Window sketches merge to
+    coarser windows/global with ``cms_merge`` — counters are sums."""
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2 and depth >= 1, got {width}x{depth}")
+    src = df.where(F.col(col).isNotNull())
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    rows = src.select(
+        F.window(F.col(ts_col), duration).alias("__w"),
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+        F.col(col).alias("__v"),
+        w.alias("__w8"),
+    ).select(
+        "__w",
+        "d",
+        cms_bucket(F.col("__v"), F.col("d"), width).alias("bucket"),
+        "__w8",
+    )
+    return (
+        rows.groupBy("__w", "d", "bucket")
+        .agg(F.sum("__w8").alias("cnt"))
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            "d",
+            "bucket",
+            "cnt",
+        )
+        .withColumn("cms_width", F.lit(width))
+        .withColumn("cms_depth", F.lit(depth))
+    )

@@ -218,3 +218,28 @@ class TestCmsNullsAndMergeGuard:
             pytest.skip("buckets collided; disjointness not exercised")
         with pytest.raises(Exception, match="mixed width/depth"):
             K.cms_merge(bad).select("d").count()  # prune-hostile consumer
+
+
+def test_cms_windowed_batch_matches_flat_per_window(spark):
+    """The windowed sketch restricted to one window equals a flat
+    cms_sketch of that window's rows — window partitioning only
+    partitions, never changes counters."""
+    from pyspark.sql import functions as F
+
+    rows = [("2024-01-01 00:10:00", 1), ("2024-01-01 00:20:00", 1),
+            ("2024-01-01 00:40:00", 2), ("2024-01-01 01:10:00", 1)]
+    df = spark.createDataFrame(rows, ["ts", "k"]).select(
+        F.col("ts").cast("timestamp").alias("ts"), "k")
+    wsk = K.cms_sketch_windowed(df, "k", "ts", "1 hour", width=64, depth=2)
+    first = wsk.where("window_start = timestamp '2024-01-01 00:00:00'")
+    flat = K.cms_sketch(df.where("ts < timestamp '2024-01-01 01:00:00'"),
+                        "k", width=64, depth=2)
+    a = sorted((r["d"], r["bucket"], r["cnt"]) for r in first.collect())
+    b = sorted((r["d"], r["bucket"], r["cnt"]) for r in flat.collect())
+    assert a == b and len(a) > 0
+    # and windows merge to the flat whole-corpus sketch
+    merged = K.cms_merge(wsk.drop("window_start", "window_end"))
+    whole = K.cms_sketch(df, "k", width=64, depth=2)
+    ms = sorted((r["d"], r["bucket"], r["cnt"]) for r in merged.collect())
+    ws = sorted((r["d"], r["bucket"], r["cnt"]) for r in whole.collect())
+    assert ms == ws

@@ -46,6 +46,7 @@ def main() -> int:
         "stream_manifest_sink_rule",
         "stream_chunked_clips",
         "stream_rollup_cascade",
+        "stream_cms_windowed",
     }
     # these gate fns materialize eagerly (checkpointed result would
     # audit as a trivial ExistingRDD scan) — rebuild their LAZY plans
