@@ -966,6 +966,21 @@ def q_rollup_cascade_events(spark, sf_dir):
     )
 
 
+def q_image_dhash(spark, sf_dir):
+    """Perceptual image hash: the oracle recomputes every dHash bit
+    from the RAWv1 pixel FORMULA — decode, 9×8 nearest-neighbor grid
+    sampling, integer luma, and bit packing all pinned end to end
+    through the Arrow lane."""
+    from jepl_spark.functions.multimodal import image_dhash, images_df
+
+    return image_dhash(images_df(spark, 200)).select(
+        "img_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "dhash",
+    )
+
+
 def q_stream_cms_windowed(spark, sf_dir):
     """Windowed frequency sketch on a live stream: per-6-hour Count-Min
     sketches of user activity built as a watermarked streaming
@@ -1437,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "topk_users_per_type": q_topk_users_per_type,
         "stream_cms_windowed": q_stream_cms_windowed,
+        "image_dhash": q_image_dhash,
         "skew_report_user": q_skew_report_user,
         "stream_manifest_sink_rule": q_stream_manifest_sink_rule,
     }
@@ -2362,6 +2378,47 @@ def oracle_sql() -> dict[str, str]:
         # watermark cutoff — the expected set is simply the distinct
         # normalized-content set (the +30min duplicate copy falls inside
         # the 1h horizon and never survives)
+        "image_dhash": """
+            WITH img AS (
+              SELECT i AS img_id,
+                     32 + (i % 5) * 16 AS w,
+                     24 + (i % 3) * 24 AS h
+              FROM range(200) t(i)
+            ),
+            grid AS (
+              SELECT img_id, w, h, gy.gy, gx.gx
+              FROM img,
+                   (SELECT unnest(range(0, 8)) AS gy) gy,
+                   (SELECT unnest(range(0, 8)) AS gx) gx
+              WHERE NOT (gy.gy = 7 AND gx.gx = 7)
+            ),
+            coords AS (
+              SELECT img_id, gy, gx, w, h,
+                     (gx * w) // 9 AS x0,
+                     ((gx + 1) * w) // 9 AS x1,
+                     (gy * h) // 8 AS y0
+              FROM grid
+            ),
+            base AS (
+              SELECT img_id, gy, gx, w, h,
+                     (x0 * 7 + y0 * 13 + img_id * 31) % 251 AS b0,
+                     (x1 * 7 + y0 * 13 + img_id * 31) % 251 AS b1
+              FROM coords
+            ),
+            lum AS (
+              SELECT img_id, gy, gx, w, h,
+                     (b0 + (b0 + 17) % 256 + (b0 + 34) % 256) // 3 AS l0,
+                     (b1 + (b1 + 17) % 256 + (b1 + 34) % 256) // 3 AS l1
+              FROM base
+            )
+            SELECT img_id,
+                   CAST(max(w) AS BIGINT) AS width,
+                   CAST(max(h) AS BIGINT) AS height,
+                   CAST(sum(CASE WHEN l0 < l1
+                        THEN (1::BIGINT << CAST(gy * 8 + gx AS INT))
+                        ELSE 0 END) AS BIGINT) AS dhash
+            FROM lum GROUP BY 1
+        """,
         "stream_cms_windowed": """
             WITH ds AS (SELECT unnest(range(0, 2)) AS d),
             m AS (SELECT epoch(max(ts)) AS mx FROM events),

@@ -235,3 +235,54 @@ def frames_df(spark: SparkSession, n_videos: int, frames_per_video: int,
         ]
     )
     return ids.mapInPandas(gen, schema=schema)
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash; the classic 'is this the
+    same picture' fingerprint behind image dedup pipelines): decode,
+    reduce to integer luma (sum of channels // channels), sample a
+    9×8 nearest-neighbor grid (x = gx·w//9, y = gy·h//8), and set bit
+    gy·8+gx when the left sample is darker than its right neighbor.
+    The final (7,7) comparison is skipped so the hash fits in 63 bits
+    — sign-safe in any engine, and directly searchable with the banded
+    Hamming machinery (dedup.simhash_hamming_near_dups works on it).
+
+    Every step is integer arithmetic on pixel coordinates, so the SQL
+    oracle recomputes the hash bit-for-bit from the RAWv1 generator
+    formula — decode, grid sampling, luma, and packing all pinned.
+    Robust to nearest-neighbor resizing (tested): the grid sample of a
+    resized image lands on (nearly) the same source pixels."""
+    out_schema = StructType(
+        [
+            StructField("img_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("dhash", LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"img_id": [], "width": [], "height": [], "dhash": []}
+            for img_id, buf, fmt in zip(pdf["img_id"], pdf["bytes"], pdf["fmt"]):
+                px = _decode_any(bytes(buf), fmt).astype(np.int64)
+                h, w, c = px.shape
+                luma = px.sum(axis=2) // c
+                xs = (np.arange(9) * w) // 9
+                ys = (np.arange(8) * h) // 8
+                grid = luma[np.ix_(ys, xs)]          # (8, 9)
+                bits = grid[:, :-1] < grid[:, 1:]    # (8, 8) left < right
+                val = 0
+                for gy in range(8):
+                    for gx in range(8):
+                        if gy == 7 and gx == 7:
+                            continue
+                        if bits[gy, gx]:
+                            val |= 1 << (gy * 8 + gx)
+                out["img_id"].append(int(img_id))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["dhash"].append(val)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, schema=out_schema)

@@ -69,3 +69,47 @@ def test_frame_sampling_is_jvm_side(spark):
     # sampled frames still decode
     one = sampled.limit(1).collect()[0]
     assert M.decode_raw(one["bytes"]).shape == (24, 32, 3)
+
+
+def test_dhash_resize_robustness_and_hamming_search(spark):
+    """dHash survives nearest-neighbor resizing (the property that
+    makes it a perceptual hash, not a checksum): each image's resized
+    variant stays within a small Hamming radius of the original, and
+    the banded Hamming search (shared with SimHash) finds exactly the
+    original↔resized pairs at that radius."""
+    from pyspark.sql import functions as F
+
+    from jepl_spark.functions.multimodal import (
+        image_dhash,
+        images_df,
+        resize_images,
+    )
+    from jepl_spark.operators.dedup import simhash_hamming_near_dups
+
+    imgs = images_df(spark, 24, partitions=4)
+    orig = image_dhash(imgs).withColumnRenamed("dhash", "h_orig")
+    rs = image_dhash(resize_images(imgs, 48, 40)).withColumnRenamed(
+        "dhash", "h_rs"
+    )
+    joined = orig.select("img_id", "h_orig").join(
+        rs.select("img_id", "h_rs"), "img_id"
+    )
+    dist = joined.select(
+        "img_id",
+        F.bit_count(F.col("h_orig").bitwiseXOR(F.col("h_rs"))).alias("d"),
+    ).collect()
+    assert all(r["d"] <= 10 for r in dist), sorted(
+        (r["img_id"], r["d"]) for r in dist
+    )
+    # composition: the banded Hamming searcher finds each orig↔resized
+    # pair (ids offset by 1000 to keep them distinct rows)
+    sigs = orig.selectExpr("img_id AS doc_id", "h_orig AS simhash").unionByName(
+        rs.selectExpr("img_id + 1000 AS doc_id", "h_rs AS simhash")
+    )
+    pairs = simhash_hamming_near_dups(
+        sigs, max_hamming=10, bands=16, sig=F.col("simhash")
+    ).collect()
+    want = {(i, i + 1000) for i in range(24)}
+    got = {(min(p["id_a"], p["id_b"]), max(p["id_a"], p["id_b"]))
+           for p in pairs}
+    assert want <= got, want - got
