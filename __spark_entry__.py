@@ -966,6 +966,24 @@ def q_rollup_cascade_events(spark, sf_dir):
     )
 
 
+def q_video_scene_changes(spark, sf_dir):
+    """Video scene segmentation: per-frame dHash through the Arrow
+    lane, lag window per video, boundary where Hamming ≥ 16.  The
+    oracle recomputes every scene's dHash from the quadratic pixel
+    formula and replays the lag + xor + bit_count — shot-boundary
+    detection pinned end to end without a codec library."""
+    from jepl_spark.functions.multimodal import scene_changes, scene_frames_df
+
+    out = scene_changes(
+        scene_frames_df(spark, 8, 75, scene_len=25), min_hamming=16
+    )
+    return out.select(
+        "video_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual image hash: the oracle recomputes every dHash bit
     from the RAWv1 pixel FORMULA — decode, 9×8 nearest-neighbor grid
@@ -1453,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_users_per_type": q_topk_users_per_type,
         "stream_cms_windowed": q_stream_cms_windowed,
         "image_dhash": q_image_dhash,
+        "video_scene_changes": q_video_scene_changes,
         "skew_report_user": q_skew_report_user,
         "stream_manifest_sink_rule": q_stream_manifest_sink_rule,
     }
@@ -2378,6 +2397,50 @@ def oracle_sql() -> dict[str, str]:
         # watermark cutoff — the expected set is simply the distinct
         # normalized-content set (the +30min duplicate copy falls inside
         # the 1h horizon and never survives)
+        "video_scene_changes": """
+            WITH sc AS (
+              SELECT v.v AS video_id, s.s AS scene,
+                     v.v * 7919 + s.s AS seed
+              FROM (SELECT unnest(range(0, 8)) AS v) v,
+                   (SELECT unnest(range(0, 3)) AS s) s
+            ),
+            grid AS (
+              SELECT video_id, scene, seed, gy.gy, gx.gx,
+                     (gx.gx * 32) // 9 AS x0,
+                     ((gx.gx + 1) * 32) // 9 AS x1,
+                     gy.gy * 3 AS y0
+              FROM sc,
+                   (SELECT unnest(range(0, 8)) AS gy) gy,
+                   (SELECT unnest(range(0, 8)) AS gx) gx
+              WHERE NOT (gy.gy = 7 AND gx.gx = 7)
+            ),
+            base AS (
+              SELECT video_id, scene, gy, gx,
+                     (x0 * 7 + y0 * 13 + seed * 31
+                        + x0 * y0 * ((seed % 17) + 1)) % 251 AS b0,
+                     (x1 * 7 + y0 * 13 + seed * 31
+                        + x1 * y0 * ((seed % 17) + 1)) % 251 AS b1
+              FROM grid
+            ),
+            dh AS (
+              SELECT video_id, scene,
+                     CAST(sum(CASE WHEN
+                       (b0 + (b0 + 17) % 256 + (b0 + 34) % 256) // 3 <
+                       (b1 + (b1 + 17) % 256 + (b1 + 34) % 256) // 3
+                       THEN (1::BIGINT << CAST(gy * 8 + gx AS INT))
+                       ELSE 0 END) AS BIGINT) AS dhash
+              FROM base GROUP BY 1, 2
+            ),
+            bound AS (
+              SELECT cur.video_id, cur.scene * 25 AS frame_idx,
+                     bit_count(xor(cur.dhash, prv.dhash)) AS hamming
+              FROM dh cur JOIN dh prv
+                ON prv.video_id = cur.video_id AND prv.scene = cur.scene - 1
+            )
+            SELECT video_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(hamming AS BIGINT) AS hamming
+            FROM bound WHERE hamming >= 16
+        """,
         "image_dhash": """
             WITH img AS (
               SELECT i AS img_id,

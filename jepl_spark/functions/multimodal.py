@@ -266,23 +266,136 @@ def image_dhash(df: DataFrame) -> DataFrame:
             out = {"img_id": [], "width": [], "height": [], "dhash": []}
             for img_id, buf, fmt in zip(pdf["img_id"], pdf["bytes"], pdf["fmt"]):
                 px = _decode_any(bytes(buf), fmt).astype(np.int64)
-                h, w, c = px.shape
-                luma = px.sum(axis=2) // c
-                xs = (np.arange(9) * w) // 9
-                ys = (np.arange(8) * h) // 8
-                grid = luma[np.ix_(ys, xs)]          # (8, 9)
-                bits = grid[:, :-1] < grid[:, 1:]    # (8, 8) left < right
-                val = 0
-                for gy in range(8):
-                    for gx in range(8):
-                        if gy == 7 and gx == 7:
-                            continue
-                        if bits[gy, gx]:
-                            val |= 1 << (gy * 8 + gx)
+                h, w, _ = px.shape
                 out["img_id"].append(int(img_id))
                 out["width"].append(int(w))
                 out["height"].append(int(h))
-                out["dhash"].append(val)
+                out["dhash"].append(_dhash_np(px))
             yield pd.DataFrame(out)
 
     return df.mapInPandas(gen, schema=out_schema)
+
+
+def _dhash_np(px: "np.ndarray") -> int:
+    """The dHash core on an (h, w, c) int array — shared by the image
+    and video-frame lanes so their oracles replay the SAME math."""
+    h, w, c = px.shape
+    luma = px.sum(axis=2) // c
+    xs = (np.arange(9) * w) // 9
+    ys = (np.arange(8) * h) // 8
+    grid = luma[np.ix_(ys, xs)]          # (8, 9)
+    bits = grid[:, :-1] < grid[:, 1:]    # (8, 8) left < right
+    val = 0
+    for gy in range(8):
+        for gx in range(8):
+            if gy == 7 and gx == 7:
+                continue
+            if bits[gy, gx]:
+                val |= 1 << (gy * 8 + gx)
+    return val
+
+
+def _scene_pixels(s: int, w: int, h: int, c: int) -> np.ndarray:
+    """Per-scene pixel pattern with a QUADRATIC x·y term, so different
+    scenes are genuinely different fields (the linear _synth_pixels
+    field makes any two seeds a uniform shift of each other — useless
+    for boundary detection).  Integer formula, SQL-replayable:
+    base = (x·7 + y·13 + s·31 + x·y·((s mod 17)+1)) mod 251."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 7 + yy * 13 + s * 31 + xx * yy * ((s % 17) + 1)) % 251
+    chans = [(base + 17 * k) % 256 for k in range(c)]
+    return np.stack(chans, axis=-1).astype(np.uint8)
+
+
+def scene_frames_df(
+    spark: SparkSession,
+    n_videos: int,
+    frames_per_video: int,
+    scene_len: int = 25,
+    partitions: int = 8,
+) -> DataFrame:
+    """Synthetic video frames WITH scene structure: frames inside a
+    scene are identical (a static shot — dHash Hamming 0); each scene
+    boundary switches to a different quadratic pixel field (tens of
+    dHash bits flip).  Scene seed s = video·7919 + frame_idx//scene_len,
+    integer arithmetic the SQL oracle replays directly."""
+
+    base = spark.range(0, n_videos * frames_per_video,
+                       numPartitions=partitions)
+    ids = base.select(
+        F.expr(f"id div {int(frames_per_video)}").alias("video_id"),
+        F.pmod(F.col("id"), F.lit(frames_per_video)).cast("int").alias("frame_idx"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"video_id": [], "frame_idx": [], "bytes": [], "fmt": []}
+            for vid, fidx in zip(pdf["video_id"].to_numpy(),
+                                 pdf["frame_idx"].to_numpy()):
+                s = int(vid) * 7919 + int(fidx) // scene_len
+                px = _scene_pixels(s, 32, 24, 3)
+                out["video_id"].append(int(vid))
+                out["frame_idx"].append(int(fidx))
+                out["bytes"].append(encode_raw(px))
+                out["fmt"].append("rawv1")
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [
+            StructField("video_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("bytes", BinaryType()),
+            StructField("fmt", StringType()),
+        ]
+    )
+    return ids.mapInPandas(gen, schema=schema)
+
+
+def frame_dhash(df: DataFrame) -> DataFrame:
+    """Per-frame dHash: (video_id, frame_idx, dhash).  One Arrow pass;
+    each frame decoded exactly once — scene detection then never
+    touches pixels again."""
+    out_schema = StructType(
+        [
+            StructField("video_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("dhash", LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"video_id": [], "frame_idx": [], "dhash": []}
+            for vid, fidx, buf, fmt in zip(
+                pdf["video_id"], pdf["frame_idx"], pdf["bytes"], pdf["fmt"]
+            ):
+                px = _decode_any(bytes(buf), fmt).astype(np.int64)
+                out["video_id"].append(int(vid))
+                out["frame_idx"].append(int(fidx))
+                out["dhash"].append(_dhash_np(px))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def scene_changes(df: DataFrame, min_hamming: int = 16) -> DataFrame:
+    """Video scene segmentation: a frame starts a new scene when its
+    dHash is ≥ ``min_hamming`` bits away from the previous frame's —
+    the shot-boundary-detection primitive of a video training-data
+    pipeline (sample one clip per scene, dedup near-static shots).
+
+    Shape: one Arrow decode pass (frame_dhash) → one exchange on
+    video_id for the lag window → JVM xor+bit_count.  Pixels cross the
+    JVM boundary zero times; per-video state is one 8-byte hash."""
+    from pyspark.sql.window import Window
+
+    hashes = frame_dhash(df)
+    w = Window.partitionBy("video_id").orderBy("frame_idx")
+    lagged = hashes.withColumn("__prev", F.lag("dhash").over(w))
+    dist = F.bit_count(F.col("dhash").bitwiseXOR(F.col("__prev")))
+    return (
+        lagged.where(F.col("__prev").isNotNull())
+        .withColumn("hamming", dist)
+        .where(F.col("hamming") >= min_hamming)
+        .select("video_id", "frame_idx", "hamming")
+    )

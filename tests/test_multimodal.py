@@ -113,3 +113,17 @@ def test_dhash_resize_robustness_and_hamming_search(spark):
     got = {(min(p["id_a"], p["id_b"]), max(p["id_a"], p["id_b"]))
            for p in pairs}
     assert want <= got, want - got
+
+
+def test_scene_changes_exact_boundaries(spark):
+    """Every scene boundary found, zero false positives on the static
+    shots, and the detector is partitioning-invariant."""
+    from jepl_spark.functions.multimodal import scene_changes, scene_frames_df
+
+    frames = scene_frames_df(spark, 4, 50, scene_len=10, partitions=6)
+    got = sorted(
+        (r["video_id"], r["frame_idx"])
+        for r in scene_changes(frames, min_hamming=16).collect()
+    )
+    want = sorted((v, f) for v in range(4) for f in (10, 20, 30, 40))
+    assert got == want
