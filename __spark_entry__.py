@@ -2009,7 +2009,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2, 3
             )
             SELECT o_orderstatus, count(*) AS n_kept,
-                   sum(o_custkey) AS sum_cust
+                   CAST(sum(o_custkey) AS BIGINT) AS sum_cust
             FROM hits WHERE ok GROUP BY 1
         """,
         "audio_chunks": """
@@ -2155,8 +2155,8 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h < 1037629354146162304 THEN 'val'
                         ELSE 'test' END AS split,
                    count(*) AS n,
-                   sum(doc_id) AS sum_ids,
-                   sum(n_chars) AS sum_chars
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM h GROUP BY 1
         """,
         "stratified_sample_docs": """
@@ -2167,7 +2167,7 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS h
               FROM documents
             )
-            SELECT lang, count(*) AS n, sum(doc_id) AS sum_ids
+            SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
             FROM h
             WHERE h < CASE WHEN lang IN ('de','fr','zh') THEN 1152921504606846976
                            WHEN lang = 'en' THEN 345876451382054080

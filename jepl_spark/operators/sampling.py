@@ -114,9 +114,18 @@ def stratified_hash_sample(
     default_lim = F.lit(int(default_fraction * _DOMAIN))
     thr = default_lim if thr is None else thr.otherwise(default_lim)
     # seed the hash per stratum so resampling one stratum's rate does
-    # not disturb which rows other strata keep
+    # not disturb which rows other strata keep.  NULL-propagating
+    # F.concat (not concat_ws): a NULL stratum or id hashes to NULL and
+    # the row drops out, matching the SQL replay, instead of every
+    # NULL-id row in a stratum collapsing onto one sentinel hash.
+    # Caveat: '|' inside values can alias identities across strata
+    # (strata 'a|b' + id 'c' vs 'a' + 'b|c') — pass clean key columns.
     h = _sample_hash(
-        F.concat_ws("|", F.col(strata_col).cast("string"), F.col(id_col).cast("string")),
+        F.concat(
+            F.col(strata_col).cast("string"),
+            F.lit("|"),
+            F.col(id_col).cast("string"),
+        ),
         seed,
     )
     return df.where(h < thr)

@@ -109,11 +109,14 @@ def kmv_merge(
         "kmv",
         F.slice(F.array_sort(F.array_distinct("__all")), 1, F.col("kmv_k")),
     )
+    # guard expressed as a FILTER, not a withColumn on 'kmv': column
+    # pruning would silently drop a column-attached raise_error when a
+    # caller consumes only kmv_k / row counts (same hazard fixed for
+    # cms_merge and rollup_coarser)
     bad = F.col("__kmin") != F.col("kmv_k")
-    merged = merged.withColumn(
-        "kmv",
+    merged = merged.where(
         F.when(bad, F.raise_error(F.lit("kmv_merge: mixed k values")))
-        .otherwise(F.col("kmv")),
+        .otherwise(F.lit(True))
     )
     return merged.drop("__all", "__kmin")
 

@@ -464,21 +464,25 @@ class ManifestCommitSink:
         object per commit forever, and every current_manifest() LIST
         pays for it.
 
-        Reader-safety caveat: data files referenced by the WINNING
-        manifest are never touched, but a reader that LISTed manifests
-        and then stalls past ``keep_manifests`` further commits can
-        find its (no longer winning) manifest object deleted — size
-        keep_manifests above the worst-case reader staleness measured
-        in commits, or retry current_manifest on a missing object.
+        Reader-safety: data files referenced by ANY retained manifest
+        are protected, not just the winning one — a stale reader that
+        resolved one of the ``keep_manifests`` newest manifests still
+        sees a consistent snapshot after a vacuum that follows a
+        compact() (the superseded manifest's pre-rewrite files survive
+        until that manifest itself ages out).  A reader that stalls
+        past ``keep_manifests`` further commits can find its manifest
+        object deleted — size keep_manifests above the worst-case
+        reader staleness measured in commits, or retry
+        current_manifest on a missing object.
         NOT safe against a concurrent writer mid-attempt (its
         not-yet-committed files look like orphans), so run it under the
         same single-writer ownership as compact()."""
-        deleted = list(self.orphan_files(spark))
+        keep = max(1, int(keep_manifests))
+        names = sorted(self._manifest_names(spark))
+        deleted = list(self.orphan_files(spark, manifest_names=names[-keep:]))
         for p in deleted:
             fs, jpath, _ = _fsutil.hadoop_fs(spark, p)
             fs.delete(jpath, False)
-        keep = max(1, int(keep_manifests))
-        names = sorted(self._manifest_names(spark))
         for n in names[:-keep]:
             path = os.path.join(self._manifest_dir, n)
             fs, jpath, _ = _fsutil.hadoop_fs(spark, path)
@@ -486,14 +490,29 @@ class ManifestCommitSink:
             deleted.append(path)
         return deleted
 
-    def orphan_files(self, spark: SparkSession) -> list[str]:
+    def orphan_files(
+        self,
+        spark: SparkSession,
+        manifest_names: Optional[list[str]] = None,
+    ) -> list[str]:
         """Data files not referenced by the winning manifest (crashed or
         superseded attempts) — safe to delete any time; listed rather
-        than auto-deleted so vacuuming stays an explicit operation."""
-        man = self.current_manifest(spark)
-        referenced = {f for fl in man["batches"].values() for f in fl} | set(
-            man["compacted_files"]
-        )
+        than auto-deleted so vacuuming stays an explicit operation.
+        ``manifest_names`` widens the protected set to every file any
+        of those manifest objects references (vacuum passes its
+        retained window so stale-but-kept manifests stay readable)."""
+        referenced: set = set()
+        manifests = [self.current_manifest(spark)]
+        for n in manifest_names or []:
+            try:
+                manifests.append(json.loads(_fsutil.read_text(
+                    spark, os.path.join(self._manifest_dir, n))))
+            except Exception:
+                continue  # raced away / malformed — nothing to protect
+        for man in manifests:
+            referenced |= {
+                f for fl in man.get("batches", {}).values() for f in fl
+            } | set(man.get("compacted_files", []))
         data_root = os.path.join(self.root, "data")
         fs, jroot, _ = _fsutil.hadoop_fs(spark, data_root)
         if not fs.exists(jroot):

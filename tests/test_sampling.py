@@ -93,6 +93,26 @@ class TestStratified:
         assert 40 < got.get("1", 0) < 140
         assert set(got) == {"0", "1"}  # default 0 drops the rest
 
+    def test_null_ids_drop_out(self, docs):
+        """NULL ids hash to NULL (NULL-propagating concat) and drop out
+        of every stratum, instead of all colliding on one sentinel hash
+        that selects them all-or-none."""
+        nulled = docs.withColumn(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0, None).otherwise(F.col("doc_id")),
+        )
+        out = S.stratified_hash_sample(
+            nulled, "doc_id", "lang", {"0": 1.0, "1": 1.0}
+        )
+        assert out.where(F.col("doc_id").isNull()).count() == 0
+        # non-null rows of a keep-all stratum are all present
+        assert (
+            out.where(F.col("lang") == "0").count()
+            == nulled.where(
+                (F.col("lang") == "0") & F.col("doc_id").isNotNull()
+            ).count()
+        )
+
     def test_stratum_rates_independent(self, docs):
         """Raising lang-1's rate must not change which lang-0 rows
         are kept (per-stratum seeded hash)."""

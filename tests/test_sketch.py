@@ -95,6 +95,18 @@ def test_mixed_k_merge_raises(spark):
     assert "mixed k" in str(ei.value)
 
 
+def test_mixed_k_merge_raises_even_when_kmv_pruned(spark):
+    """The guard is a filter, so Catalyst column pruning cannot drop it
+    when the caller never touches the 'kmv' column (the withColumn
+    formulation silently passed this exact consumption shape)."""
+    df = spark.range(100).selectExpr("id AS v")
+    s1 = K.kmv_sketch(df, "v", k=16)
+    s2 = K.kmv_sketch(df, "v", k=32)
+    with pytest.raises(Exception) as ei:
+        K.kmv_merge(s1.unionByName(s2)).select("kmv_k").collect()
+    assert "mixed k" in str(ei.value)
+
+
 def test_k_validation(spark):
     df = spark.range(10).selectExpr("id AS v")
     with pytest.raises(ValueError):

@@ -1042,11 +1042,17 @@ def test_manifest_sink_compact_and_vacuum(spark, tmp_path):
     sink.write_batch(spark.range(99).select(F.col("id")), 1)
     assert sink.current_manifest(spark)["version"] == 4
 
-    # old files are orphans; vacuum removes them (plus superseded
-    # manifest objects beyond keep_manifests) and readers still work
+    # vacuum(keep=2) retains the last pre-compact manifest — the
+    # pre-rewrite files it references are PROTECTED, so a stale reader
+    # that resolved that manifest still sees a consistent snapshot
     deleted = set(sink.vacuum(spark, keep_manifests=2))
-    assert {p for p in deleted if p.endswith(".parquet")} == old_files
+    assert not {p for p in deleted if p.endswith(".parquet")} & old_files
     assert len(sink._manifest_names(spark)) == 2  # pruned to keep_manifests
+    fs_probe = spark.read.parquet(*sorted(old_files))  # still readable
+    assert fs_probe.count() == len(before)
+    # once the superseded manifest ages out, its files become orphans
+    deleted2 = set(sink.vacuum(spark, keep_manifests=1))
+    assert {p for p in deleted2 if p.endswith(".parquet")} == old_files
     assert sink.orphan_files(spark) == []
     assert sorted(r["id"] for r in sink.read_committed(spark).collect()) == before
     assert sink.committed_batches() == [0, 1, 2]  # winner survived pruning
