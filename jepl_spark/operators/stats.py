@@ -88,6 +88,7 @@ def grouped_topk(
     k: int = 10,
     group_by: Optional[GroupCols] = None,
     weight_col: Optional[str] = None,
+    partial_buckets: int = 32,
 ) -> DataFrame:
     """Exact heavy hitters: the k most frequent values of ``key_col``
     per group (weighted by ``weight_col`` if given), with a
@@ -97,7 +98,13 @@ def grouped_topk(
     distinct-key set per group is boundable, the sketch when it is not.
 
     Shape: one partially-aggregated exchange on (group, key), then a
-    rank window per group over the (bounded) distinct-key rows."""
+    two-stage rank (the deterministic_reservoir partial k-min
+    pattern): a first window over (group, key-hash salt) cuts every
+    group to at most ``partial_buckets``·k rows — any global top-k row
+    is also top-k within its salt bucket (pigeonhole), so the cut is
+    lossless — before the final per-group window, which therefore
+    never funnels a hot group's full distinct-key set through one
+    task."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if key_col in ("rank", "cnt"):
@@ -113,9 +120,16 @@ def grouped_topk(
     )
     from pyspark.sql.window import Window
 
-    win = Window.partitionBy(*groups).orderBy(
-        F.col("cnt").desc(), F.col(key_col).asc()
-    )
+    order = [F.col("cnt").desc(), F.col(key_col).asc()]
+    if partial_buckets > 1:
+        salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(partial_buckets))
+        w1 = Window.partitionBy(*groups, salt).orderBy(*order)
+        counts = (
+            counts.withColumn("__prk", F.row_number().over(w1))
+            .where(F.col("__prk") <= k)
+            .drop("__prk")
+        )
+    win = Window.partitionBy(*groups).orderBy(*order)
     return (
         counts.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= k)
@@ -149,11 +163,15 @@ def key_skew_report(
     )
     from pyspark.sql.window import Window
 
-    win = Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
-    heavy = (
-        counts.withColumn("rank", F.row_number().over(win))
-        .where(F.col("rank") <= top)
-    )
+    # TakeOrderedAndProject (per-partition k-heap + driver merge) picks
+    # the ``top`` survivors — never a global sort or a single-partition
+    # shuffle of every distinct key, which is exactly the funnel this
+    # diagnostic exists to detect.  The rank window then runs over the
+    # <= top surviving rows only.
+    order = [F.col("cnt").desc(), F.col(key_col).asc()]
+    heavy = counts.orderBy(*order).limit(top)
+    win = Window.orderBy(*order)
+    heavy = heavy.withColumn("rank", F.row_number().over(win))
     # divide BEFORE multiplying by the distinct count: cnt·distinct as
     # int64 overflows (ANSI exception) at ~10^12 rows × 10^9 keys —
     # exactly the scale this diagnostic exists for

@@ -101,6 +101,45 @@ class TestTopkAndSkew:
         # 11 distinct keys, hot holds 90/100 rows -> skew 9.9
         assert abs(rep[1]["skew_factor"] - 9.9) < 1e-9
 
+    def test_grouped_topk_hot_group_bucket_invariant(self, spark):
+        """One group with >> k distinct keys (the shape the two-stage
+        pre-cut exists for): output is invariant to partial_buckets —
+        the salt cut is lossless by pigeonhole — including across a
+        count tie at the k boundary."""
+        df = spark.range(5000).selectExpr(
+            "'hot' AS g",
+            # key i appears (i // 500 + 1) times worth of weight via
+            # duplication: ids map onto 1000 distinct keys, skewed
+            "CAST(CASE WHEN id < 4000 THEN id % 1000 "
+            "     ELSE 1000 + id % 50 END AS STRING) AS k",
+        )
+        runs = [
+            sorted(
+                (r["rank"], r["k"], r["cnt"])
+                for r in ST.grouped_topk(
+                    df, "k", k=7, group_by="g", partial_buckets=pb
+                ).collect()
+            )
+            for pb in (1, 2, 32, 256)
+        ]
+        assert all(r == runs[0] for r in runs[1:]) and len(runs[0]) == 7
+
+    def test_key_skew_report_no_global_sort_in_plan(self, spark):
+        """The heavy lane must rank via TakeOrderedAndProject (per-
+        partition k-heap), never a single-partition Exchange of every
+        distinct key — that funnel is what this diagnostic measures."""
+        df = spark.range(10_000).selectExpr("CAST(id % 97 AS STRING) AS k")
+        plan = (
+            ST.key_skew_report(df, "k", top=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        # the rank window consumes the limited rows directly: no
+        # Exchange between Window and TakeOrderedAndProject
+        wi = plan.index("Window")
+        ti = plan.index("TakeOrderedAndProject")
+        assert wi < ti and "Exchange" not in plan[wi:ti]
+
     def test_topk_validation(self, spark):
         df = spark.createDataFrame([("x",)], ["k"])
         with pytest.raises(ValueError):
