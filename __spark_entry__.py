@@ -504,10 +504,13 @@ def q_image_decode_stats(spark, sf_dir):
     stats in Arrow-batched Python.  The oracle recomputes the same
     statistics in DuckDB directly from the pixel FORMULA
     ((x·7+y·13+id·31) mod 251 + 17·k) mod 256 — any corruption in
-    encode/decode/byte-order/batching breaks the match."""
+    encode/decode/byte-order/batching breaks the match.  Every other
+    image ships as a REAL PNG container (zlib+CRC, sources/containers)
+    rather than the RAWv1 fixture; the oracle is container-blind, so a
+    match proves the real-codec path bit-exact too."""
     from jepl_spark.functions.multimodal import decode_image_stats, images_df
 
-    imgs = images_df(spark, 200)
+    imgs = images_df(spark, 200, fmt_cycle=("rawv1", "png"))
     stats = decode_image_stats(imgs)
     return stats.select(
         "img_id",
@@ -988,10 +991,11 @@ def q_image_dhash(spark, sf_dir):
     """Perceptual image hash: the oracle recomputes every dHash bit
     from the RAWv1 pixel FORMULA — decode, 9×8 nearest-neighbor grid
     sampling, integer luma, and bit packing all pinned end to end
-    through the Arrow lane."""
+    through the Arrow lane.  Half the images transit as real PNG files
+    (container-blind oracle — see q_image_decode_stats)."""
     from jepl_spark.functions.multimodal import image_dhash, images_df
 
-    return image_dhash(images_df(spark, 200)).select(
+    return image_dhash(images_df(spark, 200, fmt_cycle=("rawv1", "png"))).select(
         "img_id",
         F.col("width").cast("bigint").alias("width"),
         F.col("height").cast("bigint").alias("height"),

@@ -57,12 +57,19 @@ def decode_raw(buf: bytes) -> np.ndarray:
 def _decode_any(buf: bytes, fmt: str) -> np.ndarray:
     if fmt == "rawv1":
         return decode_raw(buf)
+    if fmt == "png":
+        # real container: pure zlib+numpy PNG codec (sources/containers)
+        from jepl_spark.sources.containers import png_decode
+
+        px = png_decode(buf)
+        return px
     # the honest codec boundary: this is where an image library would
-    # be called; none exists in this container
+    # be called; only rawv1 (fixture) and png (in-repo real container)
+    # decode in this environment
     raise NotImplementedError(
         f"image format {fmt!r} requires a codec library not present in "
-        "this environment (only the deterministic 'rawv1' fixture format "
-        "decodes here)"
+        "this environment (deterministic 'rawv1' and in-repo 'png' "
+        "decode here)"
     )
 
 
@@ -87,11 +94,23 @@ IMAGES_SCHEMA = StructType(
 )
 
 
-def images_df(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+def images_df(
+    spark: SparkSession,
+    n: int,
+    partitions: int = 8,
+    fmt_cycle: tuple = ("rawv1",),
+) -> DataFrame:
     """Deterministic synthetic image table — mapInPandas over an id
-    range (generation is distributed; no driver-side loop)."""
+    range (generation is distributed; no driver-side loop).
+    ``fmt_cycle`` picks each image's container round-robin by id:
+    'rawv1' (fixture format) or 'png' (real in-repo container) — the
+    PIXELS are identical either way, so downstream oracles that
+    recompute from the pixel formula hold for any mix."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jepl_spark.sources.containers import png_encode
+
+        encoders = {"rawv1": encode_raw, "png": png_encode}
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             rows = {"img_id": [], "bytes": [], "width": [], "height": [],
@@ -100,12 +119,13 @@ def images_df(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
                 w = 32 + int(i) % 5 * 16   # 32..96
                 h = 24 + int(i) % 3 * 24   # 24..72
                 px = _synth_pixels(int(i), w, h, 3)
+                fmt = fmt_cycle[int(i) % len(fmt_cycle)]
                 rows["img_id"].append(int(i))
-                rows["bytes"].append(encode_raw(px))
+                rows["bytes"].append(encoders[fmt](px))
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["channels"].append(3)
-                rows["fmt"].append("rawv1")
+                rows["fmt"].append(fmt)
             yield pd.DataFrame(rows)
 
     return spark.range(0, n, numPartitions=partitions).mapInPandas(

@@ -148,6 +148,13 @@ def encode(x: np.ndarray, codec: str) -> bytes:
 
 
 def decode(b: bytes, codec: str) -> np.ndarray:
+    if codec == "wav":
+        # real RIFF/WAVE container (sources/containers): sample rate
+        # and inner codec come from the file itself.  Lazy import —
+        # containers.py imports this module for the payload codecs.
+        from jepl_spark.sources.containers import wav_decode
+
+        return wav_decode(b)[0]
     return _DECODERS[codec](b)
 
 
