@@ -830,6 +830,59 @@ def q_stream_dedup_rule(spark, sf_dir):
     )
 
 
+def q_stream_simhash_dedup(spark, sf_dir):
+    """Streaming NEAR-dup dedup under the hard signal: documents plus a
+    near-variant of every document (' xq' appended — +3 chars, +1
+    token) staged as a file stream → signature + exact-sig
+    dropDuplicatesWithinWatermark → banded-Hamming foreachBatch filter
+    → exactly-once sink.  Runs with the SQL-replayable length
+    surrogate signature (see simhash_hamming_near_dups); staged as ONE
+    file so the whole input is one micro-batch, where the operator's
+    drop policy (drop a signature iff a strictly smaller near-neighbor
+    signature exists) is an exact pure function of the signature set —
+    the oracle replays it with a NOT EXISTS anti-join.  Whether each
+    variant lands within Hamming ≤ 3 of its source depends on binary
+    carries in the length fields, so the fixture exercises both drop
+    and keep paths; multi-batch admitted-set semantics and restart
+    idempotency are pinned by tests/test_streaming.py."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-simdedup-")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        (F2.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F2.make_interval(secs=F2.col("doc_id").cast("double"))).alias("event_time"),
+    )
+    variants = docs.select(
+        (F2.col("doc_id") + 1_000_000).alias("doc_id"),
+        F2.concat(F2.col("text"), F2.lit(" xq")).alias("text"),
+        (F2.col("event_time") + F2.expr("INTERVAL 5 MINUTES")).alias("event_time"),
+    )
+    src = f"{work}/src"
+    docs.unionByName(variants).repartition(1).write.mode("overwrite").parquet(src)
+    sink = IdempotentParquetSink(f"{work}/sink")
+    prepared, fb = D.stream_simhash_near_dedup(
+        file_stream(spark, src, docs.schema),
+        sink,
+        text_col="text", ts_col="event_time", watermark="1 hour",
+        max_hamming=3, bands=4, sig=hamming_surrogate_sig(),
+    )
+    q = (
+        prepared.writeStream.outputMode("append")
+        .foreachBatch(fb)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    return sink.read_committed(spark).select(F.col("simhash").alias("sig"))
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing (rolling-hash) document fingerprints under the hard
     signal: base-31 codepoint polynomial k-grams + min-in-window
@@ -1466,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_rule": q_stream_session_rule,
         "stream_stateful_rule": q_stream_stateful_rule,
         "stream_dedup_rule": q_stream_dedup_rule,
+        "stream_simhash_dedup": q_stream_simhash_dedup,
         "stream_chunked_clips": q_stream_chunked_clips,
         "value_percentiles": q_value_percentiles,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -2682,6 +2736,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(length(text)) AS BIGINT) AS n_chars
             FROM documents
             GROUP BY 1
+        """,
+        # streaming near-dup dedup, single-batch replay: a distinct
+        # surrogate signature survives iff no strictly smaller
+        # signature sits within Hamming 3 (the operator's in-batch
+        # drop policy over docs ∪ ' xq' variants)
+        "stream_simhash_dedup": """
+            WITH all_docs AS (
+              SELECT text FROM documents
+              UNION ALL
+              SELECT text || ' xq' FROM documents
+            ),
+            s AS (
+              SELECT DISTINCT
+                CAST(length(text) AS BIGINT) * 4294967296
+                + CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE array_length(string_split_regex(trim(text), '\\s+'))
+                  END AS sig
+              FROM all_docs
+            )
+            SELECT sig FROM s a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM s b
+              WHERE b.sig < a.sig AND bit_count(xor(b.sig, a.sig)) <= 3
+            )
         """,
         # multimodal: the oracle regenerates the synthetic pixel values
         # from the formula in multimodal._synth_pixels and aggregates

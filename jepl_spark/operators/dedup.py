@@ -552,6 +552,146 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return df.join(reps, on=id_col, how="inner")
 
 
+def stream_simhash_near_dedup(
+    stream: DataFrame,
+    sink,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    max_hamming: int = 3,
+    bands: int = 4,
+    sig: Column | None = None,
+    horizon_s: int | None = None,
+    sig_col: str = "simhash",
+):
+    """Streaming NEAR-duplicate dedup at ingest: beyond exact-content
+    drops (stream_exact_dedup), rows whose SimHash is within
+    ``max_hamming`` bits of already-admitted content are filtered
+    before they reach the corpus.  Returns ``(prepared_stream,
+    foreach_batch)`` — wire the stream through
+    ``writeStream.foreachBatch(foreach_batch)``; the callback commits
+    survivors to ``sink`` exactly-once.
+
+    Two stages:
+
+    1. JVM-side stage on the stream: compute ``sig_col`` and drop
+       exact-signature repeats — ``dropDuplicatesWithinWatermark`` when
+       ``ts_col`` is given (state bounded by the watermark delay, the
+       only shape that survives an unbounded stream), plain
+       ``dropDuplicates`` otherwise (bounded backfills only).
+    2. Per micro-batch (foreachBatch): banded Hamming search — the
+       same pigeonhole-lossless banding as
+       ``simhash_hamming_near_dups`` (max_hamming < bands enforced) —
+       (a) among the batch's distinct signatures and (b) against the
+       signatures already committed to ``sink``.
+
+    DROP POLICY (deterministic, order-invariant within a batch): a
+    signature is dropped iff it has a near-neighbor among admitted
+    signatures, or a STRICTLY SMALLER near-neighbor signature within
+    its own batch — the streaming analog of the batch convention
+    "drop id_b of every qualifying pair".  The surviving set is a pure
+    function of (batch signature set, admitted signature set), so a
+    single-batch run is exactly SQL-replayable (the correctness gate)
+    and replays are bit-stable.  Like all near-dup policies this can
+    drop both ends of a chain a~b~c (b drops for a, c drops for b):
+    transitive chains thin slightly harder than greedy admission — the
+    price of an order-free, join-parallel rule.
+
+    Scale shape: stage 2 shuffles (band, 16-bit key, 8-byte sig) only
+    — never text; the admitted side reads ONLY ``sig_col`` from the
+    committed store (parquet column pruning), optionally bounded to
+    ``horizon_s`` seconds before the batch's earliest event when
+    ``ts_col`` is given — at 10¹²-row scale, time-partition the sink so
+    that horizon filter prunes partitions, or maintain a signatures
+    side-table.  A replayed (already-committed) batch short-circuits
+    before any work.
+
+    ``sig`` overrides the signature expression (any BIGINT column),
+    e.g. the SQL-replayable length surrogate the gate uses — xxhash64
+    has no SQL twin."""
+    if 64 % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide 64")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
+            f"pigeonhole recall guarantee needs one untouched band per "
+            f"qualifying pair"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sig_expr = sig if sig is not None else simhash64(F.col(text_col))
+    prepared = stream.withColumn(sig_col, sig_expr)
+    if ts_col is None:
+        prepared = prepared.dropDuplicates([sig_col])
+    else:
+        prepared = prepared.withWatermark(ts_col, watermark)
+        prepared = prepared.dropDuplicatesWithinWatermark([sig_col])
+
+    def _banded(sigs: DataFrame, out: str) -> DataFrame:
+        return sigs.select(
+            F.col(sig_col).alias(out),
+            F.posexplode(
+                F.array(*[
+                    F.shiftrightunsigned(F.col(sig_col), width * b)
+                    .bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ])
+            ).alias("__band", "__key"),
+        )
+
+    def foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            if sink.is_committed(batch_id):
+                return  # replay of a committed batch: zero work
+        except TypeError:  # sinks with (spark, batch_id) signatures
+            if sink.is_committed(spark, batch_id):
+                return
+        batch = batch_df.persist()
+        try:
+            sigs = batch.select(sig_col).distinct()
+            b_banded = _banded(sigs, "__sb")
+            ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+            a_side = b_banded.select(
+                "__band", "__key", F.col("__sb").alias("__sa")
+            )
+            drops = (
+                a_side.join(b_banded, ["__band", "__key"])
+                .where((F.col("__sa") < F.col("__sb")) & (ham <= max_hamming))
+                .select(F.col("__sb").alias(sig_col))
+                .distinct()
+            )
+            admitted = None
+            try:
+                admitted = sink.read_committed(spark)
+            except Exception:
+                pass  # nothing committed yet
+            if admitted is not None:
+                if ts_col is not None and horizon_s is not None:
+                    lo = batch.agg(F.min(ts_col).alias("lo")).first()["lo"]
+                    if lo is not None:
+                        admitted = admitted.where(
+                            F.col(ts_col)
+                            >= F.lit(lo) - F.expr(f"INTERVAL {int(horizon_s)} SECONDS")
+                        )
+                ad_banded = _banded(
+                    admitted.select(sig_col).distinct(), "__sa"
+                ).select("__band", "__key", "__sa")
+                vs_admitted = (
+                    ad_banded.join(b_banded, ["__band", "__key"])
+                    .where(ham <= max_hamming)
+                    .select(F.col("__sb").alias(sig_col))
+                    .distinct()
+                )
+                drops = drops.unionByName(vs_admitted).distinct()
+            survivors = batch.join(drops, sig_col, "left_anti")
+            sink.write_batch(survivors, batch_id)
+        finally:
+            batch.unpersist()
+
+    return prepared, foreach_batch
+
+
 # -- n-gram Jaccard ------------------------------------------------------------
 
 

@@ -828,6 +828,110 @@ def test_stream_exact_dedup_unbounded_mode(spark, tmp_path):
     assert got == [0, 2], got
 
 
+# -- streaming SimHash near-dup dedup ---------------------------------------
+
+SIG_PA_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("s", pa.int64()),
+        pa.field("event_time", pa.timestamp("us", tz="UTC")),
+    ]
+)
+SIG_SPARK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("s", LongType()),
+        StructField("event_time", TimestampType()),
+    ]
+)
+
+
+def _run_simhash_dedup(spark, tmp_path, name="run"):
+    """Two-batch planted-signature fixture; returns (sink, run) where
+    run() executes availableNow against the shared checkpoint."""
+    from jepl_spark.operators.dedup import stream_simhash_near_dedup
+
+    A = 0
+    B = (1 << 40) | (1 << 30) | (1 << 20) | (1 << 10) | 1  # 5 bits from A
+    C = (1 << 50) | (1 << 45) | (1 << 35) | (1 << 25) | (1 << 15)
+
+    def d(i, s, t):
+        return {"doc_id": i, "s": s, "event_time": ts(t)}
+
+    batches = [
+        # in-batch near pair: B|2 has hamming 1 from B and is LARGER →
+        # dropped; A↔B hamming 5 > 3 → both kept
+        [d(0, A, 0), d(1, B, 1), d(2, B | 2, 2)],
+        # vs admitted: A|4 (hamming 1 of committed A) dropped even
+        # though larger; B exact repeat dropped by stage-1 state;
+        # C kept; C|1 dropped in-batch (larger near-neighbor of C)
+        [d(3, A | 4, 10), d(4, B, 11), d(5, C, 12), d(6, C | 1, 13)],
+    ]
+    src = str(tmp_path / f"{name}-src")
+    write_batches(src, batches, SIG_PA_SCHEMA)
+    sink = IdempotentParquetSink(str(tmp_path / f"{name}-sink"))
+    prepared, fb = stream_simhash_near_dedup(
+        file_stream(spark, src, SIG_SPARK_SCHEMA, max_files_per_trigger=1),
+        sink,
+        ts_col="event_time",
+        watermark="1 hour",
+        max_hamming=3,
+        bands=4,
+        sig=F.col("s"),
+    )
+
+    def run():
+        q = (
+            prepared.writeStream.outputMode("append")
+            .foreachBatch(fb)
+            .option("checkpointLocation", str(tmp_path / f"{name}-ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+
+    return sink, run, (A, B, C)
+
+
+def test_stream_simhash_near_dedup_multibatch(spark, tmp_path):
+    """Cross-batch semantics the single-batch gate cannot pin: admitted
+    signatures drop later near-arrivals in BOTH directions (any
+    neighbor), in-batch drops go by signature order, and exact repeats
+    die in stage-1 state."""
+    sink, run, (A, B, C) = _run_simhash_dedup(spark, tmp_path)
+    run()
+    got = sorted(r["s"] for r in sink.read_committed(spark).collect())
+    assert got == sorted([A, B, C]), got
+    ids = sorted(r["doc_id"] for r in sink.read_committed(spark).collect())
+    assert ids == [0, 1, 5]
+
+
+def test_stream_simhash_near_dedup_restart_idempotent(spark, tmp_path):
+    """Re-running over the same checkpoint adds nothing; a manual
+    replay of a committed batch id is a no-op before any work."""
+    sink, run, (A, B, C) = _run_simhash_dedup(spark, tmp_path, name="rr")
+    run()
+    first = sorted(tuple(r) for r in sink.read_committed(spark).collect())
+    n_batches = sink.committed_count(spark)
+    run()  # resume from checkpoint: no new input → no new commits
+    assert sorted(tuple(r) for r in sink.read_committed(spark).collect()) == first
+    assert sink.committed_count(spark) == n_batches
+
+    # replay of an already-committed batch id short-circuits: feed a
+    # frame that WOULD change the output if processed
+    from jepl_spark.operators.dedup import stream_simhash_near_dedup
+
+    poison = spark.createDataFrame(
+        [(99, 12345, ts(99))], SIG_SPARK_SCHEMA
+    ).withColumn("simhash", F.col("s"))
+    _, fb2 = stream_simhash_near_dedup(
+        file_stream(spark, str(tmp_path / "rr-src"), SIG_SPARK_SCHEMA),
+        sink, ts_col="event_time", sig=F.col("s"),
+    )
+    fb2(poison, 0)  # batch 0 already committed
+    assert sorted(tuple(r) for r in sink.read_committed(spark).collect()) == first
+
+
 # -- ManifestCommitSink: the rename-free exactly-once matrix ---------------
 
 
