@@ -197,6 +197,36 @@ class ManifestCommitSink:
     a consistent exactly-once view, matching Iceberg's semantics when
     its CAS is reduced to LWW.
 
+    Object-store fault matrix (what each failure can and cannot do):
+
+    * LIST-after-PUT consistency — REQUIRED.  Readers discover the
+      winner by LIST; S3 (since Dec 2020), GCS, ABFS, HDFS, POSIX all
+      guarantee a PUT object appears in a subsequent LIST.  On an
+      eventually-consistent store a reader may resolve a SUPERSEDED
+      manifest — still a consistent exactly-once view, just stale
+      (bounded by the store's convergence window); it can never see a
+      torn or partial one, because manifests are whole-object PUTs.
+    * N ≥ 2 concurrent writers (zombie matrix) — every manifest
+      carries the FULL batches→files map, so manifests form
+      self-contained candidate snapshots, not deltas: however many
+      writers interleave or fork version numbers, max(version, name)
+      elects exactly one winner per manifest set, every reader agrees,
+      and no reader ever mixes files from two attempts.  What CAN
+      happen is a lost update: a batch committed only on a losing fork
+      is invisible in the winner, and ``is_committed`` then answers
+      false — so the restarted (single legitimate) writer re-commits
+      it on replay, which converges the chain (tested).  The zombie's
+      data files become orphans for ``vacuum``.
+    * PUT-during-LIST — a reader racing a writer sees either the old
+      or the new winner; both are committed snapshots.
+    * Partial data-file upload — data files land in a fresh attempt
+      directory and are referenced only by a manifest PUT AFTER the
+      write job succeeds; a torn upload is unreferenced garbage.
+    * Compaction/vacuum under concurrency — compact() and vacuum()
+      require the same single-writer ownership as commits (a writer
+      mid-attempt looks like orphans to vacuum); run them from the
+      owning query's maintenance slot, never a side job.
+
     Lineage: rows carry the same ``add_lineage`` stamps as the parquet
     sink, plus the manifest records per-batch file lists — the
     per-partition lineage required by the north rule survives compaction

@@ -1015,6 +1015,60 @@ def test_manifest_sink_last_writer_wins_deterministic(spark, tmp_path):
     assert ManifestCommitSink(sink.root).current_manifest(spark) == got
 
 
+def test_manifest_sink_three_writer_fork_converges(spark, tmp_path):
+    """N>2 concurrent-writer matrix (docstring fault matrix): three
+    writers fork the version chain; every reader still elects one
+    self-contained winner, and a batch committed only on a losing fork
+    is re-committed by the legitimate writer's replay (is_committed is
+    false for it), converging the chain."""
+    from jepl_spark.streaming.sink import ManifestCommitSink
+
+    root = str(tmp_path / "msink")
+    w1 = ManifestCommitSink(root, lineage=False)
+    w2 = ManifestCommitSink(root, lineage=False)
+    w3 = ManifestCommitSink(root, lineage=False)
+
+    w1.write_batch(spark.range(0, 3).select(F.col("id")), 0)      # v1
+    # zombie w2, stale view: commits batch 1 building on v1 → v2
+    w2.write_batch(spark.range(10, 14).select(F.col("id")), 1)    # v2 (fork A)
+    # zombie w3 also saw v1... but by now LIST shows v2; it builds v3
+    # with its own batch-1 attempt — a diverged chain ahead of fork A
+    w3.write_batch(spark.range(20, 25).select(F.col("id")), 1)    # replay→no-op
+    man = w3.current_manifest(spark)
+    assert man["version"] == 2  # w3 saw batch 1 committed → no-op
+
+    # force a real fork: hand-publish a v3 that DROPS batch 1 (a
+    # zombie that built on v1, never having listed v2)
+    import json as _json
+
+    from jepl_spark import fsutil
+
+    v1_files = {"0": man["batches"]["0"]}
+    fsutil.write_text(
+        spark,
+        os.path.join(root, "_manifests", "v000000000003-zzzz.json"),
+        _json.dumps({"version": 3, "batches": v1_files, "ts": 0}),
+    )
+    # every fresh reader elects the same winner (the fork, v3) and sees
+    # a consistent view: batch 0 only
+    for w in (w1, w2, w3):
+        got = w.current_manifest(spark)
+        assert got["version"] == 3 and set(got["batches"]) == {"0"}
+    assert sorted(r["id"] for r in w1.read_committed(spark).collect()) == [0, 1, 2]
+
+    # lost update heals: batch 1 is not committed on the winner, so the
+    # legitimate writer's checkpoint replay re-commits it → v4 carries
+    # both batches and all readers converge
+    assert not w1.is_committed(1)
+    w1.write_batch(spark.range(10, 14).select(F.col("id")), 1)
+    healed = w1.current_manifest(spark)
+    assert healed["version"] == 4 and set(healed["batches"]) == {"0", "1"}
+    got = sorted(r["id"] for r in w1.read_committed(spark).collect())
+    assert got == [0, 1, 2, 10, 11, 12, 13]
+    # losing-fork attempts are now orphans, reclaimable
+    assert w1.orphan_files(spark)
+
+
 def test_manifest_sink_checkpoint_kill_resume(spark, tmp_path):
     """The kill/resume matrix on the rename-free sink: same checkpoint,
     new data after restart, every window exactly once."""

@@ -158,6 +158,75 @@ def main() -> int:
     ).count()
     res["chunk_docs_s"] = round(time.time() - t0, 1)
 
+    # round-4 lanes ---------------------------------------------------------
+    from pyspark.sql import functions as F
+
+    # winnowing fingerprints (Arrow numpy lane) + containment pairs
+    t0 = time.time()
+    res["winnow_fps"] = docs.select(
+        F.explode(T.winnow_fingerprints(F.col("text"), k=8, window=4))
+    ).count()
+    res["winnow_s"] = round(time.time() - t0, 1)
+    # this corpus is templated (char-level boilerplate everywhere), so
+    # run the containment lane the way its contract says to run it on
+    # boilerplate-heavy inputs: a tight df cap — work is Σ min(df,cap)²
+    t0 = time.time()
+    res["fp_overlap_pairs"] = T.fingerprint_overlap_pairs(
+        docs, min_shared=20, max_fp_df=64
+    ).count()
+    res["fp_overlap_s"] = round(time.time() - t0, 1)
+
+    # image dHash decode throughput (Arrow lane over real pixel bytes)
+    from jepl_spark.functions import multimodal as M
+
+    n_imgs = max(10_000, n_docs // 4)
+    t0 = time.time()
+    res["n_images"] = n_imgs
+    res["image_dhash_rows"] = M.image_dhash(
+        M.images_df(spark, n_imgs, partitions=64)
+    ).count()
+    res["image_dhash_s"] = round(time.time() - t0, 1)
+
+    # banded Hamming search recall at scale: hash-spread signatures
+    # (the linear synthetic pixel field yields near-identical dHashes —
+    # giant identical-sig groups measure O(G²) pair listing, not the
+    # banding) + planted 1-bit flips; recall must be exactly 1.0 and
+    # random 64-bit sigs essentially never collide within 3 bits
+    hashed = spark.range(n_imgs).select(
+        F.col("id").alias("doc_id"), F.xxhash64("id").alias("dhash")
+    )
+    planted = hashed.where("doc_id % 50 = 0").select(
+        (F.col("doc_id") + n_imgs * 10).alias("doc_id"),
+        F.col("dhash").bitwiseXOR(F.lit(1)).alias("dhash"),
+    )
+    n_planted = planted.count()
+    t0 = time.time()
+    pairs = D.simhash_hamming_near_dups(
+        hashed.unionByName(planted), max_hamming=3, bands=4,
+        sig=F.col("dhash"),
+    )
+    found = pairs.where(
+        (F.col("id_b") - F.col("id_a") == n_imgs * 10)
+        & (F.col("hamming") == 1)
+    ).count()
+    res["dhash_pairs"] = pairs.count()
+    res["dhash_planted_recall"] = round(found / max(1, n_planted), 4)
+    res["dhash_search_s"] = round(time.time() - t0, 1)
+
+    # key-skew diagnostic after the TakeOrdered fix: ~n_docs·10 rows,
+    # 40% on one hot key, ~1M distinct tail keys — the shape whose
+    # single-partition rank funnel the round-3 version would hit
+    from jepl_spark.operators import stats as ST
+
+    skew_rows = spark.range(n_docs * 10, numPartitions=64).selectExpr(
+        "CASE WHEN id % 10 < 4 THEN 'hot' "
+        "ELSE CAST(id % 1000000 AS STRING) END AS k"
+    )
+    t0 = time.time()
+    top = ST.key_skew_report(skew_rows, "k", top=10).collect()
+    res["skew_report_s"] = round(time.time() - t0, 1)
+    res["skew_top_share"] = round(max(r["share"] for r in top), 3)
+
     print(json.dumps(res))
     spark.stop()
     return 0
