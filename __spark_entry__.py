@@ -498,6 +498,70 @@ def q_audio_decode_stats(spark, sf_dir):
     )
 
 
+def q_audio_wav_container(spark, sf_dir):
+    """Real RIFF/WAVE container under the hard signal: each clip's wave
+    is encoded BOTH as raw codec payload (pcm16/ulaw/alaw cycling) and
+    as a genuine .wav file wrapping the same payload (format codes
+    1/7/6, fact chunk for non-PCM), both decoded through the same
+    Arrow pandas UDF (codec column 'wav' dispatches to the container
+    parser).  Output pins sample counts against the SQL-replayable
+    integer formula (sr·dur//1000) and asserts the container transit
+    is BIT-IDENTICAL to the raw transit (pcm_match) — the oracle says
+    every row must match."""
+    import pandas as pd2
+
+    from pyspark.sql import functions as F2
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from jepl_spark.functions.audio_udfs import decode_pcm
+    from jepl_spark.sources import audio as A
+    from jepl_spark.sources.containers import wav_encode
+
+    n = 400  # fixed: the oracle's range() must agree at every sf
+    schema = StructType([
+        StructField("clip_id", StringType()),
+        StructField("raw_bytes", BinaryType()),
+        StructField("raw_codec", StringType()),
+        StructField("wav_bytes", BinaryType()),
+        StructField("sr_hz", IntegerType()),
+        StructField("dur_ms", LongType()),
+    ])
+
+    def gen(batches):
+        srs = (8000, 16000, 44100)
+        for pdf in batches:
+            rows = {f.name: [] for f in schema.fields}
+            for i in pdf["id"]:
+                i = int(i)
+                sr = srs[i % 3]
+                dur = 200 + (i * 37) % 1801
+                codec = A.CODECS[i % 3]
+                wave = A.synth_wave(i, sr, dur)
+                rows["clip_id"].append(f"clip-{i:012d}")
+                rows["raw_bytes"].append(A.encode(wave, codec))
+                rows["raw_codec"].append(codec)
+                rows["wav_bytes"].append(wav_encode(wave, sr, codec))
+                rows["sr_hz"].append(sr)
+                rows["dur_ms"].append(dur)
+            yield pd2.DataFrame(rows)
+
+    clips = spark.range(0, n, numPartitions=4).mapInPandas(gen, schema=schema)
+    decoded = clips.select(
+        "clip_id", "sr_hz",
+        decode_pcm(F2.col("raw_bytes"), F2.col("raw_codec")).alias("p_raw"),
+        decode_pcm(F2.col("wav_bytes"), F2.lit("wav")).alias("p_wav"),
+    )
+    return decoded.select(
+        "clip_id",
+        F2.col("sr_hz").cast("bigint").alias("sr_hz"),
+        F2.size("p_wav").cast("bigint").alias("n_samples"),
+        (F2.col("p_raw") == F2.col("p_wav")).alias("pcm_match"),
+    )
+
+
 def q_image_decode_stats(spark, sf_dir):
     """Multimodal lane under the hard signal: deterministic RAWv1
     images generated distributed (mapInPandas), decoded + per-channel
@@ -1529,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_users_per_type": q_topk_users_per_type,
         "stream_cms_windowed": q_stream_cms_windowed,
         "image_dhash": q_image_dhash,
+        "audio_wav_container": q_audio_wav_container,
         "video_scene_changes": q_video_scene_changes,
         "skew_report_user": q_skew_report_user,
         "stream_manifest_sink_rule": q_stream_manifest_sink_rule,
@@ -2069,6 +2134,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, count(*) AS n_kept,
                    CAST(sum(o_custkey) AS BIGINT) AS sum_cust
             FROM hits WHERE ok GROUP BY 1
+        """,
+        # WAV container: sample counts replay the sr·dur//1000 integer
+        # formula; pcm_match must be TRUE on every row (bit-identical
+        # container vs raw transit is computed Spark-side)
+        "audio_wav_container": """
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+                   CAST(CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        ELSE 44100 END AS BIGINT) AS sr_hz,
+                   CAST((CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                         ELSE 44100 END * (200 + (i * 37) % 1801)) // 1000
+                        AS BIGINT) AS n_samples,
+                   true AS pcm_match
+            FROM range(400) t(i)
         """,
         "audio_chunks": """
             WITH c AS (
