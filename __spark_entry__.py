@@ -469,6 +469,27 @@ def q_simhash_dup_consistency(spark, sf_dir):
     )
 
 
+def q_decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination under the hard signal: the 'eval set'
+    is the 120-char prefix of every 97th document, so genuine
+    contamination (the source docs and anything quoting them) must be
+    flagged and nothing else.  Runs the string-shingle lane
+    (word_shingles) so DuckDB replays the 8-gram sets exactly; the
+    production hashed lane (word_shingle_hashes) shares everything but
+    the shingle expression and is pinned by set-isomorphism tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.substring(F.col("text"), 1, 120).alias("text")
+    )
+    return D.decontaminate(
+        docs, bench, n=8, min_hits=2,
+        shingles=lambda t: D.word_shingles(t, 8),
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("contam_hits").cast("bigint").alias("contam_hits"),
+    )
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(df, shingle_n=3, min_jaccard=0.2).select(
@@ -1594,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms_windowed": q_stream_cms_windowed,
         "image_dhash": q_image_dhash,
         "audio_wav_container": q_audio_wav_container,
+        "decontaminate_docs": q_decontaminate_docs,
         "video_scene_changes": q_video_scene_changes,
         "skew_report_user": q_skew_report_user,
         "stream_manifest_sink_rule": q_stream_manifest_sink_rule,
@@ -2869,6 +2891,44 @@ def oracle_sql() -> dict[str, str]:
         # xxhash64 signatures and codec decode have no faithful
         # ANSI-SQL twin; simhash is property-checked via
         # simhash_dup_consistency, audio via SNR/transcript tests)
+        # decontamination: distinct 8-gram sets per doc joined against
+        # the union of 8-grams of every 97th doc's 120-char prefix
+        "decontaminate_docs": """
+            WITH bdocs AS (
+              SELECT substr(text, 1, 120) AS text
+              FROM documents WHERE doc_id % 97 = 0
+            ),
+            btoks AS (
+              SELECT string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ') AS w
+              FROM bdocs
+            ),
+            bsh AS (
+              SELECT DISTINCT g FROM (
+                SELECT unnest(
+                  CASE WHEN array_length(w) < 8
+                       THEN list_distinct([array_to_string(w, ' ')])
+                       ELSE list_distinct([array_to_string(w[i:i+7], ' ')
+                            FOR i IN range(1, array_length(w) - 6)]) END) AS g
+                FROM btoks) t
+            ),
+            dtoks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ') AS w
+              FROM documents
+            ),
+            dsh AS (
+              SELECT doc_id, unnest(
+                CASE WHEN array_length(w) < 8
+                     THEN list_distinct([array_to_string(w, ' ')])
+                     ELSE list_distinct([array_to_string(w[i:i+7], ' ')
+                          FOR i IN range(1, array_length(w) - 6)]) END) AS g
+              FROM dtoks
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS contam_hits
+            FROM dsh JOIN bsh USING (g)
+            GROUP BY 1
+            HAVING count(*) >= 2
+        """,
         "ngram_jaccard_pairs": """
             WITH toks AS (
               SELECT doc_id,

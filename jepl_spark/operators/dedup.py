@@ -692,6 +692,65 @@ def stream_simhash_near_dedup(
     return prepared, foreach_batch
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_hits: int = 2,
+    shingles=None,
+    broadcast_bench: bool = True,
+    return_clean: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    ≥ ``min_hits`` distinct word ``n``-gram shingles with ANY row of
+    ``benchmark`` (an eval/test set) — the standard n-gram-overlap
+    contamination check run before training so test material cannot
+    leak into the corpus.  Returns ``(id_col, contam_hits)`` for
+    flagged documents, or the CLEAN remainder of ``docs`` when
+    ``return_clean=True``.
+
+    Scale shape: the benchmark side collapses to its distinct shingle
+    set — eval sets are small (thousands of items), so it broadcasts
+    (``broadcast_bench=False`` falls back to a shuffle join for
+    atypically huge benchmarks) and the probe is a map-side hash join
+    over the docs' exploded shingles; the only exchange carries
+    (id, partial count) for the per-doc hit count.  Shingles default to
+    ``word_shingle_hashes`` (8 bytes each, no shingle strings built —
+    see its cost law); pass ``shingles=lambda t: word_shingles(t, n)``
+    for the string form (the SQL-replayable gate path).
+
+    ``min_hits`` > 1 absorbs incidental single-shingle collisions on
+    boilerplate; with n=8 two independent 8-gram hits is already strong
+    evidence of quotation.  Counted hits are DISTINCT contaminated
+    shingles per document (shingle sets are distinct by construction).
+    Caveat: empty/whitespace documents reduce to one empty-join shingle
+    — drop empties first or they all match an empty benchmark row."""
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    sh_fn = shingles or (lambda t: word_shingle_hashes(t, n))
+    btc = bench_text_col or text_col
+    bench_sh = benchmark.select(
+        F.explode(sh_fn(F.col(btc))).alias("__sh")
+    ).distinct()
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(sh_fn(F.col(text_col))).alias("__sh")
+    )
+    flagged = (
+        doc_sh.join(bench_sh, "__sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contam_hits"))
+        .where(F.col("contam_hits") >= min_hits)
+    )
+    if return_clean:
+        return docs.join(flagged.select(id_col), id_col, "left_anti")
+    return flagged
+
+
 # -- n-gram Jaccard ------------------------------------------------------------
 
 

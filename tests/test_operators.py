@@ -36,6 +36,56 @@ def test_exact_dedup(spark, docs_df):
     assert stats == {0: 2, 1: 1, 2: 2}
 
 
+def test_decontaminate_flags_quoters_only(spark):
+    """Docs quoting a benchmark item (≥min_hits shared 8-grams) are
+    flagged with the right hit counts; unrelated docs survive; the
+    hashed production lane flags the same set as the string lane; and
+    return_clean is the exact complement."""
+    bench_text = "the quick brown fox jumps over the lazy dog every day"
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro words then {bench_text} and some trailing text"),
+            (1, "a completely unrelated document about spark shuffles "
+                "and partition pruning strategies for large joins"),
+            (2, f"short quote: {' '.join(bench_text.split()[:8])} end"),
+            (3, "another innocent row with enough tokens to form many "
+                "shingles none of which overlap the benchmark at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(bench_text,)], ["text"])
+    flagged = {
+        r["doc_id"]: r["contam_hits"]
+        for r in D.decontaminate(docs, bench, n=8, min_hits=2).collect()
+    }
+    # doc 0 embeds all 4 benchmark 8-grams (11 tokens → 11−8+1);
+    # doc 2 shares only 1 (< min_hits)
+    assert flagged == {0: 4}
+    one_hit = {
+        r["doc_id"]: r["contam_hits"]
+        for r in D.decontaminate(docs, bench, n=8, min_hits=1).collect()
+    }
+    assert one_hit == {0: 4, 2: 1}
+    # string-shingle lane (the gate path) flags the identical set
+    s_flagged = {
+        r["doc_id"]: r["contam_hits"]
+        for r in D.decontaminate(
+            docs, bench, n=8, min_hits=2,
+            shingles=lambda t: D.word_shingles(t, 8),
+        ).collect()
+    }
+    assert s_flagged == flagged
+    clean = sorted(
+        r["doc_id"]
+        for r in D.decontaminate(
+            docs, bench, n=8, min_hits=2, return_clean=True
+        ).collect()
+    )
+    assert clean == [1, 2, 3]
+    with pytest.raises(ValueError):
+        D.decontaminate(docs, bench, min_hits=0)
+
+
 def test_minhash_candidates(spark, docs_df):
     pairs = {
         (r["id_a"], r["id_b"]): r["est_jaccard"]
