@@ -469,6 +469,29 @@ def q_simhash_dup_consistency(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing under the hard signal: whitespace
+    token counts → hash-sharded deterministic order → concatenated
+    streams cut at a 512-token budget.  Every span boundary (shard
+    assignment, running sum, cut points, per-span offsets) is integer
+    arithmetic on the replayable md5 hash and token counts, so DuckDB
+    reproduces the entire packing bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tok")
+    )
+    return T.pack_sequences(
+        with_tok, "n_tok", budget=512, shards=8
+    ).select(
+        "shard",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("doc_offset").cast("bigint").alias("doc_offset"),
+        F.col("seq_offset").cast("bigint").alias("seq_offset"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
 def q_decontaminate_docs(spark, sf_dir):
     """Benchmark decontamination under the hard signal: the 'eval set'
     is the 120-char prefix of every 97th document, so genuine
@@ -1616,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "audio_wav_container": q_audio_wav_container,
         "decontaminate_docs": q_decontaminate_docs,
+        "pack_sequences_docs": q_pack_sequences,
         "video_scene_changes": q_video_scene_changes,
         "skew_report_user": q_skew_report_user,
         "stream_manifest_sink_rule": q_stream_manifest_sink_rule,
@@ -2891,6 +2915,45 @@ def oracle_sql() -> dict[str, str]:
         # xxhash64 signatures and codec decode have no faithful
         # ANSI-SQL twin; simhash is property-checked via
         # simhash_dup_consistency, audio via SNR/transcript tests)
+        # sequence packing: the full integer replay — hash shard,
+        # running sum in (h, doc_id) order, cut points, span offsets
+        "pack_sequences_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE array_length(string_split_regex(trim(text), '\\s+'))
+                     END AS BIGINT) AS tok,
+                CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) AS h
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, tok, h, h % 8 AS shard
+              FROM d WHERE tok > 0 AND h IS NOT NULL
+            ),
+            c AS (
+              SELECT *, sum(tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS e
+              FROM b
+            ),
+            -- sum() OVER returns HUGEINT; pin BIGINT before range()
+            s AS (SELECT shard, doc_id,
+                         CAST(e - tok AS BIGINT) AS st,
+                         CAST(e AS BIGINT) AS e FROM c),
+            x AS (
+              SELECT shard, doc_id, st, e,
+                     unnest(range(st // 512, (e - 1) // 512 + 1)) AS seq
+              FROM s
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(seq AS BIGINT) AS seq_id,
+                   doc_id,
+                   CAST(greatest(st, seq * 512) - st AS BIGINT) AS doc_offset,
+                   CAST(greatest(st, seq * 512) - seq * 512 AS BIGINT) AS seq_offset,
+                   CAST(least(e, (seq + 1) * 512) - greatest(st, seq * 512)
+                        AS BIGINT) AS n_tokens
+            FROM x
+        """,
         # decontamination: distinct 8-gram sets per doc joined against
         # the union of 8-grams of every 97th doc's 120-char prefix
         "decontaminate_docs": """

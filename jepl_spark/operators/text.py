@@ -490,3 +490,83 @@ def chunk_documents(
         F.col("__c.n_tokens").alias("n_tokens"),
         F.col("__c.chunk_text").alias("chunk_text"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    shards: int = 64,
+    seed: str = "pack",
+) -> DataFrame:
+    """GPT-style training-sequence packing: deterministically assign
+    documents to ``shards``, order each shard by document hash,
+    CONCATENATE the token streams, and cut every ``budget`` tokens —
+    the standard packing that wastes no context-window tokens (a
+    document may span consecutive sequences; sequences never span
+    shards).  Emits one row per (document, sequence) span:
+
+      (shard, seq_id, id, doc_offset, seq_offset, n_tokens)
+
+    with ``doc_offset``/``seq_offset`` the span's start inside the
+    document / the sequence.  Reassembly invariants (tested): every
+    sequence of a shard except its last holds exactly ``budget``
+    tokens; each document's spans are contiguous from offset 0 and sum
+    to its token count.
+
+    DETERMINISM: ordering is (hash(seed, id), id) — a pure function of
+    the data, invariant to partitioning and cluster size, so re-runs
+    and the DuckDB oracle produce the identical packing.  NULL ids and
+    rows with ≤ 0 tokens drop out (nothing to pack; a 0-token doc in
+    the stream would also trip sequence()'s backward-step trap).
+
+    Scale shape: rows carry (id, token count, hash) only — never text;
+    ONE exchange on the shard for the per-shard running-sum window.
+    The cumulative sum is sequential per shard, so ``shards`` is the
+    parallelism knob: size it to ≥ the cluster's task slots (the
+    64-shard default) — at 10¹² docs each shard's window is still a
+    single linear pass over longs."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
+    from pyspark.sql.window import Window
+
+    from jepl_spark.operators.sampling import _sample_hash
+
+    h = _sample_hash(F.col(id_col), seed)
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(token_col).cast("long").alias("__tok"),
+            h.alias("__h"),
+        )
+        .where(F.col("__h").isNotNull() & (F.col("__tok") > 0))
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(shards)))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = base.withColumn("__end", F.sum("__tok").over(w)).withColumn(
+        "__start", F.col("__end") - F.col("__tok")
+    )
+    first = F.floor(F.col("__start") / budget)
+    last = F.floor((F.col("__end") - 1) / budget)
+    spans = base.select(
+        "shard", id_col, "__start", "__end",
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    seq_lo = F.col("seq_id") * budget
+    s = F.greatest(F.col("__start"), seq_lo)
+    e = F.least(F.col("__end"), seq_lo + budget)
+    return spans.select(
+        F.col("shard").cast("long").alias("shard"),
+        "seq_id",
+        id_col,
+        (s - F.col("__start")).alias("doc_offset"),
+        (s - seq_lo).alias("seq_offset"),
+        (e - s).alias("n_tokens"),
+    )

@@ -975,6 +975,63 @@ def test_chunk_documents_validation(spark):
             T.chunk_documents(df, **kw)
 
 
+def test_pack_sequences_invariants(spark):
+    """Reassembly invariants: every sequence but the last of each shard
+    holds exactly `budget` tokens; each doc's spans are contiguous
+    from 0 and sum to its token count; the packing is invariant to
+    input partitioning."""
+    df = spark.createDataFrame(
+        [(i, 1 + (i * 7) % 23) for i in range(300)], ["doc_id", "tok"]
+    )
+    out = T.pack_sequences(df, "tok", budget=50, shards=4).collect()
+    rows = sorted(out, key=lambda r: (r["shard"], r["seq_id"], r["seq_offset"]))
+    # per-sequence fill
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r["shard"], r["seq_id"]), []).append(r)
+    last_seq = {}
+    for (sh, sq) in by_seq:
+        last_seq[sh] = max(last_seq.get(sh, -1), sq)
+    for (sh, sq), spans in by_seq.items():
+        total = sum(r["n_tokens"] for r in spans)
+        offs = sorted((r["seq_offset"], r["n_tokens"]) for r in spans)
+        # spans tile the sequence contiguously from 0
+        pos = 0
+        for o, n in offs:
+            assert o == pos
+            pos += n
+        if sq < last_seq[sh]:
+            assert total == 50, (sh, sq, total)
+        else:
+            assert 0 < total <= 50
+    # per-doc reassembly
+    toks = {i: 1 + (i * 7) % 23 for i in range(300)}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["doc_offset"], r["n_tokens"]))
+    assert set(by_doc) == set(toks)
+    for d, spans in by_doc.items():
+        pos = 0
+        for o, n in sorted(spans):
+            assert o == pos
+            pos += n
+        assert pos == toks[d]
+    # partitioning invariance + null/zero handling
+    df2 = df.repartition(13).withColumn(
+        "tok", F.when(F.col("doc_id") == 0, 0).otherwise(F.col("tok"))
+    )
+    out2 = T.pack_sequences(df2, "tok", budget=50, shards=4).collect()
+    a = sorted(tuple(r) for r in out if r["doc_id"] != 0)
+    # doc 0's removal shifts its shard's packing, so compare only the
+    # three untouched shards for exact equality
+    sh0 = {r["shard"] for r in out if r["doc_id"] == 0}
+    b = sorted(tuple(r) for r in out2 if r[0] not in sh0)
+    assert sorted(t for t in a if t[0] not in sh0) == b
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        T.pack_sequences(df, "tok", budget=0)
+
+
 def test_pii_counts_match_scrub_redactions(spark):
     """Counts are sequential (category i counted after categories < i
     are replaced): an email/IP inside a URL is one <URL> redaction."""
