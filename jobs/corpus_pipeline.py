@@ -6,6 +6,8 @@
         [--min-tokens 5] [--max-punct-ratio 0.3] \\
         [--langs en,fr,es,de] \\
         [--near-dup-threshold 0.8] [--minhash-bands 16] \\
+        [--decontam-input <benchmark.parquet>] \\
+        [--split train=0.9,val=0.1] [--chunk-tokens 512 | --pack-budget 4096] \\
         [--report-only]
 
 Composes the library's text/dedup operators into the standard curation
@@ -63,9 +65,27 @@ def main(argv: list[str]) -> int:
                         "of whole documents")
     p.add_argument("--chunk-overlap", type=int, default=0)
     p.add_argument("--chunk-min-tail", type=int, default=1)
+    p.add_argument("--decontam-input", default=None,
+                   help="parquet of benchmark/eval rows (same text "
+                        "column): docs sharing >= --decontam-min-hits "
+                        "distinct --decontam-ngram word n-grams with any "
+                        "benchmark row are removed after dedup")
+    p.add_argument("--decontam-ngram", type=int, default=8)
+    p.add_argument("--decontam-min-hits", type=int, default=2)
+    p.add_argument("--pack-budget", type=int, default=None,
+                   help="if set, additionally write a training-sequence "
+                        "packing manifest (GPT-style concatenate+cut at "
+                        "this token budget) to <output>_packing")
+    p.add_argument("--pack-shards", type=int, default=64)
     args = p.parse_args(argv)
     if not args.report_only and not args.output:
         p.error("--output is required unless --report-only")
+    if args.pack_budget is not None and args.chunk_tokens is not None:
+        p.error("--pack-budget packs whole curated documents; combine "
+                "with --chunk-tokens is not supported (chunks are "
+                "already fixed-budget windows)")
+    if args.pack_budget is not None and args.report_only:
+        p.error("--pack-budget writes a manifest; drop --report-only")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -127,6 +147,20 @@ def main(argv: list[str]) -> int:
     )
     df = checkpoint_stage(df, "after_near_dedup")
 
+    # 4b. (optional) benchmark decontamination — remove docs sharing
+    #     n-gram content with the eval set (after dedup: survivors only
+    #     pay the shingle cost)
+    if args.decontam_input:
+        bench = spark.read.parquet(args.decontam_input)
+        df = checkpoint_stage(
+            D.decontaminate(
+                df, bench, text_col=args.text_col, id_col=args.id_col,
+                bench_text_col=args.text_col, n=args.decontam_ngram,
+                min_hits=args.decontam_min_hits, return_clean=True,
+            ),
+            "after_decontam",
+        )
+
     # 5. (optional) deterministic train/val/test split — assigned AFTER
     #    dedup so near-identical docs cannot land in different splits
     if args.split:
@@ -160,6 +194,23 @@ def main(argv: list[str]) -> int:
             chunks.join(df.select(args.id_col, *carry), on=args.id_col),
             "chunks",
         )
+
+    # 7. (optional) sequence-packing manifest: shard/seq/offset spans
+    #    over the curated docs' token streams — the export unit a
+    #    trainer consumes next to the doc parquet
+    if args.pack_budget is not None:
+        toks = df.select(
+            args.id_col,
+            T.token_count(F.col(args.text_col)).alias("__n_tok"),
+        )
+        spans = T.pack_sequences(
+            toks, "__n_tok", budget=args.pack_budget,
+            id_col=args.id_col, shards=args.pack_shards,
+        )
+        spans.write.mode("overwrite").parquet(args.output + "_packing")
+        stages["packed_spans"] = spark.read.parquet(
+            args.output + "_packing"
+        ).count()
 
     if not args.report_only:
         # partitioned by language: downstream per-language reads prune

@@ -150,6 +150,57 @@ def test_clips_pipeline_chunk_mode(spark, tmp_path, capsys):
         assert len(got) == want, ref["clip_id"]
 
 
+def test_corpus_pipeline_decontam_and_pack(spark, tmp_path, capsys):
+    """--decontam-input removes docs quoting the benchmark; --pack-budget
+    writes a span manifest whose pieces reassemble the curated docs."""
+    base = ("the quick brown fox and the lazy dog run over the old "
+            "river bank with a very long tale of the night ")
+    docs = [(i, base + f"unique tail piece number {i} with extra words "
+                       f"row{i} row{i} marker") for i in range(12)]
+    # doc 0 additionally quotes the benchmark verbatim
+    docs[0] = (0, docs[0][1] + " benchmark question about the meaning of "
+                               "life the universe and everything else")
+    bench = [("benchmark question about the meaning of life the universe "
+              "and everything else entirely",)]
+    src = str(tmp_path / "docs")
+    bsrc = str(tmp_path / "bench")
+    out = str(tmp_path / "clean")
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(src)
+    spark.createDataFrame(bench, ["text"]).write.parquet(bsrc)
+
+    from jobs.corpus_pipeline import main
+
+    rc = main([
+        "--input", src, "--output", out,
+        "--min-tokens", "4", "--langs", "en",
+        "--near-dup-threshold", "1.01",
+        "--decontam-input", bsrc, "--decontam-ngram", "8",
+        "--decontam-min-hits", "2",
+        "--pack-budget", "40", "--pack-shards", "2",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["stages"]["after_decontam"] == report["stages"]["after_near_dedup"] - 1
+    kept = spark.read.parquet(out)
+    assert 0 not in {r["doc_id"] for r in kept.collect()}
+    spans = spark.read.parquet(out + "_packing")
+    assert report["stages"]["packed_spans"] == spans.count() > 0
+    # spans reassemble every curated doc's token count exactly
+    from jepl_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    toks = {r["doc_id"]: r["n"] for r in kept.select(
+        "doc_id", T.token_count(F.col("text")).alias("n")).collect()}
+    got = {r["doc_id"]: r["s"] for r in spans.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("s")).collect()}
+    assert got == toks
+    # mutually exclusive with chunking
+    import pytest as _pt
+    with _pt.raises(SystemExit):
+        main(["--input", src, "--output", out, "--pack-budget", "40",
+              "--chunk-tokens", "16"])
+
+
 def test_corpus_pipeline_split_and_chunk(spark, tmp_path, capsys):
     """--split + --chunk-tokens: curated docs get a stable split label,
     then are written as token-window chunks partitioned by split/lang."""
