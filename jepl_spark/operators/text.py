@@ -553,8 +553,11 @@ def pack_sequences(
     base = base.withColumn("__end", F.sum("__tok").over(w)).withColumn(
         "__start", F.col("__end") - F.col("__tok")
     )
-    first = F.floor(F.col("__start") / budget)
-    last = F.floor((F.col("__end") - 1) / budget)
+    # integer `div`, not floor(double/budget): the double quotient
+    # loses exactness near 2^53 cumulative tokens (same rule as
+    # frames_df's video_id derivation); starts/ends are non-negative
+    first = F.expr(f"__start div {int(budget)}")
+    last = F.expr(f"(__end - 1) div {int(budget)}")
     spans = base.select(
         "shard", id_col, "__start", "__end",
         F.explode(F.sequence(first, last)).alias("seq_id"),
