@@ -991,6 +991,54 @@ def q_stream_simhash_dedup(spark, sf_dir):
     return sink.read_committed(spark).select(F.col("simhash").alias("sig"))
 
 
+def q_stream_decontam_rule(spark, sf_dir):
+    """Streaming decontamination under the hard signal: the documents
+    table staged as a file stream → stateless per-row Bloom prescreen
+    over 8-gram shingles of every 97th doc's 120-char prefix →
+    exactly-once sink.  Runs the SQL-replayable configuration (string
+    shingles + md5 hasher, 4032-bit filter) so DuckDB rebuilds every
+    Bloom word AND replays every per-shingle probe — the per-doc hit
+    counts (false positives included) must match bit-for-bit, and
+    exactly the surviving (hits < 2) docs commit."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-sdecon-")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F2.col("doc_id") % 97 == 0).select(
+        F2.substring(F2.col("text"), 1, 120).alias("text")
+    )
+    sh = lambda t: D.word_shingles(t, 8)  # noqa: E731 — gate replay lane
+    words = D.decontaminate_bloom_words(
+        bench, n=8, n_bits=4032, k=3, hasher="md5", shingles=sh
+    )
+    src = f"{work}/src"
+    docs.write.mode("overwrite").parquet(src)
+    kept = D.stream_decontaminate(
+        file_stream(spark, src, docs.schema),
+        words, n_bits=4032, k=3, n=8, min_hits=2,
+        hasher="md5", shingles=sh, hits_col="bloom_hits",
+    )
+    sink = IdempotentParquetSink(f"{work}/sink")
+    q = (
+        kept.select("doc_id", "bloom_hits")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    return sink.read_committed(spark).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("bloom_hits").cast("bigint").alias("bloom_hits"),
+    )
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing (rolling-hash) document fingerprints under the hard
     signal: base-31 codepoint polynomial k-grams + min-in-window
@@ -1628,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_rule": q_stream_stateful_rule,
         "stream_dedup_rule": q_stream_dedup_rule,
         "stream_simhash_dedup": q_stream_simhash_dedup,
+        "stream_decontam_rule": q_stream_decontam_rule,
         "stream_chunked_clips": q_stream_chunked_clips,
         "value_percentiles": q_value_percentiles,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -2953,6 +3002,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(e, (seq + 1) * 512) - greatest(st, seq * 512)
                         AS BIGINT) AS n_tokens
             FROM x
+        """,
+        # streaming decontamination: rebuild the 4032-bit Bloom filter
+        # from the benchmark 8-grams, replay every per-shingle probe
+        # (false positives included), keep docs with < 2 hits
+        "stream_decontam_rule": """
+            WITH js AS (SELECT unnest(range(0, 3)) AS j),
+            bdocs AS (
+              SELECT substr(text, 1, 120) AS text
+              FROM documents WHERE doc_id % 97 = 0
+            ),
+            btoks AS (
+              SELECT string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ') AS w
+              FROM bdocs
+            ),
+            bsh AS (
+              SELECT DISTINCT g FROM (
+                SELECT unnest(
+                  CASE WHEN array_length(w) < 8
+                       THEN list_distinct([array_to_string(w, ' ')])
+                       ELSE list_distinct([array_to_string(w[i:i+7], ' ')
+                            FOR i IN range(1, array_length(w) - 6)]) END) AS g
+                FROM btoks) t
+            ),
+            bits AS (
+              SELECT DISTINCT
+                CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || g), 1, 15))
+                     AS BIGINT) % 4032 AS b
+              FROM bsh CROSS JOIN js
+            ),
+            words AS (
+              SELECT b // 63 AS wi,
+                     bit_or(1::BIGINT << CAST(b % 63 AS INT)) AS w
+              FROM bits GROUP BY 1
+            ),
+            dtoks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ') AS w
+              FROM documents
+            ),
+            dsh AS (
+              SELECT doc_id, unnest(
+                CASE WHEN array_length(w) < 8
+                     THEN list_distinct([array_to_string(w, ' ')])
+                     ELSE list_distinct([array_to_string(w[i:i+7], ' ')
+                          FOR i IN range(1, array_length(w) - 6)]) END) AS g
+              FROM dtoks
+            ),
+            probes AS (
+              SELECT d.doc_id, d.g, js.j,
+                CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || d.g), 1, 15))
+                     AS BIGINT) % 4032 AS b
+              FROM dsh d CROSS JOIN js
+            ),
+            hit AS (
+              SELECT doc_id, g,
+                     bool_and(coalesce(
+                       (w.w & (1::BIGINT << CAST(p.b % 63 AS INT))) != 0,
+                       false)) AS ok
+              FROM probes p LEFT JOIN words w ON w.wi = p.b // 63
+              GROUP BY 1, 2
+            ),
+            cnt AS (
+              SELECT doc_id,
+                     CAST(count(CASE WHEN ok THEN 1 END) AS BIGINT) AS bloom_hits
+              FROM hit GROUP BY 1
+            )
+            SELECT doc_id, bloom_hits FROM cnt WHERE bloom_hits < 2
         """,
         # decontamination: distinct 8-gram sets per doc joined against
         # the union of 8-grams of every 97th doc's 120-char prefix

@@ -751,6 +751,108 @@ def decontaminate(
     return flagged
 
 
+def decontaminate_bloom_words(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    n_bits: int = 1 << 20,
+    k: int = 3,
+    hasher: str = "xxhash64",
+    shingles=None,
+):
+    """Build the broadcastable Bloom word array over the benchmark's
+    distinct word ``n``-gram shingles — the driver-side prepare step
+    for ``stream_decontaminate``.  Size is ⌈n_bits/63⌉ longs (a
+    function of configuration, never of data); rebuild only when the
+    eval set changes."""
+    from jepl_spark.operators import bloom as B
+
+    sh_fn = shingles or (lambda t: word_shingle_hashes(t, n))
+    sh = benchmark.select(
+        F.explode(sh_fn(F.col(text_col))).alias("__sh")
+    ).distinct()
+    return B.collect_words(B.bloom_build(sh, "__sh", n_bits, k, hasher), n_bits)
+
+
+def stream_decontaminate(
+    stream: DataFrame,
+    words,
+    n_bits: int = 1 << 20,
+    k: int = 3,
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 2,
+    hasher: str = "xxhash64",
+    shingles=None,
+    hits_col: str | None = None,
+) -> DataFrame:
+    """STREAMING benchmark decontamination: drop rows whose text shares
+    ≥ ``min_hits`` distinct word n-gram shingles with the Bloom filter
+    built by ``decontaminate_bloom_words`` — a STATELESS per-row
+    projection+filter, the only decontamination shape that survives an
+    unbounded stream (the exact batch operator needs a per-doc
+    aggregation, i.e. state).
+
+    Guarantee direction: Bloom filters have NO false negatives, so the
+    streaming hit count ≥ the true count and the drop set is a
+    SUPERSET of batch ``decontaminate``'s — contamination can never
+    slip through that the batch op would have caught; the price is
+    over-dropping at the filter's false-positive rate
+    (``bloom.expected_fpr``; size n_bits to make it negligible).
+    NULL/empty text has no shingle evidence and is kept.
+
+    Scale shape: everything is whole-stage-codegen'd expression work —
+    the per-shingle membership probe indexes the embedded word array
+    (≤ 2048 words as ONE array Literal; larger filters ride a
+    broadcast single-row stream-static cross join, which is stateless)
+    — no shuffle, no state, no Python.  Works identically on batch
+    frames (it is a plain projection), so the same filter can
+    re-screen a backfill.
+
+    ``hits_col`` keeps the per-row hit count in the output for audit;
+    ``shingles``/``hasher`` overrides mirror ``decontaminate`` (the
+    gate runs string shingles + md5 so DuckDB replays every bit)."""
+    from jepl_spark.operators import bloom as B
+
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    B._check_shape(n_bits, k)
+    sh_fn = shingles or (lambda t: word_shingle_hashes(t, n))
+    frame = stream
+    drop_after = None
+    if len(words) <= B._LITERAL_WORDS_MAX:
+        arr = F.lit([int(w) for w in words]).cast("array<bigint>")
+    else:
+        from pyspark.sql.types import (
+            ArrayType, LongType, StructField, StructType,
+        )
+
+        wc = "__decontam_words"
+        while wc in frame.columns:
+            wc += "_"
+        arr_df = stream.sparkSession.createDataFrame(
+            [([int(w) for w in words],)],
+            StructType([StructField(wc, ArrayType(LongType()), False)]),
+        )
+        frame = frame.crossJoin(F.broadcast(arr_df))
+        arr = F.col(wc)
+        drop_after = wc
+    hits = F.coalesce(
+        F.size(
+            F.filter(
+                sh_fn(F.col(text_col)),
+                lambda s: B._might_contain_on(arr, s, n_bits, k, hasher),
+            )
+        ),
+        F.lit(0),
+    )
+    hc = hits_col or "__hits"
+    out = frame.withColumn(hc, hits).where(F.col(hc) < min_hits)
+    if drop_after is not None:
+        out = out.drop(drop_after)
+    return out if hits_col else out.drop(hc)
+
+
 # -- n-gram Jaccard ------------------------------------------------------------
 
 

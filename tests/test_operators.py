@@ -86,6 +86,52 @@ def test_decontaminate_flags_quoters_only(spark):
         D.decontaminate(docs, bench, min_hits=0)
 
 
+def test_stream_decontaminate_superset_and_paths(spark):
+    """The stateless bloom prescreen drops a SUPERSET of the exact
+    batch operator's set (no false negatives); at a generous n_bits the
+    sets coincide; literal and broadcast word-array paths agree; NULL
+    text is kept; hits_col audits the count."""
+    bench_text = "the quick brown fox jumps over the lazy dog every day"
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro words then {bench_text} and some trailing text"),
+            (1, "a completely unrelated document about spark shuffles "
+                "and partition pruning strategies for large joins"),
+            (2, None),
+            (3, "another innocent row with enough tokens to form many "
+                "shingles none of which overlap the benchmark at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(bench_text,)], ["text"])
+    exact_flagged = {
+        r["doc_id"]
+        for r in D.decontaminate(docs, bench, n=8, min_hits=2).collect()
+    }
+    words = D.decontaminate_bloom_words(bench, n=8, n_bits=1 << 16)
+    kept = D.stream_decontaminate(
+        docs, words, n_bits=1 << 16, n=8, min_hits=2, hits_col="h"
+    )
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    # dropped ⊇ exact-flagged, and here (tiny shingle load) equal
+    assert kept_ids == {0, 1, 2, 3} - exact_flagged
+    assert 2 in kept_ids  # NULL text: no evidence, kept
+    hits = {r["doc_id"]: r["h"] for r in kept.collect()}
+    assert hits[1] == 0 and hits[2] == 0
+    # broadcast binding (words > literal max) agrees
+    big_words = D.decontaminate_bloom_words(bench, n=8, n_bits=1 << 18)
+    assert len(big_words) > 2048
+    kept_big = {
+        r["doc_id"]
+        for r in D.stream_decontaminate(
+            docs, big_words, n_bits=1 << 18, n=8, min_hits=2
+        ).collect()
+    }
+    assert kept_big == kept_ids
+    with pytest.raises(ValueError):
+        D.stream_decontaminate(docs, words, n_bits=1 << 16, min_hits=0)
+
+
 def test_minhash_candidates(spark, docs_df):
     pairs = {
         (r["id_a"], r["id_b"]): r["est_jaccard"]
