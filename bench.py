@@ -228,6 +228,19 @@ def batch_queries(spark, sf_dir):
         return _drain(chunk_clips(clips, chunk_ms=250, hop_ms=200,
                                   min_tail_ms=100))
 
+    def decontam():
+        # production lane: hashed shingles, broadcast benchmark = the
+        # 120-char prefixes of every 97th doc
+        df = load_table(spark, sf_dir, "documents")
+        bench = df.where(F.col("doc_id") % 97 == 0).select(
+            F.substring(F.col("text"), 1, 120).alias("text"))
+        return _drain(D.decontaminate(df, bench, n=8, min_hits=2))
+
+    def pack_sequences():
+        df = load_table(spark, sf_dir, "documents")
+        toks = df.select("doc_id", T.token_count(F.col("text")).alias("n"))
+        return _drain(T.pack_sequences(toks, "n", budget=512, shards=32))
+
     return {
         "jepl_lineitem_agg": jepl_lineitem_agg,
         "jepl_events_rule": jepl_events_rule,
@@ -245,6 +258,8 @@ def batch_queries(spark, sf_dir):
         "bloom_prune": bloom_prune,
         "pii_repetition": pii_repetition,
         "audio_chunk": audio_chunk,
+        "decontam": decontam,
+        "pack_sequences": pack_sequences,
     }
 
 

@@ -114,3 +114,84 @@ def test_bloom_fpr_estimate_in_unit_interval(n, m, k):
 
     f = expected_fpr(n, m, k)
     assert 0.0 <= f <= 1.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    """Any 8-bit pixel array survives the in-repo PNG container
+    byte-exactly (pure numpy+zlib — no Spark needed)."""
+    import numpy as np
+
+    from jepl_spark.sources import containers as C
+
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, c), dtype=np.uint8
+    )
+    out = C.png_decode(C.png_encode(px))
+    assert out.shape == px.shape and (out == px).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(1, 4000),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    codec=st.sampled_from(["pcm16", "ulaw", "alaw"]),
+    seed=st.integers(0, 2**31),
+)
+def test_wav_roundtrip_property(n, sr, codec, seed):
+    """WAV container transit is bit-identical to the raw codec payload
+    transit for any sample stream — the container adds framing only."""
+    import numpy as np
+
+    from jepl_spark.sources import audio
+    from jepl_spark.sources import containers as C
+
+    x = (np.random.default_rng(seed).random(n) * 2 - 1).astype(np.float64)
+    got, got_sr, got_codec = C.wav_decode(C.wav_encode(x, sr, codec))
+    raw = audio.decode(audio.encode(x, codec), codec)
+    assert (got_sr, got_codec) == (sr, codec)
+    assert got.shape == raw.shape and (got == raw).all()
+
+
+def naive_pack(tokens: list, budget: int):
+    """Token-by-token walk: place every doc's tokens consecutively,
+    record which sequence each token lands in, then collapse to spans."""
+    spans = []
+    pos = 0
+    for i, t in enumerate(tokens):
+        seqs = {}
+        for j in range(t):
+            seqs.setdefault((pos + j) // budget, []).append(j)
+        for seq, js in sorted(seqs.items()):
+            spans.append((seq, i, js[0], (pos + js[0]) % budget, len(js)))
+        pos += t
+    return spans
+
+
+def formula_pack(tokens: list, budget: int):
+    """The closed form pack_sequences (and its oracle) implement."""
+    spans = []
+    pos = 0
+    for i, t in enumerate(tokens):
+        start, end = pos, pos + t
+        for seq in range(start // budget, (end - 1) // budget + 1):
+            s = max(start, seq * budget)
+            e = min(end, (seq + 1) * budget)
+            spans.append((seq, i, s - start, s - seq * budget, e - s))
+        pos += t
+    return spans
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    tokens=st.lists(st.integers(1, 300), min_size=1, max_size=40),
+    budget=st.integers(1, 257),
+)
+def test_pack_span_formula_equals_token_walk(tokens, budget):
+    assert formula_pack(tokens, budget) == naive_pack(tokens, budget)

@@ -213,6 +213,27 @@ def main() -> int:
     res["dhash_planted_recall"] = round(found / max(1, n_planted), 4)
     res["dhash_search_s"] = round(time.time() - t0, 1)
 
+    # decontamination of the full corpus against a ~2k-item benchmark
+    # (prefixes of every 100th doc) — broadcast probe + one (id, count)
+    # exchange; and the GPT-style packing manifest over all docs
+    t0 = time.time()
+    bench = docs.where("doc_id % 100 = 0").selectExpr(
+        "substr(text, 1, 120) AS text"
+    )
+    res["decontam_flagged"] = D.decontaminate(
+        docs, bench, n=8, min_hits=2
+    ).count()
+    res["decontam_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    toks = docs.select(
+        "doc_id", T.token_count(F.col("text")).alias("__n")
+    )
+    res["packed_spans"] = T.pack_sequences(
+        toks, "__n", budget=4096, shards=64
+    ).count()
+    res["pack_s"] = round(time.time() - t0, 1)
+
     # key-skew diagnostic after the TakeOrdered fix: ~n_docs·10 rows,
     # 40% on one hot key, ~1M distinct tail keys — the shape whose
     # single-partition rank funnel the round-3 version would hit
