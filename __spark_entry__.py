@@ -492,6 +492,22 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_lm_score_docs(spark, sf_dir):
+    """Count-based bigram LM quality scoring (the CCNet perplexity-
+    filter signal) under the hard signal: model trained on the corpus
+    itself, every document scored by smoothed average bigram log-prob.
+    The oracle rebuilds unigram/bigram counts, the vocabulary size,
+    and every ln() in DuckDB — rounded to 6 decimals on both sides so
+    distributed-summation order cannot flip a bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    lm = T.lm_train(docs, alpha=0.5)
+    return T.lm_score(docs, lm).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        "avg_logp",
+    )
+
+
 def q_decontaminate_docs(spark, sf_dir):
     """Benchmark decontamination under the hard signal: the 'eval set'
     is the 120-char prefix of every 97th document, so genuine
@@ -1689,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_wav_container": q_audio_wav_container,
         "decontaminate_docs": q_decontaminate_docs,
         "pack_sequences_docs": q_pack_sequences,
+        "lm_score_docs": q_lm_score_docs,
         "video_scene_changes": q_video_scene_changes,
         "skew_report_user": q_skew_report_user,
         "stream_manifest_sink_rule": q_stream_manifest_sink_rule,
@@ -2964,6 +2981,46 @@ def oracle_sql() -> dict[str, str]:
         # xxhash64 signatures and codec decode have no faithful
         # ANSI-SQL twin; simhash is property-checked via
         # simhash_dup_consistency, audio via SNR/transcript tests)
+        # bigram LM scoring: rebuild unigram/bigram counts, V, and
+        # every smoothed ln() — round(6) absorbs summation order
+        "lm_score_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            uc AS (
+              SELECT t, count(*) AS c1
+              FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1
+            ),
+            v AS (SELECT count(*) AS v FROM uc),
+            bg AS (
+              SELECT doc_id,
+                     unnest([w[i] || ' ' || w[i+1]
+                             FOR i IN range(1, array_length(w))]) AS b
+              FROM toks WHERE array_length(w) >= 2
+            ),
+            bc AS (SELECT b, count(*) AS c2 FROM bg GROUP BY 1),
+            tab AS (
+              SELECT bc.b, bc.c2, uc.c1
+              FROM bc JOIN uc ON uc.t = string_split(bc.b, ' ')[1]
+            ),
+            scored AS (
+              SELECT g.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_bigrams,
+                     round(avg(ln(
+                       (coalesce(t.c2, 0) + 0.5)
+                       / (coalesce(t.c1, 0) + 0.5 * (SELECT v FROM v))
+                     )), 6) AS avg_logp
+              FROM bg g LEFT JOIN tab t ON t.b = g.b
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   s.avg_logp
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN scored s USING (doc_id)
+        """,
         # sequence packing: the full integer replay — hash shard,
         # running sum in (h, doc_id) order, cut points, span offsets
         "pack_sequences_docs": """

@@ -573,3 +573,123 @@ def pack_sequences(
         (s - seq_lo).alias("seq_offset"),
         (e - s).alias("n_tokens"),
     )
+
+
+# -- count-based bigram language-model quality scoring ------------------------
+
+
+def _bigram_strings(text: Column) -> Column:
+    """All bigram occurrences (with multiplicity, lowercased) as
+    'w1 w2' strings; empty for texts with < 2 tokens.  zip_with pads
+    the shifted array with NULLs — the padded tail is sliced off."""
+    toks = _tokens(F.lower(text))
+    nxt = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    pairs = F.zip_with(toks, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.slice(pairs, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+
+
+class BigramLM:
+    """A trained count-based bigram model: ``table`` rows
+    (key, c2, c1) = (bigram, bigram count, unigram count of its first
+    word), plus the vocabulary size for smoothing.  Produced by
+    ``lm_train``; consumed by ``lm_score``."""
+
+    def __init__(self, table: DataFrame, vocab_size: int, alpha: float,
+                 hashed: bool) -> None:
+        self.table = table
+        self.vocab_size = int(vocab_size)
+        self.alpha = float(alpha)
+        self.hashed = hashed
+
+
+def lm_train(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    alpha: float = 0.5,
+    hash_keys: bool = False,
+) -> BigramLM:
+    """Train the CCNet-style quality filter's language model: bigram
+    and unigram counts over the (reference/clean) corpus, smoothed at
+    score time as  p(w2|w1) = (c(w1 w2) + α) / (c(w1) + α·V).
+
+    Scale shape: two count aggregations — unigrams bounded by the
+    vocabulary, bigrams by the distinct-bigram count (Heaps-bounded;
+    ``min_count`` prunes the hapax tail, which is most of it) — and
+    one vocabulary-sized join to denormalize c(w1) onto the bigram row
+    so scoring later needs a SINGLE join.  ``hash_keys=True`` replaces
+    the bigram string key with xxhash64 on both train and score sides
+    (8-byte shuffle keys; 64-bit collisions merge counts, odds ~n²/2⁶⁴
+    — the production choice at 100 TB; the string form is what the SQL
+    oracle replays)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    uni = (
+        df.select(F.explode(_tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab_size = uni.count()
+    big = (
+        df.select(F.explode(_bigram_strings(F.col(text_col))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    if min_count > 1:
+        big = big.where(F.col("c2") >= min_count)
+    table = (
+        big.withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .select(
+            (F.xxhash64("bg") if hash_keys else F.col("bg")).alias("key"),
+            "c2", "c1",
+        )
+    )
+    return BigramLM(table, vocab_size, alpha, hash_keys)
+
+
+def lm_score(
+    df: DataFrame,
+    lm: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document by its smoothed average bigram
+    log-probability — the perplexity-proxy quality signal (CCNet:
+    LM trained on a clean corpus ranks candidate documents; low
+    ``avg_logp`` = unnatural text).  Output: (id, n_bigrams,
+    avg_logp); documents with < 2 tokens carry n_bigrams = 0 and a
+    NULL score (no evidence — do not confuse with a bad score).
+
+    Scale shape: ONE shuffle join of the docs' exploded bigrams
+    against the denormalized count table (keys are 8-byte hashes when
+    the model was trained with ``hash_keys``), then one (id) exchange
+    for the per-doc average; rounded to 6 decimals so the result is
+    stable under distributed summation order and replayable in SQL."""
+    bg = _bigram_strings(F.col(text_col))
+    doc_big = df.select(
+        F.col(id_col),
+        F.explode(bg).alias("__bg"),
+    ).withColumn(
+        "key", F.xxhash64("__bg") if lm.hashed else F.col("__bg")
+    )
+    j = doc_big.join(lm.table, "key", "left")
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(lm.alpha))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(lm.alpha * lm.vocab_size))
+    )
+    per = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(logp), 6).alias("avg_logp"),
+    )
+    return (
+        df.select(id_col).distinct()
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "avg_logp",
+        )
+    )

@@ -1087,3 +1087,72 @@ def test_pii_counts_match_scrub_redactions(spark):
     )
     r = T.pii_counts(df).collect()[0]
     assert (r["n_url"], r["n_email"], r["n_ipv4"], r["n_phone"]) == (2, 0, 1, 0)
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    """lm_train + lm_score vs a from-first-principles python
+    computation of the smoothed average bigram log-probability; hashed
+    and string key paths agree; <2-token docs get NULL scores."""
+    import math
+
+    corpus = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran"),
+        (2, "a dog sat"),
+        (3, "single"),
+        (4, "THE CAT SAT"),  # case-folds into the same counts
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    lm = T.lm_train(df, alpha=0.5)
+
+    # python reference
+    toks = {i: t.lower().split() for i, t in corpus}
+    uni: dict = {}
+    big: dict = {}
+    for ws in toks.values():
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    V = len(uni)
+    assert lm.vocab_size == V
+
+    def score(ws):
+        if len(ws) < 2:
+            return (0, None)
+        lps = [
+            math.log(
+                (big.get((a, b), 0) + 0.5) / (uni.get(a, 0) + 0.5 * V)
+            )
+            for a, b in zip(ws, ws[1:])
+        ]
+        return (len(lps), round(sum(lps) / len(lps), 6))
+
+    want = {i: score(ws) for i, ws in toks.items()}
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in T.lm_score(df, lm).collect()
+    }
+    for i in want:
+        assert got[i][0] == want[i][0]
+        if want[i][1] is None:
+            assert got[i][1] is None
+        else:
+            assert got[i][1] == pytest.approx(want[i][1], abs=2e-6)
+
+    # hashed-key production path scores identically
+    lm_h = T.lm_train(df, alpha=0.5, hash_keys=True)
+    got_h = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in T.lm_score(df, lm_h).collect()
+    }
+    assert got_h == got
+
+    # min_count prunes: only 'the cat' (×3) and 'cat sat' (×2) repeat
+    lm_mc = T.lm_train(df, alpha=0.5, min_count=2)
+    assert lm_mc.table.count() == 2
+
+    with pytest.raises(ValueError):
+        T.lm_train(df, alpha=0.0)
+    with pytest.raises(ValueError):
+        T.lm_train(df, min_count=0)
