@@ -241,6 +241,12 @@ def batch_queries(spark, sf_dir):
         toks = df.select("doc_id", T.token_count(F.col("text")).alias("n"))
         return _drain(T.pack_sequences(toks, "n", budget=512, shards=32))
 
+    def lm_score():
+        # production lane: hashed keys; train + score the full corpus
+        df = load_table(spark, sf_dir, "documents")
+        lm = T.lm_train(df, hash_keys=True)
+        return _drain(T.lm_score(df, lm))
+
     return {
         "jepl_lineitem_agg": jepl_lineitem_agg,
         "jepl_events_rule": jepl_events_rule,
@@ -260,6 +266,7 @@ def batch_queries(spark, sf_dir):
         "audio_chunk": audio_chunk,
         "decontam": decontam,
         "pack_sequences": pack_sequences,
+        "lm_score": lm_score,
     }
 
 

@@ -65,6 +65,12 @@ def main(argv: list[str]) -> int:
                         "of whole documents")
     p.add_argument("--chunk-overlap", type=int, default=0)
     p.add_argument("--chunk-min-tail", type=int, default=1)
+    p.add_argument("--lm-ref-input", default=None,
+                   help="parquet of clean reference text (same text "
+                        "column): train a bigram LM on it and drop docs "
+                        "whose smoothed avg bigram log-prob falls below "
+                        "--lm-min-logp (CCNet-style quality filter)")
+    p.add_argument("--lm-min-logp", type=float, default=None)
     p.add_argument("--decontam-input", default=None,
                    help="parquet of benchmark/eval rows (same text "
                         "column): docs sharing >= --decontam-min-hits "
@@ -146,6 +152,23 @@ def main(argv: list[str]) -> int:
         bands=args.minhash_bands, num_hashes=args.minhash_hashes,
     )
     df = checkpoint_stage(df, "after_near_dedup")
+
+    # 4a. (optional) LM quality filter — CCNet-style: bigram model
+    #     trained on the clean reference corpus ranks the survivors
+    if args.lm_ref_input:
+        if args.lm_min_logp is None:
+            p.error("--lm-ref-input requires --lm-min-logp")
+        lm = T.lm_train(spark.read.parquet(args.lm_ref_input),
+                        text_col=args.text_col, hash_keys=True)
+        scores = T.lm_score(df, lm, text_col=args.text_col,
+                            id_col=args.id_col)
+        good = scores.where(
+            F.col("avg_logp").isNotNull()
+            & (F.col("avg_logp") >= args.lm_min_logp)
+        ).select(args.id_col)
+        df = checkpoint_stage(
+            df.join(good, on=args.id_col, how="inner"), "after_lm_filter"
+        )
 
     # 4b. (optional) benchmark decontamination — remove docs sharing
     #     n-gram content with the eval set (after dedup: survivors only

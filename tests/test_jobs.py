@@ -201,6 +201,38 @@ def test_corpus_pipeline_decontam_and_pack(spark, tmp_path, capsys):
               "--chunk-tokens", "16"])
 
 
+def test_corpus_pipeline_lm_filter(spark, tmp_path, capsys):
+    """--lm-ref-input: docs whose bigrams look nothing like the
+    reference corpus score low and are dropped; reference-like docs
+    survive."""
+    ref_rows = [(i, "the quick brown fox jumps over the lazy dog again "
+                    "and again near the old river bank every single day")
+                for i in range(10)]
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog near the bank"),
+        (1, "zq wv xk jj qqp zzt vvb nmq lkj pw qa zx cv bn mk ju hy"),
+    ]
+    src = str(tmp_path / "docs")
+    ref = str(tmp_path / "ref")
+    out = str(tmp_path / "clean")
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(src)
+    spark.createDataFrame(ref_rows, ["doc_id", "text"]).write.parquet(ref)
+
+    from jobs.corpus_pipeline import main
+
+    rc = main([
+        "--input", src, "--output", out,
+        "--min-tokens", "4", "--max-punct-ratio", "1.0",
+        "--near-dup-threshold", "1.01",
+        "--lm-ref-input", ref, "--lm-min-logp", "-2.0",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["stages"]["after_lm_filter"] == 1
+    kept = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    assert kept == [0]
+
+
 def test_corpus_pipeline_split_and_chunk(spark, tmp_path, capsys):
     """--split + --chunk-tokens: curated docs get a stable split label,
     then are written as token-window chunks partitioned by split/lang."""
