@@ -1029,15 +1029,14 @@ def q_stream_decontam_rule(spark, sf_dir):
         F2.substring(F2.col("text"), 1, 120).alias("text")
     )
     sh = lambda t: D.word_shingles(t, 8)  # noqa: E731 — gate replay lane
-    words = D.decontaminate_bloom_words(
+    filt = D.decontaminate_bloom_words(
         bench, n=8, n_bits=4032, k=3, hasher="md5", shingles=sh
     )
     src = f"{work}/src"
     docs.write.mode("overwrite").parquet(src)
     kept = D.stream_decontaminate(
         file_stream(spark, src, docs.schema),
-        words, n_bits=4032, k=3, n=8, min_hits=2,
-        hasher="md5", shingles=sh, hits_col="bloom_hits",
+        filt, min_hits=2, shingles=sh, hits_col="bloom_hits",
     )
     sink = IdempotentParquetSink(f"{work}/sink")
     q = (
@@ -3001,18 +3000,19 @@ def oracle_sql() -> dict[str, str]:
               FROM toks WHERE array_length(w) >= 2
             ),
             bc AS (SELECT b, count(*) AS c2 FROM bg GROUP BY 1),
-            tab AS (
-              SELECT bc.b, bc.c2, uc.c1
-              FROM bc JOIN uc ON uc.t = string_split(bc.b, ' ')[1]
-            ),
+            -- c(w1) joins PER DOC BIGRAM (not denormalized onto seen
+            -- bigrams only): an unseen bigram still gets its true
+            -- first-word denominator
             scored AS (
               SELECT g.doc_id,
                      CAST(count(*) AS BIGINT) AS n_bigrams,
                      round(avg(ln(
-                       (coalesce(t.c2, 0) + 0.5)
-                       / (coalesce(t.c1, 0) + 0.5 * (SELECT v FROM v))
+                       (coalesce(bc.c2, 0) + 0.5)
+                       / (coalesce(uc.c1, 0) + 0.5 * (SELECT v FROM v))
                      )), 6) AS avg_logp
-              FROM bg g LEFT JOIN tab t ON t.b = g.b
+              FROM bg g
+              LEFT JOIN bc ON bc.b = g.b
+              LEFT JOIN uc ON uc.t = string_split(g.b, ' ')[1]
               GROUP BY 1
             )
             SELECT d.doc_id,

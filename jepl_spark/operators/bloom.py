@@ -152,6 +152,29 @@ def _might_contain_on(word_arr: Column, col: Column, n_bits: int,
     return F.coalesce(pred, F.lit(False))
 
 
+def bind_word_array(df: DataFrame, words: List[int]):
+    """Bind a Bloom word array to ``df`` in whichever form keeps the
+    membership predicate inside compiled code: small arrays as ONE
+    flat Literal, arrays past ``_LITERAL_WORDS_MAX`` as a broadcast
+    single-row cross join (stateless — works on streams too).  Returns
+    ``(frame, word_array_column, drop_col_or_None)``; the caller drops
+    ``drop_col`` after filtering.  Shared by ``bloom_prune`` and
+    ``dedup.stream_decontaminate`` so the binding rules cannot
+    diverge."""
+    if len(words) <= _LITERAL_WORDS_MAX:
+        return df, F.lit([int(w) for w in words]).cast("array<bigint>"), None
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    wc = "__bloom_words"
+    while wc in df.columns:  # never clobber or shadow a caller column
+        wc += "_"
+    arr_df = df.sparkSession.createDataFrame(
+        [([int(w) for w in words],)],
+        StructType([StructField(wc, ArrayType(LongType()), False)]),
+    )
+    return df.crossJoin(F.broadcast(arr_df)), F.col(wc), wc
+
+
 def bloom_prune(
     df: DataFrame,
     col: str,
@@ -165,21 +188,10 @@ def bloom_prune(
     (pure projection); large ones ride a broadcast single-row join so
     the predicate stays inside compiled code (see _LITERAL_WORDS_MAX)."""
     _check_shape(n_bits, k)
-    if len(words) <= _LITERAL_WORDS_MAX:
-        return df.where(might_contain(F.col(col), words, n_bits, k, hasher))
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
-
-    wc = "__bloom_words"
-    while wc in df.columns:  # never clobber or shadow a caller column
-        wc += "_"
-    spark = df.sparkSession
-    arr_df = spark.createDataFrame(
-        [([int(w) for w in words],)],
-        StructType([StructField(wc, ArrayType(LongType()), False)]),
-    )
-    probe = df.crossJoin(F.broadcast(arr_df))
-    pred = _might_contain_on(F.col(wc), F.col(col), n_bits, k, hasher)
-    return probe.where(pred).drop(wc)
+    frame, arr, drop = bind_word_array(df, words)
+    pred = _might_contain_on(arr, F.col(col), n_bits, k, hasher)
+    out = frame.where(pred)
+    return out.drop(drop) if drop else out
 
 
 def expected_fpr(n_items: int, n_bits: int, k: int) -> float:

@@ -664,8 +664,14 @@ def stream_simhash_near_dedup(
             admitted = None
             try:
                 admitted = sink.read_committed(spark)
-            except Exception:
-                pass  # nothing committed yet
+            except ValueError:
+                # both sinks raise ValueError for "no committed batches
+                # yet" — the only condition that may fall through.  Any
+                # OTHER failure (store 503, torn footer) must FAIL the
+                # batch so Spark retries it: silently skipping the
+                # vs-admitted filter would permanently admit near-dups
+                # of committed content.
+                pass
             if admitted is not None:
                 if ts_col is not None and horizon_s is not None:
                     lo = batch.agg(F.min(ts_col).alias("lo")).first()["lo"]
@@ -751,6 +757,22 @@ def decontaminate(
     return flagged
 
 
+class DecontamFilter:
+    """The Bloom word array built over a benchmark's shingles PLUS the
+    four knobs that shaped it (n_bits, k, hasher, shingle n) — carried
+    together so the probe side cannot be configured differently from
+    the build side: a words-list API made a silent n_bits/hasher
+    mismatch (= noise hit counts) a one-typo accident."""
+
+    def __init__(self, words, n_bits: int, k: int, hasher: str,
+                 n: int) -> None:
+        self.words = [int(w) for w in words]
+        self.n_bits = int(n_bits)
+        self.k = int(k)
+        self.hasher = hasher
+        self.n = int(n)
+
+
 def decontaminate_bloom_words(
     benchmark: DataFrame,
     text_col: str = "text",
@@ -759,30 +781,30 @@ def decontaminate_bloom_words(
     k: int = 3,
     hasher: str = "xxhash64",
     shingles=None,
-):
-    """Build the broadcastable Bloom word array over the benchmark's
+) -> DecontamFilter:
+    """Build the broadcastable Bloom filter over the benchmark's
     distinct word ``n``-gram shingles — the driver-side prepare step
-    for ``stream_decontaminate``.  Size is ⌈n_bits/63⌉ longs (a
-    function of configuration, never of data); rebuild only when the
-    eval set changes."""
+    for ``stream_decontaminate``.  Word-array size is ⌈n_bits/63⌉
+    longs (a function of configuration, never of data); rebuild only
+    when the eval set changes.  Returns a :class:`DecontamFilter`
+    carrying the configuration alongside the words."""
     from jepl_spark.operators import bloom as B
 
     sh_fn = shingles or (lambda t: word_shingle_hashes(t, n))
     sh = benchmark.select(
         F.explode(sh_fn(F.col(text_col))).alias("__sh")
     ).distinct()
-    return B.collect_words(B.bloom_build(sh, "__sh", n_bits, k, hasher), n_bits)
+    words = B.collect_words(
+        B.bloom_build(sh, "__sh", n_bits, k, hasher), n_bits
+    )
+    return DecontamFilter(words, n_bits, k, hasher, n)
 
 
 def stream_decontaminate(
     stream: DataFrame,
-    words,
-    n_bits: int = 1 << 20,
-    k: int = 3,
+    filt: DecontamFilter,
     text_col: str = "text",
-    n: int = 8,
     min_hits: int = 2,
-    hasher: str = "xxhash64",
     shingles=None,
     hits_col: str | None = None,
 ) -> DataFrame:
@@ -810,38 +832,24 @@ def stream_decontaminate(
     re-screen a backfill.
 
     ``hits_col`` keeps the per-row hit count in the output for audit;
-    ``shingles``/``hasher`` overrides mirror ``decontaminate`` (the
-    gate runs string shingles + md5 so DuckDB replays every bit)."""
+    a ``shingles`` override must match the one the filter was built
+    with (the gate runs string shingles + md5 so DuckDB replays every
+    bit) — everything else (n_bits, k, hasher, n) rides inside
+    ``filt`` and cannot diverge from the build."""
     from jepl_spark.operators import bloom as B
 
     if min_hits < 1:
         raise ValueError(f"min_hits must be >= 1, got {min_hits}")
-    B._check_shape(n_bits, k)
-    sh_fn = shingles or (lambda t: word_shingle_hashes(t, n))
-    frame = stream
-    drop_after = None
-    if len(words) <= B._LITERAL_WORDS_MAX:
-        arr = F.lit([int(w) for w in words]).cast("array<bigint>")
-    else:
-        from pyspark.sql.types import (
-            ArrayType, LongType, StructField, StructType,
-        )
-
-        wc = "__decontam_words"
-        while wc in frame.columns:
-            wc += "_"
-        arr_df = stream.sparkSession.createDataFrame(
-            [([int(w) for w in words],)],
-            StructType([StructField(wc, ArrayType(LongType()), False)]),
-        )
-        frame = frame.crossJoin(F.broadcast(arr_df))
-        arr = F.col(wc)
-        drop_after = wc
+    B._check_shape(filt.n_bits, filt.k)
+    sh_fn = shingles or (lambda t: word_shingle_hashes(t, filt.n))
+    frame, arr, drop_after = B.bind_word_array(stream, filt.words)
     hits = F.coalesce(
         F.size(
             F.filter(
                 sh_fn(F.col(text_col)),
-                lambda s: B._might_contain_on(arr, s, n_bits, k, hasher),
+                lambda s: B._might_contain_on(
+                    arr, s, filt.n_bits, filt.k, filt.hasher
+                ),
             )
         ),
         F.lit(0),

@@ -589,14 +589,19 @@ def _bigram_strings(text: Column) -> Column:
 
 
 class BigramLM:
-    """A trained count-based bigram model: ``table`` rows
-    (key, c2, c1) = (bigram, bigram count, unigram count of its first
-    word), plus the vocabulary size for smoothing.  Produced by
-    ``lm_train``; consumed by ``lm_score``."""
+    """A trained count-based bigram model: ``table`` rows (key, c2) =
+    (bigram, bigram count) and ``uni`` rows (ukey, c1) = (word,
+    unigram count), plus the vocabulary size for smoothing.  The
+    unigram table rides separately so a bigram UNSEEN at train time
+    still gets its true c(w1) denominator at score time (a
+    denormalized-only design silently scored unseen bigrams against a
+    c(w1)=0 denominator, INFLATING them above legitimate rare text).
+    Produced by ``lm_train``; consumed by ``lm_score``."""
 
-    def __init__(self, table: DataFrame, vocab_size: int, alpha: float,
-                 hashed: bool) -> None:
+    def __init__(self, table: DataFrame, uni: DataFrame, vocab_size: int,
+                 alpha: float, hashed: bool) -> None:
         self.table = table
+        self.uni = uni
         self.vocab_size = int(vocab_size)
         self.alpha = float(alpha)
         self.hashed = hashed
@@ -614,13 +619,13 @@ def lm_train(
     score time as  p(w2|w1) = (c(w1 w2) + α) / (c(w1) + α·V).
 
     Scale shape: two count aggregations — unigrams bounded by the
-    vocabulary, bigrams by the distinct-bigram count (Heaps-bounded;
-    ``min_count`` prunes the hapax tail, which is most of it) — and
-    one vocabulary-sized join to denormalize c(w1) onto the bigram row
-    so scoring later needs a SINGLE join.  ``hash_keys=True`` replaces
-    the bigram string key with xxhash64 on both train and score sides
-    (8-byte shuffle keys; 64-bit collisions merge counts, odds ~n²/2⁶⁴
-    — the production choice at 100 TB; the string form is what the SQL
+    vocabulary (persisted: the vocab-size count and every downstream
+    score would otherwise re-scan the corpus), bigrams by the
+    distinct-bigram count (Heaps-bounded; ``min_count`` prunes the
+    hapax tail, which is most of it).  ``hash_keys=True`` replaces the
+    string keys with xxhash64 on both train and score sides (8-byte
+    shuffle keys; 64-bit collisions merge counts, odds ~n²/2⁶⁴ — the
+    production choice at 100 TB; the string form is what the SQL
     oracle replays)."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
@@ -630,8 +635,9 @@ def lm_train(
         df.select(F.explode(_tokens(F.lower(F.col(text_col)))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .persist()
     )
-    vocab_size = uni.count()
+    vocab_size = uni.count()  # also materializes the persisted counts
     big = (
         df.select(F.explode(_bigram_strings(F.col(text_col))).alias("bg"))
         .groupBy("bg")
@@ -639,15 +645,13 @@ def lm_train(
     )
     if min_count > 1:
         big = big.where(F.col("c2") >= min_count)
-    table = (
-        big.withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
-        .join(uni.withColumnRenamed("w", "w1"), "w1")
-        .select(
-            (F.xxhash64("bg") if hash_keys else F.col("bg")).alias("key"),
-            "c2", "c1",
-        )
+    key = F.xxhash64("bg") if hash_keys else F.col("bg")
+    ukey = F.xxhash64("w") if hash_keys else F.col("w")
+    return BigramLM(
+        big.select(key.alias("key"), "c2"),
+        uni.select(ukey.alias("ukey"), "c1"),
+        vocab_size, alpha, hash_keys,
     )
-    return BigramLM(table, vocab_size, alpha, hash_keys)
 
 
 def lm_score(
@@ -663,19 +667,26 @@ def lm_score(
     avg_logp); documents with < 2 tokens carry n_bigrams = 0 and a
     NULL score (no evidence — do not confuse with a bad score).
 
-    Scale shape: ONE shuffle join of the docs' exploded bigrams
-    against the denormalized count table (keys are 8-byte hashes when
-    the model was trained with ``hash_keys``), then one (id) exchange
-    for the per-doc average; rounded to 6 decimals so the result is
-    stable under distributed summation order and replayable in SQL."""
+    Scale shape: two shuffle joins of the docs' exploded bigrams —
+    against the bigram counts on the bigram key and the unigram counts
+    on the first-word key (both 8-byte hashes when the model was
+    trained with ``hash_keys``; the unigram side is vocabulary-sized
+    and broadcasts) — then one (id) exchange for the per-doc average;
+    rounded to 6 decimals so the result is stable under distributed
+    summation order and replayable in SQL."""
     bg = _bigram_strings(F.col(text_col))
     doc_big = df.select(
         F.col(id_col),
         F.explode(bg).alias("__bg"),
-    ).withColumn(
-        "key", F.xxhash64("__bg") if lm.hashed else F.col("__bg")
+    ).withColumn("__w1", F.substring_index(F.col("__bg"), " ", 1))
+    doc_big = doc_big.select(
+        id_col,
+        (F.xxhash64("__bg") if lm.hashed else F.col("__bg")).alias("key"),
+        (F.xxhash64("__w1") if lm.hashed else F.col("__w1")).alias("ukey"),
     )
-    j = doc_big.join(lm.table, "key", "left")
+    j = doc_big.join(lm.table, "key", "left").join(
+        F.broadcast(lm.uni), "ukey", "left"
+    )
     logp = F.log(
         (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(lm.alpha))
         / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(lm.alpha * lm.vocab_size))

@@ -173,8 +173,13 @@ def wav_encode(x: np.ndarray, sr_hz: int, codec: str = "pcm16") -> bytes:
         block_align,
         bits,
     )
+    if codec != "pcm16":
+        # non-PCM formats require the EXTENDED fmt chunk (size 18,
+        # cbSize=0) — strict decoders reject a bare 16-byte fmt for
+        # format codes 6/7
+        fmt += struct.pack("<H", 0)
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    if codec != "pcm16":  # non-PCM formats require a fact chunk
+    if codec != "pcm16":  # non-PCM formats also require a fact chunk
         chunks += b"fact" + struct.pack("<II", 4, len(payload) // block_align)
     data = payload + (b"\x00" if len(payload) % 2 else b"")  # pad to even
     chunks += b"data" + struct.pack("<I", len(payload)) + data

@@ -534,11 +534,22 @@ class ManifestCommitSink:
         referenced: set = set()
         manifests = [self.current_manifest(spark)]
         for n in manifest_names or []:
+            path = os.path.join(self._manifest_dir, n)
+            fs, jpath, _ = _fsutil.hadoop_fs(spark, path)
+            if not fs.exists(jpath):
+                continue  # raced away since listing — nothing to protect
             try:
-                manifests.append(json.loads(_fsutil.read_text(
-                    spark, os.path.join(self._manifest_dir, n))))
-            except Exception:
-                continue  # raced away / malformed — nothing to protect
+                manifests.append(json.loads(_fsutil.read_text(spark, path)))
+            except Exception as exc:
+                # a retained manifest that EXISTS but cannot be read is
+                # not "unprotected" — treating a transient read error as
+                # empty would let vacuum delete files a stale reader of
+                # that manifest still needs.  Abort; retry the vacuum.
+                raise RuntimeError(
+                    f"cannot read retained manifest {path}; aborting "
+                    f"orphan computation rather than un-protecting its "
+                    f"files"
+                ) from exc
         for man in manifests:
             referenced |= {
                 f for fl in man.get("batches", {}).values() for f in fl

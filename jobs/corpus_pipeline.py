@@ -162,9 +162,13 @@ def main(argv: list[str]) -> int:
                         text_col=args.text_col, hash_keys=True)
         scores = T.lm_score(df, lm, text_col=args.text_col,
                             id_col=args.id_col)
+        # NULL score = < 2 tokens = no evidence (lm_score's contract):
+        # keep those docs rather than conflating "unscorable" with
+        # "low quality" — the token-count quality gate already owns
+        # too-short filtering
         good = scores.where(
-            F.col("avg_logp").isNotNull()
-            & (F.col("avg_logp") >= args.lm_min_logp)
+            F.col("avg_logp").isNull()
+            | (F.col("avg_logp") >= args.lm_min_logp)
         ).select(args.id_col)
         df = checkpoint_stage(
             df.join(good, on=args.id_col, how="inner"), "after_lm_filter"

@@ -147,12 +147,17 @@ class TestWav:
         out, _, _ = C.wav_decode(buf)
         assert out.size == 2999
 
-    def test_non_pcm_has_fact_chunk(self):
+    def test_non_pcm_has_fact_chunk_and_extended_fmt(self):
         buf = C.wav_encode(audio.synth_wave(2, 8000, 200), 8000, "alaw")
         assert b"fact" in buf
-        assert b"fact" not in C.wav_encode(
-            audio.synth_wave(2, 8000, 200), 8000, "pcm16"
-        )
+        # spec: non-PCM formats carry the EXTENDED fmt chunk (size 18,
+        # cbSize=0); PCM keeps the bare 16-byte form
+        (fmt_len,) = struct.unpack_from("<I", buf, 16)
+        assert fmt_len == 18 and buf[36:38] == b"\x00\x00"  # cbSize=0
+        pcm = C.wav_encode(audio.synth_wave(2, 8000, 200), 8000, "pcm16")
+        assert b"fact" not in pcm
+        (fmt_len_pcm,) = struct.unpack_from("<I", pcm, 16)
+        assert fmt_len_pcm == 16
 
     def test_garbage_rejected(self):
         with pytest.raises(ValueError):

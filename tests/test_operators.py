@@ -108,10 +108,10 @@ def test_stream_decontaminate_superset_and_paths(spark):
         r["doc_id"]
         for r in D.decontaminate(docs, bench, n=8, min_hits=2).collect()
     }
-    words = D.decontaminate_bloom_words(bench, n=8, n_bits=1 << 16)
-    kept = D.stream_decontaminate(
-        docs, words, n_bits=1 << 16, n=8, min_hits=2, hits_col="h"
-    )
+    filt = D.decontaminate_bloom_words(bench, n=8, n_bits=1 << 16)
+    assert (filt.n_bits, filt.k, filt.hasher, filt.n) == (1 << 16, 3,
+                                                          "xxhash64", 8)
+    kept = D.stream_decontaminate(docs, filt, min_hits=2, hits_col="h")
     kept_ids = {r["doc_id"] for r in kept.collect()}
     # dropped ⊇ exact-flagged, and here (tiny shingle load) equal
     assert kept_ids == {0, 1, 2, 3} - exact_flagged
@@ -119,17 +119,15 @@ def test_stream_decontaminate_superset_and_paths(spark):
     hits = {r["doc_id"]: r["h"] for r in kept.collect()}
     assert hits[1] == 0 and hits[2] == 0
     # broadcast binding (words > literal max) agrees
-    big_words = D.decontaminate_bloom_words(bench, n=8, n_bits=1 << 18)
-    assert len(big_words) > 2048
+    big = D.decontaminate_bloom_words(bench, n=8, n_bits=1 << 18)
+    assert len(big.words) > 2048
     kept_big = {
         r["doc_id"]
-        for r in D.stream_decontaminate(
-            docs, big_words, n_bits=1 << 18, n=8, min_hits=2
-        ).collect()
+        for r in D.stream_decontaminate(docs, big, min_hits=2).collect()
     }
     assert kept_big == kept_ids
     with pytest.raises(ValueError):
-        D.stream_decontaminate(docs, words, n_bits=1 << 16, min_hits=0)
+        D.stream_decontaminate(docs, filt, min_hits=0)
 
 
 def test_minhash_candidates(spark, docs_df):
@@ -1147,6 +1145,29 @@ def test_bigram_lm_matches_python_reference(spark):
         for r in T.lm_score(df, lm_h).collect()
     }
     assert got_h == got
+
+    # REGRESSION (review finding): an UNSEEN bigram must use the true
+    # c(w1) denominator — gibberish built from frequent words must not
+    # outscore legitimate text ('the qzxv' denominator is c('the'),
+    # not 0)
+    new = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "the qzxv the wvkj")],
+        ["doc_id", "text"],
+    )
+    got_new = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in T.lm_score(new, lm).collect()
+    }
+    for i, txt in [(10, "the cat sat"), (11, "the qzxv the wvkj")]:
+        n, want_lp = score(txt.lower().split())
+        assert got_new[i][0] == n
+        assert got_new[i][1] == pytest.approx(want_lp, abs=2e-6)
+    assert got_new[11][1] < got_new[10][1]
+    got_new_h = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in T.lm_score(new, lm_h).collect()
+    }
+    assert got_new_h == got_new
 
     # min_count prunes: only 'the cat' (×3) and 'cat sat' (×2) repeat
     lm_mc = T.lm_train(df, alpha=0.5, min_count=2)
