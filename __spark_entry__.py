@@ -622,6 +622,65 @@ def q_audio_wav_container(spark, sf_dir):
     )
 
 
+def q_audio_vad_segments(spark, sf_dir):
+    """Energy VAD under the hard signal: synthetic clips with silence
+    ZEROED at formula-known frame-aligned spans (frames [f0, f0+k),
+    f0 = 2+i%7, k = 3+i%4, 20 ms frames) → decode → framing → energy
+    threshold → run splitting, all in the Arrow lane.  The oracle
+    recomputes every segment boundary from the same integer formulas —
+    framing arithmetic, run clipping at the frame count, the
+    min-silence qualification, and empty-segment suppression are each
+    exercised across the 300-clip parameter sweep."""
+    import numpy as np2
+    import pandas as pd2
+
+    from pyspark.sql import functions as F2
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from jepl_spark.functions.audio_udfs import detect_speech_segments
+    from jepl_spark.sources import audio as A
+
+    schema = StructType([
+        StructField("clip_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("codec", StringType()),
+        StructField("sr_hz", IntegerType()),
+    ])
+
+    def gen(batches):
+        srs = (8000, 16000, 44100)
+        for pdf in batches:
+            rows = {f.name: [] for f in schema.fields}
+            for i in pdf["id"]:
+                i = int(i)
+                sr = srs[i % 3]
+                dur = 200 + (i * 37) % 1801
+                wave = A.synth_wave(i, sr, dur).copy()
+                frame_n = sr * 20 // 1000
+                f0, k = 2 + i % 7, 3 + i % 4
+                wave[f0 * frame_n:(f0 + k) * frame_n] = 0.0
+                rows["clip_id"].append(f"clip-{i:012d}")
+                rows["bytes"].append(A.pcm16_encode(wave))
+                rows["codec"].append("pcm16")
+                rows["sr_hz"].append(sr)
+            yield pd2.DataFrame(rows)
+
+    clips = spark.range(0, 300, numPartitions=4).mapInPandas(gen, schema=schema)
+    segs = detect_speech_segments(
+        clips, frame_ms=20, energy_thr=1e-6, min_silence_frames=3
+    )
+    return segs.select(
+        "clip_id",
+        F2.col("seg_idx").cast("bigint").alias("seg_idx"),
+        F2.col("start_frame").cast("bigint").alias("start_frame"),
+        F2.col("n_frames").cast("bigint").alias("n_frames"),
+        F2.col("start_ms").cast("bigint").alias("start_ms"),
+        F2.col("dur_ms").cast("bigint").alias("dur_ms"),
+    )
+
+
 def q_image_decode_stats(spark, sf_dir):
     """Multimodal lane under the hard signal: deterministic RAWv1
     images generated distributed (mapInPandas), decoded + per-channel
@@ -1702,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms_windowed": q_stream_cms_windowed,
         "image_dhash": q_image_dhash,
         "audio_wav_container": q_audio_wav_container,
+        "audio_vad_segments": q_audio_vad_segments,
         "decontaminate_docs": q_decontaminate_docs,
         "pack_sequences_docs": q_pack_sequences,
         "lm_score_docs": q_lm_score_docs,
@@ -2258,6 +2318,45 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_samples,
                    true AS pcm_match
             FROM range(400) t(i)
+        """,
+        # VAD: replay framing, silence-run clipping, qualification, and
+        # empty-segment suppression from the planted-silence formulas
+        "audio_vad_segments": """
+            WITH c AS (
+              SELECT i,
+                     CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          ELSE 44100 END AS sr,
+                     200 + (i * 37) % 1801 AS dur
+              FROM range(300) t(i)
+            ),
+            p AS (
+              SELECT i, (sr * dur) // 1000 AS n, (sr * 20) // 1000 AS fn
+              FROM c
+            ),
+            q AS (
+              SELECT i, n // fn AS nf, 2 + i % 7 AS f0, 3 + i % 4 AS k
+              FROM p WHERE n // fn > 0
+            ),
+            s AS (
+              SELECT i, nf, least(f0, nf) AS s0, least(f0 + k, nf) AS s1,
+                     (least(f0 + k, nf) - least(f0, nf)) >= 3 AS split
+              FROM q
+            ),
+            segs AS (
+              SELECT i, 0 AS seg_idx, 0 AS start_frame,
+                     CASE WHEN split THEN s0 ELSE nf END AS n_frames
+              FROM s WHERE CASE WHEN split THEN s0 ELSE nf END > 0
+              UNION ALL
+              SELECT i, CASE WHEN s0 > 0 THEN 1 ELSE 0 END, s1, nf - s1
+              FROM s WHERE split AND nf - s1 > 0
+            )
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+                   CAST(seg_idx AS BIGINT) AS seg_idx,
+                   CAST(start_frame AS BIGINT) AS start_frame,
+                   CAST(n_frames AS BIGINT) AS n_frames,
+                   CAST(start_frame * 20 AS BIGINT) AS start_ms,
+                   CAST(n_frames * 20 AS BIGINT) AS dur_ms
+            FROM segs
         """,
         "audio_chunks": """
             WITH c AS (

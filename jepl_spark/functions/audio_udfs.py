@@ -351,3 +351,88 @@ def chunk_clips(
             )
 
     return df.mapInPandas(gen, schema=out_schema)
+
+
+def detect_speech_segments(
+    df: DataFrame,
+    frame_ms: int = 20,
+    energy_thr: float = 1e-6,
+    min_silence_frames: int = 3,
+) -> DataFrame:
+    """Energy-based voice-activity detection (the silence-trim stage of
+    an audio training pipeline): decode each clip once, frame the PCM
+    into ``frame_ms`` windows, mark frames with mean-square energy
+    below ``energy_thr`` silent, and split the clip at every silence
+    run of ≥ ``min_silence_frames`` frames.  Emits one row per SPEECH
+    segment: (clip_id, seg_idx, start_frame, n_frames, start_ms,
+    dur_ms).
+
+    Boundary semantics (all integer arithmetic, replayable by the SQL
+    oracle when silence positions are known): frame_n = sr·frame_ms
+    //1000 samples; the trailing partial frame is ignored; a silence
+    run shorter than ``min_silence_frames`` does NOT split (breaths /
+    plosive gaps stay inside their segment); leading/trailing qualifying
+    silence produces no empty segments.
+
+    Scale shape: one ``mapInPandas`` pass — decode + a vectorized
+    reshape/mean-square per clip, numpy run-length extraction, no
+    shuffle, no per-row Python plan nodes; output carries no audio
+    bytes (re-slice with chunk_clips-style windows downstream if the
+    segment PCM is needed)."""
+    if frame_ms <= 0:
+        raise ValueError(f"frame_ms must be positive, got {frame_ms}")
+    if min_silence_frames < 1:
+        raise ValueError(
+            f"min_silence_frames must be >= 1, got {min_silence_frames}"
+        )
+    out_schema = StructType(
+        [
+            StructField("clip_id", StringType()),
+            StructField("seg_idx", IntegerType()),
+            StructField("start_frame", IntegerType()),
+            StructField("n_frames", IntegerType()),
+            StructField("start_ms", IntegerType()),
+            StructField("dur_ms", IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, blob, c, sr in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
+            ):
+                x = audio.decode(blob, c)
+                frame_n = int(sr) * frame_ms // 1000
+                nf = x.size // frame_n if frame_n > 0 else 0
+                if nf == 0:
+                    continue
+                frames = x[: nf * frame_n].reshape(nf, frame_n)
+                silent = (frames * frames).mean(axis=1) < energy_thr
+                # qualifying silence runs split the clip
+                splits = []
+                run = 0
+                for i in range(nf):
+                    if silent[i]:
+                        run += 1
+                    else:
+                        if run >= min_silence_frames:
+                            splits.append((i - run, i))
+                        run = 0
+                if run >= min_silence_frames:
+                    splits.append((nf - run, nf))
+                seg_start, seg_idx = 0, 0
+                for (s0, s1) in splits + [(nf, nf)]:
+                    if s0 > seg_start:
+                        rows.append((
+                            cid, seg_idx, seg_start, s0 - seg_start,
+                            seg_start * frame_ms,
+                            (s0 - seg_start) * frame_ms,
+                        ))
+                        seg_idx += 1
+                    seg_start = s1
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return df.mapInPandas(gen, schema=out_schema)

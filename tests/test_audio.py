@@ -242,3 +242,47 @@ def test_cross_codec_audio_near_dup_detection(spark):
     # and the same-waveform pairs are the TOP of the similarity order:
     # every one of them scores >= the threshold by construction
     assert same <= found
+
+
+def test_detect_speech_segments(spark):
+    """VAD splits at planted silence: frame-aligned zero spans produce
+    exactly the formula segments; short silence does NOT split; fully
+    silent and fully voiced clips yield zero and one segment."""
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import detect_speech_segments
+    from jepl_spark.sources import audio as A
+
+    sr, frame_ms = 8000, 20
+    fn = sr * frame_ms // 1000  # 160 samples/frame
+
+    def clip(cid, wave):
+        return (cid, A.pcm16_encode(wave), "pcm16", sr)
+
+    base = A.synth_wave(7, sr, 400)  # 3200 samples = 20 frames
+    w_split = base.copy(); w_split[5 * fn:9 * fn] = 0.0   # 4-frame silence
+    w_short = base.copy(); w_short[5 * fn:7 * fn] = 0.0   # 2-frame: no split
+    w_all_silent = np.zeros_like(base)
+    w_lead = base.copy(); w_lead[:3 * fn] = 0.0           # leading silence
+    df = spark.createDataFrame(
+        [clip("split", w_split), clip("short", w_short),
+         clip("silent", w_all_silent), clip("lead", w_lead),
+         clip("voiced", base)],
+        "clip_id string, bytes binary, codec string, sr_hz int",
+    )
+    segs = {}
+    for r in detect_speech_segments(df, frame_ms=frame_ms,
+                                    min_silence_frames=3).collect():
+        segs.setdefault(r["clip_id"], []).append(
+            (r["seg_idx"], r["start_frame"], r["n_frames"], r["start_ms"]))
+    assert sorted(segs["split"]) == [(0, 0, 5, 0), (1, 9, 11, 180)]
+    assert segs["short"] == [(0, 0, 20, 0)]       # 2-frame gap kept inside
+    assert "silent" not in segs                    # no speech at all
+    assert segs["lead"] == [(0, 3, 17, 60)]        # no empty leading segment
+    assert segs["voiced"] == [(0, 0, 20, 0)]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        detect_speech_segments(df, frame_ms=0)
+    with _pt.raises(ValueError):
+        detect_speech_segments(df, min_silence_frames=0)
