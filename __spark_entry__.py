@@ -241,6 +241,23 @@ def q_text_token_count(spark, sf_dir):
     )
 
 
+def _en_stopwords_sql() -> str:
+    """The frozen fixture's English stopword list as a DuckDB list
+    literal — the text_quality oracle interpolates it so both sides
+    read ONE source."""
+    import json
+    import os
+
+    fx = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "jepl_spark", "fixtures", "lang_id.json",
+    )
+    with open(fx, encoding="utf-8") as f:
+        words = json.load(f)["stopwords"]["en"]
+    inner = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return f"[{inner}]"
+
+
 def q_text_quality(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     q = T.quality_features(df)
@@ -250,6 +267,7 @@ def q_text_quality(spark, sf_dir):
         F.col("q_n_tokens").cast("bigint").alias("n_tokens"),
         _r(F.col("q_punct_ratio"), 6).alias("punct_ratio"),
         _r(F.col("q_mean_token_len"), 6).alias("mean_token_len"),
+        _r(F.col("q_stopword_ratio"), 6).alias("stopword_ratio"),
     )
 
 
@@ -2175,7 +2193,9 @@ def oracle_sql() -> dict[str, str]:
                    ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS n_tokens
             FROM documents
         """,
-        "text_quality": """
+        # stopword list interpolated from the SAME frozen fixture the
+        # Spark operator loads (lang_id.json 'en') — drift-proof
+        "text_quality": f"""
             SELECT doc_id,
               length(text) AS n_chars,
               CASE WHEN length(trim(text)) = 0 THEN 0
@@ -2186,7 +2206,13 @@ def oracle_sql() -> dict[str, str]:
                     ELSE CAST(list_sum(list_transform(
                              string_split_regex(trim(text), '\\s+'),
                              x -> length(x))) AS DOUBLE)
-                         / array_length(string_split_regex(trim(text), '\\s+')) END, 6) AS mean_token_len
+                         / array_length(string_split_regex(trim(text), '\\s+')) END, 6) AS mean_token_len,
+              round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(
+                             string_split_regex(trim(text), '\\s+'),
+                             x -> list_contains({_en_stopwords_sql()}, lower(x))))
+                         AS DOUBLE)
+                         / array_length(string_split_regex(trim(text), '\\s+')) END, 6) AS stopword_ratio
             FROM documents
         """,
         "doc_fingerprint": """

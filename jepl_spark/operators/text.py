@@ -44,13 +44,27 @@ def bpe_ish_token_count(text: Column) -> Column:
     return (pieces + punct).cast("long")
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords=None,
+) -> DataFrame:
     """Deterministic per-document quality scores: length, token stats,
-    punctuation/digit/uppercase ratios, mean token length."""
+    punctuation/digit/uppercase ratios, mean token length, and the
+    stopword ratio (fraction of lowercased tokens in ``stopwords`` —
+    default: the frozen lang_id fixture's English list; near-zero on
+    keyword spam / non-linguistic text, the C4/Gopher-style signal).
+    All pure JVM projections, fused with the scan."""
     text = F.col(text_col)
     toks = _tokens(text)
     n_chars = F.length(text)
     safe_len = F.when(n_chars == 0, F.lit(1)).otherwise(n_chars)
+    if stopwords is None:
+        stopwords = _STOPWORDS["en"]
+    stop_arr = F.lit(list(stopwords))
+    stop_cnt = F.size(
+        F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w)))
+    )
     return df.select(
         "*",
         n_chars.alias("q_n_chars"),
@@ -67,6 +81,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             / F.size(toks)
         )
         .alias("q_mean_token_len"),
+        F.when(F.size(toks) == 0, F.lit(0.0))
+        .otherwise(stop_cnt.cast("double") / F.size(toks))
+        .alias("q_stopword_ratio"),
     )
 
 

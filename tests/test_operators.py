@@ -1177,3 +1177,19 @@ def test_bigram_lm_matches_python_reference(spark):
         T.lm_train(df, alpha=0.0)
     with pytest.raises(ValueError):
         T.lm_train(df, min_count=0)
+
+
+def test_quality_stopword_ratio(spark):
+    """The C4/Gopher-style stopword signal: case-folded membership in
+    the frozen fixture's English list by default, overridable."""
+    df = spark.createDataFrame(
+        [(0, "The cat and the dog"), (1, "buy cheap widgets now"), (2, "")],
+        ["doc_id", "text"],
+    )
+    q = {r["doc_id"]: r["q_stopword_ratio"]
+         for r in T.quality_features(df).collect()}
+    assert q[0] == pytest.approx(3 / 5)  # The, and, the
+    assert q[1] == 0.0 and q[2] == 0.0
+    q2 = {r["doc_id"]: r["q_stopword_ratio"]
+          for r in T.quality_features(df, stopwords=["buy", "now"]).collect()}
+    assert q2[1] == pytest.approx(0.5) and q2[0] == 0.0
