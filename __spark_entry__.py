@@ -640,24 +640,17 @@ def q_audio_wav_container(spark, sf_dir):
     )
 
 
-def q_audio_vad_segments(spark, sf_dir):
-    """Energy VAD under the hard signal: synthetic clips with silence
-    ZEROED at formula-known frame-aligned spans (frames [f0, f0+k),
-    f0 = 2+i%7, k = 3+i%4, 20 ms frames) → decode → framing → energy
-    threshold → run splitting, all in the Arrow lane.  The oracle
-    recomputes every segment boundary from the same integer formulas —
-    framing arithmetic, run clipping at the frame count, the
-    min-silence qualification, and empty-segment suppression are each
-    exercised across the 300-clip parameter sweep."""
-    import numpy as np2
+def _vad_fixture_clips(spark):
+    """300 synthetic clips with silence ZEROED at formula-known
+    frame-aligned spans (frames [f0, f0+k), f0 = 2+i%7, k = 3+i%4,
+    20 ms frames) — shared by the batch and streaming VAD gates; the
+    oracle recomputes every boundary from the same formulas."""
     import pandas as pd2
 
-    from pyspark.sql import functions as F2
     from pyspark.sql.types import (
         BinaryType, IntegerType, StringType, StructField, StructType,
     )
 
-    from jepl_spark.functions.audio_udfs import detect_speech_segments
     from jepl_spark.sources import audio as A
 
     schema = StructType([
@@ -685,18 +678,67 @@ def q_audio_vad_segments(spark, sf_dir):
                 rows["sr_hz"].append(sr)
             yield pd2.DataFrame(rows)
 
-    clips = spark.range(0, 300, numPartitions=4).mapInPandas(gen, schema=schema)
-    segs = detect_speech_segments(
-        clips, frame_ms=20, energy_thr=1e-6, min_silence_frames=3
-    )
+    return spark.range(0, 300, numPartitions=4).mapInPandas(gen, schema=schema)
+
+
+def _vad_project(segs):
     return segs.select(
         "clip_id",
-        F2.col("seg_idx").cast("bigint").alias("seg_idx"),
-        F2.col("start_frame").cast("bigint").alias("start_frame"),
-        F2.col("n_frames").cast("bigint").alias("n_frames"),
-        F2.col("start_ms").cast("bigint").alias("start_ms"),
-        F2.col("dur_ms").cast("bigint").alias("dur_ms"),
+        F.col("seg_idx").cast("bigint").alias("seg_idx"),
+        F.col("start_frame").cast("bigint").alias("start_frame"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("start_ms").cast("bigint").alias("start_ms"),
+        F.col("dur_ms").cast("bigint").alias("dur_ms"),
     )
+
+
+def q_audio_vad_segments(spark, sf_dir):
+    """Energy VAD under the hard signal: planted-silence clips
+    (_vad_fixture_clips) → decode → framing → energy threshold → run
+    splitting, all in the Arrow lane.  The oracle recomputes every
+    segment boundary from the same integer formulas — framing
+    arithmetic, run clipping at the frame count, the min-silence
+    qualification, and empty-segment suppression are each exercised
+    across the 300-clip parameter sweep."""
+    from jepl_spark.functions.audio_udfs import detect_speech_segments
+
+    return _vad_project(detect_speech_segments(
+        _vad_fixture_clips(spark),
+        frame_ms=20, energy_thr=1e-6, min_silence_frames=3,
+    ))
+
+
+def q_stream_vad_segments(spark, sf_dir):
+    """The VAD lane as a LIVE stream: the same planted-silence clips
+    staged as a file stream → stateless Arrow segmentation →
+    exactly-once sink.  Statelessness makes the output batching-
+    invariant, so the batch oracle replays it exactly — this pins that
+    the mapInPandas segmentation composes with Structured Streaming's
+    micro-batch execution and the sink protocol unchanged."""
+    import tempfile
+
+    from jepl_spark.functions.audio_udfs import detect_speech_segments
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-svad-")
+    clips = _vad_fixture_clips(spark)
+    src = f"{work}/src"
+    clips.write.mode("overwrite").parquet(src)
+    segs = detect_speech_segments(
+        file_stream(spark, src, clips.schema, max_files_per_trigger=2),
+        frame_ms=20, energy_thr=1e-6, min_silence_frames=3,
+    )
+    sink = IdempotentParquetSink(f"{work}/sink")
+    q = (
+        segs.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    return _vad_project(sink.read_committed(spark))
 
 
 def q_image_decode_stats(spark, sf_dir):
@@ -1780,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "audio_wav_container": q_audio_wav_container,
         "audio_vad_segments": q_audio_vad_segments,
+        "stream_vad_segments": q_stream_vad_segments,
         "decontaminate_docs": q_decontaminate_docs,
         "pack_sequences_docs": q_pack_sequences,
         "lm_score_docs": q_lm_score_docs,
@@ -2348,6 +2391,43 @@ def oracle_sql() -> dict[str, str]:
         # VAD: replay framing, silence-run clipping, qualification, and
         # empty-segment suppression from the planted-silence formulas
         "audio_vad_segments": """
+            WITH c AS (
+              SELECT i,
+                     CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          ELSE 44100 END AS sr,
+                     200 + (i * 37) % 1801 AS dur
+              FROM range(300) t(i)
+            ),
+            p AS (
+              SELECT i, (sr * dur) // 1000 AS n, (sr * 20) // 1000 AS fn
+              FROM c
+            ),
+            q AS (
+              SELECT i, n // fn AS nf, 2 + i % 7 AS f0, 3 + i % 4 AS k
+              FROM p WHERE n // fn > 0
+            ),
+            s AS (
+              SELECT i, nf, least(f0, nf) AS s0, least(f0 + k, nf) AS s1,
+                     (least(f0 + k, nf) - least(f0, nf)) >= 3 AS split
+              FROM q
+            ),
+            segs AS (
+              SELECT i, 0 AS seg_idx, 0 AS start_frame,
+                     CASE WHEN split THEN s0 ELSE nf END AS n_frames
+              FROM s WHERE CASE WHEN split THEN s0 ELSE nf END > 0
+              UNION ALL
+              SELECT i, CASE WHEN s0 > 0 THEN 1 ELSE 0 END, s1, nf - s1
+              FROM s WHERE split AND nf - s1 > 0
+            )
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+                   CAST(seg_idx AS BIGINT) AS seg_idx,
+                   CAST(start_frame AS BIGINT) AS start_frame,
+                   CAST(n_frames AS BIGINT) AS n_frames,
+                   CAST(start_frame * 20 AS BIGINT) AS start_ms,
+                   CAST(n_frames * 20 AS BIGINT) AS dur_ms
+            FROM segs
+        """,
+        "stream_vad_segments": """
             WITH c AS (
               SELECT i,
                      CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
