@@ -1387,6 +1387,47 @@ def q_stream_cms_windowed(spark, sf_dir):
     )
 
 
+def q_stream_kmv_windowed(spark, sf_dir):
+    """Windowed distinct-count sketch on a live stream: per-6-hour KMV
+    of user_id via applyInPandasWithState with BOUNDED state (k longs
+    per live window), emitted at event-time timeout through the
+    exactly-once sink.  The oracle replays the k-th-smallest-hash
+    ESTIMATOR per window from raw rows plus the append-mode emission
+    cutoff — sketch content, bounded-state streaming semantics, and
+    emission pinned together."""
+    import tempfile
+
+    from jepl_spark.operators import sketch as SK
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-skmv-")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    events.write.mode("overwrite").parquet(f"{work}/src")
+    sk = SK.kmv_sketch_windowed_stateful(
+        file_stream(spark, f"{work}/src", events.schema),
+        "user_id", ts_col="ts", duration="6 hours",
+        k=64, watermark="1 hour",
+    )
+    sink = IdempotentParquetSink(f"{work}/sink")
+    q = (
+        sk.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    out = sink.read_committed(spark)
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("ws"),
+        F.size("kmv").cast("bigint").alias("m"),
+        _r(SK.kmv_estimate(F.col("kmv"), F.col("kmv_k")), 4).alias("est_distinct"),
+    )
+
+
 def q_topk_users_per_type(spark, sf_dir):
     """Exact heavy hitters: top-3 users by event count per event_type,
     deterministic (count desc, user asc) tie-break replayed in SQL."""
@@ -1823,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_wav_container": q_audio_wav_container,
         "audio_vad_segments": q_audio_vad_segments,
         "stream_vad_segments": q_stream_vad_segments,
+        "stream_kmv_windowed": q_stream_kmv_windowed,
         "decontaminate_docs": q_decontaminate_docs,
         "pack_sequences_docs": q_pack_sequences,
         "lm_score_docs": q_lm_score_docs,
@@ -2950,6 +2992,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s.ws, s.d, s.bucket, CAST(s.cnt AS BIGINT) AS cnt
             FROM s, m WHERE s.ws + 21600 <= m.mx - 3600
+        """,
+        # streaming windowed KMV: per-window k-min hashes + estimator
+        # replayed from raw rows, append-emission cutoff as above
+        "stream_kmv_windowed": """
+            WITH m AS (SELECT epoch(max(ts)) AS mx FROM events),
+            h AS (
+              SELECT DISTINCT
+                     CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS ws,
+                     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS h
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            r AS (
+              SELECT ws, h,
+                     row_number() OVER (PARTITION BY ws ORDER BY h) AS rn,
+                     count(*) OVER (PARTITION BY ws) AS m
+              FROM h
+            )
+            SELECT r.ws,
+                   CAST(least(r.m, 64) AS BIGINT) AS m,
+                   round(CASE WHEN r.m < 64 THEN CAST(r.m AS DOUBLE)
+                         ELSE 63.0 * 1152921504606846976.0 / r.h END, 4)
+                     AS est_distinct
+            FROM r, m AS mm
+            WHERE r.rn = least(r.m, 64) AND r.ws + 21600 <= mm.mx - 3600
         """,
         "topk_users_per_type": """
             WITH c AS (

@@ -326,3 +326,87 @@ def cms_sketch_windowed(
         .withColumn("cms_width", F.lit(width))
         .withColumn("cms_depth", F.lit(depth))
     )
+
+
+def kmv_sketch_windowed_stateful(
+    df: DataFrame,
+    col: str,
+    ts_col: str,
+    duration: str,
+    k: int = 256,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming per-time-window KMV distinct sketch with BOUNDED
+    state: per tumbling window the k smallest distinct hashes are
+    maintained in ``applyInPandasWithState`` state (≤ k longs per live
+    window — the batch operator's rank windows cannot run on a stream,
+    and a ``collect_set`` aggregation would hold the FULL distinct set
+    per window), emitted exactly once as (window_start, kmv, kmv_k)
+    when the event-time timeout fires after the watermark passes the
+    window end.  Emitted rows merge losslessly across windows with
+    ``kmv_merge`` and estimate with ``kmv_estimate`` — identical
+    semantics to the batch sketch on the same rows.
+
+    Scale shape: hashes are computed JVM-side before the stateful
+    exchange (only (window, hash) longs shuffle); state per key is k
+    longs regardless of the window's true cardinality; total state is
+    bounded by k × live windows (watermark-evicted)."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (estimator divides by h_(k))")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, LongType, StructField, StructType, TimestampType,
+    )
+
+    from jepl_spark.streaming.windows import ensure_event_timestamp
+
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    df = ensure_event_timestamp(df, ts_col)
+    wdf = (
+        df.where(F.col(col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.window(F.col(ts_col), duration).alias("__w"),
+            kmv_hash(F.col(col)).alias("__h"),
+        )
+    )
+    out_schema = StructType(
+        [
+            StructField("window_start", TimestampType()),
+            StructField("kmv", ArrayType(LongType())),
+            StructField("kmv_k", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("mins", ArrayType(LongType()))])
+
+    def update(key: tuple, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        window = key[0]  # struct key arrives as {'start': ..., 'end': ...}
+        wstart, wend = window["start"], window["end"]
+        if state.hasTimedOut:
+            (mins,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"window_start": [wstart], "kmv": [list(mins)], "kmv_k": [k]}
+            )
+            return
+        cur = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            if len(pdf):
+                cur.update(int(h) for h in pdf["__h"].tolist())
+        state.update((sorted(cur)[:k],))
+        wend_ts = pd.Timestamp(wend)
+        if wend_ts.tzinfo is None:
+            wend_ts = wend_ts.tz_localize(session_tz)
+        state.setTimeoutTimestamp(int(wend_ts.timestamp() * 1000))
+        return
+        yield  # pragma: no cover
+
+    return wdf.groupBy("__w").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -449,6 +449,64 @@ def test_stateful_applyinpandas_matches_builtin(spark, tmp_path):
     }
 
 
+def test_stream_kmv_windowed_matches_batch_sketch(spark, tmp_path):
+    """The bounded-state streaming KMV emits, per closed window, the
+    IDENTICAL sorted k-min hash array the batch kmv_sketch computes
+    over the same rows — including the k truncation on a window whose
+    distinct count exceeds k."""
+    from jepl_spark.operators import sketch as K
+
+    def d(u, t):
+        return {"doc_id": u, "text": f"u{u}", "event_time": ts(t)}
+
+    # window [0,30): 12 distinct users (> k=8); window [30,60): 3
+    batches = [
+        [d(u, u % 20) for u in range(12)],
+        [d(100 + u, 35 + u) for u in range(3)],
+        [d(999, 4000)],  # watermark mover: closes both windows
+        [d(998, 90000)],  # trailing flush sentinel
+    ]
+    src = str(tmp_path / "kmv-src")
+    write_batches(src, batches, DEDUP_PA_SCHEMA)
+    out = K.kmv_sketch_windowed_stateful(
+        file_stream(spark, src, DEDUP_SPARK_SCHEMA, max_files_per_trigger=1),
+        "doc_id", ts_col="event_time", duration="30 seconds",
+        k=8, watermark="10 seconds",
+    )
+    collected = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "kmv-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    got = {
+        secs: (list(r["kmv"]), r["kmv_k"])
+        for r in collected
+        for secs in [
+            (r["window_start"].replace(tzinfo=timezone.utc) - BASE)
+            .total_seconds()
+        ]
+        if secs < 1000  # drop watermark-mover/sentinel windows
+    }
+    # batch twin over the same rows, bucketed the same way
+    rows = [(u, t) for b in batches[:2] for u, t in
+            [(x["doc_id"], x["event_time"]) for x in b]]
+    batch = spark.createDataFrame(rows, "doc_id long, event_time timestamp")
+    batch = batch.withColumn(
+        "w", F.window("event_time", "30 seconds").getField("start"))
+    want = {
+        (r["w"].replace(tzinfo=timezone.utc) - BASE).total_seconds():
+        (list(r["kmv"]), 8)
+        for r in K.kmv_sketch(batch, "doc_id", k=8, group_by="w").collect()
+    }
+    assert got == want and len(want) == 2
+    assert len(got[0.0][0]) == 8  # truncated at k
+    assert len(got[30.0][0]) == 3  # exact below k
+
+
 def test_stream_stream_join_golden(spark, tmp_path):
     """Audio × transcript streams joined on clip_id within the delay
     bound; result equals the equivalent batch join."""
