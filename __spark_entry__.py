@@ -576,6 +576,34 @@ def q_audio_decode_stats(spark, sf_dir):
     )
 
 
+def q_audio_resample(spark, sf_dir):
+    """Linear resampling to a common 16 kHz under the hard signal:
+    output lengths replay the integer/round formula in DuckDB
+    (n_out = round(n_in·16000/sr), exempting the already-16k lane —
+    no exact .5 cases exist for these sr values, so round() is
+    portable), and the interpolation is anchored by exact endpoint
+    equality with the decoded source (linspace maps both ends onto
+    source samples), asserted per row Spark-side."""
+    from pyspark.sql import functions as F2
+
+    from jepl_spark.functions.audio_udfs import decode_pcm, resample_pcm
+    from jepl_spark.sources.clips import clips_df
+
+    clips = clips_df(spark, 400)
+    rs = resample_pcm(clips, 16000)
+    src = decode_pcm(F2.col("bytes"), F2.col("codec"))
+    return rs.select(
+        "clip_id",
+        F2.col("sr_hz").cast("bigint").alias("sr_hz"),
+        F2.size(src).cast("bigint").alias("n_in"),
+        F2.size("pcm_rs").cast("bigint").alias("n_out"),
+        (
+            (F2.element_at("pcm_rs", 1) == F2.element_at(src, 1))
+            & (F2.element_at("pcm_rs", -1) == F2.element_at(src, -1))
+        ).alias("endpoints_ok"),
+    )
+
+
 def q_audio_wav_container(spark, sf_dir):
     """Real RIFF/WAVE container under the hard signal: each clip's wave
     is encoded BOTH as raw codec payload (pcm16/ulaw/alaw cycling) and
@@ -1862,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms_windowed": q_stream_cms_windowed,
         "image_dhash": q_image_dhash,
         "audio_wav_container": q_audio_wav_container,
+        "audio_resample": q_audio_resample,
         "audio_vad_segments": q_audio_vad_segments,
         "stream_vad_segments": q_stream_vad_segments,
         "stream_kmv_windowed": q_stream_kmv_windowed,
@@ -2416,6 +2445,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, count(*) AS n_kept,
                    CAST(sum(o_custkey) AS BIGINT) AS sum_cust
             FROM hits WHERE ok GROUP BY 1
+        """,
+        # resampling: output lengths replay round(n_in·16000/sr);
+        # endpoint anchoring asserted Spark-side must be true per row
+        "audio_resample": """
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+                   CAST(sr AS BIGINT) AS sr_hz,
+                   CAST(n AS BIGINT) AS n_in,
+                   CAST(CASE WHEN sr = 16000 THEN n
+                        ELSE greatest(1, CAST(round(n * 16000.0 / sr)
+                                              AS BIGINT)) END AS BIGINT) AS n_out,
+                   true AS endpoints_ok
+            FROM (
+              SELECT i,
+                     CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          ELSE 44100 END AS sr,
+                     (CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                           ELSE 44100 END * (200 + (i * 37) % 1801)) // 1000 AS n
+              FROM range(400) t(i)
+            )
         """,
         # WAV container: sample counts replay the sr·dur//1000 integer
         # formula; pcm_match must be TRUE on every row (bit-identical
