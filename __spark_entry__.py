@@ -386,6 +386,45 @@ def q_ann_topk_batch(spark, sf_dir):
     )
 
 
+def q_stream_ann_serving(spark, sf_dir):
+    """ANN query serving as a LIVE stream: five query vectors staged
+    as a two-file stream (maxFilesPerTrigger=1 → two micro-batches),
+    each batch scored exactly against the static corpus in one
+    broadcast pass, committed exactly-once.  Per-query independence
+    makes the result batching-invariant, so the batch top-k oracle
+    replays the whole run."""
+    import tempfile
+
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-sann-")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin([0, 7, 123, 200, 321])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    src = f"{work}/src"
+    queries.repartition(2).write.mode("overwrite").parquet(src)
+    sink = IdempotentParquetSink(f"{work}/sink")
+    fb = S.stream_topk_serving(emb, sink, k=5)
+    q = (
+        file_stream(spark, src, queries.schema, max_files_per_trigger=1)
+        .writeStream.outputMode("append")
+        .foreachBatch(fb)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    return sink.read_committed(spark).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _r(F.col("cosine"), 4).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (multi-table LSH bucket
     self-join, ids-only → vector re-attach → exact cosine → threshold),
@@ -1894,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vad_segments": q_audio_vad_segments,
         "stream_vad_segments": q_stream_vad_segments,
         "stream_kmv_windowed": q_stream_kmv_windowed,
+        "stream_ann_serving": q_stream_ann_serving,
         "decontaminate_docs": q_decontaminate_docs,
         "pack_sequences_docs": q_pack_sequences,
         "lm_score_docs": q_lm_score_docs,
@@ -2782,6 +2822,22 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_batch": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 7, 123)),
+            s AS (SELECT q.query_id, e.vec_id,
+                         {_cosine_sql('e.v', 'q.qv')} AS c_full
+                  FROM e, q),
+            r AS (SELECT query_id, vec_id, c_full,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY c_full DESC, vec_id ASC) AS rank
+                  FROM s)
+            SELECT query_id, vec_id, round(c_full, 4) AS cosine, rank
+            FROM r WHERE rank <= 5
+        """,
+        # streaming ANN serving: batching-invariant, so the batch
+        # top-k replay covers the live two-batch run
+        "stream_ann_serving": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id IN (0, 7, 123, 200, 321)),
             s AS (SELECT q.query_id, e.vec_id,
                          {_cosine_sql('e.v', 'q.qv')} AS c_full
                   FROM e, q),

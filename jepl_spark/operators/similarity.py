@@ -570,3 +570,51 @@ def dequantize_embeddings(
         .cast("float"),
     )
     return df.withColumn(out_col, dq)
+
+
+def stream_topk_serving(
+    corpus: DataFrame,
+    sink,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    scorer=None,
+):
+    """Streaming ANN query serving: returns a ``foreachBatch`` callback
+    that scores each micro-batch of query vectors against the STATIC
+    ``corpus`` with exact batched top-k (``brute_force_topk_batch``)
+    and commits the results exactly-once to ``sink``.
+
+    Per-query results are independent of every other query, so the
+    output is a pure function of the query SET — batching-invariant,
+    which is what lets a single batch-SQL oracle replay a live run and
+    what makes replays of a committed batch id no-ops.
+
+    Scale shape: each batch broadcasts its (small) query set and makes
+    ONE pass over the corpus — queries never shuffle the corpus.  The
+    brute pass is the exactness baseline; at 10¹²-row corpora pass
+    ``scorer=lambda qdf: index.topk_batch(...)`` to route batches
+    through a partition-pruned LSH/IVF index instead (the callback
+    contract is just queries-DataFrame → (query_id, vec_id, cosine,
+    rank))."""
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            if sink.is_committed(batch_id):
+                return
+        except TypeError:  # sinks with (spark, batch_id) signatures
+            if sink.is_committed(spark, batch_id):
+                return
+        if scorer is not None:
+            out = scorer(batch_df)
+        else:
+            out = brute_force_topk_batch(
+                corpus, batch_df, k=k, vec_col=vec_col, id_col=id_col,
+                query_id_col=query_id_col, query_vec_col=query_vec_col,
+            )
+        sink.write_batch(out, batch_id)
+
+    return fb
