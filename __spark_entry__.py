@@ -1975,6 +1975,26 @@ def _cosine_sql(v: str, qv: str) -> str:
     )
 
 
+def _topk_batch_oracle_sql(query_ids: str, k: int) -> str:
+    """Batched exact top-k replay, shared by ann_topk_batch and
+    stream_ann_serving (the streaming gate is batching-invariant, so
+    the one builder is the single source of truth for both)."""
+    return f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id IN ({query_ids})),
+            s AS (SELECT q.query_id, e.vec_id,
+                         {_cosine_sql('e.v', 'q.qv')} AS c_full
+                  FROM e, q),
+            r AS (SELECT query_id, vec_id, c_full,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY c_full DESC, vec_id ASC) AS rank
+                  FROM s)
+            SELECT query_id, vec_id, round(c_full, 4) AS cosine, rank
+            FROM r WHERE rank <= {int(k)}
+        """
+
+
 def _lsh_bucket_sql(vcol: str, hp) -> str:
     """DuckDB expression for a random-hyperplane bucket id — the
     hyperplane constants come from the checked-in fixture (see
@@ -2173,7 +2193,7 @@ def _winnow_oracle_sql(k: int = 8, window: int = 4) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "jepl_sum_filter": """
             SELECT CAST(round(coalesce(sum(value),0.0) * 100) AS BIGINT) AS sum_value_cents,
                    count(*) AS n
@@ -2557,43 +2577,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_frames * 20 AS BIGINT) AS dur_ms
             FROM segs
         """,
-        "stream_vad_segments": """
-            WITH c AS (
-              SELECT i,
-                     CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                          ELSE 44100 END AS sr,
-                     200 + (i * 37) % 1801 AS dur
-              FROM range(300) t(i)
-            ),
-            p AS (
-              SELECT i, (sr * dur) // 1000 AS n, (sr * 20) // 1000 AS fn
-              FROM c
-            ),
-            q AS (
-              SELECT i, n // fn AS nf, 2 + i % 7 AS f0, 3 + i % 4 AS k
-              FROM p WHERE n // fn > 0
-            ),
-            s AS (
-              SELECT i, nf, least(f0, nf) AS s0, least(f0 + k, nf) AS s1,
-                     (least(f0 + k, nf) - least(f0, nf)) >= 3 AS split
-              FROM q
-            ),
-            segs AS (
-              SELECT i, 0 AS seg_idx, 0 AS start_frame,
-                     CASE WHEN split THEN s0 ELSE nf END AS n_frames
-              FROM s WHERE CASE WHEN split THEN s0 ELSE nf END > 0
-              UNION ALL
-              SELECT i, CASE WHEN s0 > 0 THEN 1 ELSE 0 END, s1, nf - s1
-              FROM s WHERE split AND nf - s1 > 0
-            )
-            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
-                   CAST(seg_idx AS BIGINT) AS seg_idx,
-                   CAST(start_frame AS BIGINT) AS start_frame,
-                   CAST(n_frames AS BIGINT) AS n_frames,
-                   CAST(start_frame * 20 AS BIGINT) AS start_ms,
-                   CAST(n_frames * 20 AS BIGINT) AS dur_ms
-            FROM segs
-        """,
         "audio_chunks": """
             WITH c AS (
               SELECT i,
@@ -2819,35 +2802,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(c_full, 4) AS cosine
             FROM s ORDER BY c_full DESC, vec_id ASC LIMIT 10
         """,
-        "ann_topk_batch": f"""
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 7, 123)),
-            s AS (SELECT q.query_id, e.vec_id,
-                         {_cosine_sql('e.v', 'q.qv')} AS c_full
-                  FROM e, q),
-            r AS (SELECT query_id, vec_id, c_full,
-                         row_number() OVER (PARTITION BY query_id
-                                            ORDER BY c_full DESC, vec_id ASC) AS rank
-                  FROM s)
-            SELECT query_id, vec_id, round(c_full, 4) AS cosine, rank
-            FROM r WHERE rank <= 5
-        """,
-        # streaming ANN serving: batching-invariant, so the batch
-        # top-k replay covers the live two-batch run
-        "stream_ann_serving": f"""
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            q AS (SELECT vec_id AS query_id, v AS qv FROM e
-                  WHERE vec_id IN (0, 7, 123, 200, 321)),
-            s AS (SELECT q.query_id, e.vec_id,
-                         {_cosine_sql('e.v', 'q.qv')} AS c_full
-                  FROM e, q),
-            r AS (SELECT query_id, vec_id, c_full,
-                         row_number() OVER (PARTITION BY query_id
-                                            ORDER BY c_full DESC, vec_id ASC) AS rank
-                  FROM s)
-            SELECT query_id, vec_id, round(c_full, 4) AS cosine, rank
-            FROM r WHERE rank <= 5
-        """,
+        "ann_topk_batch": _topk_batch_oracle_sql("0, 7, 123", 5),
+        # streaming ANN serving: batching-invariant, so the SAME batch
+        # top-k replay (shared builder) covers the live two-batch run
+        "stream_ann_serving": _topk_batch_oracle_sql(
+            "0, 7, 123, 200, 321", 5
+        ),
         "ann_index_topk": _ann_index_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         # IVF with data-derived centroids: assignment = argmin squared
@@ -3567,3 +3527,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.2
         """,
     }
+    # the streaming VAD gate is batching-invariant by statelessness, so
+    # it SHARES the batch oracle — one source of truth, a one-sided
+    # edit cannot silently diverge the twins
+    out["stream_vad_segments"] = out["audio_vad_segments"]
+    return out

@@ -409,18 +409,18 @@ def detect_speech_segments(
                     continue
                 frames = x[: nf * frame_n].reshape(nf, frame_n)
                 silent = (frames * frames).mean(axis=1) < energy_thr
-                # qualifying silence runs split the clip
-                splits = []
-                run = 0
-                for i in range(nf):
-                    if silent[i]:
-                        run += 1
-                    else:
-                        if run >= min_silence_frames:
-                            splits.append((i - run, i))
-                        run = 0
-                if run >= min_silence_frames:
-                    splits.append((nf - run, nf))
+                # qualifying silence runs split the clip — vectorized
+                # run extraction (edges of the silent mask), no
+                # per-frame Python even on hour-long audio
+                edges = np.flatnonzero(
+                    np.diff(np.concatenate(
+                        ([0], silent.view(np.int8), [0])))
+                )
+                splits = [
+                    (int(s0), int(s1))
+                    for s0, s1 in zip(edges[0::2], edges[1::2])
+                    if s1 - s0 >= min_silence_frames
+                ]
                 seg_start, seg_idx = 0, 0
                 for (s0, s1) in splits + [(nf, nf)]:
                     if s0 > seg_start:

@@ -641,12 +641,11 @@ def stream_simhash_near_dedup(
 
     def foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            if sink.is_committed(batch_id):
-                return  # replay of a committed batch: zero work
-        except TypeError:  # sinks with (spark, batch_id) signatures
-            if sink.is_committed(spark, batch_id):
-                return
+        # short-circuit replays BEFORE the banded search (write_batch
+        # would also no-op, but only after the expensive plan ran);
+        # every sink shares the (batch_id, spark=None) signature
+        if sink.is_committed(batch_id):
+            return
         batch = batch_df.persist()
         try:
             sigs = batch.select(sig_col).distinct()

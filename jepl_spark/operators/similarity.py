@@ -601,13 +601,8 @@ def stream_topk_serving(
     rank))."""
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        try:
-            if sink.is_committed(batch_id):
-                return
-        except TypeError:  # sinks with (spark, batch_id) signatures
-            if sink.is_committed(spark, batch_id):
-                return
+        # no pre-check: scoring is lazy, so nothing runs before
+        # write_batch's own committed-batch no-op
         if scorer is not None:
             out = scorer(batch_df)
         else:

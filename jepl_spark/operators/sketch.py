@@ -396,10 +396,9 @@ def kmv_sketch_windowed_stateful(
             if len(pdf):
                 cur.update(int(h) for h in pdf["__h"].tolist())
         state.update((sorted(cur)[:k],))
-        wend_ts = pd.Timestamp(wend)
-        if wend_ts.tzinfo is None:
-            wend_ts = wend_ts.tz_localize(session_tz)
-        state.setTimeoutTimestamp(int(wend_ts.timestamp() * 1000))
+        from jepl_spark.streaming.state import timeout_epoch_ms
+
+        state.setTimeoutTimestamp(timeout_epoch_ms(wend, session_tz))
         return
         yield  # pragma: no cover
 

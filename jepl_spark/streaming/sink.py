@@ -580,9 +580,12 @@ class IcebergSink:
     def __init__(self, table: str) -> None:
         self.table = table
 
-    def is_committed(self, spark: SparkSession, batch_id: int) -> bool:
+    def is_committed(self, batch_id: int, spark: Optional[SparkSession] = None) -> bool:
         """True iff a snapshot already carries this batch id — the
-        idempotency read for replayed batches."""
+        idempotency read for replayed batches.  Signature matches the
+        other sinks' (batch_id first, optional session) so foreachBatch
+        callbacks need no per-sink signature probing."""
+        spark = spark or SparkSession.getActiveSession()
         rows = spark.sql(
             f"SELECT summary['jepl.batch_id'] AS b FROM {self.table}.snapshots"
         ).collect()
@@ -592,7 +595,7 @@ class IcebergSink:
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         try:
-            if self.is_committed(spark, batch_id):
+            if self.is_committed(batch_id, spark):
                 return  # replay of an already-committed batch → no-op
         except Exception as exc:  # pragma: no cover - no Iceberg here
             raise RuntimeError(

@@ -40,6 +40,25 @@ STATE_SCHEMA = StructType(
 )
 
 
+def timeout_epoch_ms(wend, session_tz: str) -> int:
+    """Window-end naive timestamp (expressed in the SESSION timezone,
+    which is how struct keys reach the Python worker) → epoch ms for
+    ``setTimeoutTimestamp``.  Shared by every stateful windowed
+    operator so the conversion cannot drift.  DST hardening: on a
+    fall-back transition the naive wall time is ambiguous —
+    ``ambiguous=True`` resolves to the DST side and
+    ``nonexistent='shift_forward'`` handles spring-forward gaps, so
+    the query never crashes mid-stream (the timeout can land an hour
+    early during the one ambiguous hour a year in a non-UTC session
+    zone; run pipelines in UTC to avoid even that)."""
+    wend_ts = pd.Timestamp(wend)
+    if wend_ts.tzinfo is None:
+        wend_ts = wend_ts.tz_localize(
+            session_tz, ambiguous=True, nonexistent="shift_forward"
+        )
+    return int(wend_ts.timestamp() * 1000)
+
+
 def _out_schema(dims: list[str]) -> StructType:
     return StructType(
         [StructField("window_start", TimestampType())]
@@ -128,12 +147,8 @@ def stateful_windowed_agg(
             mn = vmn if mn is None else min(mn, vmn)
             mx = vmx if mx is None else max(mx, vmx)
         state.update((cnt, s, mn if mn is not None else 0.0, mx if mx is not None else 0.0))
-        # fire once the watermark passes the window end (epoch ms via
-        # the session timezone the naive timestamp is expressed in)
-        wend_ts = pd.Timestamp(wend)
-        if wend_ts.tzinfo is None:
-            wend_ts = wend_ts.tz_localize(session_tz)
-        state.setTimeoutTimestamp(int(wend_ts.timestamp() * 1000))
+        # fire once the watermark passes the window end
+        state.setTimeoutTimestamp(timeout_epoch_ms(wend, session_tz))
         return
         yield  # pragma: no cover
 
