@@ -1,0 +1,121 @@
+"""ANN query-serving job, packaged for spark-submit — the third job of
+the suite (ingest: clips_pipeline, curation: corpus_pipeline, serving:
+this).
+
+    spark-submit --master <cluster> --py-files jepl_spark.zip \\
+        jobs/serving_pipeline.py \\
+        --corpus <embeddings.parquet> --queries <dir-of-query-parquet> \\
+        --sink <dir> --checkpoint <dir> \\
+        [--k 10] [--max-files-per-trigger 1] \\
+        [--index lsh --index-path <dir> --planes 8 --tables 4]
+
+Pipeline: a file stream of query vectors → per-micro-batch exact
+batched top-k against the static corpus (one broadcast pass per batch;
+queries never shuffle the corpus) → exactly-once sink.  Per-query
+results are independent, so output is batching-invariant and replays
+are idempotent.  ``--index lsh`` builds (or reuses) a bucket-partitioned
+LSH index and routes batches through its partition-pruned lookup
+instead of the full corpus pass — the switch to flip when the corpus
+stops fitting a per-batch scan.
+
+Query parquet schema: (query_id: long, query_vec: array<float|double>).
+One JSON line is printed at exit: batches committed, result rows,
+wall seconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--queries", required=True)
+    p.add_argument("--sink", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--index", choices=["brute", "lsh"], default="brute")
+    p.add_argument("--index-path", default=None)
+    p.add_argument("--planes", type=int, default=8)
+    p.add_argument("--tables", type=int, default=4)
+    args = p.parse_args(argv)
+    if args.index == "lsh" and not args.index_path:
+        p.error("--index lsh requires --index-path")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    from jepl_spark.operators import similarity as S
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    spark = SparkSession.builder.appName("jepl-ann-serving").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.time()
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    corpus = spark.read.parquet(args.corpus)
+    scorer = None
+    if args.index == "lsh":
+        index = S.lsh_bucketize(
+            corpus, args.index_path, planes=args.planes, tables=args.tables
+        )
+
+        def scorer(qdf):
+            # partition-pruned per-query index lookups; the collect is
+            # bounded by the micro-batch's query count (small by
+            # construction — this is the serving shape)
+            import functools
+
+            outs = [
+                index.topk(spark, list(r["query_vec"]), k=args.k)
+                .select(
+                    F.lit(int(r["query_id"])).alias("query_id"),
+                    F.col("vec_id"),
+                    F.col("cosine"),
+                    F.row_number().over(
+                        Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+                    ).alias("rank"),
+                )
+                for r in qdf.select("query_id", "query_vec").collect()
+            ]
+            return functools.reduce(lambda a, b: a.unionByName(b), outs)
+
+    schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("query_vec", ArrayType(FloatType())),
+    ])
+    sink = IdempotentParquetSink(args.sink)
+    fb = S.stream_topk_serving(corpus, sink, k=args.k, scorer=scorer)
+    q = (
+        file_stream(spark, args.queries, schema,
+                    max_files_per_trigger=args.max_files_per_trigger)
+        .writeStream.outputMode("append")
+        .foreachBatch(fb)
+        .option("checkpointLocation", args.checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=3600)
+    out_rows = sink.read_committed(spark).count()
+    print(json.dumps({
+        "batches": sink.committed_count(spark),
+        "rows": out_rows,
+        "k": args.k,
+        "index": args.index,
+        "wall_s": round(time.time() - t0, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -264,3 +264,69 @@ def test_corpus_pipeline_split_and_chunk(spark, tmp_path, capsys):
     # identical texts -> identical chunk counts per doc; all docs survive
     per_doc = shards.groupBy("doc_id").count().collect()
     assert len(per_doc) == 1  # exact dedup folded the identical docs
+
+
+def test_serving_pipeline_brute_and_lsh(spark, tmp_path, capsys):
+    """The serving job end-to-end in both modes: brute per-batch top-k
+    and the LSH index path; brute results match the batch operator, the
+    LSH path returns k rows per query from the pruned candidate set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    corpus_path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(corpus_path)
+    qrows = emb.filter("vec_id IN (0, 7)").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    ).collect()
+    qdir = str(tmp_path / "queries")
+    import os
+    os.makedirs(qdir)
+    tbl = pa.table({
+        "query_id": pa.array([int(r["query_id"]) for r in qrows], pa.int64()),
+        "query_vec": pa.array([list(r["query_vec"]) for r in qrows],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, os.path.join(qdir, "q0.parquet"))
+
+    from jobs.serving_pipeline import main
+
+    rc = main([
+        "--corpus", corpus_path, "--queries", qdir,
+        "--sink", str(tmp_path / "sink-b"),
+        "--checkpoint", str(tmp_path / "ckpt-b"), "--k", "4",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 8 and rep["batches"] >= 1
+    got = spark.read.parquet(str(tmp_path / "sink-b") + "/data")
+    from jepl_spark.operators import similarity as S
+
+    queries = emb.filter("vec_id IN (0, 7)").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    want = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in S.brute_force_topk_batch(emb, queries, k=4).collect()
+    }
+    got_map = {(r["query_id"], r["rank"]): r["vec_id"] for r in got.collect()}
+    assert got_map == want
+
+    rc = main([
+        "--corpus", corpus_path, "--queries", qdir,
+        "--sink", str(tmp_path / "sink-l"),
+        "--checkpoint", str(tmp_path / "ckpt-l"), "--k", "4",
+        "--index", "lsh", "--index-path", str(tmp_path / "idx"),
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["index"] == "lsh" and rep["rows"] == 8
+    lsh = spark.read.parquet(str(tmp_path / "sink-l") + "/data")
+    per_q = {r["query_id"]: r["n"] for r in
+             lsh.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert per_q == {0: 4, 7: 4}
+    # the query vector itself lives in its own bucket → rank 1 = self
+    self_hits = {r["query_id"]: r["vec_id"] for r in
+                 lsh.where("rank = 1").collect()}
+    assert self_hits == {0: 0, 7: 7}
