@@ -3374,7 +3374,7 @@ def oracle_sql() -> dict[str, str]:
               FROM d WHERE tok > 0 AND h IS NOT NULL
             ),
             c AS (
-              SELECT *, sum(tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+              SELECT *, sum(tok) OVER (PARTITION BY shard ORDER BY h, doc_id, tok
                                        ROWS UNBOUNDED PRECEDING) AS e
               FROM b
             ),

@@ -20,6 +20,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -552,6 +554,31 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return df.join(reps, on=id_col, how="inner")
 
 
+_INTERVAL_UNIT_S = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1, "minute": 60,
+    "hour": 3600, "day": 86400, "week": 604800,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    """Total seconds of a Spark calendar-interval string like
+    ``'1 hour'`` / ``'90 seconds'`` / ``'1 hour 30 minutes'`` (the
+    subset watermark delays use — fixed-duration units only; sub-second
+    parts round up so a horizon never undershoots the watermark)."""
+    parts = interval.strip().lower().split()
+    if not parts or len(parts) % 2 != 0:
+        raise ValueError(f"cannot parse interval {interval!r}")
+    total = 0.0
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        unit = unit.rstrip("s")
+        if unit not in _INTERVAL_UNIT_S:
+            raise ValueError(
+                f"cannot parse interval {interval!r}: unknown unit {unit!r}"
+            )
+        total += float(qty) * _INTERVAL_UNIT_S[unit]
+    return int(math.ceil(total))
+
+
 def stream_simhash_near_dedup(
     stream: DataFrame,
     sink,
@@ -561,7 +588,7 @@ def stream_simhash_near_dedup(
     max_hamming: int = 3,
     bands: int = 4,
     sig: Column | None = None,
-    horizon_s: int | None = None,
+    horizon_s: int | None | str = "watermark",
     sig_col: str = "simhash",
 ):
     """Streaming NEAR-duplicate dedup at ingest: beyond exact-content
@@ -599,11 +626,20 @@ def stream_simhash_near_dedup(
 
     Scale shape: stage 2 shuffles (band, 16-bit key, 8-byte sig) only
     — never text; the admitted side reads ONLY ``sig_col`` from the
-    committed store (parquet column pruning), optionally bounded to
-    ``horizon_s`` seconds before the batch's earliest event when
-    ``ts_col`` is given — at 10¹²-row scale, time-partition the sink so
-    that horizon filter prunes partitions, or maintain a signatures
-    side-table.  A replayed (already-committed) batch short-circuits
+    committed store (parquet column pruning), bounded to ``horizon_s``
+    seconds before the batch's earliest event when ``ts_col`` is given.
+    ``horizon_s`` DEFAULTS to the dedup ``watermark`` delay — the same
+    bound the exact-signature state already lives under — so the
+    vs-admitted read does NOT grow with sink history forever.  RECALL
+    CONSEQUENCE: a near-dup (within max_hamming bits, but not
+    exact-signature-equal) of content admitted more than the horizon
+    before the batch's earliest event is re-admitted — identical in
+    kind to the exact-dedup watermark bound one stage earlier.  Pass
+    ``horizon_s=None`` to scan ALL committed history (full recall; the
+    read then grows with the sink — at 10¹²-row scale, time-partition
+    the sink so the horizon filter prunes partitions, or maintain a
+    signatures side-table), or an explicit number of seconds for any
+    other trade.  A replayed (already-committed) batch short-circuits
     before any work.
 
     ``sig`` overrides the signature expression (any BIGINT column),
@@ -616,6 +652,13 @@ def stream_simhash_near_dedup(
             f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
             f"pigeonhole recall guarantee needs one untouched band per "
             f"qualifying pair"
+        )
+    if horizon_s == "watermark":
+        horizon_s = _interval_seconds(watermark) if ts_col is not None else None
+    elif isinstance(horizon_s, str):
+        raise ValueError(
+            f"horizon_s must be an int, None, or the string 'watermark' "
+            f"(got {horizon_s!r})"
         )
     width = 64 // bands
     mask = (1 << width) - 1

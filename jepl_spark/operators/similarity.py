@@ -226,6 +226,81 @@ class LshIndex:
         )
         return brute_force_topk(cands, query, k, self.vec_col, self.id_col)
 
+    def topk_batch(
+        self,
+        spark,
+        queries: DataFrame,
+        k: int = 10,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """Partition-pruned top-k for a BATCH of queries in ONE job —
+        the serving shape (one micro-batch of N queries must not launch
+        N sequential jobs, and the plan must not grow with N).
+
+        Driver side computes each query's (table, bucket) per table
+        (bounded by |queries| × tables — micro-batch scale); the index
+        is read ONCE filtered to the union of those partitions; the
+        query set broadcast-joins the candidates on (table, bucket);
+        exact cosine rescores; a per-query rank window cuts to k.  The
+        only shuffle carries (query_id, id, cosine) rows — never
+        vectors.  Ties break (desc cosine, asc id) matching
+        ``brute_force_topk``/``topk``.
+
+        Returns (query_id, id_col, cosine, rank) with rank 1..k; an
+        empty query set returns an empty frame with the same schema.
+        """
+        from pyspark.sql.window import Window
+
+        idx = spark.read.parquet(self.path)
+        rows = queries.select(query_id_col, query_vec_col).collect()
+        if not rows:
+            return idx.limit(0).select(
+                F.lit(None).cast("long").alias(query_id_col),
+                F.col(self.id_col),
+                F.lit(0.0).alias("cosine"),
+                F.lit(0).cast("int").alias("rank"),
+            )
+        qdata = []
+        pairs = set()
+        for r in rows:
+            vec = [float(x) for x in r[query_vec_col]]
+            qn = math.sqrt(sum(x * x for x in vec))
+            for t, b in self.query_buckets(vec):
+                qdata.append((int(r[query_id_col]), t, b, vec, qn))
+                pairs.add((t, b))
+        qdf = spark.createDataFrame(
+            qdata,
+            f"{query_id_col} long, lsh_table int, lsh_bucket long, "
+            "__qv array<double>, __qn double",
+        )
+        cond = None
+        for t, b in sorted(pairs):
+            c = (F.col("lsh_table") == t) & (F.col("lsh_bucket") == b)
+            cond = c if cond is None else (cond | c)
+        cands = idx.filter(cond).select(
+            "lsh_table", "lsh_bucket", self.id_col, self.vec_col
+        )
+        joined = (
+            cands.join(F.broadcast(qdf), on=["lsh_table", "lsh_bucket"])
+            # a vector can meet the same query in several tables
+            .dropDuplicates([query_id_col, self.id_col])
+        )
+        denom = _norm(F.col(self.vec_col)) * F.col("__qn")
+        cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            _dot(F.col(self.vec_col), F.col("__qv")) / denom
+        )
+        scored = joined.select(
+            F.col(query_id_col), F.col(self.id_col), cos.alias("cosine")
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("cosine"), F.asc(self.id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
 
 def lsh_bucketize(
     df: DataFrame,
@@ -601,9 +676,13 @@ def stream_topk_serving(
     rank))."""
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
-        # no pre-check: scoring is lazy, so nothing runs before
-        # write_batch's own committed-batch no-op
         if scorer is not None:
+            # index scorers do eager driver work (bucket derivation
+            # collects the micro-batch) — short-circuit a replayed
+            # committed batch BEFORE paying it; the brute path below
+            # stays lazy, so write_batch's own no-op suffices there
+            if sink.is_committed(batch_id, spark=batch_df.sparkSession):
+                return
             out = scorer(batch_df)
         else:
             out = brute_force_topk_batch(

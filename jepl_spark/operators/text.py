@@ -532,11 +532,16 @@ def pack_sequences(
     tokens; each document's spans are contiguous from offset 0 and sum
     to its token count.
 
-    DETERMINISM: ordering is (hash(seed, id), id) — a pure function of
-    the data, invariant to partitioning and cluster size, so re-runs
-    and the DuckDB oracle produce the identical packing.  NULL ids and
-    rows with ≤ 0 tokens drop out (nothing to pack; a 0-token doc in
-    the stream would also trip sequence()'s backward-step trap).
+    DETERMINISM: ordering is (hash(seed, id), id, token count) — a
+    pure function of the data, invariant to partitioning and cluster
+    size, so re-runs and the DuckDB oracle produce the identical
+    packing.  Ids need NOT be unique: duplicate ids order by their
+    token counts, and rows tied on the full (hash, id, tokens) triple
+    are indistinguishable in this projection, so the output multiset
+    is still deterministic (their spans are interchangeable).  NULL
+    ids and rows with ≤ 0 tokens drop out (nothing to pack; a 0-token
+    doc in the stream would also trip sequence()'s backward-step
+    trap).
 
     Scale shape: rows carry (id, token count, hash) only — never text;
     ONE exchange on the shard for the per-shard running-sum window.
@@ -564,7 +569,7 @@ def pack_sequences(
     )
     w = (
         Window.partitionBy("shard")
-        .orderBy("__h", id_col)
+        .orderBy("__h", id_col, "__tok")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     base = base.withColumn("__end", F.sum("__tok").over(w)).withColumn(

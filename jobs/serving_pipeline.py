@@ -60,9 +60,6 @@ def main(argv: list[str]) -> int:
     spark.sparkContext.setLogLevel("WARN")
     t0 = time.time()
 
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
     corpus = spark.read.parquet(args.corpus)
     scorer = None
     if args.index == "lsh":
@@ -71,24 +68,11 @@ def main(argv: list[str]) -> int:
         )
 
         def scorer(qdf):
-            # partition-pruned per-query index lookups; the collect is
-            # bounded by the micro-batch's query count (small by
-            # construction — this is the serving shape)
-            import functools
-
-            outs = [
-                index.topk(spark, list(r["query_vec"]), k=args.k)
-                .select(
-                    F.lit(int(r["query_id"])).alias("query_id"),
-                    F.col("vec_id"),
-                    F.col("cosine"),
-                    F.row_number().over(
-                        Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-                    ).alias("rank"),
-                )
-                for r in qdf.select("query_id", "query_vec").collect()
-            ]
-            return functools.reduce(lambda a, b: a.unionByName(b), outs)
+            # ONE batched index-join job per micro-batch: union of the
+            # queries' bucket partitions read once, queries broadcast-
+            # joined on (table, bucket), exact rescore, per-query rank.
+            # Handles the empty micro-batch (returns an empty frame).
+            return index.topk_batch(spark, qdf, k=args.k)
 
     schema = StructType([
         StructField("query_id", LongType()),
@@ -106,9 +90,15 @@ def main(argv: list[str]) -> int:
         .start()
     )
     run_to_completion(q, timeout_s=3600)
-    out_rows = sink.read_committed(spark).count()
+    try:
+        out_rows = sink.read_committed(spark).count()
+        batches = sink.committed_count(spark)
+    except ValueError:
+        # nothing committed (e.g. an empty --queries directory): the
+        # promised JSON summary still prints instead of a traceback
+        out_rows, batches = 0, 0
     print(json.dumps({
-        "batches": sink.committed_count(spark),
+        "batches": batches,
         "rows": out_rows,
         "k": args.k,
         "index": args.index,

@@ -404,6 +404,70 @@ def test_lsh_index_build_query_recall(spark, tmp_path):
     assert idx2.query_buckets(q) == idx.query_buckets(q)
 
 
+def test_lsh_topk_batch_one_job_parity(spark, tmp_path):
+    """LshIndex.topk_batch: the serving-shape batched lookup must (a)
+    return exactly what N per-query topk calls return, (b) handle an
+    empty query set with the same schema, and (c) issue a job count
+    INDEPENDENT of N — one batched index-join job per micro-batch, not
+    one job per query (the round-4 weak spot)."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    centers = rng.randn(30, 24) * 3.0
+    vecs = [
+        (i, (centers[i % 30] + rng.randn(24) * 0.15).astype(float).tolist())
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    path = str(tmp_path / "idx")
+    idx = S.lsh_bucketize(df, path, planes=8, tables=4, seed=42)
+
+    qids = [3, 7, 11, 19, 42, 101, 150, 222]
+    queries = spark.createDataFrame(
+        [(i, vecs[i][1]) for i in qids], ["query_id", "query_vec"]
+    )
+
+    # (a) parity vs the per-query path, bit-for-bit on (id, rank) and
+    # close on cosine (identical arithmetic, but don't rely on it)
+    want = {}
+    for i in qids:
+        for rank, r in enumerate(idx.topk(spark, vecs[i][1], k=5).collect(), 1):
+            want[(i, rank)] = (r["vec_id"], r["cosine"])
+    got_rows = idx.topk_batch(spark, queries, k=5).collect()
+    got = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+           for r in got_rows}
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], (key, got[key], want[key])
+        assert abs(got[key][1] - want[key][1]) < 1e-9
+
+    # (b) empty micro-batch → empty result, same columns
+    empty = idx.topk_batch(spark, queries.limit(0), k=5)
+    assert empty.columns == ["query_id", "vec_id", "cosine", "rank"]
+    assert empty.count() == 0
+
+    # (c) job count is constant in N: run the whole batched lookup for
+    # 2 queries and for 8 queries under tagged job groups and compare.
+    # (AQE/broadcast may add a couple of internal jobs — what matters
+    # is that 4× the queries does NOT mean 4× the jobs.)
+    sc = spark.sparkContext
+
+    def count_jobs(group, qdf):
+        sc.setJobGroup(group, group)
+        try:
+            idx.topk_batch(spark, qdf, k=5).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    jobs_small = count_jobs("lsh-batch-2", queries.limit(2))
+    jobs_large = count_jobs("lsh-batch-8", queries)
+    # AQE materializes each exchange stage as its own job, so the
+    # absolute count is ~10 — the invariant is that it's CONSTANT:
+    # 4× the queries adds at most one job, vs +6 for a per-query loop
+    assert jobs_large <= jobs_small + 1, (jobs_small, jobs_large)
+
+
 def test_ivf_index_build_query_recall(spark, tmp_path):
     """IVF coarse-quantizer index (the brief's 'IVF or LSH' second
     variant): on clustered data the nprobe-cell scan must reach
@@ -1074,6 +1138,31 @@ def test_pack_sequences_invariants(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         T.pack_sequences(df, "tok", budget=0)
+
+
+def test_pack_sequences_duplicate_ids_deterministic(spark):
+    """Duplicate ids (the round-4 advice finding): rows tied on
+    (hash, id) order by token count, so span boundaries are a pure
+    function of the data — re-runs over different partitionings agree
+    as multisets, and per-(id,tok-count) groups still reassemble."""
+    rows = (
+        [(1, 10), (1, 30), (1, 10), (2, 7), (2, 50)]
+        + [(i, 5 + i % 11) for i in range(3, 100)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "tok"])
+    a = sorted(
+        tuple(r)
+        for r in T.pack_sequences(df, "tok", budget=40, shards=4).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in T.pack_sequences(
+            df.repartition(17), "tok", budget=40, shards=4
+        ).collect()
+    )
+    assert a == b
+    # total packed tokens conserve the input
+    assert sum(t[-1] for t in a) == sum(t for _, t in rows)
 
 
 def test_pii_counts_match_scrub_redactions(spark):

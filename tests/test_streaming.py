@@ -990,6 +990,125 @@ def test_stream_simhash_near_dedup_restart_idempotent(spark, tmp_path):
     assert sorted(tuple(r) for r in sink.read_committed(spark).collect()) == first
 
 
+def test_stream_decontaminate_broadcast_path_live(spark, tmp_path):
+    """The >2048-word (broadcast single-row stream-static cross join)
+    word-array binding on a REAL writeStream query — the default
+    n_bits=1<<20 configuration routes here, but the live gate uses the
+    64-word literal path, so this pins that Spark actually accepts the
+    cross join end-to-end and drops/keeps the same rows the batch
+    projection does."""
+    import pyarrow as pa
+
+    from jepl_spark.operators import dedup as D
+
+    bench_text = "the quick brown fox jumps over the lazy dog every day"
+    rows = [
+        {"doc_id": 0,
+         "text": f"intro words then {bench_text} and some trailing text"},
+        {"doc_id": 1,
+         "text": "a completely unrelated document about spark shuffles "
+                 "and partition pruning strategies for large joins"},
+        {"doc_id": 2, "text": None},
+    ]
+    pa_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("text", pa.string())]
+    )
+    src = str(tmp_path / "src")
+    write_batches(src, [rows[:2], rows[2:]], pa_schema)
+
+    bench = spark.createDataFrame([(bench_text,)], ["text"])
+    filt = D.decontaminate_bloom_words(bench, n=8)  # default 1<<20 bits
+    assert len(filt.words) > 2048  # must exercise the broadcast binding
+
+    docs_schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+    kept = D.stream_decontaminate(
+        file_stream(spark, src, docs_schema, max_files_per_trigger=1),
+        filt, min_hits=2, hits_col="h",
+    )
+    assert kept.isStreaming
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    q = (
+        kept.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: sink.write_batch(df, bid))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    got = {r["doc_id"]: r["h"] for r in sink.read_committed(spark).collect()}
+    # contaminated doc 0 dropped; unrelated + NULL kept with 0 hits
+    assert got == {1: 0, 2: 0}
+    # and the helper word-array column never leaks into the output
+    # (the sink adds its own _lineage_* columns)
+    cols = set(sink.read_committed(spark).columns)
+    assert {"doc_id", "text", "h"} <= cols
+    assert not any(c.startswith("__bloom_words") for c in cols)
+
+
+def test_stream_simhash_horizon_defaults_to_watermark(spark, tmp_path):
+    """The vs-admitted read is bounded by default: horizon_s='watermark'
+    resolves to the dedup watermark delay, so an admitted near-neighbor
+    OLDER than (batch's earliest event - watermark) is no longer
+    consulted — its near-dup re-admits (the documented recall trade,
+    matching the exact-dedup state bound).  horizon_s=None restores the
+    full-history scan and drops that same near-dup."""
+    from jepl_spark.operators.dedup import (
+        _interval_seconds, stream_simhash_near_dedup,
+    )
+
+    assert _interval_seconds("1 hour") == 3600
+    assert _interval_seconds("90 seconds") == 90
+    assert _interval_seconds("1 hour 30 minutes") == 5400
+    assert _interval_seconds("100 milliseconds") == 1  # rounds UP
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _interval_seconds("3 fortnights")
+    with _pytest.raises(ValueError):
+        stream_simhash_near_dedup(None, None, horizon_s="bogus")
+
+    A = 0
+    NEAR_A = 1  # hamming 1 from A
+
+    def batches_for(name):
+        src = str(tmp_path / f"{name}-src")
+        write_batches(
+            src,
+            [
+                [{"doc_id": 0, "s": A, "event_time": ts(0)}],
+                # arrives 2 hours later — beyond the 1-hour watermark
+                [{"doc_id": 1, "s": NEAR_A, "event_time": ts(7200)}],
+            ],
+            SIG_PA_SCHEMA,
+        )
+        return src
+
+    def run(name, **kw):
+        sink = IdempotentParquetSink(str(tmp_path / f"{name}-sink"))
+        prepared, fb = stream_simhash_near_dedup(
+            file_stream(spark, batches_for(name), SIG_SPARK_SCHEMA,
+                        max_files_per_trigger=1),
+            sink, ts_col="event_time", watermark="1 hour",
+            max_hamming=3, bands=4, sig=F.col("s"), **kw,
+        )
+        q = (
+            prepared.writeStream.outputMode("append")
+            .foreachBatch(fb)
+            .option("checkpointLocation", str(tmp_path / f"{name}-ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+        return sorted(r["s"] for r in sink.read_committed(spark).collect())
+
+    # default horizon = watermark (3600 s) < 7200 s gap → A not read
+    # back → NEAR_A re-admits
+    assert run("hdef") == [A, NEAR_A]
+    # explicit full-history scan → NEAR_A dropped against admitted A
+    assert run("hnone", horizon_s=None) == [A]
+
+
 # -- ManifestCommitSink: the rename-free exactly-once matrix ---------------
 
 
