@@ -611,6 +611,60 @@ def q_near_dup_components(spark, sf_dir):
     )
 
 
+def _docs_with_urls(spark, sf_dir):
+    """Deterministic synthetic URLs over the documents table (the
+    testdata carries no URL column): host = www.<source>.<suffix> with
+    the suffix alternating .com / .co.uk on doc_id so the eTLD+1 path
+    is exercised, and every 97th doc gets an unparseable value to
+    exercise the drop/exclude path.  Pure column arithmetic — DuckDB
+    rebuilds the identical URLs."""
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.when(F.col("doc_id") % 4 == 0, F.lit(".co.uk")).otherwise(
+        F.lit(".com")
+    )
+    url = F.when(F.col("doc_id") % 97 == 3, F.lit("not a url")).otherwise(
+        F.concat(
+            F.lit("https://www."), F.col("source"), suffix,
+            F.lit("/d/"), F.col("doc_id").cast("string"),
+        )
+    )
+    return docs.withColumn("url", url)
+
+
+def q_domain_cap_docs(spark, sf_dir):
+    """Per-domain document caps (round-5 lane): C4/RefinedWeb-style
+    curation — registered-domain extraction via try_parse_url +
+    eTLD+1 suffix handling, then a deterministic hash-ranked cap of 8
+    docs per domain (unattributable URLs dropped).  DuckDB rebuilds
+    the hosts/domains from the same column arithmetic and replays the
+    reservoir rank, pinning host parsing, suffix logic, the drop path,
+    and the exact kept set."""
+    from jepl_spark.operators import web as W
+
+    d = _docs_with_urls(spark, sf_dir)
+    return W.per_domain_cap(d, "url", "doc_id", cap=8, rank_col="rk").select(
+        "doc_id", "host", "domain", F.col("rk").cast("bigint").alias("rk")
+    )
+
+
+def q_domain_mix_docs(spark, sf_dir):
+    """Domain-mix report (round-5 lane): the 10 heaviest registered
+    domains with count, corpus share, and skew factor — the diagnostic
+    read before setting per-domain caps.  Reuses key_skew_report
+    (TakeOrderedAndProject shape, plan-asserted in its own tests)."""
+    from jepl_spark.operators import web as W
+
+    d = _docs_with_urls(spark, sf_dir)
+    rep = W.domain_mix_report(d, "url", top=10)
+    return rep.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "domain",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        _r(F.col("share"), 6).alias("share"),
+        _r(F.col("skew_factor"), 6).alias("skew_factor"),
+    )
+
+
 def q_audio_decode_stats(spark, sf_dir):
     """Audio lane (rows-only): deterministic synthetic clips decoded via
     the Arrow pandas UDF, per-codec stats.  No SQL oracle (DuckDB cannot
@@ -1919,6 +1973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_scene_changes": q_video_scene_changes,
         # -- block 2: round-5 lanes (new this round) -------------------
         "near_dup_components": q_near_dup_components,
+        "domain_cap_docs": q_domain_cap_docs,
+        "domain_mix_docs": q_domain_mix_docs,
         # -- block 3: veteran core (driver-green in r3/r4 ledgers) -----
         "jepl_sum_filter": q_jepl_sum_filter,
         "jepl_five_aggs_group": q_jepl_five_aggs_group,
@@ -3531,6 +3587,54 @@ def oracle_sql() -> dict[str, str]:
             FROM dsh JOIN bsh USING (g)
             GROUP BY 1
             HAVING count(*) >= 2
+        """,
+        # domain curation: rebuild the synthetic hosts/domains with the
+        # same column arithmetic (the suffix rule IS the URL synthesis),
+        # replay the hash-ranked per-domain reservoir
+        "domain_cap_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     'www.' || source ||
+                       CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END
+                       AS host,
+                     source ||
+                       CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END
+                       AS domain
+              FROM documents
+              WHERE doc_id % 97 <> 3
+            ),
+            r AS (
+              SELECT doc_id, host, domain,
+                     row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY CAST(('0x' || substr(md5('domaincap:'
+                                || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     ) AS rk
+              FROM d
+            )
+            SELECT doc_id, host, domain, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 8
+        """,
+        "domain_mix_docs": """
+            WITH d AS (
+              SELECT source ||
+                       CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END
+                       AS domain
+              FROM documents
+              WHERE doc_id % 97 <> 3
+            ),
+            c AS (SELECT domain, count(*) AS cnt FROM d GROUP BY domain),
+            t AS (SELECT sum(cnt) AS total, count(*) AS nd FROM c),
+            r AS (
+              SELECT domain, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, domain ASC) AS rank
+              FROM c
+            )
+            SELECT CAST(rank AS BIGINT) AS rank, domain,
+                   CAST(cnt AS BIGINT) AS cnt,
+                   round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+                   round(CAST(cnt AS DOUBLE) / total * nd, 6) AS skew_factor
+            FROM r, t WHERE rank <= 10
         """,
         # transitive near-dup components: same edge set as
         # ngram_jaccard_pairs, closed by a recursive CTE (component =

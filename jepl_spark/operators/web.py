@@ -1,0 +1,142 @@
+"""Domain/URL-level corpus curation — the per-domain controls every
+production LLM corpus pipeline applies (C4 and RefinedWeb both cap and
+rebalance by registered domain): host extraction, registered-domain
+(eTLD+1) derivation, deterministic per-domain document caps, and a
+domain-mix report.
+
+All pure JVM expression work; the cap and the report reuse
+``sampling.deterministic_reservoir`` and ``stats.key_skew_report``, so
+their scale shapes (salted partial pre-cut / TakeOrderedAndProject) are
+inherited rather than re-derived.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Common multi-label public suffixes; registered_domain takes the last
+# THREE host labels when the last two match one of these.  Not the full
+# PSL (no external data in this environment) — pass your own list to
+# extend; membership is a literal IN over ≤ a few hundred strings, so
+# it stays whole-stage-codegen'd at any corpus size.
+DEFAULT_MULTI_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.kr", "or.kr", "go.kr", "ac.kr",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
+    "co.za", "co.nz", "co.id", "co.th",
+)
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host of a URL — Spark's built-in ``try_parse_url``
+    (JVM-side, no regex in Python; the ``try_`` form, because ANSI
+    mode makes plain ``parse_url`` RAISE on garbage and a corpus-scale
+    curation pass must classify bad URLs, not die on the first one).
+    NULL when the value has no parseable host."""
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+
+
+def registered_domain(
+    host: Column,
+    multi_suffixes: Sequence[str] = DEFAULT_MULTI_SUFFIXES,
+) -> Column:
+    """Registered domain (eTLD+1) of a lowercased host: the last two
+    labels, or the last three when the final two form a listed
+    multi-label public suffix (``www.bbc.co.uk`` → ``bbc.co.uk``).
+    Hosts with ≤ 2 labels pass through unchanged; NULL propagates."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    return (
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(n <= 2, host)
+        .when(last2.isin(*[str(s) for s in multi_suffixes]), last3)
+        .otherwise(last2)
+    )
+
+
+def with_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    domain_col: str = "domain",
+    multi_suffixes: Sequence[str] = DEFAULT_MULTI_SUFFIXES,
+) -> DataFrame:
+    """Attach ``host`` and registered ``domain`` columns — one
+    projection, no shuffle."""
+    host = host_of(F.col(url_col))
+    return df.withColumn(host_col, host).withColumn(
+        domain_col, registered_domain(F.col(host_col), multi_suffixes)
+    )
+
+
+def per_domain_cap(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    cap: int,
+    seed: str = "domaincap",
+    domain_col: str = "domain",
+    rank_col: Optional[str] = None,
+    multi_suffixes: Sequence[str] = DEFAULT_MULTI_SUFFIXES,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per registered domain — the C4 /
+    RefinedWeb anti-boilerplate control — selected DETERMINISTICALLY
+    (hash-ranked reservoir on ``id_col``, so the kept set is a pure
+    function of the data: partitioning-, ordering-, and cluster-size-
+    invariant, and DuckDB-replayable).
+
+    Rows whose URL yields no registered domain (no parseable host) are
+    DROPPED — a doc that cannot be attributed to a domain cannot be
+    budgeted against one, which is the curation stance of the
+    pipelines this mirrors.  Output carries ``domain_col`` (and the
+    host) for downstream mix accounting.
+
+    Scale shape: inherited from ``deterministic_reservoir`` — a salted
+    partial window first cuts every domain to ~buckets·cap rows, so a
+    mega-domain (the exact skew this operator exists to tame) never
+    funnels through one task."""
+    from jepl_spark.operators.sampling import deterministic_reservoir
+
+    d = with_domain(
+        df, url_col, domain_col=domain_col, multi_suffixes=multi_suffixes
+    ).where(F.col(domain_col).isNotNull())
+    return deterministic_reservoir(
+        d, id_col, cap, group_by=domain_col, seed=seed, rank_col=rank_col
+    )
+
+
+def domain_mix_report(
+    df: DataFrame,
+    url_col: str,
+    top: int = 20,
+    domain_col: str = "domain",
+    multi_suffixes: Sequence[str] = DEFAULT_MULTI_SUFFIXES,
+) -> DataFrame:
+    """The ``top`` heaviest registered domains with counts and corpus
+    share — the skew/mix diagnostic read before setting per-domain
+    caps.  Reuses ``key_skew_report`` (TakeOrderedAndProject — no full
+    sort, no unbounded window).  Unattributable rows (NULL domain) are
+    excluded entirely — shares are of the attributable corpus."""
+    from jepl_spark.operators.stats import key_skew_report
+
+    d = with_domain(
+        df, url_col, domain_col=domain_col, multi_suffixes=multi_suffixes
+    )
+    return key_skew_report(d, domain_col, top=top)
