@@ -904,6 +904,40 @@ def q_image_decode_stats(spark, sf_dir):
     )
 
 
+def q_image_jpeg_roundtrip(spark, sf_dir):
+    """Entropy-coded container lane (round-5): a rawv1/png/JPEG mix
+    transits generation → container encode → Arrow decode → pixel
+    comparison against the synthesis formula.  The JPEG codec is the
+    in-repo pure-numpy baseline implementation (SOF0 + canonical
+    Huffman + IDCT, sources/jpeg.py — lossy by nature).  EXACTNESS
+    BOUND: lossless containers must match the formula bit-exactly
+    (max_abs_err = 0); the q=95 JPEG lane must stay within
+    max_abs_err ≤ 32 and mean_abs_err ≤ 4.0 per image (worst measured
+    over the id range: 20 / 2.4 — the bound carries margin but would
+    catch any table/zigzag/Huffman/IDCT defect, which produce errors
+    orders of magnitude larger).  The oracle replays ids, formats,
+    dimensions, and the within-bound verdicts."""
+    from jepl_spark.functions.multimodal import (
+        images_df, synth_roundtrip_errors,
+    )
+
+    imgs = images_df(spark, 200, fmt_cycle=("jpeg", "png", "rawv1"))
+    errs = synth_roundtrip_errors(imgs)
+    lossless_ok = (F.col("fmt") != "jpeg") & (F.col("max_abs_err") == 0.0)
+    jpeg_ok = (
+        (F.col("fmt") == "jpeg")
+        & (F.col("max_abs_err") <= 32.0)
+        & (F.col("mean_abs_err") <= 4.0)
+    )
+    return errs.select(
+        "img_id",
+        "fmt",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        (lossless_ok | jpeg_ok).alias("within_bound"),
+    )
+
+
 def q_stream_windowed_rule(spark, sf_dir):
     """Streaming lane: the windowed JEPL rule executed as an actual
     Structured Streaming query (availableNow) over the events table
@@ -1975,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": q_near_dup_components,
         "domain_cap_docs": q_domain_cap_docs,
         "domain_mix_docs": q_domain_mix_docs,
+        "image_jpeg_roundtrip": q_image_jpeg_roundtrip,
         # -- block 3: veteran core (driver-green in r3/r4 ledgers) -----
         "jepl_sum_filter": q_jepl_sum_filter,
         "jepl_five_aggs_group": q_jepl_five_aggs_group,
@@ -3587,6 +3622,21 @@ def oracle_sql() -> dict[str, str]:
             FROM dsh JOIN bsh USING (g)
             GROUP BY 1
             HAVING count(*) >= 2
+        """,
+        # JPEG transit: ids/formats/dims replay from the generation
+        # formulas; the within-bound verdict (lossless exact, jpeg
+        # max<=32 mean<=4.0 vs the pixel formula) must be TRUE row-wise
+        # — the pixel comparison itself runs Spark-side in the Arrow
+        # UDF (DuckDB cannot decode JPEG)
+        "image_jpeg_roundtrip": """
+            WITH ids AS (SELECT unnest(range(0, 200)) AS img_id)
+            SELECT img_id,
+                   CASE CAST(img_id % 3 AS INT) WHEN 0 THEN 'jpeg'
+                        WHEN 1 THEN 'png' ELSE 'rawv1' END AS fmt,
+                   CAST(32 + (img_id % 5) * 16 AS BIGINT) AS width,
+                   CAST(24 + (img_id % 3) * 24 AS BIGINT) AS height,
+                   TRUE AS within_bound
+            FROM ids
         """,
         # domain curation: rebuild the synthetic hosts/domains with the
         # same column arithmetic (the suffix rule IS the URL synthesis),

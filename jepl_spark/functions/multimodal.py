@@ -3,14 +3,18 @@ typed metadata, processed exclusively in Arrow-batched Pandas UDFs via
 ``mapInPandas`` — the same no-per-row-Python discipline as the audio
 lane (BASELINE.json input_hint).
 
-The container ships no image codec libraries, so per the brief the
-codec boundary is a deterministic fake: images use an in-repo ``RAWv1``
-byte format (12-byte header ``width,height,channels`` as little-endian
-int32 + uint8 pixels, C-order).  Everything around that boundary —
-schema, generation, decode, resize, per-channel stats, frame sampling,
-Arrow batch shapes — is real, executed, and tested.  Real codecs
-(``jpeg``/``png``/…) raise NotImplementedError with the reason, at the
-same call site a codec library would plug into.
+The container ships no image codec libraries; images use an in-repo
+``RAWv1`` byte format (12-byte header ``width,height,channels`` as
+little-endian int32 + uint8 pixels, C-order) as the fixture baseline,
+plus two REAL in-repo containers: PNG (zlib + all five scanline
+filters, sources/containers) and baseline JPEG (SOF0 + canonical
+Huffman + IDCT, pure numpy, sources/jpeg — lossy, bound stated at the
+gate).  Everything around the boundary — schema, generation, decode,
+resize, per-channel stats, frame sampling, Arrow batch shapes — is
+real, executed, and tested.  Codecs that genuinely need external
+libraries (webp/avif/progressive jpeg/…) raise NotImplementedError
+with the reason, at the same call site a codec library would plug
+into.
 
 Scale notes: generation and decode are embarrassingly parallel
 (mapInPandas, no shuffle); stats is one narrow aggregation; frame
@@ -63,13 +67,20 @@ def _decode_any(buf: bytes, fmt: str) -> np.ndarray:
 
         px = png_decode(buf)
         return px
+    if fmt == "jpeg":
+        # real ENTROPY-CODED container: pure-numpy baseline JPEG
+        # (SOF0 + canonical Huffman + IDCT, sources/jpeg) — lossy, so
+        # downstream oracles must compare within a stated bound
+        from jepl_spark.sources.jpeg import jpeg_decode
+
+        return jpeg_decode(buf)
     # the honest codec boundary: this is where an image library would
-    # be called; only rawv1 (fixture) and png (in-repo real container)
-    # decode in this environment
+    # be called; rawv1 (fixture), png, and baseline jpeg decode in-repo
+    # in this environment
     raise NotImplementedError(
         f"image format {fmt!r} requires a codec library not present in "
-        "this environment (deterministic 'rawv1' and in-repo 'png' "
-        "decode here)"
+        "this environment (deterministic 'rawv1', in-repo 'png' and "
+        "baseline 'jpeg' decode here)"
     )
 
 
@@ -109,8 +120,15 @@ def images_df(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from jepl_spark.sources.containers import png_encode
+        from jepl_spark.sources.jpeg import jpeg_encode
 
-        encoders = {"rawv1": encode_raw, "png": png_encode}
+        encoders = {
+            "rawv1": encode_raw,
+            "png": png_encode,
+            # quality 95: worst-case |err| measured 20 over the synth
+            # field (gate bound 32 with margin) — lossy by design
+            "jpeg": lambda px: jpeg_encode(px, 95),
+        }
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             rows = {"img_id": [], "bytes": [], "width": [], "height": [],
@@ -168,6 +186,47 @@ def decode_image_stats(df: DataFrame) -> DataFrame:
                 out["mean_g"].append(float(px[:, :, min(1, c - 1)].mean()))
                 out["mean_b"].append(float(px[:, :, min(2, c - 1)].mean()))
                 out["std_all"].append(float(px.std()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def synth_roundtrip_errors(df: DataFrame) -> DataFrame:
+    """Container-transit validation harness for SYNTHETIC images: decode
+    each row via its container (``fmt``) and measure the absolute error
+    against the pixel formula its id defines (``_synth_pixels``).
+    Emits (img_id, fmt, width, height, max_abs_err, mean_abs_err) —
+    lossless containers (rawv1, png) must report 0/0, the lossy jpeg
+    lane an error bounded by its quantization (the gate states the
+    bound).  Arrow lane: pixels never leave the Python worker."""
+    out_schema = StructType(
+        [
+            StructField("img_id", LongType()),
+            StructField("fmt", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("max_abs_err", DoubleType()),
+            StructField("mean_abs_err", DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in out_schema.fields}
+            for img_id, buf, fmt, c in zip(
+                pdf["img_id"].to_numpy(), pdf["bytes"].to_numpy(),
+                pdf["fmt"].to_numpy(), pdf["channels"].to_numpy(),
+            ):
+                px = _decode_any(buf, fmt).astype(np.int64)
+                h, w = px.shape[:2]
+                want = _synth_pixels(int(img_id), w, h, int(c)).astype(np.int64)
+                err = np.abs(px - want)
+                out["img_id"].append(int(img_id))
+                out["fmt"].append(str(fmt))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["max_abs_err"].append(float(err.max()))
+                out["mean_abs_err"].append(float(err.mean()))
             yield pd.DataFrame(out)
 
     return df.mapInPandas(gen, schema=out_schema)

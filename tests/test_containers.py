@@ -261,3 +261,144 @@ def test_png_dhash_resize_robustness(spark):
         bit_count(F.col("h0").bitwiseXOR(F.col("h1"))).alias("d")
     ).agg(F.max("d").alias("mx")).collect()[0]["mx"]
     assert dist <= 10
+
+
+# -- baseline JPEG (sources/jpeg: pure-numpy SOF0 codec) ----------------------
+
+
+class TestJpeg:
+    def test_flat_blocks_exact(self):
+        from jepl_spark.sources import jpeg as J
+
+        for v in (0, 128, 200, 255):
+            px = np.full((16, 24, 3), v, np.uint8)
+            out = J.jpeg_decode(J.jpeg_encode(px, 90))
+            assert out.shape == (16, 24, 3)
+            # flat blocks carry only a DC coefficient, which survives
+            # quantization round-trip exactly at these values
+            assert np.abs(out.astype(int) - v).max() <= 1
+
+    def test_smooth_gradient_tight(self):
+        from jepl_spark.sources import jpeg as J
+
+        yy, xx = np.mgrid[0:40, 0:56]
+        px = np.stack(
+            [(xx * 3) % 256, (yy * 2) % 256, (xx + yy) % 256], -1
+        ).astype(np.uint8)
+        out = J.jpeg_decode(J.jpeg_encode(px, 90))
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 4
+
+    def test_synth_field_bound_and_quality_monotone(self):
+        from jepl_spark.functions.multimodal import _synth_pixels
+        from jepl_spark.sources import jpeg as J
+
+        worst95 = worst50 = 0.0
+        for i in (0, 3, 7, 11, 14):
+            w, h = 32 + i % 5 * 16, 24 + i % 3 * 24
+            px = _synth_pixels(i, w, h, 3)
+            for q, acc in ((95, "a"), (50, "b")):
+                out = J.jpeg_decode(J.jpeg_encode(px, q))
+                err = np.abs(out.astype(int) - px.astype(int)).mean()
+                if q == 95:
+                    worst95 = max(worst95, err)
+                else:
+                    worst50 = max(worst50, err)
+        # the gate bound, and coarser quantization must hurt more
+        assert worst95 <= 4.0
+        assert worst50 > worst95
+
+    def test_grayscale_and_odd_dims(self):
+        from jepl_spark.functions.multimodal import _synth_pixels
+        from jepl_spark.sources import jpeg as J
+
+        g = (np.mgrid[0:21, 0:33][1] % 251).astype(np.uint8)
+        out = J.jpeg_decode(J.jpeg_encode(g, 95))
+        assert out.shape == (21, 33, 1)
+        px = _synth_pixels(5, 33, 21, 3)  # non-multiple-of-8 dims
+        out = J.jpeg_decode(J.jpeg_encode(px, 95))
+        assert out.shape == (21, 33, 3)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 40
+
+    def test_marker_structure(self):
+        from jepl_spark.sources import jpeg as J
+
+        buf = J.jpeg_encode(np.full((8, 8, 3), 90, np.uint8), 90)
+        assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+        # marker inventory in order: APP0, DQT, SOF0, DHT, SOS
+        order = []
+        pos = 2
+        while pos < len(buf) - 2:
+            assert buf[pos] == 0xFF
+            m = buf[pos + 1]
+            order.append(m)
+            if m == 0xDA:
+                break
+            (ln,) = struct.unpack_from(">H", buf, pos + 2)
+            pos += 2 + ln
+        assert order[0] == 0xE0
+        assert order.count(0xDB) == 2 and order.count(0xC4) == 2
+        assert 0xC0 in order and order[-1] == 0xDA
+
+    def test_decoder_raises_on_unsupported_shapes(self):
+        from jepl_spark.sources import jpeg as J
+
+        good = bytearray(J.jpeg_encode(np.full((8, 8, 3), 77, np.uint8), 90))
+
+        def find_marker(b, m):
+            pos = 2
+            while pos < len(b):
+                if b[pos] == 0xFF and b[pos + 1] == m:
+                    return pos
+                (ln,) = struct.unpack_from(">H", b, pos + 2)
+                pos += 2 + ln
+            raise AssertionError(f"marker {m:#x} not found")
+
+        # progressive: flip SOF0 -> SOF2
+        prog = bytearray(good)
+        prog[find_marker(prog, 0xC0) + 1] = 0xC2
+        with pytest.raises(ValueError, match="SOF2"):
+            J.jpeg_decode(bytes(prog))
+
+        # chroma subsampling: first component sampling 0x11 -> 0x22
+        sub = bytearray(good)
+        sof = find_marker(sub, 0xC0)
+        sub[sof + 2 + 2 + 6 + 1] = 0x22
+        with pytest.raises(ValueError, match="subsampling"):
+            J.jpeg_decode(bytes(sub))
+
+        # 16-bit quant table: set Pq high nibble
+        dqt = bytearray(good)
+        dqt[find_marker(dqt, 0xDB) + 4] |= 0x10
+        with pytest.raises(ValueError, match="16-bit"):
+            J.jpeg_decode(bytes(dqt))
+
+        # DRI inserted before SOS
+        sos = find_marker(good, 0xDA)
+        dri = bytes(good[:sos]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(good[sos:])
+        with pytest.raises(ValueError, match="restart"):
+            J.jpeg_decode(dri)
+
+        # truncation inside the scan (SOS header is 14 bytes; leave a
+        # couple of entropy bytes so the reader starves mid-MCU)
+        with pytest.raises(ValueError, match="truncated"):
+            J.jpeg_decode(bytes(good[: sos + 16]))
+
+        # not a JPEG at all
+        with pytest.raises(ValueError, match="SOI"):
+            J.jpeg_decode(b"GIF89a" + bytes(40))
+
+    def test_images_df_jpeg_transit(self, spark):
+        """End-to-end through the Arrow lanes: a jpeg/png/rawv1 mix
+        decodes, lossless lanes match the formula exactly, jpeg stays
+        inside the gate bound."""
+        from jepl_spark.functions import multimodal as M
+
+        imgs = M.images_df(spark, 30, partitions=2,
+                           fmt_cycle=("jpeg", "png", "rawv1"))
+        errs = M.synth_roundtrip_errors(imgs).collect()
+        assert len(errs) == 30
+        for r in errs:
+            if r["fmt"] == "jpeg":
+                assert r["max_abs_err"] <= 32.0 and r["mean_abs_err"] <= 4.0
+            else:
+                assert r["max_abs_err"] == 0.0

@@ -50,7 +50,8 @@ def test_resize_shape_and_determinism(spark):
 
 
 def test_real_codec_formats_raise(spark):
-    df = M.images_df(spark, 2).withColumn("fmt", F.lit("jpeg"))
+    # webp genuinely needs an external library (png/jpeg decode in-repo)
+    df = M.images_df(spark, 2).withColumn("fmt", F.lit("webp"))
     with pytest.raises(Exception, match="codec library"):
         M.decode_image_stats(df).collect()
 
