@@ -247,6 +247,42 @@ def batch_queries(spark, sf_dir):
         lm = T.lm_train(df, hash_keys=True)
         return _drain(T.lm_score(df, lm))
 
+    def near_dup_comps():
+        # component resolution machinery on a deterministic 200k-edge
+        # graph of 32-node chains (depth forces ~5 pointer-jump
+        # rounds) — times the iterative ids-only join lanes, not the
+        # upstream pair generation (ngram_jaccard times that)
+        edges = (
+            spark.range(200_000)
+            .selectExpr("id AS id_a", "id + 1 AS id_b")
+            .where("(id % 32) != 31")  # break into chains of 32
+        )
+        return _drain(D.near_dup_components(edges))
+
+    def jpeg_roundtrip():
+        # entropy-coded container lane: 400 synthetic images encode to
+        # q=95 baseline JPEG at generation, decode + formula-error in
+        # one Arrow pass (the pixels never leave the Python workers)
+        from jepl_spark.functions.multimodal import (
+            images_df, synth_roundtrip_errors,
+        )
+
+        imgs = images_df(spark, 400, fmt_cycle=("jpeg",))
+        return _drain(synth_roundtrip_errors(imgs))
+
+    def domain_cap():
+        # per-domain curation: synthetic URLs over the corpus → host +
+        # eTLD+1 extraction → hash-ranked cap of 8 docs per domain
+        from jepl_spark.operators import web as W
+
+        df = load_table(spark, sf_dir, "documents")
+        suffix = F.when(F.col("doc_id") % 4 == 0, F.lit(".co.uk")).otherwise(
+            F.lit(".com"))
+        url = F.concat(F.lit("https://www."), F.col("source"), suffix,
+                       F.lit("/d/"), F.col("doc_id").cast("string"))
+        return _drain(W.per_domain_cap(
+            df.withColumn("url", url), "url", "doc_id", cap=8))
+
     return {
         "jepl_lineitem_agg": jepl_lineitem_agg,
         "jepl_events_rule": jepl_events_rule,
@@ -267,6 +303,9 @@ def batch_queries(spark, sf_dir):
         "decontam": decontam,
         "pack_sequences": pack_sequences,
         "lm_score": lm_score,
+        "near_dup_comps": near_dup_comps,
+        "jpeg_roundtrip": jpeg_roundtrip,
+        "domain_cap": domain_cap,
     }
 
 

@@ -419,23 +419,27 @@ def near_dup_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint(eager=True)
     )
+
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_rounds):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("id").alias("dst"), F.col("component").alias("__nc")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("__nc").alias("__nbr"))
-            .select(F.col("src").alias("id"), "__nbr")
-        )
-        prop = labels.join(nbr_min, "id", "left").select(
-            "id",
-            F.least(
-                "component", F.coalesce("__nbr", "component")
-            ).alias("component"),
+        # min over the closed neighborhood in ONE exchange: neighbor
+        # labels union self-labels, then a single groupBy-min (vs a
+        # separate nbr-min aggregation re-joined onto labels)
+        nbr = edges.join(
+            labels.select(
+                F.col("id").alias("dst"), F.col("component").alias("__c")
+            ),
+            "dst",
+        ).select(F.col("src").alias("id"), "__c")
+        prop = (
+            nbr.unionByName(labels.select("id", F.col("component").alias("__c")))
+            .groupBy("id")
+            .agg(F.min("__c").alias("component"))
         )
         # pointer jump THROUGH the freshly-propagated mapping: labels
         # are themselves node ids, so label(label(x)) is one self-join
@@ -447,17 +451,17 @@ def near_dup_components(
             "component",
         ).select("id", F.col("__cc").alias("component"))
         jumped = jumped.localCheckpoint(eager=True)
-        changed = (
-            jumped.join(
-                labels.select("id", F.col("component").alias("__old")), "id"
-            )
-            .where(F.col("component") != F.col("__old"))
-            .limit(1)
-            .count()
-        )
+        # convergence via an exact label-sum: labels are MONOTONE
+        # NON-INCREASING, so the sum is constant iff no label moved —
+        # one aggregation over the checkpointed frame instead of a
+        # 2×|V| change-detection join per round.  decimal(38,0) keeps
+        # the sum exact far past any int64 corpus (10^12 ids × 10^12
+        # max id = 10^24 < 10^38).
+        new_sum = _label_sum(jumped)
         labels = jumped
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels.select("id", "component")
+        prev_sum = new_sum
     raise RuntimeError(
         f"near_dup_components did not converge in {max_rounds} rounds — "
         f"component diameter exceeds 2^{max_rounds}, which should be "

@@ -248,6 +248,50 @@ def main() -> int:
     res["skew_report_s"] = round(time.time() - t0, 1)
     res["skew_top_share"] = round(max(r["share"] for r in top), 3)
 
+    # round-5 lane: component resolution over a planted chain graph —
+    # n_docs edges in chains of 64 (depth forces ~6 pointer-jump
+    # rounds) plus the count of components must equal the planted
+    # number exactly (any propagation defect merges or splits chains)
+    chain_edges = spark.range(n_docs, numPartitions=64).selectExpr(
+        "id AS id_a", "id + 1 AS id_b"
+    ).where("(id % 64) != 63")
+    n_chains = (n_docs + 63) // 64
+    t0 = time.time()
+    comp = D.near_dup_components(chain_edges)
+    res["components_found"] = comp.select("component").distinct().count()
+    res["components_s"] = round(time.time() - t0, 1)
+    res["components_expected"] = n_chains
+    assert res["components_found"] == n_chains, (
+        res["components_found"], n_chains,
+    )
+
+    # round-5 lane: JPEG encode+decode+error transit throughput
+    t0 = time.time()
+    n_jpegs = max(2_000, n_docs // 50)
+    errs = M.synth_roundtrip_errors(
+        M.images_df(spark, n_jpegs, partitions=64, fmt_cycle=("jpeg",))
+    )
+    bad = errs.where("max_abs_err > 32 OR mean_abs_err > 4.0").count()
+    res["n_jpegs"] = n_jpegs
+    res["jpeg_out_of_bound"] = bad
+    res["jpeg_s"] = round(time.time() - t0, 1)
+    assert bad == 0
+
+    # round-5 lane: per-domain cap over the full corpus (synthetic
+    # URLs, ~1000 domains -> heavy groups exercise the salted pre-cut)
+    from jepl_spark.operators import web as W
+
+    t0 = time.time()
+    urls = docs.selectExpr(
+        "doc_id",
+        "'https://www.d' || CAST(doc_id % 1000 AS STRING) || '.com/p/' "
+        "|| CAST(doc_id AS STRING) AS url",
+    )
+    res["domain_cap_kept"] = W.per_domain_cap(
+        urls, "url", "doc_id", cap=50
+    ).count()
+    res["domain_cap_s"] = round(time.time() - t0, 1)
+
     print(json.dumps(res))
     spark.stop()
     return 0
