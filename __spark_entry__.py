@@ -332,6 +332,33 @@ def q_ann_index_topk(spark, sf_dir):
 _ANN_IDX_PLANES = 4
 _ANN_IDX_TABLES = 4
 _ANN_IDX_SEED = 42
+_ANN_BATCH_QIDS = (0, 7, 19)
+
+
+def q_ann_index_batch(spark, sf_dir):
+    """The round-5 serving-shape lookup: LshIndex.topk_batch answers a
+    BATCH of queries in one partition-pruned index-join job (the fix
+    for the round-4 per-query-loop weak spot).  Same index constants
+    as ann_index_topk; the oracle replays the per-query candidate
+    union + exact rescoring + rank windows for all three queries at
+    once, pinning the batched path to the same algebra as the
+    single-query gate."""
+    import tempfile
+
+    df = load_table(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id").isin(*_ANN_BATCH_QIDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    path = tempfile.mkdtemp(prefix="entry-lshidx-b-") + "/idx"
+    idx = S.lsh_bucketize(df, path, planes=_ANN_IDX_PLANES,
+                          tables=_ANN_IDX_TABLES, seed=_ANN_IDX_SEED)
+    return idx.topk_batch(spark, queries, k=10).select(
+        "query_id",
+        "vec_id",
+        _r(F.col("cosine"), 4).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -2010,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_docs": q_domain_cap_docs,
         "domain_mix_docs": q_domain_mix_docs,
         "image_jpeg_roundtrip": q_image_jpeg_roundtrip,
+        "ann_index_batch": q_ann_index_batch,
         # -- block 3: veteran core (driver-green in r3/r4 ledgers) -----
         "jepl_sum_filter": q_jepl_sum_filter,
         "jepl_five_aggs_group": q_jepl_five_aggs_group,
@@ -2165,6 +2193,51 @@ def _ann_index_oracle_sql() -> str:
               FROM c, q)
         SELECT vec_id, round(c_full, 4) AS cosine
         FROM s ORDER BY c_full DESC, vec_id ASC LIMIT 10
+    """
+
+
+def _ann_index_batch_oracle_sql() -> str:
+    """DuckDB twin of LshIndex.topk_batch over the three gate queries:
+    per (query, table) bucket match OR-amplified into a per-query
+    candidate set, exact cosine, per-query rank window, top-10."""
+    pt = [
+        _gate_hyperplanes(_ANN_IDX_PLANES, _ANN_IDX_SEED + 1000 * t)
+        for t in range(_ANN_IDX_TABLES)
+    ]
+    b_cols = ",\n          ".join(
+        f"({_lsh_bucket_sql('e.v', pt[t])}) AS b{t}"
+        for t in range(_ANN_IDX_TABLES)
+    )
+    qb_cols = ",\n          ".join(
+        f"({_lsh_bucket_sql('qs.qv', pt[t])}) AS qb{t}"
+        for t in range(_ANN_IDX_TABLES)
+    )
+    or_cond = " OR ".join(f"b.b{t} = qb.qb{t}" for t in range(_ANN_IDX_TABLES))
+    qids = ", ".join(str(q) for q in _ANN_BATCH_QIDS)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qids})),
+        b AS (SELECT e.vec_id, e.v,
+          {b_cols}
+          FROM e),
+        qb AS (SELECT qs.qid, qs.qv,
+          {qb_cols}
+          FROM qs),
+        c AS (SELECT DISTINCT qb.qid, b.vec_id
+              FROM b, qb WHERE {or_cond}),
+        s AS (SELECT c.qid, c.vec_id,
+                     {_cosine_sql('b2.v', 'qb2.qv')} AS c_full
+              FROM c
+              JOIN b b2 ON b2.vec_id = c.vec_id
+              JOIN qb qb2 ON qb2.qid = c.qid),
+        r AS (SELECT qid, vec_id, c_full,
+                     row_number() OVER (
+                       PARTITION BY qid ORDER BY c_full DESC, vec_id ASC
+                     ) AS rank
+              FROM s)
+        SELECT qid AS query_id, vec_id, round(c_full, 4) AS cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 10
     """
 
 
@@ -2931,6 +3004,7 @@ def oracle_sql() -> dict[str, str]:
             "0, 7, 123, 200, 321", 5
         ),
         "ann_index_topk": _ann_index_oracle_sql(),
+        "ann_index_batch": _ann_index_batch_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         # IVF with data-derived centroids: assignment = argmin squared
         # Euclidean over the embeddings of vec_id < 16 (ties → lowest
