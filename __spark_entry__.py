@@ -965,6 +965,46 @@ def q_image_jpeg_roundtrip(spark, sf_dir):
     )
 
 
+def q_stream_domain_cap(spark, sf_dir):
+    """Streaming per-domain admission cap under the hard signal
+    (round-5): the documents table with synthetic URLs staged as ONE
+    micro-batch file stream → JVM host/eTLD+1/hash projection →
+    stateful budget admission (applyInPandasWithState, one long per
+    domain) → exactly-once sink.  In the single-batch configuration
+    the operator admits exactly per_domain_cap's hash-ranked set, so
+    the oracle replays the full pipeline (host synthesis, the
+    unparseable-URL drop, the reservoir rank) in SQL.  Cross-batch
+    budget semantics are order-sensitive by contract and pinned by
+    tests/test_web.py instead."""
+    import tempfile
+
+    from jepl_spark.operators import web as W
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-domcap-")
+    docs = _docs_with_urls(spark, sf_dir).select("doc_id", "url")
+    src = f"{work}/src"
+    docs.repartition(1).write.mode("overwrite").parquet(src)
+    sink = IdempotentParquetSink(f"{work}/sink")
+    admitted = W.stream_domain_cap(
+        file_stream(spark, src, docs.schema), "url", "doc_id", cap=8
+    )
+    q = (
+        admitted.writeStream.outputMode("append")
+        .foreachBatch(lambda d, b: sink.write_batch(d, b))
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    return sink.read_committed(spark).select(
+        F.col("id").alias("doc_id"),
+        "domain",
+        F.col("admitted_rank").alias("rk"),
+    )
+
+
 def q_stream_windowed_rule(spark, sf_dir):
     """Streaming lane: the windowed JEPL rule executed as an actual
     Structured Streaming query (availableNow) over the events table
@@ -2038,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_docs": q_domain_mix_docs,
         "image_jpeg_roundtrip": q_image_jpeg_roundtrip,
         "ann_index_batch": q_ann_index_batch,
+        "stream_domain_cap": q_stream_domain_cap,
         # -- block 3: veteran core (driver-green in r3/r4 ledgers) -----
         "jepl_sum_filter": q_jepl_sum_filter,
         "jepl_five_aggs_group": q_jepl_five_aggs_group,
@@ -3737,6 +3778,29 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT doc_id, host, domain, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 8
+        """,
+        # the streaming cap in its single-batch configuration admits
+        # exactly the batch reservoir's set — same replay minus host
+        "stream_domain_cap": """
+            WITH d AS (
+              SELECT doc_id,
+                     source ||
+                       CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END
+                       AS domain
+              FROM documents
+              WHERE doc_id % 97 <> 3
+            ),
+            r AS (
+              SELECT doc_id, domain,
+                     row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY CAST(('0x' || substr(md5('domaincap:'
+                                || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     ) AS rk
+              FROM d
+            )
+            SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk
             FROM r WHERE rk <= 8
         """,
         "domain_mix_docs": """

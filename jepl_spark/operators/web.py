@@ -122,6 +122,96 @@ def per_domain_cap(
     )
 
 
+def stream_domain_cap(
+    stream: DataFrame,
+    url_col: str,
+    id_col: str,
+    cap: int,
+    seed: str = "domaincap",
+    domain_col: str = "domain",
+    multi_suffixes: Sequence[str] = DEFAULT_MULTI_SUFFIXES,
+) -> DataFrame:
+    """STREAMING per-domain admission cap: every registered domain has
+    a lifetime budget of ``cap`` documents; arrivals beyond it drop at
+    ingest.  Emits admitted rows ``(domain, id, admitted_rank)`` with
+    rank 1..cap in admission order.
+
+    Semantics (deterministic, gate-replayable): within a micro-batch,
+    each domain's candidates are ranked by the SAME (hash, id) order
+    as the batch reservoir (``deterministic_reservoir``), and the
+    domain's remaining budget admits the best-ranked — so a
+    single-batch run reproduces ``per_domain_cap`` exactly (how the
+    correctness gate replays it in SQL), and any run's admitted set is
+    a pure function of the micro-batch partition sequence.  Across
+    batches, earlier arrivals consume budget first — the streaming-
+    native reading of a lifetime cap.  Rows without a parseable
+    registered domain drop (cannot be budgeted; matches the batch op).
+
+    Scale shape: the JVM side computes host/domain/hash (pure
+    expressions) so Python receives (domain, id, hash) longs/strings
+    only — never text or URLs at full width; state is ONE long per
+    distinct domain under ``applyInPandasWithState`` with NoTimeout (a
+    lifetime budget never expires).  State cardinality = distinct
+    domains (~10^7 for a web corpus — small next to the content);
+    per-batch work shuffles only the batch's (domain, id, hash) rows."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from jepl_spark.operators.sampling import _sample_hash
+
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    prepared = (
+        with_domain(
+            stream, url_col, domain_col=domain_col,
+            multi_suffixes=multi_suffixes,
+        )
+        .where(F.col(domain_col).isNotNull())
+        .select(
+            F.col(domain_col).alias("domain"),
+            F.col(id_col).cast("long").alias("id"),
+            _sample_hash(F.col(id_col).cast("string"), seed).alias("__h"),
+        )
+        .where(F.col("__h").isNotNull())
+    )
+    out_schema = StructType([
+        StructField("domain", StringType()),
+        StructField("id", LongType()),
+        StructField("admitted_rank", LongType()),
+    ])
+    state_schema = StructType([StructField("used", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        domain = key[0]
+        used = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(["__h", "id"], kind="mergesort")
+        room = cap - used
+        if room <= 0:
+            return
+        take = batch.iloc[:room]
+        n = len(take)
+        state.update((used + n,))
+        yield pd.DataFrame({
+            "domain": [domain] * n,
+            "id": take["id"].to_numpy(),
+            "admitted_rank": used + 1 + pd.RangeIndex(n).to_numpy(),
+        })
+
+    return prepared.groupBy("domain").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def domain_mix_report(
     df: DataFrame,
     url_col: str,

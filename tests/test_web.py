@@ -83,3 +83,121 @@ def test_domain_mix_report(spark):
     ]
     # shares are of the 41 attributable rows
     assert abs(rep[0]["share"] - 30 / 41) < 1e-12
+
+
+def test_stream_domain_cap_single_batch_matches_batch_op(spark, tmp_path):
+    """One micro-batch of the whole input reproduces per_domain_cap
+    exactly (the gate's SQL-replayable configuration)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    rows = [(i, f"https://www.d{i % 5}.com/p/{i}") for i in range(60)]
+    rows += [(100, "garbage"), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    want = {
+        (r["domain"], r["doc_id"], r["rk"])
+        for r in W.per_domain_cap(df, "url", "doc_id", cap=4,
+                                  rank_col="rk").collect()
+    }
+
+    src = str(tmp_path / "src")
+    import os
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "url": pa.array([r[1] for r in rows], pa.string()),
+        }),
+        os.path.join(src, "b0.parquet"),
+    )
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("url", StringType()),
+    ])
+    admitted = W.stream_domain_cap(
+        file_stream(spark, src, schema), "url", "doc_id", cap=4
+    )
+    assert admitted.isStreaming
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    q = (
+        admitted.writeStream.outputMode("append")
+        .foreachBatch(lambda d, b: sink.write_batch(d, b))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    got = {
+        (r["domain"], r["id"], r["admitted_rank"])
+        for r in sink.read_committed(spark).collect()
+    }
+    assert got == want
+
+
+def test_stream_domain_cap_budget_across_batches(spark, tmp_path):
+    """Lifetime budget: batch 1 admits up to the cap per domain; batch
+    2 arrivals to an exhausted domain drop, a fresh domain admits, and
+    a partially-used domain admits only its remainder."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from streaming_helpers import write_batches
+
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    def u(d, i):
+        return {"doc_id": i, "url": f"https://www.{d}.com/p/{i}"}
+
+    batches = [
+        # full.com gets 3 (cap), part.com gets 1
+        [u("full", 1), u("full", 2), u("full", 3), u("part", 10)],
+        # full.com exhausted; part.com has 2 left but 3 arrive;
+        # fresh.com admits all 2
+        [u("full", 4), u("part", 11), u("part", 12), u("part", 13),
+         u("fresh", 20), u("fresh", 21)],
+    ]
+    pa_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("url", pa.string())]
+    )
+    src = str(tmp_path / "src")
+    write_batches(src, batches, pa_schema)
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("url", StringType()),
+    ])
+    admitted = W.stream_domain_cap(
+        file_stream(spark, src, schema, max_files_per_trigger=1),
+        "url", "doc_id", cap=3,
+    )
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    q = (
+        admitted.writeStream.outputMode("append")
+        .foreachBatch(lambda d, b: sink.write_batch(d, b))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    rows = sink.read_committed(spark).collect()
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r["domain"], []).append(
+            (r["admitted_rank"], r["id"]))
+    assert sorted(i for _, i in by_dom["full.com"]) == [1, 2, 3]
+    part = sorted(by_dom["part.com"])
+    assert part[0] == (1, 10) and len(part) == 3
+    assert {i for _, i in part[1:]} <= {11, 12, 13}
+    assert sorted(i for _, i in by_dom["fresh.com"]) == [20, 21]
+    # ranks are 1..n per domain, no duplicates
+    for d, lst in by_dom.items():
+        assert sorted(r for r, _ in lst) == list(range(1, len(lst) + 1))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        W.stream_domain_cap(admitted, "url", "doc_id", cap=0)
