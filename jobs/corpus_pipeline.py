@@ -6,6 +6,7 @@
         [--min-tokens 5] [--max-punct-ratio 0.3] \\
         [--langs en,fr,es,de] \\
         [--near-dup-threshold 0.8] [--minhash-bands 16] \\
+        [--near-dedup-policy pairs|components] \\
         [--decontam-input <benchmark.parquet>] \\
         [--split train=0.9,val=0.1] [--chunk-tokens 512 | --pack-budget 4096] \\
         [--report-only]
@@ -53,6 +54,12 @@ def main(argv: list[str]) -> int:
     p.add_argument("--near-dup-threshold", type=float, default=0.8)
     p.add_argument("--minhash-bands", type=int, default=16)
     p.add_argument("--minhash-hashes", type=int, default=64)
+    p.add_argument("--near-dedup-policy", choices=["pairs", "components"],
+                   default="pairs",
+                   help="pairs: drop docs with a lower-id near-neighbor; "
+                        "components: resolve connected components of the "
+                        "near-dup graph and keep one canonical doc per "
+                        "fuzzy cluster")
     p.add_argument("--report-only", action="store_true")
     p.add_argument("--split", default=None,
                    help="comma-separated name=weight list (weights sum to "
@@ -145,11 +152,13 @@ def main(argv: list[str]) -> int:
     )
 
     # 4. near-dup dedup (MinHash+LSH candidates -> threshold -> drop
-    #    the higher-id member of each near-dup pair)
+    #    per --near-dedup-policy: pair rule, or one canonical doc per
+    #    connected component of the near-dup graph)
     df = D.minhash_dedup(
         df, args.text_col, args.id_col,
         threshold=args.near_dup_threshold,
         bands=args.minhash_bands, num_hashes=args.minhash_hashes,
+        policy=args.near_dedup_policy,
     )
     df = checkpoint_stage(df, "after_near_dedup")
 

@@ -48,6 +48,37 @@ def test_corpus_pipeline_stages(spark, tmp_path, capsys, monkeypatch):
     assert set(kept.select("lang").distinct().toPandas()["lang"]) == {"en"}
 
 
+def test_corpus_pipeline_near_dedup_policy(spark, tmp_path, capsys):
+    """--near-dedup-policy: on a star-shaped near-dup cluster (docs 0
+    and 1 both near doc 2, not near each other) the pair policy keeps
+    two representatives, components keeps one canonical doc."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(400)]
+    mid = [vocab[rng.randrange(400)] for _ in range(120)]
+    a = list(mid); b = list(mid)
+    for i in range(0, 24):
+        a[i] = f"za{i}"
+    for i in range(96, 120):
+        b[i] = f"zb{i}"
+    docs = [(0, " ".join(a)), (1, " ".join(b)), (2, " ".join(mid)),
+            (9, " ".join(vocab[rng.randrange(400)] for _ in range(120)))]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(src)
+
+    from jobs.corpus_pipeline import main
+
+    base = ["--input", src, "--min-tokens", "4",
+            "--near-dup-threshold", "0.5", "--report-only"]
+    assert main(base) == 0
+    pairs = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(base + ["--near-dedup-policy", "components"]) == 0
+    comps = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pairs["stages"]["after_near_dedup"] == 3   # {0, 1, 9}
+    assert comps["stages"]["after_near_dedup"] == 2   # {0, 9}
+
+
 def test_cli_runner(spark, capsys):
     """python -m jepl_spark happy path (json rows) and compile-error
     path (reference-identical message, exit 1)."""
