@@ -428,6 +428,65 @@ class IvfIndex:
         )
         return brute_force_topk(cands, query, k, self.vec_col, self.id_col)
 
+    def topk_batch(
+        self,
+        spark,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """Cell-pruned top-k for a BATCH of queries in ONE job — the
+        IVF twin of ``LshIndex.topk_batch`` (same serving shape: the
+        union of the batch's probed cells is read once, the query set
+        broadcast-joins candidates on the cell, exact cosine rescores,
+        a per-query rank window cuts to k; no per-vector dedup needed
+        because IVF assigns each vector to exactly one cell).  Empty
+        query sets return an empty frame with the same schema."""
+        from pyspark.sql.window import Window
+
+        idx = spark.read.parquet(self.path)
+        rows = queries.select(query_id_col, query_vec_col).collect()
+        if not rows:
+            return idx.limit(0).select(
+                F.lit(None).cast("long").alias(query_id_col),
+                F.col(self.id_col),
+                F.lit(0.0).alias("cosine"),
+                F.lit(0).cast("int").alias("rank"),
+            )
+        qdata = []
+        cells = set()
+        for r in rows:
+            vec = [float(x) for x in r[query_vec_col]]
+            qn = math.sqrt(sum(x * x for x in vec))
+            for c in self.query_cells(vec, nprobe):
+                qdata.append((int(r[query_id_col]), c, vec, qn))
+                cells.add(c)
+        qdf = spark.createDataFrame(
+            qdata,
+            f"{query_id_col} long, ivf_cell int, __qv array<double>, "
+            "__qn double",
+        )
+        cands = idx.filter(F.col("ivf_cell").isin(sorted(cells))).select(
+            "ivf_cell", self.id_col, self.vec_col
+        )
+        joined = cands.join(F.broadcast(qdf), on=["ivf_cell"])
+        denom = _norm(F.col(self.vec_col)) * F.col("__qn")
+        cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            _dot(F.col(self.vec_col), F.col("__qv")) / denom
+        )
+        scored = joined.select(
+            F.col(query_id_col), F.col(self.id_col), cos.alias("cosine")
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("cosine"), F.asc(self.id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
 
 def ivf_assign(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
     """Nearest-centroid cell id (squared-Euclidean argmin over literal

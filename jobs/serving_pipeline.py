@@ -8,15 +8,17 @@ this).
         --sink <dir> --checkpoint <dir> \\
         [--k 10] [--max-files-per-trigger 1] \\
         [--index lsh --index-path <dir> --planes 8 --tables 4]
+        [--index ivf --index-path <dir> --ivf-cells 16 --nprobe 4]
 
 Pipeline: a file stream of query vectors → per-micro-batch exact
 batched top-k against the static corpus (one broadcast pass per batch;
 queries never shuffle the corpus) → exactly-once sink.  Per-query
 results are independent, so output is batching-invariant and replays
-are idempotent.  ``--index lsh`` builds (or reuses) a bucket-partitioned
-LSH index and routes batches through its partition-pruned lookup
-instead of the full corpus pass — the switch to flip when the corpus
-stops fitting a per-batch scan.
+are idempotent.  ``--index lsh`` / ``--index ivf`` build a
+bucket- / cell-partitioned index and route each micro-batch through
+ONE partition-pruned batched index-join job (topk_batch) instead of
+the full corpus pass — the switch to flip when the corpus stops
+fitting a per-batch scan.
 
 Query parquet schema: (query_id: long, query_vec: array<float|double>).
 One JSON line is printed at exit: batches committed, result rows,
@@ -39,13 +41,16 @@ def main(argv: list[str]) -> int:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--max-files-per-trigger", type=int, default=None)
-    p.add_argument("--index", choices=["brute", "lsh"], default="brute")
+    p.add_argument("--index", choices=["brute", "lsh", "ivf"],
+                   default="brute")
     p.add_argument("--index-path", default=None)
     p.add_argument("--planes", type=int, default=8)
     p.add_argument("--tables", type=int, default=4)
+    p.add_argument("--ivf-cells", type=int, default=16)
+    p.add_argument("--nprobe", type=int, default=4)
     args = p.parse_args(argv)
-    if args.index == "lsh" and not args.index_path:
-        p.error("--index lsh requires --index-path")
+    if args.index in ("lsh", "ivf") and not args.index_path:
+        p.error(f"--index {args.index} requires --index-path")
 
     from pyspark.sql import SparkSession
     from pyspark.sql.types import (
@@ -73,6 +78,13 @@ def main(argv: list[str]) -> int:
             # joined on (table, bucket), exact rescore, per-query rank.
             # Handles the empty micro-batch (returns an empty frame).
             return index.topk_batch(spark, qdf, k=args.k)
+    elif args.index == "ivf":
+        index = S.ivf_build(corpus, args.index_path, n_cells=args.ivf_cells)
+
+        def scorer(qdf):
+            # same batched one-job shape, cell-pruned (IVF twin)
+            return index.topk_batch(spark, qdf, k=args.k,
+                                    nprobe=args.nprobe)
 
     schema = StructType([
         StructField("query_id", LongType()),

@@ -361,3 +361,20 @@ def test_serving_pipeline_brute_and_lsh(spark, tmp_path, capsys):
     self_hits = {r["query_id"]: r["vec_id"] for r in
                  lsh.where("rank = 1").collect()}
     assert self_hits == {0: 0, 7: 7}
+
+    # third mode: the IVF cell-pruned batched path
+    rc = main([
+        "--corpus", corpus_path, "--queries", qdir,
+        "--sink", str(tmp_path / "sink-i"),
+        "--checkpoint", str(tmp_path / "ckpt-i"), "--k", "4",
+        "--index", "ivf", "--index-path", str(tmp_path / "ividx"),
+        "--ivf-cells", "8", "--nprobe", "3",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["index"] == "ivf" and rep["rows"] == 8
+    ivf = spark.read.parquet(str(tmp_path / "sink-i") + "/data")
+    # a query's own vector is always in a probed cell → rank 1 = self
+    self_hits = {r["query_id"]: r["vec_id"] for r in
+                 ivf.where("rank = 1").collect()}
+    assert self_hits == {0: 0, 7: 7}

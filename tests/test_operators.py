@@ -525,6 +525,42 @@ def test_lsh_topk_batch_one_job_parity(spark, tmp_path):
     assert jobs_large <= jobs_small + 1, (jobs_small, jobs_large)
 
 
+def test_ivf_topk_batch_parity(spark, tmp_path):
+    """IvfIndex.topk_batch: the cell-pruned batched lookup returns what
+    N per-query topk calls return, and an empty batch yields an empty
+    frame with the result schema."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    centers = rng.randn(12, 16) * 4.0
+    vecs = [
+        (i, (centers[i % 12] + rng.randn(16) * 0.2).astype(float).tolist())
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    idx = S.ivf_build_fixed(
+        df, str(tmp_path / "ivf"), [v for _, v in vecs[:12]]
+    )
+    qids = [2, 9, 77, 140]
+    queries = spark.createDataFrame(
+        [(i, vecs[i][1]) for i in qids], ["query_id", "query_vec"]
+    )
+    want = {}
+    for i in qids:
+        for rank, r in enumerate(
+            idx.topk(spark, vecs[i][1], k=5, nprobe=3).collect(), 1
+        ):
+            want[(i, rank)] = r["vec_id"]
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in idx.topk_batch(spark, queries, k=5, nprobe=3).collect()
+    }
+    assert got == want
+    empty = idx.topk_batch(spark, queries.limit(0), k=5)
+    assert empty.columns == ["query_id", "vec_id", "cosine", "rank"]
+    assert empty.count() == 0
+
+
 def test_ivf_index_build_query_recall(spark, tmp_path):
     """IVF coarse-quantizer index (the brief's 'IVF or LSH' second
     variant): on clustered data the nprobe-cell scan must reach
