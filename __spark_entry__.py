@@ -931,6 +931,57 @@ def q_image_decode_stats(spark, sf_dir):
     )
 
 
+def q_url_dedup_docs(spark, sf_dir):
+    """URL-level dedup (round-5 lane): every 7th doc carries a messy
+    VARIANT of the previous doc's URL (uppercase WWW, trailing slash,
+    utm params, fragment), every 97th doc has no URL.  canonical_url
+    must fold each variant onto its target's canonical form and
+    url_dedup keeps the min doc_id per canonical (NULL-URL docs pass
+    through).  The oracle rebuilds every canonical from the doc_id
+    formula — the regex chain's entire behavior is pinned by whether
+    the variants land on exactly their targets."""
+    from jepl_spark.operators import web as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    suffix = F.when(d % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com"))
+    psuffix = F.when((d - 1) % 4 == 0, F.lit(".co.uk")).otherwise(
+        F.lit(".com"))
+    base = F.concat(F.lit("https://www.src"), (d % 20).cast("string"),
+                    suffix, F.lit("/d/"), d.cast("string"))
+    variant = F.concat(
+        F.lit("https://WWW.src"), ((d - 1) % 20).cast("string"), psuffix,
+        F.lit("/d/"), (d - 1).cast("string"),
+        F.lit("/?utm_source=x&utm_campaign="), d.cast("string"),
+        F.lit("#frag"),
+    )
+    url = (
+        F.when(d % 97 == 3, F.lit(None).cast("string"))
+        .when((d % 7 == 3) & (d > 0) & ((d - 1) % 97 != 3), variant)
+        .otherwise(base)
+    )
+    kept = W.url_dedup(
+        docs.withColumn("url", url).select("doc_id", "url"),
+        keep_canonical_col="canon",
+    )
+    return kept.select("doc_id", "canon")
+
+
+def q_oov_rate_docs(spark, sf_dir):
+    """Tokenizer-coverage quality scoring (round-5 lane): per-doc
+    out-of-vocabulary rate against the corpus's own top-500 vocabulary
+    (multiplicity counts; blank docs score NULL).  The oracle rebuilds
+    the vocabulary with the deterministic (count desc, token asc)
+    cutoff and replays every rate."""
+    from jepl_spark.operators import text as T2
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = T2.top_tokens(docs, k=500)
+    return T2.oov_rate(docs, vocab).select(
+        "doc_id", _r(F.col("oov_rate"), 6).alias("oov_rate")
+    )
+
+
 def q_image_jpeg_roundtrip(spark, sf_dir):
     """Entropy-coded container lane (round-5): a rawv1/png/JPEG mix
     transits generation → container encode → Arrow decode → pixel
@@ -2079,6 +2130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_jpeg_roundtrip": q_image_jpeg_roundtrip,
         "ann_index_batch": q_ann_index_batch,
         "stream_domain_cap": q_stream_domain_cap,
+        "url_dedup_docs": q_url_dedup_docs,
+        "oov_rate_docs": q_oov_rate_docs,
         # -- block 3: veteran core (driver-green in r3/r4 ledgers) -----
         "jepl_sum_filter": q_jepl_sum_filter,
         "jepl_five_aggs_group": q_jepl_five_aggs_group,
@@ -3779,6 +3832,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, host, domain, CAST(rk AS BIGINT) AS rk
             FROM r WHERE rk <= 8
+        """,
+        # URL dedup: canonicals rebuilt from the doc_id formula — a
+        # variant doc (d%7==3) canonicalizes onto doc d-1's URL and
+        # must lose the min-id contest; NULL-URL docs pass through
+        "url_dedup_docs": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE
+                  WHEN doc_id % 97 = 3 THEN NULL
+                  WHEN doc_id % 7 = 3 AND doc_id > 0
+                       AND (doc_id - 1) % 97 <> 3
+                    THEN 'https://src' || CAST((doc_id - 1) % 20 AS VARCHAR)
+                         || CASE WHEN (doc_id - 1) % 4 = 0
+                                 THEN '.co.uk' ELSE '.com' END
+                         || '/d/' || CAST(doc_id - 1 AS VARCHAR)
+                  ELSE 'https://src' || CAST(doc_id % 20 AS VARCHAR)
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN '.co.uk' ELSE '.com' END
+                       || '/d/' || CAST(doc_id AS VARCHAR)
+                END AS canon
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id, canon,
+                     min(doc_id) OVER (PARTITION BY canon) AS keeper
+              FROM u WHERE canon IS NOT NULL
+            )
+            SELECT doc_id, canon FROM w WHERE doc_id = keeper
+            UNION ALL
+            SELECT doc_id, canon FROM u WHERE canon IS NULL
+        """,
+        # OOV rate vs the corpus's own top-500 vocabulary
+        "oov_rate_docs": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+              FROM documents
+            ),
+            tk AS (SELECT doc_id, t FROM tok WHERE length(t) > 0),
+            v AS (
+              SELECT t AS token FROM tk GROUP BY t
+              ORDER BY count(*) DESC, t ASC LIMIT 500
+            ),
+            r AS (
+              SELECT tk.doc_id,
+                     round(CAST(sum(CASE WHEN v.token IS NULL THEN 1
+                                    ELSE 0 END) AS DOUBLE)
+                           / count(*), 6) AS oov_rate
+              FROM tk LEFT JOIN v ON tk.t = v.token
+              GROUP BY tk.doc_id
+            )
+            SELECT d.doc_id, r.oov_rate
+            FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
         """,
         # the streaming cap in its single-batch configuration admits
         # exactly the batch reservoir's set — same replay minus host

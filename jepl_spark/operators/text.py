@@ -434,6 +434,49 @@ def top_tokens(
     return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
 
 
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_col: str = "token",
+    lowercase: bool = True,
+    out_col: str = "oov_rate",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document: the fraction of whitespace
+    tokens absent from ``vocab`` — the tokenizer-coverage quality
+    signal (a doc whose tokens mostly miss the trained vocabulary will
+    fragment into long byte-level sequences and waste context window).
+    Empty/blank docs have no token evidence and score NULL.
+
+    Shape: explode tokens (WITH multiplicity — a repeated unknown word
+    counts every time, matching how it would tokenize), left-join the
+    vocabulary — a ~vocab-sized table: AQE broadcasts it when it fits,
+    and falls back to a shuffle join when a giant vocab doesn't — then
+    one (id) exchange re-aggregates counts.  Token order never
+    matters, so the result is partitioning-invariant and exactly
+    SQL-replayable."""
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    toks = (
+        df.select(F.col(id_col), F.explode(_tokens(text)).alias("__t"))
+        .where(F.length("__t") > 0)
+    )
+    v = vocab.select(
+        F.col(vocab_col).alias("__t"), F.lit(1).alias("__in")
+    ).dropDuplicates(["__t"])
+    joined = toks.join(v, "__t", "left")
+    rates = joined.groupBy(id_col).agg(
+        (
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias(out_col)
+    )
+    # blank docs fell out at the explode: restore them with NULL
+    return df.select(id_col).join(rates, id_col, "left")
+
+
 # ---------------------------------------------------------------------------
 # Document chunking
 

@@ -122,6 +122,80 @@ def per_domain_cap(
     )
 
 
+# tracking parameters stripped by canonical_url: the ad-click and
+# analytics ids that make one page arrive under millions of distinct
+# URLs (the reason C4-style pipelines dedup by CANONICAL url)
+_TRACKING_PARAM_RE = r"(utm_[a-z0-9_]*|gclid|fbclid|msclkid|ref)=[^&#]*"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for URL-level dedup: lowercased scheme
+    and host, ``www.`` prefix dropped, default ports stripped,
+    fragment dropped, tracking query parameters removed
+    (utm_*/gclid/fbclid/msclkid/ref — other parameters keep their
+    order), empty ``?`` cleaned up, trailing slashes trimmed.
+
+    Pure regexp_replace chain in the Java∩RE2 dialect — no lookaheads,
+    no backrefs-in-pattern (same contract as the PII scrubber) — so
+    the DuckDB oracle replays it verbatim, and all JVM-side, no
+    Python.  Absolute http(s) URLs are the domain of the spec; other
+    strings pass through the later steps unchanged.  NULL propagates.
+    """
+    # lowercase scheme + authority only (the path keeps its case)
+    head = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    )
+    tail = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(head, tail)  # no-match => head='' and tail=url
+    # drop www. right after the (now lowercased) scheme
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://)www\.", r"$1")
+    # default ports (delimiter captured, not looked-ahead: RE2-safe)
+    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443($|[/?#])", r"$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80($|[/?#])", r"$1$2")
+    u = F.regexp_replace(u, r"#.*$", "")                    # fragment
+    # tracking params: each pass consumes the delimiter of the match,
+    # so an adjacent tracker needs the next pass — three passes cover
+    # any realistic run (tested to 4 adjacent)
+    for _ in range(3):
+        u = F.regexp_replace(u, r"([?&])" + _TRACKING_PARAM_RE + r"(&|$)",
+                             r"$1$3")
+    u = F.regexp_replace(u, r"[?&]+$", "")                  # dangling ? / &
+    u = F.regexp_replace(u, r"\?&+", "?")                   # ?&x -> ?x
+    u = F.regexp_replace(u, r"/+$", "")                     # trailing slash
+    return u
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    keep_canonical_col: str | None = None,
+) -> DataFrame:
+    """URL-level dedup: keep ONE row (the minimum id) per canonical
+    URL — the first dedup pass a crawl corpus runs (cheaper than any
+    content hash: the same page fetched under utm-tagged / fragment /
+    www-variant URLs collapses before its text is ever touched).  Rows
+    whose URL is NULL are kept (no URL evidence — content-level dedup
+    downstream still sees them).  One shuffle on the canonical string;
+    ``keep_canonical_col`` exposes the canonical form in the output."""
+    canon = canonical_url(F.col(url_col))
+    tagged = df.withColumn("__canon", canon)
+    winners = (
+        tagged.where(F.col("__canon").isNotNull())
+        .groupBy("__canon")
+        .agg(F.min(F.col(id_col)).alias("__keep"))
+    )
+    out = tagged.join(
+        winners,
+        (tagged["__canon"].eqNullSafe(winners["__canon"]))
+        & (tagged[id_col] == winners["__keep"]),
+        "left_semi",
+    ).unionByName(tagged.where(F.col("__canon").isNull()))
+    if keep_canonical_col is not None:
+        return out.withColumnRenamed("__canon", keep_canonical_col)
+    return out.drop("__canon")
+
+
 def stream_domain_cap(
     stream: DataFrame,
     url_col: str,

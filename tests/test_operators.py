@@ -1375,3 +1375,32 @@ def test_quality_stopword_ratio(spark):
     q2 = {r["doc_id"]: r["q_stopword_ratio"]
           for r in T.quality_features(df, stopwords=["buy", "now"]).collect()}
     assert q2[1] == pytest.approx(0.5) and q2[0] == 0.0
+
+
+def test_oov_rate(spark):
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("sat",)], ["token"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),              # 0/3 oov
+            (1, "the DOG sat"),              # 1/3 (lowercased 'dog' oov)
+            (2, "zz qq zz qq"),              # 4/4 — multiplicity counts
+            (3, ""),                         # blank -> NULL
+            (4, "   "),                      # blank -> NULL
+            (5, "the the the unknown"),      # 1/4
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["oov_rate"]
+           for r in T.oov_rate(docs, vocab).collect()}
+    assert got[0] == 0.0
+    assert abs(got[1] - 1 / 3) < 1e-12
+    assert got[2] == 1.0
+    assert got[3] is None and got[4] is None
+    assert got[5] == 0.25
+    # vocab duplicates don't double-join
+    vocab_dup = vocab.unionByName(vocab)
+    got2 = {r["doc_id"]: r["oov_rate"]
+            for r in T.oov_rate(docs, vocab_dup).collect()}
+    assert got2 == got

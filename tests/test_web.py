@@ -201,3 +201,49 @@ def test_stream_domain_cap_budget_across_batches(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         W.stream_domain_cap(admitted, "url", "doc_id", cap=0)
+
+
+def test_canonical_url_rules(spark):
+    cases = [
+        (0, "https://WWW.Example.COM:443/Path/To/?utm_source=x&q=1#frag",
+         "https://example.com/Path/To/?q=1"),
+        (1, "http://example.com:80/", "http://example.com"),
+        # four ADJACENT trackers die within the three passes
+        (2, "https://example.com/a/?utm_a=1&utm_b=2&utm_c=3&utm_d=4&k=5",
+         "https://example.com/a/?k=5"),
+        (3, "https://example.com/?utm_only=1", "https://example.com"),
+        (4, "https://example.com/x?a=1&ref=foo", "https://example.com/x?a=1"),
+        (5, "https://example.com/x?ref=foo&a=1", "https://example.com/x?a=1"),
+        # path case preserved; non-default port kept; www in the middle kept
+        (6, "HTTP://WwW.A.com/CaseD", "http://a.com/CaseD"),
+        (7, "https://example.com:8443/x", "https://example.com:8443/x"),
+        (8, "https://www.example.com/www.page", "https://example.com/www.page"),
+        (9, "not a url", "not a url"),
+        (10, None, None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                               "i long, u string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", W.canonical_url(F.col("u")).alias("c")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_dedup_min_id_per_canonical(spark):
+    rows = [
+        (0, "https://example.com/page"),
+        (1, "https://WWW.example.com/page/?utm_source=x"),   # dup of 0
+        (2, "https://example.com/page#frag"),                # dup of 0
+        (3, "https://example.com/other"),
+        (4, None),                                           # no URL: kept
+        (5, "https://example.com/page?a=1"),                 # distinct (param)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = W.url_dedup(df, keep_canonical_col="canon")
+    got = {r["doc_id"]: r["canon"] for r in kept.collect()}
+    assert sorted(got) == [0, 3, 4, 5]
+    assert got[0] == "https://example.com/page"
+    assert got[4] is None
+    # partitioning invariance
+    again = {r["doc_id"] for r in W.url_dedup(df.repartition(5)).collect()}
+    assert again == set(got)
