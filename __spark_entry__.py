@@ -967,6 +967,35 @@ def q_url_dedup_docs(spark, sf_dir):
     return kept.select("doc_id", "canon")
 
 
+def q_strip_boilerplate_docs(spark, sf_dir):
+    """Corpus-wide boilerplate line removal (round-5 lane): every 3rd
+    doc gains a shared footer line, every 5th a shared nav line; with
+    max_df=10 those (document frequency ~100-167) strip from every
+    doc, body lines survive, and each doc's lines rejoin in order.
+    Output is the md5 of the cleaned text — the oracle rebuilds the
+    augmented corpus, replays the per-line document-frequency count,
+    the strip, and the ordered re-concatenation."""
+    from jepl_spark.operators import text as T2
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.when(
+        d % 3 == 0, F.concat(F.col("text"), F.lit("\nGLOBAL FOOTER LINE"))
+    ).otherwise(F.col("text"))
+    aug = F.when(
+        d % 5 == 0, F.concat(F.lit("NAV | MENU | LINE\n"), aug)
+    ).otherwise(aug)
+    out = T2.strip_boilerplate_lines(
+        docs.withColumn("text", aug).select("doc_id", "text"), max_df=10
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("clean_md5"),
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("bigint").alias("clean_len"),
+    )
+
+
 def q_oov_rate_docs(spark, sf_dir):
     """Tokenizer-coverage quality scoring (round-5 lane): per-doc
     out-of-vocabulary rate against the corpus's own top-500 vocabulary
@@ -2132,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_domain_cap": q_stream_domain_cap,
         "url_dedup_docs": q_url_dedup_docs,
         "oov_rate_docs": q_oov_rate_docs,
+        "strip_boilerplate_docs": q_strip_boilerplate_docs,
         # -- block 3: veteran core (driver-green in r3/r4 ledgers) -----
         "jepl_sum_filter": q_jepl_sum_filter,
         "jepl_five_aggs_group": q_jepl_five_aggs_group,
@@ -3862,6 +3892,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, canon FROM w WHERE doc_id = keeper
             UNION ALL
             SELECT doc_id, canon FROM u WHERE canon IS NULL
+        """,
+        # boilerplate strip: rebuild the augmented corpus, count each
+        # trimmed line's distinct-doc frequency, strip df>10 lines,
+        # string_agg the survivors back in position order
+        "strip_boilerplate_docs": """
+            WITH aug AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0
+                     THEN 'NAV | MENU | LINE' || chr(10) ELSE '' END
+                || text
+                || CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || 'GLOBAL FOOTER LINE' ELSE '' END
+                AS text
+              FROM documents
+            ),
+            l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+            ln AS (
+              SELECT doc_id, ls,
+                     unnest(range(1, array_length(ls) + 1)) AS pos
+              FROM l0
+            ),
+            keyed AS (
+              SELECT doc_id, pos, ls[pos] AS line, trim(ls[pos]) AS key
+              FROM ln
+            ),
+            heavy AS (
+              SELECT key FROM (
+                SELECT DISTINCT key, doc_id FROM keyed WHERE length(key) >= 1
+              ) GROUP BY key HAVING count(*) > 10
+            ),
+            kept AS (
+              SELECT k.doc_id, k.pos, k.line
+              FROM keyed k LEFT JOIN heavy h ON k.key = h.key
+              WHERE h.key IS NULL
+            ),
+            reb AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS clean
+              FROM kept GROUP BY doc_id
+            )
+            SELECT a.doc_id,
+                   md5(coalesce(r.clean, '')) AS clean_md5,
+                   CAST(length(coalesce(r.clean, '')) AS BIGINT) AS clean_len
+            FROM aug a LEFT JOIN reb r ON a.doc_id = r.doc_id
         """,
         # OOV rate vs the corpus's own top-500 vocabulary
         "oov_rate_docs": """

@@ -434,6 +434,71 @@ def top_tokens(
     return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
 
 
+def strip_boilerplate_lines(
+    df: DataFrame,
+    max_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str | None = None,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide boilerplate line removal (the C4/RefinedWeb move
+    against nav menus, cookie banners, copyright footers): a line
+    whose trimmed form appears in MORE than ``max_df`` distinct
+    documents is stripped from every document; each document's
+    surviving lines rejoin in their original order.  Lines shorter
+    than ``min_line_chars`` after trimming never count as evidence and
+    are never stripped (blank separators survive).  Duplicate lines
+    WITHIN one document count once toward that line's document
+    frequency (df is per-doc, so a doc self-repeating its header does
+    not globalize it).
+
+    Shape: posexplode lines (position kept for reassembly) → one
+    exchange on the trimmed line for the document-frequency count
+    (heavy boilerplate lines are exactly the hot keys — partial
+    aggregation absorbs them map-side) → join back on the line →
+    per-doc ordered re-concatenation (one (id) exchange).  Lines, not
+    documents, shuffle — and only (line, df) pairs cross the first
+    exchange.  Fully SQL-replayable (deterministic, order-preserving).
+
+    ``out_col`` writes the cleaned text to a new column instead of
+    replacing ``text_col``.  NULL text passes through unchanged."""
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    out_col = out_col or text_col
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__key", F.trim(F.col("__line")))
+    countable = F.length("__key") >= min_line_chars
+    dfreq = (
+        lines.where(countable)
+        .select("__key", id_col).distinct()
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > max_df)
+    )
+    # short lines can never appear in dfreq (it only counts countable
+    # keys), so a plain null-check on the join marker suffices
+    kept = lines.join(
+        dfreq.select("__key", F.lit(True).alias("__drop")), "__key", "left"
+    ).where(F.col("__drop").isNull())
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n", F.transform(F.array_sort(
+                F.collect_list(F.struct("__pos", "__line"))
+            ), lambda s: s["__line"])
+        ).alias("__clean")
+    )
+    base = df.join(rebuilt, id_col, "left")
+    # docs whose every line was stripped (or NULL text) need care:
+    # NULL text stays NULL; a fully-stripped doc becomes ''
+    clean = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(F.coalesce(F.col("__clean"), F.lit("")))
+    return base.withColumn(out_col, clean).drop("__clean")
+
+
 def oov_rate(
     df: DataFrame,
     vocab: DataFrame,

@@ -1404,3 +1404,43 @@ def test_oov_rate(spark):
     got2 = {r["doc_id"]: r["oov_rate"]
             for r in T.oov_rate(docs, vocab_dup).collect()}
     assert got2 == got
+
+
+def test_strip_boilerplate_lines(spark):
+    footer = "(c) example corp all rights reserved"
+    nav = "home | about | contact"
+    docs = [
+        (0, f"{nav}\nunique intro zero\n\n{footer}"),
+        (1, f"{nav}\nunique body one\n{footer}"),
+        (2, f"{nav}\nunique text two\n{footer}"),
+        (3, "standalone doc with no boilerplate at all"),
+        # footer repeated WITHIN one doc: in-doc repeats count once
+        (4, f"solo content four\n{footer}\n{footer}"),
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in T.strip_boilerplate_lines(df, max_df=2).collect()}
+    # nav (df=3) and footer (df=4) exceed max_df=2 -> stripped; the
+    # blank separator line survives (below min_line_chars)
+    assert out[0] == "unique intro zero\n"
+    assert out[1] == "unique body one"
+    assert out[2] == "unique text two"
+    assert out[3] == docs[3][1]
+    assert out[4] == "solo content four"
+    assert out[5] is None
+    assert out[6] == ""
+    # max_df=4: footer df=4 is NOT > 4 -> everything survives verbatim
+    keep_all = {r["doc_id"]: r["text"]
+                for r in T.strip_boilerplate_lines(df, max_df=4).collect()}
+    assert keep_all == {i: t for i, t in docs}
+    # out_col leaves the original intact; partitioning invariance
+    both = T.strip_boilerplate_lines(
+        df.repartition(5), max_df=2, out_col="clean"
+    ).collect()
+    assert {r["doc_id"]: r["clean"] for r in both} == out
+    assert {r["doc_id"]: r["text"] for r in both} == {i: t for i, t in docs}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        T.strip_boilerplate_lines(df, max_df=0)
