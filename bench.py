@@ -283,6 +283,44 @@ def batch_queries(spark, sf_dir):
         return _drain(W.per_domain_cap(
             df.withColumn("url", url), "url", "doc_id", cap=8))
 
+    def url_dedup():
+        # canonicalization + min-id-per-canonical over synthetic URLs
+        # (every 7th doc a messy variant of its predecessor's URL)
+        from jepl_spark.operators import web as W
+
+        df = load_table(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        suffix = F.when(d % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com"))
+        base = F.concat(F.lit("https://www.src"), (d % 20).cast("string"),
+                        suffix, F.lit("/d/"), d.cast("string"))
+        variant = F.concat(
+            F.lit("https://WWW.src"), ((d - 1) % 20).cast("string"),
+            F.when((d - 1) % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+            F.lit("/d/"), (d - 1).cast("string"),
+            F.lit("/?utm_source=x#f"))
+        url = F.when((d % 7 == 3) & (d > 0), variant).otherwise(base)
+        return _drain(W.url_dedup(
+            df.withColumn("url", url).select("doc_id", "url")))
+
+    def oov_rate():
+        # per-doc OOV fraction vs the corpus's own top-500 vocabulary
+        df = load_table(spark, sf_dir, "documents")
+        vocab = T.top_tokens(df, k=500)
+        return _drain(T.oov_rate(df, vocab))
+
+    def boilerplate():
+        # corpus-wide line-df count + strip + ordered reassembly, with
+        # planted nav/footer lines on 1/5 and 1/3 of the docs
+        df = load_table(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        aug = F.when(d % 3 == 0, F.concat(F.col("text"),
+                                          F.lit("\nGLOBAL FOOTER LINE"))
+                     ).otherwise(F.col("text"))
+        aug = F.when(d % 5 == 0, F.concat(F.lit("NAV | MENU | LINE\n"), aug)
+                     ).otherwise(aug)
+        return _drain(T.strip_boilerplate_lines(
+            df.withColumn("text", aug).select("doc_id", "text"), max_df=10))
+
     return {
         "jepl_lineitem_agg": jepl_lineitem_agg,
         "jepl_events_rule": jepl_events_rule,
@@ -306,6 +344,9 @@ def batch_queries(spark, sf_dir):
         "near_dup_comps": near_dup_comps,
         "jpeg_roundtrip": jpeg_roundtrip,
         "domain_cap": domain_cap,
+        "url_dedup": url_dedup,
+        "oov_rate": oov_rate,
+        "boilerplate": boilerplate,
     }
 
 
