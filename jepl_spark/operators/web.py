@@ -180,15 +180,18 @@ def url_dedup(
     ``keep_canonical_col`` exposes the canonical form in the output."""
     canon = canonical_url(F.col(url_col))
     tagged = df.withColumn("__canon", canon)
+    # distinct column names on the winner side: a same-name condition
+    # over a self-join lineage risks Spark resolving both sides to one
+    # attribute (it warns "trivially true equals predicate")
     winners = (
         tagged.where(F.col("__canon").isNotNull())
-        .groupBy("__canon")
+        .groupBy(F.col("__canon").alias("__wc"))
         .agg(F.min(F.col(id_col)).alias("__keep"))
     )
     out = tagged.join(
         winners,
-        (tagged["__canon"].eqNullSafe(winners["__canon"]))
-        & (tagged[id_col] == winners["__keep"]),
+        (F.col("__canon") == F.col("__wc"))
+        & (F.col(id_col) == F.col("__keep")),
         "left_semi",
     ).unionByName(tagged.where(F.col("__canon").isNull()))
     if keep_canonical_col is not None:

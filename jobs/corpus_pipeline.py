@@ -61,6 +61,17 @@ def main(argv: list[str]) -> int:
                         "near-dup graph and keep one canonical doc per "
                         "fuzzy cluster")
     p.add_argument("--report-only", action="store_true")
+    p.add_argument("--url-col", default=None,
+                   help="run URL-level dedup first (canonical_url + "
+                        "min-id per canonical) on this column")
+    p.add_argument("--boilerplate-max-df", type=int, default=None,
+                   help="strip lines appearing in more than this many "
+                        "distinct docs (before the quality gate, so "
+                        "nav/footer lines cannot pollute its ratios)")
+    p.add_argument("--max-oov-rate", type=float, default=None,
+                   help="drop docs whose out-of-vocabulary rate vs the "
+                        "surviving corpus vocabulary exceeds this")
+    p.add_argument("--oov-vocab-k", type=int, default=50_000)
     p.add_argument("--split", default=None,
                    help="comma-separated name=weight list (weights sum to "
                         "1), e.g. train=0.9,val=0.05,test=0.05 — adds a "
@@ -126,6 +137,26 @@ def main(argv: list[str]) -> int:
     df = spark.read.parquet(args.input)
     stages["input"] = df.count()
 
+    # 0a. URL-level dedup — the cheapest dedup there is (no content
+    #     is touched): utm/fragment/www variants of one page collapse
+    #     before their text costs anything downstream
+    if args.url_col:
+        from jepl_spark.operators import web as W
+
+        df = checkpoint_stage(
+            W.url_dedup(df, args.url_col, args.id_col), "after_url_dedup"
+        )
+
+    # 0b. boilerplate strip — before the quality gate, so nav/footer
+    #     lines cannot pollute the token/punct ratios it reads
+    if args.boilerplate_max_df is not None:
+        df = checkpoint_stage(
+            T.strip_boilerplate_lines(
+                df, args.boilerplate_max_df, args.text_col, args.id_col
+            ),
+            "after_boilerplate",
+        )
+
     # 1. quality gate (per-row JVM; Catalyst fuses with the scan)
     q = T.quality_features(df, args.text_col)
     df = (
@@ -145,6 +176,20 @@ def main(argv: list[str]) -> int:
     # first persist point: everything above is per-row projection the
     # optimizer fuses into one scan; below it feeds multiple consumers
     df = checkpoint_stage(df, "after_lang")
+
+    # 2a. (optional) OOV-rate gate: vocabulary from the SURVIVORS of
+    #     the gates above, so junk the earlier stages dropped cannot
+    #     vote tokens into the vocabulary
+    if args.max_oov_rate is not None:
+        vocab = T.top_tokens(df, args.text_col, k=args.oov_vocab_k)
+        rates = T.oov_rate(df, vocab, args.text_col, args.id_col)
+        keep = rates.where(
+            F.col("oov_rate").isNull()
+            | (F.col("oov_rate") <= args.max_oov_rate)
+        ).select(args.id_col)
+        df = checkpoint_stage(
+            df.join(keep, args.id_col, "left_semi"), "after_oov"
+        )
 
     # 3. exact dedup (one shuffle on the content hash; min-id wins)
     df = checkpoint_stage(

@@ -79,6 +79,53 @@ def test_corpus_pipeline_near_dedup_policy(spark, tmp_path, capsys):
     assert comps["stages"]["after_near_dedup"] == 2   # {0, 9}
 
 
+def test_corpus_pipeline_url_boilerplate_oov_stages(spark, tmp_path, capsys):
+    """The three round-5 stages wired into the job: URL dedup folds
+    the utm-variant row, the boilerplate strip removes the shared
+    footer (so doc 5, which is ONLY footer + junk, then dies at the
+    quality gate), and the OOV gate drops the gibberish doc whose
+    tokens miss the survivor vocabulary."""
+    body = ("the quick brown fox jumps over the lazy dog near the river "
+            "{} while the other animals watch the water flow")
+    footer = "COPYRIGHT FOOTER NAV LINE"
+    docs = [
+        (0, body.format("bank") + "\n" + footer,
+         "https://example.com/a"),
+        (1, body.format("bank") + "\n" + footer,
+         "https://WWW.example.com/a/?utm_source=x"),   # URL-dup of 0
+        (2, body.format("bend") + "\n" + footer, "https://example.com/b"),
+        (3, body.format("delta") + "\n" + footer, "https://example.com/c"),
+        (4, body.format("shore") + "\n" + footer, "https://example.com/d"),
+        (5, "!!\n" + footer, "https://example.com/e"),  # footer+junk only
+        # 24 unique gibberish tokens: below the k=25 vocabulary cutoff
+        # (the vocab is the survivors' own top tokens, so a rare-token
+        # doc is exactly what the OOV gate exists to catch)
+        (6, " ".join(f"zx{i}qv" for i in range(24)),
+         "https://example.com/f"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(docs, ["doc_id", "text", "url"]).write.parquet(src)
+
+    from jobs.corpus_pipeline import main
+
+    rc = main([
+        "--input", src, "--report-only",
+        "--min-tokens", "4", "--url-col", "url",
+        "--boilerplate-max-df", "3", "--max-oov-rate", "0.5",
+        "--oov-vocab-k", "25",
+        "--near-dup-threshold", "0.99",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    s = rep["stages"]
+    assert s["input"] == 7
+    assert s["after_url_dedup"] == 6      # 1 folded into 0
+    assert s["after_boilerplate"] == 6    # strip changes text, not rows
+    assert s["after_quality"] == 5        # 5 is now just '!!' -> dropped
+    assert s["after_oov"] == 4            # 6's tokens miss the vocab
+    assert s["after_exact_dedup"] == 4
+
+
 def test_cli_runner(spark, capsys):
     """python -m jepl_spark happy path (json rows) and compile-error
     path (reference-identical message, exit 1)."""

@@ -247,3 +247,25 @@ def test_url_dedup_min_id_per_canonical(spark):
     # partitioning invariance
     again = {r["doc_id"] for r in W.url_dedup(df.repartition(5)).collect()}
     assert again == set(got)
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical_url is a canonical form: applying it twice equals
+    applying it once (over the full rule-triggering case set)."""
+    urls = [
+        "https://WWW.Example.COM:443/Path/?utm_a=1&utm_b=2&b=3#f",
+        "http://example.com:80/x/",
+        "https://example.com/?utm_only=1",
+        "https://example.com/x?a=1&ref=r&fbclid=z",
+        "HTTP://WwW.A.com/B/",
+        "https://example.com:8443/x?gclid=1",
+        "relative/path?utm_x=1",
+        "",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = W.canonical_url(F.col("u"))
+    rows = df.select(
+        once.alias("c1"), W.canonical_url(once).alias("c2")
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
