@@ -1085,6 +1085,67 @@ def q_stream_domain_cap(spark, sf_dir):
     )
 
 
+def q_stream_outer_join_missing(spark, sf_dir):
+    """LEFT-OUTER watermarked stream-stream join (round-5 lane): 200
+    audio clips vs transcripts for the even half only, run live
+    through the exactly-once sink with far-future watermark movers on
+    both sides so every unmatched clip's join state provably closes.
+    Each clip emits exactly one row — matched with its transcript, or
+    NULL once both watermarks pass its match window (the
+    missing-transcript completeness report).  The final row SET is
+    deterministic (emission TIMING is watermark-driven and is pinned
+    by tests instead); the oracle replays clip ids and the even-half
+    match pattern from the generator formula."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from jepl_spark.sources.clips import clips_df, transcripts_df
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.join import audio_transcript_join_outer
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-ojoin-")
+    n = 200
+    audio_b = clips_df(spark, n).select("clip_id", "codec", "event_time", "seq")
+    trans_b = transcripts_df(spark, n, delay_s=5.0).where("seq % 2 = 0")
+    amover = audio_b.limit(1).withColumn(
+        "event_time", F2.lit("2030-01-01 00:00:00").cast("timestamp")
+    ).withColumn("clip_id", F2.lit("zz-mover"))
+    tmover = trans_b.limit(1).withColumn(
+        "event_time", F2.lit("2030-01-01 00:00:00").cast("timestamp")
+    ).withColumn("clip_id", F2.lit("zz-mover-t"))
+    a_src, t_src = f"{work}/a", f"{work}/t"
+    audio_b.write.parquet(a_src)
+    amover.write.mode("append").parquet(a_src)
+    trans_b.write.parquet(t_src)
+    tmover.write.mode("append").parquet(t_src)
+
+    joined = audio_transcript_join_outer(
+        file_stream(spark, a_src, audio_b.schema),
+        file_stream(spark, t_src, trans_b.schema).drop("seq"),
+        audio_watermark="10 seconds", transcript_watermark="10 seconds",
+        max_delay="10 seconds",
+    )
+    sink = IdempotentParquetSink(f"{work}/sink")
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda d, b: sink.write_batch(d, b))
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    return (
+        sink.read_committed(spark)
+        .where(F.col("clip_id").startswith("clip-"))
+        .select(
+            "clip_id",
+            F.col("joined_transcript").isNotNull().alias("has_transcript"),
+        )
+    )
+
+
 def q_stream_windowed_rule(spark, sf_dir):
     """Streaming lane: the windowed JEPL rule executed as an actual
     Structured Streaming query (availableNow) over the events table
@@ -2162,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_docs": q_url_dedup_docs,
         "oov_rate_docs": q_oov_rate_docs,
         "strip_boilerplate_docs": q_strip_boilerplate_docs,
+        "stream_outer_join_missing": q_stream_outer_join_missing,
         # -- block 3: veteran core (driver-green in r3/r4 ledgers) -----
         "jepl_sum_filter": q_jepl_sum_filter,
         "jepl_five_aggs_group": q_jepl_five_aggs_group,
@@ -3892,6 +3954,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, canon FROM w WHERE doc_id = keeper
             UNION ALL
             SELECT doc_id, canon FROM u WHERE canon IS NULL
+        """,
+        # left-outer stream-stream join: clip ids + the even-half
+        # match pattern replay from the generator formula
+        "stream_outer_join_missing": """
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+                   (i % 2 = 0) AS has_transcript
+            FROM range(200) t(i)
         """,
         # boilerplate strip: rebuild the augmented corpus, count each
         # trimmed line's distinct-doc frequency, strip df>10 lines,

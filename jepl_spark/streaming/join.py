@@ -80,3 +80,54 @@ def audio_transcript_join(
         F.col(f"t.{ts_col}").alias("transcript_time"),
     ]
     return joined.select(*cols)
+
+
+def audio_transcript_join_outer(
+    audio: DataFrame,
+    transcripts: DataFrame,
+    *,
+    audio_watermark: Optional[str] = "30 seconds",
+    transcript_watermark: Optional[str] = "30 seconds",
+    max_delay: str = "60 seconds",
+    ts_col: str = "event_time",
+) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join: every audio clip
+    emits — matched clips as soon as their transcript arrives, and a
+    NULL-transcript row once BOTH watermarks prove no transcript can
+    still match (audio join state past its event-time bound).  This is
+    the data-completeness lane: the NULL rows ARE the
+    missing-transcript report a 10¹²-clip ingest needs, produced by
+    the same join state that serves the happy path — no second scan,
+    no anti-join over history.
+
+    Emission timing of the NULL rows is watermark-driven (they appear
+    a micro-batch or two after the match window closes — Spark's
+    outer-join contract), so downstream consumers must not assume
+    arrival order between matched and unmatched rows.  Salting is
+    deliberately NOT offered here: replicating the transcript side
+    would emit ``salt`` NULL rows per unmatched clip (one per salt
+    partition that saw no match) — dedup them downstream or keep outer
+    joins unsalted and let AQE-less streaming state partitioning carry
+    the skew."""
+    audio = ensure_event_timestamp(audio, ts_col)
+    transcripts = ensure_event_timestamp(transcripts, ts_col)
+    a = (
+        audio.withWatermark(ts_col, audio_watermark)
+        if audio_watermark is not None else audio
+    ).alias("a")
+    t = (
+        transcripts.withWatermark(ts_col, transcript_watermark)
+        if transcript_watermark is not None else transcripts
+    ).alias("t")
+    cond = (
+        (F.col("a.clip_id") == F.col("t.clip_id"))
+        & (F.col(f"t.{ts_col}") >= F.col(f"a.{ts_col}"))
+        & (F.col(f"t.{ts_col}") <= F.col(f"a.{ts_col}")
+           + F.expr(f"INTERVAL {max_delay}"))
+    )
+    joined = a.join(t, cond, "left_outer")
+    cols = [F.col(f"a.{c}") for c in audio.columns] + [
+        F.col("t.transcript").alias("joined_transcript"),
+        F.col(f"t.{ts_col}").alias("transcript_time"),
+    ]
+    return joined.select(*cols)

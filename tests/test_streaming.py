@@ -542,6 +542,62 @@ def test_stream_stream_join_golden(spark, tmp_path):
         assert (r["transcript_time"] - r["event_time"]).total_seconds() == 5.0
 
 
+def test_stream_stream_left_outer_join_missing_transcripts(spark, tmp_path):
+    """audio_transcript_join_outer: matched clips carry their
+    transcript; clips whose transcript never arrives emit exactly one
+    NULL-transcript row once the watermarks close the match window —
+    the missing-transcript completeness report, from the same join
+    state as the happy path."""
+    from jepl_spark.sources.clips import clips_df, transcripts_df
+    from jepl_spark.streaming.join import audio_transcript_join_outer
+
+    n = 24
+    audio_b = clips_df(spark, n).select("clip_id", "codec", "event_time", "seq")
+    # transcripts only for even seq; odd clips must emit NULL rows
+    trans_b = transcripts_df(spark, n, delay_s=5.0).where("seq % 2 = 0")
+    # far-future watermark movers on BOTH sides so every outer state
+    # row is provably unmatchable by end-of-stream
+    amover = audio_b.limit(1).withColumn(
+        "event_time", F.lit("2030-01-01 00:00:00").cast("timestamp")
+    ).withColumn("clip_id", F.lit("zz-mover"))
+    tmover = trans_b.limit(1).withColumn(
+        "event_time", F.lit("2030-01-01 00:00:00").cast("timestamp")
+    ).withColumn("clip_id", F.lit("zz-mover-t"))
+
+    a_src, t_src = str(tmp_path / "a"), str(tmp_path / "t")
+    audio_b.write.parquet(a_src)
+    amover.write.mode("append").parquet(a_src)
+    trans_b.write.parquet(t_src)
+    tmover.write.mode("append").parquet(t_src)
+
+    a_stream = file_stream(spark, a_src, audio_b.schema)
+    t_stream = file_stream(spark, t_src, trans_b.schema)
+    joined = audio_transcript_join_outer(
+        a_stream, t_stream.drop("seq"),
+        audio_watermark="10 seconds", transcript_watermark="10 seconds",
+        max_delay="10 seconds",
+    )
+    collected = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "ojckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    rows = [r for r in collected if not r["clip_id"].startswith("zz-mover")]
+    assert len(rows) == n  # one row per clip, matched or not
+    matched = {r["clip_id"] for r in rows if r["joined_transcript"] is not None}
+    missing = {r["clip_id"] for r in rows if r["joined_transcript"] is None}
+    want_matched = {r["clip_id"] for r in audio_b.collect() if r["seq"] % 2 == 0}
+    assert matched == want_matched
+    assert missing == {r["clip_id"] for r in audio_b.collect()} - want_matched
+    for r in rows:
+        if r["joined_transcript"] is None:
+            assert r["transcript_time"] is None
+
+
 def test_full_pipeline_join_window_golden(spark, tmp_path):
     """The complete north-rule pipeline as one streaming query —
     audio stream ⋈ transcript stream → windowed per-codec JEPL counts →
