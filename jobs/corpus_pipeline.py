@@ -7,6 +7,8 @@
         [--langs en,fr,es,de] \\
         [--near-dup-threshold 0.8] [--minhash-bands 16] \\
         [--near-dedup-policy pairs|components] \\
+        [--url-col url] [--boilerplate-max-df N] [--max-oov-rate R] \\
+        [--audit-output <dir>] \\
         [--decontam-input <benchmark.parquet>] \\
         [--split train=0.9,val=0.1] [--chunk-tokens 512 | --pack-budget 4096] \\
         [--report-only]
@@ -72,6 +74,10 @@ def main(argv: list[str]) -> int:
                    help="drop docs whose out-of-vocabulary rate vs the "
                         "surviving corpus vocabulary exceeds this")
     p.add_argument("--oov-vocab-k", type=int, default=50_000)
+    p.add_argument("--audit-output", default=None,
+                   help="also write every DROPPED doc id with the stage "
+                        "that dropped it (drop_reason) to this dir — the "
+                        "curation audit trail")
     p.add_argument("--split", default=None,
                    help="comma-separated name=weight list (weights sum to "
                         "1), e.g. train=0.9,val=0.05,test=0.05 — adds a "
@@ -123,6 +129,20 @@ def main(argv: list[str]) -> int:
     t0 = time.time()
     stages: dict[str, int] = {}
     persisted = []
+    audits: list = []
+
+    def audited(before, after, reason):
+        """Record (id, drop_reason) for rows `before` has and `after`
+        lacks.  Lazy — the anti-joins execute only in the final audit
+        write, against persisted stage boundaries where they exist."""
+        if args.audit_output:
+            audits.append((
+                reason,
+                before.select(args.id_col).join(
+                    after.select(args.id_col), args.id_col, "left_anti"
+                ),
+            ))
+        return after
 
     def checkpoint_stage(frame, name):
         """Persist a stage boundary so per-stage counts and downstream
@@ -144,7 +164,9 @@ def main(argv: list[str]) -> int:
         from jepl_spark.operators import web as W
 
         df = checkpoint_stage(
-            W.url_dedup(df, args.url_col, args.id_col), "after_url_dedup"
+            audited(df, W.url_dedup(df, args.url_col, args.id_col),
+                    "url_dedup"),
+            "after_url_dedup",
         )
 
     # 0b. boilerplate strip — before the quality gate, so nav/footer
@@ -159,6 +181,7 @@ def main(argv: list[str]) -> int:
 
     # 1. quality gate (per-row JVM; Catalyst fuses with the scan)
     q = T.quality_features(df, args.text_col)
+    pre_quality = df
     df = (
         q.filter(
             (F.col("q_n_tokens") >= args.min_tokens)
@@ -166,13 +189,15 @@ def main(argv: list[str]) -> int:
         )
         .drop(*[c for c in q.columns if c.startswith("q_")])
     )
+    df = audited(pre_quality, df, "quality")
     stages["after_quality"] = df.count()  # fused with the lang stage below
 
     # 2. language gate
+    pre_lang = df
     df = df.withColumn("lang", T.lang_id(F.col(args.text_col)))
     if args.langs:
         allow = [x.strip() for x in args.langs.split(",") if x.strip()]
-        df = df.filter(F.col("lang").isin(allow))
+        df = audited(pre_lang, df.filter(F.col("lang").isin(allow)), "lang")
     # first persist point: everything above is per-row projection the
     # optimizer fuses into one scan; below it feeds multiple consumers
     df = checkpoint_stage(df, "after_lang")
@@ -188,22 +213,29 @@ def main(argv: list[str]) -> int:
             | (F.col("oov_rate") <= args.max_oov_rate)
         ).select(args.id_col)
         df = checkpoint_stage(
-            df.join(keep, args.id_col, "left_semi"), "after_oov"
+            audited(df, df.join(keep, args.id_col, "left_semi"), "oov"),
+            "after_oov",
         )
 
     # 3. exact dedup (one shuffle on the content hash; min-id wins)
     df = checkpoint_stage(
-        D.exact_dedup(df, args.text_col, args.id_col), "after_exact_dedup"
+        audited(df, D.exact_dedup(df, args.text_col, args.id_col),
+                "exact_dedup"),
+        "after_exact_dedup",
     )
 
     # 4. near-dup dedup (MinHash+LSH candidates -> threshold -> drop
     #    per --near-dedup-policy: pair rule, or one canonical doc per
     #    connected component of the near-dup graph)
-    df = D.minhash_dedup(
-        df, args.text_col, args.id_col,
-        threshold=args.near_dup_threshold,
-        bands=args.minhash_bands, num_hashes=args.minhash_hashes,
-        policy=args.near_dedup_policy,
+    df = audited(
+        df,
+        D.minhash_dedup(
+            df, args.text_col, args.id_col,
+            threshold=args.near_dup_threshold,
+            bands=args.minhash_bands, num_hashes=args.minhash_hashes,
+            policy=args.near_dedup_policy,
+        ),
+        "near_dedup",
     )
     df = checkpoint_stage(df, "after_near_dedup")
 
@@ -225,7 +257,9 @@ def main(argv: list[str]) -> int:
             | (F.col("avg_logp") >= args.lm_min_logp)
         ).select(args.id_col)
         df = checkpoint_stage(
-            df.join(good, on=args.id_col, how="inner"), "after_lm_filter"
+            audited(df, df.join(good, on=args.id_col, how="inner"),
+                    "lm_filter"),
+            "after_lm_filter",
         )
 
     # 4b. (optional) benchmark decontamination — remove docs sharing
@@ -234,10 +268,14 @@ def main(argv: list[str]) -> int:
     if args.decontam_input:
         bench = spark.read.parquet(args.decontam_input)
         df = checkpoint_stage(
-            D.decontaminate(
-                df, bench, text_col=args.text_col, id_col=args.id_col,
-                bench_text_col=args.text_col, n=args.decontam_ngram,
-                min_hits=args.decontam_min_hits, return_clean=True,
+            audited(
+                df,
+                D.decontaminate(
+                    df, bench, text_col=args.text_col, id_col=args.id_col,
+                    bench_text_col=args.text_col, n=args.decontam_ngram,
+                    min_hits=args.decontam_min_hits, return_clean=True,
+                ),
+                "decontam",
             ),
             "after_decontam",
         )
@@ -311,6 +349,29 @@ def main(argv: list[str]) -> int:
         "wall_s": round(time.time() - t0, 2),
         "output": None if args.report_only else args.output,
     }
+
+    # curation audit trail: every dropped id with the stage that
+    # dropped it — one parquet, one union of per-stage anti-joins
+    # (each against a persisted boundary), counts echoed in the report
+    if args.audit_output:
+        if audits:
+            audit_df = audits[0][1].withColumn(
+                "drop_reason", F.lit(audits[0][0])
+            )
+            for reason, dropped in audits[1:]:
+                audit_df = audit_df.unionByName(
+                    dropped.withColumn("drop_reason", F.lit(reason))
+                )
+            audit_df.write.mode("overwrite").parquet(args.audit_output)
+            counts = (
+                spark.read.parquet(args.audit_output)
+                .groupBy("drop_reason").count().collect()
+            )
+            out["dropped"] = {r["drop_reason"]: r["count"] for r in counts}
+        else:
+            out["dropped"] = {}
+        out["audit_output"] = args.audit_output
+
     for frame in persisted:
         frame.unpersist()
     print(json.dumps(out))

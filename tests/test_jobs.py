@@ -114,6 +114,7 @@ def test_corpus_pipeline_url_boilerplate_oov_stages(spark, tmp_path, capsys):
         "--boilerplate-max-df", "3", "--max-oov-rate", "0.5",
         "--oov-vocab-k", "25",
         "--near-dup-threshold", "0.99",
+        "--audit-output", str(tmp_path / "audit"),
     ])
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -124,6 +125,13 @@ def test_corpus_pipeline_url_boilerplate_oov_stages(spark, tmp_path, capsys):
     assert s["after_quality"] == 5        # 5 is now just '!!' -> dropped
     assert s["after_oov"] == 4            # 6's tokens miss the vocab
     assert s["after_exact_dedup"] == 4
+    # audit trail: each planted defect attributed to its stage
+    assert rep["dropped"] == {"url_dedup": 1, "quality": 1, "oov": 1}
+    audit = {
+        (r["doc_id"], r["drop_reason"])
+        for r in spark.read.parquet(str(tmp_path / "audit")).collect()
+    }
+    assert audit == {(1, "url_dedup"), (5, "quality"), (6, "oov")}
 
 
 def test_cli_runner(spark, capsys):
