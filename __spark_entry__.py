@@ -1085,6 +1085,47 @@ def q_stream_domain_cap(spark, sf_dir):
     )
 
 
+def q_stream_windowed_topk(spark, sf_dir):
+    """Streaming trending-keys lane (round-5): top-5 users per 6-hour
+    window, counts built as a watermarked streaming aggregation, rank
+    applied per emission batch (complete per window by the append
+    contract), exactly-once sink.  The oracle recomputes every
+    window's counts and rank from raw rows and applies the
+    append-emission cutoff — trend content AND streaming emission
+    pinned together."""
+    import tempfile
+
+    from jepl_spark.operators import stats as ST
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-stopk-")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    events.write.mode("overwrite").parquet(f"{work}/src")
+    sink = IdempotentParquetSink(f"{work}/sink")
+    counts, fb = ST.stream_windowed_topk(
+        file_stream(spark, f"{work}/src", events.schema),
+        "user_id", sink, ts_col="ts", duration="6 hours", k=5,
+        watermark="1 hour",
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(fb)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    return sink.read_committed(spark).select(
+        F.unix_timestamp("window_start").cast("bigint").alias("ws"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_stream_outer_join_missing(spark, sf_dir):
     """LEFT-OUTER watermarked stream-stream join (round-5 lane): 200
     audio clips vs transcripts for the even half only, run live
@@ -2224,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate_docs": q_oov_rate_docs,
         "strip_boilerplate_docs": q_strip_boilerplate_docs,
         "stream_outer_join_missing": q_stream_outer_join_missing,
+        "stream_windowed_topk": q_stream_windowed_topk,
         # -- block 3: veteran core (driver-green in r3/r4 ledgers) -----
         "jepl_sum_filter": q_jepl_sum_filter,
         "jepl_five_aggs_group": q_jepl_five_aggs_group,
@@ -3954,6 +3996,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, canon FROM w WHERE doc_id = keeper
             UNION ALL
             SELECT doc_id, canon FROM u WHERE canon IS NULL
+        """,
+        # streaming trending keys: per-window counts + rank replayed
+        # from raw rows, append-emission cutoff as the cms/kmv twins
+        "stream_windowed_topk": """
+            WITH m AS (SELECT epoch(max(ts)) AS mx FROM events),
+            c AS (
+              SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS ws,
+                     user_id, count(*) AS cnt
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT ws, user_id, cnt,
+                     row_number() OVER (
+                       PARTITION BY ws ORDER BY cnt DESC, user_id ASC
+                     ) AS rank
+              FROM c
+            )
+            SELECT r.ws, CAST(r.user_id AS BIGINT) AS user_id,
+                   CAST(r.cnt AS BIGINT) AS cnt, CAST(r.rank AS BIGINT) AS rank
+            FROM r, m WHERE r.ws + 21600 <= m.mx - 3600 AND r.rank <= 5
         """,
         # left-outer stream-stream join: clip ids + the even-half
         # match pattern replay from the generator formula

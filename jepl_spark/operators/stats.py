@@ -185,3 +185,61 @@ def key_skew_report(
             "skew_factor"  # 1.0 = perfectly uniform
         ),
     )
+
+
+def stream_windowed_topk(
+    stream: DataFrame,
+    key_col: str,
+    sink,
+    ts_col: str = "ts",
+    duration: str = "6 hours",
+    k: int = 5,
+    watermark: str = "1 hour",
+):
+    """Streaming per-window top-k — the "trending keys" lane: the k
+    heaviest keys of every event-time window, emitted once when the
+    watermark closes the window, committed exactly-once.  Returns
+    ``(windowed_counts, foreach_batch)``; wire the counts frame
+    through ``writeStream.foreachBatch(foreach_batch)``.
+
+    Why this composition: a rank over a streaming windowed aggregate
+    cannot ride the streaming plan itself (window functions over a
+    streaming aggregation are unsupported), and it does not need to —
+    append mode emits ALL of a window's count rows in the single
+    micro-batch where the watermark passes the window end, so a
+    per-batch rank partitioned by the window is total per window.
+    Ties break (count desc, key asc), matching ``grouped_topk``.
+
+    Scale shape: the windowed count is the only stateful stage (state
+    = live windows × distinct keys, watermark-evicted; map-side
+    partial aggregation absorbs hot keys); the rank runs on emitted
+    count rows only — per window that is ≤ the distinct-key count,
+    already reduced, never raw events.  NULL keys carry no identity
+    and are excluded (matching key_skew_report / grouped_topk)."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = (
+        stream.withWatermark(ts_col, watermark)
+        .where(F.col(key_col).isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col), duration).alias("__w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("__w.start").alias("window_start"), F.col(key_col), "cnt"
+        )
+    )
+
+    def foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("cnt"), F.asc(key_col)
+        )
+        ranked = (
+            batch_df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+        sink.write_batch(ranked, batch_id)
+
+    return counts, foreach_batch

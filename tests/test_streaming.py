@@ -1165,6 +1165,48 @@ def test_stream_simhash_horizon_defaults_to_watermark(spark, tmp_path):
     assert run("hnone", horizon_s=None) == [A]
 
 
+def test_stream_windowed_topk_trending(spark, tmp_path):
+    """Per-window top-k on a live stream: counts accumulate across
+    micro-batches within a window, the rank applies once at window
+    close (ties break count desc / key asc), and k cuts the tail."""
+    from jepl_spark.operators.stats import stream_windowed_topk
+
+    def e(u, t):
+        return {"user": u, "kind": "x", "value": 1.0, "event_time": ts(t)}
+
+    batches = [
+        # window [0,30): a=3, b=2, c=2, d=1 — spread over two batches
+        [e("a", 1), e("a", 2), e("b", 3), e("c", 4)],
+        [e("a", 5), e("b", 6), e("c", 7), e("d", 8)],
+        # watermark mover closes the window
+        [e("z", 1000)],
+    ]
+    src = str(tmp_path / "src")
+    write_batches(src, batches, PA_SCHEMA)
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    counts, fb = stream_windowed_topk(
+        file_stream(spark, src, SPARK_SCHEMA, max_files_per_trigger=1),
+        "user", sink, ts_col="event_time", duration="30 seconds", k=3,
+        watermark="10 seconds",
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    rows = [
+        r for r in sink.read_committed(spark).collect()
+        if (r["window_start"].replace(tzinfo=timezone.utc) - BASE)
+        .total_seconds() < 1000
+    ]
+    got = sorted((r["rank"], r["user"], r["cnt"]) for r in rows)
+    # b beats c on the asc key tiebreak at equal counts; d is cut by k
+    assert got == [(1, "a", 3), (2, "b", 2), (3, "c", 2)]
+
+
 # -- ManifestCommitSink: the rename-free exactly-once matrix ---------------
 
 
