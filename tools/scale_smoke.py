@@ -292,6 +292,39 @@ def main() -> int:
     ).count()
     res["domain_cap_s"] = round(time.time() - t0, 1)
 
+    # round-5 late lanes: URL dedup and boilerplate strip at corpus scale
+    t0 = time.time()
+    d = F.col("doc_id")
+    base_url = F.concat(F.lit("https://www.d"), (d % 997).cast("string"),
+                        F.lit(".com/p/"), d.cast("string"))
+    variant = F.concat(F.lit("https://WWW.d"), ((d - 1) % 997).cast("string"),
+                       F.lit(".com/p/"), (d - 1).cast("string"),
+                       F.lit("/?utm_source=x#f"))
+    url = F.when((d % 7 == 3) & (d > 0), variant).otherwise(base_url)
+    kept_urls = W.url_dedup(
+        docs.withColumn("url", url).select("doc_id", "url")
+    ).count()
+    res["url_dedup_kept"] = kept_urls
+    res["url_dedup_s"] = round(time.time() - t0, 1)
+    # every variant doc (d%7==3, d>0) collapses onto doc d-1 exactly
+    n_variants = sum(1 for i in range(1, n_docs) if i % 7 == 3)
+    assert kept_urls == n_docs - n_variants, (kept_urls, n_docs - n_variants)
+
+    t0 = time.time()
+    aug = docs.withColumn(
+        "text", F.concat(F.lit("SHARED NAV LINE\n"), F.col("text"),
+                         F.lit("\nSHARED FOOTER LINE"))
+    ).select("doc_id", "text")
+    cleaned = T.strip_boilerplate_lines(aug, max_df=10)
+    still_marked = cleaned.where(
+        F.col("text").contains("SHARED NAV LINE")
+        | F.col("text").contains("SHARED FOOTER LINE")
+    ).count()
+    res["boilerplate_rows"] = cleaned.count()
+    res["boilerplate_residual"] = still_marked
+    res["boilerplate_s"] = round(time.time() - t0, 1)
+    assert still_marked == 0 and res["boilerplate_rows"] == n_docs
+
     print(json.dumps(res))
     spark.stop()
     return 0
