@@ -114,9 +114,13 @@ def images_df(
     """Deterministic synthetic image table — mapInPandas over an id
     range (generation is distributed; no driver-side loop).
     ``fmt_cycle`` picks each image's container round-robin by id:
-    'rawv1' (fixture format) or 'png' (real in-repo container) — the
-    PIXELS are identical either way, so downstream oracles that
-    recompute from the pixel formula hold for any mix."""
+    'rawv1' (fixture format), 'png' (real in-repo container — both
+    LOSSLESS, so pixel-formula oracles hold exactly), or 'jpeg'
+    (real in-repo baseline codec, LOSSY at q=95 — downstream
+    comparisons against the pixel formula must use the stated error
+    bound, see synth_roundtrip_errors / the image_jpeg_roundtrip
+    gate; exact-stat oracles like image_decode_stats must NOT include
+    'jpeg' in their cycle)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from jepl_spark.sources.containers import png_encode

@@ -173,6 +173,58 @@ def _py_bucket(vec: Sequence[float], hp: Sequence[Sequence[float]]) -> int:
     return b
 
 
+def _collect_query_rows(queries, query_id_col, query_vec_col):
+    """Driver-side materialization of a (small) query batch for the
+    batched index lookups.  Rows with a NULL id or NULL vector are
+    SKIPPED — they carry no identity / nothing to score, and one
+    malformed row must not kill a serving stream (the brute path
+    ignores them structurally; the index paths do so here).  Returns
+    [(id, [float...], norm)]."""
+    out = []
+    for r in queries.select(query_id_col, query_vec_col).collect():
+        if r[query_id_col] is None or r[query_vec_col] is None:
+            continue
+        vec = [float(x) for x in r[query_vec_col]]
+        out.append((int(r[query_id_col]), vec,
+                    math.sqrt(sum(x * x for x in vec))))
+    return out
+
+
+def _empty_topk(idx: DataFrame, id_col: str, query_id_col: str) -> DataFrame:
+    """Empty result frame with the batched-top-k schema, id type taken
+    from the index."""
+    return idx.limit(0).select(
+        F.lit(None).cast("long").alias(query_id_col),
+        F.col(id_col),
+        F.lit(0.0).alias("cosine"),
+        F.lit(0).cast("int").alias("rank"),
+    )
+
+
+def _rescore_and_rank(joined: DataFrame, id_col: str, query_id_col: str,
+                      vec_col: str, k: int) -> DataFrame:
+    """Exact cosine over candidate rows carrying (__qv, __qn) query
+    columns, then the per-query rank cut — the shared tail of every
+    batched lookup (LSH, IVF), so tie-break and zero-norm rules cannot
+    drift between the twins."""
+    from pyspark.sql.window import Window
+
+    denom = _norm(F.col(vec_col)) * F.col("__qn")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        _dot(F.col(vec_col), F.col("__qv")) / denom
+    )
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col), cos.alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 class LshIndex:
     """Multi-table random-hyperplane LSH index, persisted as a parquet
     table partitioned by (lsh_table, lsh_bucket).
@@ -248,26 +300,19 @@ class LshIndex:
         ``brute_force_topk``/``topk``.
 
         Returns (query_id, id_col, cosine, rank) with rank 1..k; an
-        empty query set returns an empty frame with the same schema.
+        empty query set — or one holding only NULL-id/NULL-vector rows
+        (skipped, see _collect_query_rows) — returns an empty frame
+        with the same schema.
         """
-        from pyspark.sql.window import Window
-
         idx = spark.read.parquet(self.path)
-        rows = queries.select(query_id_col, query_vec_col).collect()
+        rows = _collect_query_rows(queries, query_id_col, query_vec_col)
         if not rows:
-            return idx.limit(0).select(
-                F.lit(None).cast("long").alias(query_id_col),
-                F.col(self.id_col),
-                F.lit(0.0).alias("cosine"),
-                F.lit(0).cast("int").alias("rank"),
-            )
+            return _empty_topk(idx, self.id_col, query_id_col)
         qdata = []
         pairs = set()
-        for r in rows:
-            vec = [float(x) for x in r[query_vec_col]]
-            qn = math.sqrt(sum(x * x for x in vec))
+        for qid, vec, qn in rows:
             for t, b in self.query_buckets(vec):
-                qdata.append((int(r[query_id_col]), t, b, vec, qn))
+                qdata.append((qid, t, b, vec, qn))
                 pairs.add((t, b))
         qdf = spark.createDataFrame(
             qdata,
@@ -286,20 +331,8 @@ class LshIndex:
             # a vector can meet the same query in several tables
             .dropDuplicates([query_id_col, self.id_col])
         )
-        denom = _norm(F.col(self.vec_col)) * F.col("__qn")
-        cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-            _dot(F.col(self.vec_col), F.col("__qv")) / denom
-        )
-        scored = joined.select(
-            F.col(query_id_col), F.col(self.id_col), cos.alias("cosine")
-        )
-        w = Window.partitionBy(query_id_col).orderBy(
-            F.desc("cosine"), F.asc(self.id_col)
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-        )
+        return _rescore_and_rank(joined, self.id_col, query_id_col,
+                                 self.vec_col, k)
 
 
 def lsh_bucketize(
@@ -443,25 +476,18 @@ class IvfIndex:
         broadcast-joins candidates on the cell, exact cosine rescores,
         a per-query rank window cuts to k; no per-vector dedup needed
         because IVF assigns each vector to exactly one cell).  Empty
-        query sets return an empty frame with the same schema."""
-        from pyspark.sql.window import Window
-
+        query sets — or NULL-id/NULL-vector rows (skipped, see
+        _collect_query_rows) — yield an empty frame with the same
+        schema."""
         idx = spark.read.parquet(self.path)
-        rows = queries.select(query_id_col, query_vec_col).collect()
+        rows = _collect_query_rows(queries, query_id_col, query_vec_col)
         if not rows:
-            return idx.limit(0).select(
-                F.lit(None).cast("long").alias(query_id_col),
-                F.col(self.id_col),
-                F.lit(0.0).alias("cosine"),
-                F.lit(0).cast("int").alias("rank"),
-            )
+            return _empty_topk(idx, self.id_col, query_id_col)
         qdata = []
         cells = set()
-        for r in rows:
-            vec = [float(x) for x in r[query_vec_col]]
-            qn = math.sqrt(sum(x * x for x in vec))
+        for qid, vec, qn in rows:
             for c in self.query_cells(vec, nprobe):
-                qdata.append((int(r[query_id_col]), c, vec, qn))
+                qdata.append((qid, c, vec, qn))
                 cells.add(c)
         qdf = spark.createDataFrame(
             qdata,
@@ -472,20 +498,8 @@ class IvfIndex:
             "ivf_cell", self.id_col, self.vec_col
         )
         joined = cands.join(F.broadcast(qdf), on=["ivf_cell"])
-        denom = _norm(F.col(self.vec_col)) * F.col("__qn")
-        cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-            _dot(F.col(self.vec_col), F.col("__qv")) / denom
-        )
-        scored = joined.select(
-            F.col(query_id_col), F.col(self.id_col), cos.alias("cosine")
-        )
-        w = Window.partitionBy(query_id_col).orderBy(
-            F.desc("cosine"), F.asc(self.id_col)
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-        )
+        return _rescore_and_rank(joined, self.id_col, query_id_col,
+                                 self.vec_col, k)
 
 
 def ivf_assign(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:

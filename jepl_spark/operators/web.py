@@ -124,16 +124,21 @@ def per_domain_cap(
 
 # tracking parameters stripped by canonical_url: the ad-click and
 # analytics ids that make one page arrive under millions of distinct
-# URLs (the reason C4-style pipelines dedup by CANONICAL url)
-_TRACKING_PARAM_RE = r"(utm_[a-z0-9_]*|gclid|fbclid|msclkid|ref)=[^&#]*"
+# URLs (the reason C4-style pipelines dedup by CANONICAL url).  Bare
+# 'ref' is deliberately NOT in the list: many sites use it
+# semantically (?ref=main vs ?ref=dev are different pages) and a
+# false-positive dedup silently deletes real content — strictly worse
+# than a missed dedup.
+_TRACKING_PARAM_RE = r"(utm_[a-z0-9_]*|gclid|fbclid|msclkid)=[^&#]*"
 
 
 def canonical_url(url: Column) -> Column:
     """Canonical form of a URL for URL-level dedup: lowercased scheme
     and host, ``www.`` prefix dropped, default ports stripped,
     fragment dropped, tracking query parameters removed
-    (utm_*/gclid/fbclid/msclkid/ref — other parameters keep their
-    order), empty ``?`` cleaned up, trailing slashes trimmed.
+    (utm_*/gclid/fbclid/msclkid — other parameters, including the
+    semantically-loaded bare ``ref``, keep their order), empty ``?``
+    cleaned up, trailing slashes trimmed.
 
     Pure regexp_replace chain in the Java∩RE2 dialect — no lookaheads,
     no backrefs-in-pattern (same contract as the PII scrubber) — so
@@ -159,6 +164,9 @@ def canonical_url(url: Column) -> Column:
     for _ in range(3):
         u = F.regexp_replace(u, r"([?&])" + _TRACKING_PARAM_RE + r"(&|$)",
                              r"$1$3")
+    # the replacement re-emits BOTH delimiters, so an interior tracker
+    # between two kept params leaves '&&' (?a=1&utm=x&b=2 -> ?a=1&&b=2)
+    u = F.regexp_replace(u, r"&&+", "&")                    # a&&b -> a&b
     u = F.regexp_replace(u, r"[?&]+$", "")                  # dangling ? / &
     u = F.regexp_replace(u, r"\?&+", "?")                   # ?&x -> ?x
     u = F.regexp_replace(u, r"/+$", "")                     # trailing slash
@@ -249,14 +257,17 @@ def stream_domain_cap(
         .where(F.col(domain_col).isNotNull())
         .select(
             F.col(domain_col).alias("domain"),
-            F.col(id_col).cast("long").alias("id"),
+            # the id keeps ITS OWN type (string ids must not silently
+            # cast to NULL longs) — the output schema mirrors the input
+            F.col(id_col).alias("id"),
             _sample_hash(F.col(id_col).cast("string"), seed).alias("__h"),
         )
         .where(F.col("__h").isNotNull())
     )
+    id_type = prepared.schema["id"].dataType
     out_schema = StructType([
         StructField("domain", StringType()),
-        StructField("id", LongType()),
+        StructField("id", id_type),
         StructField("admitted_rank", LongType()),
     ])
     state_schema = StructType([StructField("used", LongType())])

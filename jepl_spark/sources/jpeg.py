@@ -358,6 +358,10 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     while pos < n:
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them (other encoders legally emit them)
+        while pos + 1 < n and buf[pos + 1] == 0xFF:
+            pos += 1
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -108,9 +108,30 @@ def audio_transcript_join_outer(
     would emit ``salt`` NULL rows per unmatched clip (one per salt
     partition that saw no match) — dedup them downstream or keep outer
     joins unsalted and let AQE-less streaming state partitioning carry
-    the skew."""
+    the skew.
+
+    Unlike the inner join, ``None`` watermarks are NOT a supported
+    configuration here: Spark requires watermarks on BOTH sides of a
+    stream-stream outer join (NULL rows can only emit once a watermark
+    proves no match is coming), so pass ``None`` ONLY for a side that
+    is already watermarked upstream."""
     audio = ensure_event_timestamp(audio, ts_col)
     transcripts = ensure_event_timestamp(transcripts, ts_col)
+    for side, wm, df_side in (
+        ("audio", audio_watermark, audio),
+        ("transcript", transcript_watermark, transcripts),
+    ):
+        if wm is None and "EventTimeWatermark" not in (
+            df_side._jdf.queryExecution().analyzed().toString()
+        ):
+            raise ValueError(
+                f"{side}_watermark=None but the {side} side carries no "
+                f"upstream watermark (no EventTimeWatermark in its plan): "
+                f"a stream-stream OUTER join requires watermarks on both "
+                f"sides — NULL rows emit only when a watermark closes the "
+                f"match window.  Pass a watermark here, or watermark that "
+                f"input upstream."
+            )
     a = (
         audio.withWatermark(ts_col, audio_watermark)
         if audio_watermark is not None else audio

@@ -387,6 +387,14 @@ class TestJpeg:
         with pytest.raises(ValueError, match="SOI"):
             J.jpeg_decode(b"GIF89a" + bytes(40))
 
+        # T.81 B.1.1.2 fill bytes: 0xFF padding before a marker is
+        # legal and must decode identically (other encoders emit it)
+        dqt = find_marker(good, 0xDB)
+        filled = bytes(good[:dqt]) + b"\xff\xff" + bytes(good[dqt:])
+        base = J.jpeg_decode(bytes(good))
+        import numpy as _np
+        assert _np.array_equal(J.jpeg_decode(filled), base)
+
     def test_images_df_jpeg_transit(self, spark):
         """End-to-end through the Arrow lanes: a jpeg/png/rawv1 mix
         decodes, lossless lanes match the formula exactly, jpeg stays

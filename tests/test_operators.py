@@ -1444,3 +1444,28 @@ def test_strip_boilerplate_lines(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         T.strip_boilerplate_lines(df, max_df=0)
+
+
+def test_topk_batch_null_query_rows_skipped(spark, tmp_path):
+    """Review finding: a NULL query_id or NULL query_vec row in a
+    serving micro-batch must be SKIPPED, not crash the index scorers
+    (one malformed row must not kill the stream)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, rng.randn(8).tolist()) for i in range(60)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    lsh = S.lsh_bucketize(df, str(tmp_path / "l"), planes=4, tables=2)
+    ivf = S.ivf_build_fixed(df, str(tmp_path / "i"),
+                            [v for _, v in vecs[:4]])
+    queries = spark.createDataFrame(
+        [(5, vecs[5][1]), (None, vecs[6][1]), (7, None)],
+        "query_id long, query_vec array<double>",
+    )
+    for idx, kw in ((lsh, {}), (ivf, {"nprobe": 2})):
+        got = idx.topk_batch(spark, queries, k=3, **kw).collect()
+        assert {r["query_id"] for r in got} == {5}
+    # all-NULL batch → empty frame, right schema
+    only_null = spark.createDataFrame(
+        [(None, None)], "query_id long, query_vec array<double>")
+    assert lsh.topk_batch(spark, only_null, k=3).count() == 0

@@ -1634,3 +1634,28 @@ def test_manifest_sink_prune_gap_rejected_and_idle_fold(spark, tmp_path):
     assert full.committed_count() == 4
     full.write_batch(spark.range(2).select(F.col("id")), 4)
     assert full.committed_count() == 5
+
+
+def test_outer_join_requires_watermarks(spark, tmp_path):
+    """Review finding: the outer join must reject a None watermark on a
+    side with no upstream watermark (Spark would otherwise fail at
+    query start with an opaque AnalysisException) — and accept None
+    when the side IS watermarked upstream."""
+    from jepl_spark.sources.clips import clips_df, transcripts_df
+    from jepl_spark.streaming.join import audio_transcript_join_outer
+
+    a_src, t_src = str(tmp_path / "a"), str(tmp_path / "t")
+    audio_b = clips_df(spark, 4).select("clip_id", "event_time")
+    trans_b = transcripts_df(spark, 4)
+    audio_b.write.parquet(a_src)
+    trans_b.write.parquet(t_src)
+    a = file_stream(spark, a_src, audio_b.schema)
+    t = file_stream(spark, t_src, trans_b.schema)
+    with pytest.raises(ValueError, match="OUTER join requires watermarks"):
+        audio_transcript_join_outer(a, t, audio_watermark=None)
+    with pytest.raises(ValueError, match="OUTER join requires watermarks"):
+        audio_transcript_join_outer(a, t, transcript_watermark=None)
+    # upstream-watermarked side: None is the CORRECT configuration
+    pre = a.withWatermark("event_time", "10 seconds")
+    joined = audio_transcript_join_outer(pre, t, audio_watermark=None)
+    assert joined.isStreaming

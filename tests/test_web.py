@@ -212,8 +212,12 @@ def test_canonical_url_rules(spark):
         (2, "https://example.com/a/?utm_a=1&utm_b=2&utm_c=3&utm_d=4&k=5",
          "https://example.com/a/?k=5"),
         (3, "https://example.com/?utm_only=1", "https://example.com"),
-        (4, "https://example.com/x?a=1&ref=foo", "https://example.com/x?a=1"),
-        (5, "https://example.com/x?ref=foo&a=1", "https://example.com/x?a=1"),
+        # bare ref is SEMANTIC (?ref=main vs ?ref=dev) — never stripped
+        (4, "https://example.com/x?a=1&ref=foo",
+         "https://example.com/x?a=1&ref=foo"),
+        # interior tracker between two kept params: no '&&' residue
+        (5, "https://example.com/x?a=1&utm_source=t&b=2",
+         "https://example.com/x?a=1&b=2"),
         # path case preserved; non-default port kept; www in the middle kept
         (6, "HTTP://WwW.A.com/CaseD", "http://a.com/CaseD"),
         (7, "https://example.com:8443/x", "https://example.com:8443/x"),
@@ -257,6 +261,7 @@ def test_canonical_url_idempotent(spark):
         "http://example.com:80/x/",
         "https://example.com/?utm_only=1",
         "https://example.com/x?a=1&ref=r&fbclid=z",
+        "https://example.com/x?a=1&utm_mid=x&b=2&gclid=y&c=3",
         "HTTP://WwW.A.com/B/",
         "https://example.com:8443/x?gclid=1",
         "relative/path?utm_x=1",
@@ -269,3 +274,49 @@ def test_canonical_url_idempotent(spark):
     ).collect()
     for r in rows:
         assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+
+
+def test_stream_domain_cap_string_ids(spark, tmp_path):
+    """Review finding: string doc ids must survive the streaming cap
+    with their identity intact (not silently cast to NULL longs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    rows = [(f"doc-{i:05d}", f"https://www.d{i % 2}.com/p/{i}")
+            for i in range(10)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows]),
+                  "url": pa.array([r[1] for r in rows])}),
+        os.path.join(src, "b0.parquet"),
+    )
+    schema = StructType([
+        StructField("doc_id", StringType()), StructField("url", StringType()),
+    ])
+    admitted = W.stream_domain_cap(
+        file_stream(spark, src, schema), "url", "doc_id", cap=3
+    )
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    q = (
+        admitted.writeStream.outputMode("append")
+        .foreachBatch(lambda d, b: sink.write_batch(d, b))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    got = sink.read_committed(spark).collect()
+    assert len(got) == 6  # 3 per domain
+    assert all(r["id"] is not None and r["id"].startswith("doc-")
+               for r in got)
+    # matches the batch op's kept set exactly
+    df = spark.createDataFrame(rows, "doc_id string, url string")
+    want = {r["doc_id"]
+            for r in W.per_domain_cap(df, "url", "doc_id", cap=3).collect()}
+    assert {r["id"] for r in got} == want
