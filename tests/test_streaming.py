@@ -1659,3 +1659,53 @@ def test_outer_join_requires_watermarks(spark, tmp_path):
     pre = a.withWatermark("event_time", "10 seconds")
     joined = audio_transcript_join_outer(pre, t, audio_watermark=None)
     assert joined.isStreaming
+
+
+def test_stream_windowed_topk_restart_idempotent(spark, tmp_path):
+    """Restart from the same checkpoint with no new input commits
+    nothing new; a manual replay of a committed batch id is a no-op."""
+    from jepl_spark.operators.stats import stream_windowed_topk
+
+    batches = [
+        [{"user": "a", "kind": "x", "value": 1.0, "event_time": ts(1)},
+         {"user": "b", "kind": "x", "value": 1.0, "event_time": ts(2)}],
+        [{"user": "z", "kind": "x", "value": 1.0, "event_time": ts(1000)}],
+    ]
+    src = str(tmp_path / "src")
+    write_batches(src, batches, PA_SCHEMA)
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+
+    def run():
+        counts, fb = stream_windowed_topk(
+            file_stream(spark, src, SPARK_SCHEMA, max_files_per_trigger=1),
+            "user", sink, ts_col="event_time", duration="30 seconds",
+            k=2, watermark="10 seconds",
+        )
+        q = (
+            counts.writeStream.outputMode("append")
+            .foreachBatch(fb)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+
+    run()
+    first = sorted(tuple(r) for r in sink.read_committed(spark).collect())
+    n = sink.committed_count(spark)
+    assert any(r for r in first)  # the [0,30) window emitted
+    run()  # resume, no new data
+    assert sorted(tuple(r) for r in sink.read_committed(spark).collect()) == first
+    assert sink.committed_count(spark) == n
+    # manual replay of committed batch 0 with poisoned data: no-op
+    _, fb2 = stream_windowed_topk(
+        file_stream(spark, src, SPARK_SCHEMA), "user", sink,
+        ts_col="event_time", duration="30 seconds", k=2,
+        watermark="10 seconds",
+    )
+    poison = spark.createDataFrame(
+        [(ts(3), "poison", 99)],
+        "window_start timestamp, user string, cnt long",
+    )
+    fb2(poison, 0)
+    assert sorted(tuple(r) for r in sink.read_committed(spark).collect()) == first

@@ -320,3 +320,69 @@ def test_stream_domain_cap_string_ids(spark, tmp_path):
     want = {r["doc_id"]
             for r in W.per_domain_cap(df, "url", "doc_id", cap=3).collect()}
     assert {r["id"] for r in got} == want
+
+
+def test_stream_domain_cap_restart_resumes_budget(spark, tmp_path):
+    """Checkpoint restart: the per-domain budget state survives —
+    batch 2 processed after a stop/restart admits only the remainder,
+    and re-running with no new data commits nothing new."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("url", StringType()),
+    ])
+
+    def write_file(name, rows):
+        pq.write_table(
+            pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                      "url": pa.array([r[1] for r in rows])}),
+            os.path.join(src, name),
+        )
+
+    def run():
+        sink = IdempotentParquetSink(str(tmp_path / "sink"))
+        admitted = W.stream_domain_cap(
+            file_stream(spark, src, schema), "url", "doc_id", cap=3
+        )
+        q = (
+            admitted.writeStream.outputMode("append")
+            .foreachBatch(lambda d, b: sink.write_batch(d, b))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+        return sink
+
+    # run 1: two docs of d.com admit (budget 3)
+    write_file("b0.parquet", [(1, "https://d.com/1"), (2, "https://d.com/2")])
+    sink = run()
+    assert sink.read_committed(spark).count() == 2
+
+    # restart with one more file: 3 more arrivals, only 1 slot left
+    write_file("b1.parquet", [(3, "https://d.com/3"), (4, "https://d.com/4"),
+                              (5, "https://d.com/5")])
+    sink = run()
+    rows = sorted((r["id"], r["admitted_rank"])
+                  for r in sink.read_committed(spark).collect())
+    assert len(rows) == 3
+    by_id = dict(rows)
+    # batch-1 admissions hold ranks 1-2 (hash order within the batch);
+    # the restarted batch consumes the single remaining slot as rank 3
+    assert sorted(by_id[i] for i in (1, 2)) == [1, 2]
+    (late_id,) = set(by_id) - {1, 2}
+    assert by_id[late_id] == 3 and late_id in {3, 4, 5}
+
+    # idle restart: nothing new commits
+    n_batches = sink.committed_count(spark)
+    sink = run()
+    assert sink.committed_count(spark) == n_batches
