@@ -52,6 +52,16 @@ def main(argv: list[str]) -> int:
                    help="if set, apply streaming exact dedup (content_hash of "
                         "the transcript) with this event-time horizon before "
                         "the join")
+    p.add_argument("--missing-report", default=None,
+                   help="also run a LEFT-OUTER join query writing clips "
+                        "whose transcript never arrived (NULL once both "
+                        "watermarks close the match window) to this dir — "
+                        "the data-completeness report; checkpoint at "
+                        "<checkpoint>_missing.  Clips whose match window "
+                        "has not yet closed at end of input are not "
+                        "reported yet (watermark semantics) — they emit "
+                        "on the next run once later events advance the "
+                        "watermark")
     p.add_argument("--synthesize", type=int, default=0)
     p.add_argument("--continuous", action="store_true",
                    help="keep running (processingTime trigger) instead of availableNow")
@@ -149,6 +159,39 @@ def main(argv: list[str]) -> int:
             rule, joined, ts_col="event_time", duration=args.window, watermark=None
         )
 
+    q_missing = None
+    missing_sink = None
+    if args.missing_report:
+        if args.chunk_ms:
+            p.error("--missing-report is not supported with --chunk-ms")
+        if args.continuous:
+            p.error("--missing-report requires availableNow mode (drop "
+                    "--continuous)")
+        from jepl_spark.streaming.join import audio_transcript_join_outer
+
+        # a second concurrent query over the same sources (independent
+        # progress via its own checkpoint): narrow audio projection —
+        # the report never needs features or bytes
+        miss = audio_transcript_join_outer(
+            file_stream(spark, args.audio_path, schema_a).select(
+                "clip_id", "codec", "event_time"
+            ),
+            file_stream(spark, args.transcript_path, schema_t).drop("seq"),
+            audio_watermark=args.watermark,
+            transcript_watermark=args.watermark,
+            max_delay=args.max_delay,
+        ).where(F.col("joined_transcript").isNull()).select(
+            "clip_id", "codec", "event_time"
+        )
+        missing_sink = IdempotentParquetSink(args.missing_report)
+        q_missing = (
+            miss.writeStream.outputMode("append")
+            .foreachBatch(missing_sink.foreach_batch())
+            .option("checkpointLocation", args.checkpoint + "_missing")
+            .trigger(availableNow=True)
+            .start()
+        )
+
     sink_cls = (
         ManifestCommitSink if args.sink_protocol == "manifest"
         else IdempotentParquetSink
@@ -166,6 +209,9 @@ def main(argv: list[str]) -> int:
         q = writer.trigger(availableNow=True).start()
         run_to_completion(q, timeout_s=3600)
 
+    if q_missing is not None:
+        run_to_completion(q_missing, timeout_s=3600)
+
     wall = time.time() - t0
     summary = listener.summary()
     summary.update(
@@ -173,6 +219,13 @@ def main(argv: list[str]) -> int:
         committed_batches=sink.committed_count(),
         clips_per_sec=round(summary["input_rows"] / wall, 1) if wall else None,
     )
+    if missing_sink is not None:
+        try:
+            summary["missing_transcripts"] = (
+                missing_sink.read_committed(spark).count()
+            )
+        except ValueError:
+            summary["missing_transcripts"] = 0
     print(json.dumps(summary))
     return 0
 

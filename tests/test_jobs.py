@@ -433,3 +433,48 @@ def test_serving_pipeline_brute_and_lsh(spark, tmp_path, capsys):
     self_hits = {r["query_id"]: r["vec_id"] for r in
                  ivf.where("rank = 1").collect()}
     assert self_hits == {0: 0, 7: 7}
+
+
+def test_clips_pipeline_missing_report(spark, tmp_path, capsys):
+    """--missing-report: the ingest job's second (left-outer) query
+    writes exactly the clips whose transcript never arrived, while the
+    main windowed-rule query is unaffected."""
+    from pyspark.sql import functions as F
+
+    from jepl_spark.sources.clips import clips_df, transcripts_df
+    from jobs.clips_pipeline import main
+
+    n = 30
+    a_dir, t_dir = str(tmp_path / "a"), str(tmp_path / "t")
+    clips = clips_df(spark, n, step_s=0.05)
+    clips.write.parquet(a_dir)
+    # transcripts only for seq % 3 != 0; movers on both sides close
+    # every real clip's match window by end of input
+    trans = transcripts_df(spark, n, step_s=0.05, delay_s=1.0).where(
+        "seq % 3 != 0")
+    trans.write.parquet(t_dir)
+    mover_a = clips.limit(1).withColumn(
+        "event_time", F.lit("2031-01-01 00:00:00").cast("timestamp")
+    ).withColumn("clip_id", F.lit("zz-mover"))
+    mover_a.write.mode("append").parquet(a_dir)
+    mover_t = transcripts_df(spark, 1).withColumn(
+        "event_time", F.lit("2031-01-01 00:00:00").cast("timestamp")
+    ).withColumn("clip_id", F.lit("zz-mover-t"))
+    mover_t.write.mode("append").parquet(t_dir)
+
+    rc = main([
+        "--audio-path", a_dir, "--transcript-path", t_dir,
+        "--sink", str(tmp_path / "sink"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--watermark", "5 seconds", "--max-delay", "10 seconds",
+        "--missing-report", str(tmp_path / "missing"),
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want_missing = {r["clip_id"] for r in clips.collect()
+                    if r["seq"] % 3 == 0}
+    assert rep["missing_transcripts"] >= len(want_missing)
+    got = {r["clip_id"]
+           for r in spark.read.parquet(str(tmp_path / "missing") + "/data")
+           .collect() if r["clip_id"].startswith("clip-")}
+    assert got == want_missing
