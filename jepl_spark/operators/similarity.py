@@ -93,6 +93,12 @@ def brute_force_topk_batch(
     instead of three array folds.  Ties break by id for determinism,
     matching brute_force_topk.
 
+    Malformed queries — NULL id, NULL vector, or a vector containing a
+    NULL element — are SKIPPED, the same contract as the index paths'
+    ``_collect_query_rows``: every serving scorer must produce the
+    same output for the same micro-batch regardless of which path is
+    configured.
+
     Returns (query_id, vec_id, cosine, rank) with rank 1..k."""
     from pyspark.sql.window import Window
 
@@ -100,7 +106,11 @@ def brute_force_topk_batch(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__vn")
     )
     q = F.broadcast(
-        queries.select(
+        queries.where(
+            F.col(query_id_col).isNotNull()
+            & F.col(query_vec_col).isNotNull()
+            & ~F.exists(F.col(query_vec_col), lambda x: x.isNull())
+        ).select(
             F.col(query_id_col).alias("__qid"),
             F.col(query_vec_col).alias("__qv"),
             _norm(F.col(query_vec_col)).alias("__qn"),
@@ -175,14 +185,18 @@ def _py_bucket(vec: Sequence[float], hp: Sequence[Sequence[float]]) -> int:
 
 def _collect_query_rows(queries, query_id_col, query_vec_col):
     """Driver-side materialization of a (small) query batch for the
-    batched index lookups.  Rows with a NULL id or NULL vector are
-    SKIPPED — they carry no identity / nothing to score, and one
-    malformed row must not kill a serving stream (the brute path
-    ignores them structurally; the index paths do so here).  Returns
-    [(id, [float...], norm)]."""
+    batched index lookups.  Rows with a NULL id, a NULL vector, or a
+    vector containing a NULL ELEMENT are SKIPPED — they carry no
+    identity / nothing scoreable, and one malformed row must not kill
+    a serving stream.  ``brute_force_topk_batch`` applies the same
+    skip rule in its plan, so every serving scorer emits the same
+    output for the same micro-batch.  Returns [(id, [float...],
+    norm)]."""
     out = []
     for r in queries.select(query_id_col, query_vec_col).collect():
         if r[query_id_col] is None or r[query_vec_col] is None:
+            continue
+        if any(x is None for x in r[query_vec_col]):
             continue
         vec = [float(x) for x in r[query_vec_col]]
         out.append((int(r[query_id_col]), vec,

@@ -158,15 +158,17 @@ def canonical_url(url: Column) -> Column:
     u = F.regexp_replace(u, r"^(https://[^/?#:]*):443($|[/?#])", r"$1$2")
     u = F.regexp_replace(u, r"^(http://[^/?#:]*):80($|[/?#])", r"$1$2")
     u = F.regexp_replace(u, r"#.*$", "")                    # fragment
-    # tracking params: each pass consumes the delimiter of the match,
-    # so an adjacent tracker needs the next pass — three passes cover
-    # any realistic run (tested to 4 adjacent)
+    # tracking params: the match consumes "<delim>tracker[&]" and
+    # re-emits ONLY the leading delimiter — the consumed trailing '&'
+    # becomes the next parameter's separator, so no '&&' residue can
+    # form and nothing outside the match is touched (a literal '&&'
+    # in a PATH must survive: collapsing it would merge distinct
+    # URLs — a false-positive dedup).  Each pass consumes the
+    # delimiter of an adjacent tracker, so three passes cover any
+    # realistic run (tested to 4 adjacent).
     for _ in range(3):
         u = F.regexp_replace(u, r"([?&])" + _TRACKING_PARAM_RE + r"(&|$)",
-                             r"$1$3")
-    # the replacement re-emits BOTH delimiters, so an interior tracker
-    # between two kept params leaves '&&' (?a=1&utm=x&b=2 -> ?a=1&&b=2)
-    u = F.regexp_replace(u, r"&&+", "&")                    # a&&b -> a&b
+                             r"$1")
     u = F.regexp_replace(u, r"[?&]+$", "")                  # dangling ? / &
     u = F.regexp_replace(u, r"\?&+", "?")                   # ?&x -> ?x
     u = F.regexp_replace(u, r"/+$", "")                     # trailing slash

@@ -121,16 +121,25 @@ def audio_transcript_join_outer(
         ("audio", audio_watermark, audio),
         ("transcript", transcript_watermark, transcripts),
     ):
-        if wm is None and "EventTimeWatermark" not in (
-            df_side._jdf.queryExecution().analyzed().toString()
+        # column-specific check: the EventTimeWatermark node must tag
+        # THIS ts_col — a watermark on a different column would still
+        # fail at query start, so mere presence of any watermark node
+        # must not pass.  Spark 4.1 renders the node as
+        # "EventTimeWatermark <uuid>, <col>#<id>: ..."; older versions
+        # omit the uuid — the regex accepts both.
+        import re as _re
+
+        if wm is None and not _re.search(
+            rf"EventTimeWatermark (?:[^,\n]*, )?{_re.escape(ts_col)}#",
+            df_side._jdf.queryExecution().analyzed().toString(),
         ):
             raise ValueError(
                 f"{side}_watermark=None but the {side} side carries no "
-                f"upstream watermark (no EventTimeWatermark in its plan): "
-                f"a stream-stream OUTER join requires watermarks on both "
-                f"sides — NULL rows emit only when a watermark closes the "
-                f"match window.  Pass a watermark here, or watermark that "
-                f"input upstream."
+                f"upstream watermark on {ts_col!r} (no 'EventTimeWatermark "
+                f"{ts_col}' in its plan): a stream-stream OUTER join "
+                f"requires watermarks on both sides — NULL rows emit only "
+                f"when a watermark closes the match window.  Pass a "
+                f"watermark here, or watermark that input upstream."
             )
     a = (
         audio.withWatermark(ts_col, audio_watermark)

@@ -107,7 +107,8 @@ def main(argv: list[str]) -> int:
 
     t0 = time.time()
     a = file_stream(spark, args.audio_path, schema_a)
-    t = file_stream(spark, args.transcript_path, schema_t).drop("seq")
+    t_raw = file_stream(spark, args.transcript_path, schema_t).drop("seq")
+    t = t_raw
     if args.dedup_watermark:
         from jepl_spark.operators.dedup import stream_exact_dedup
 
@@ -159,38 +160,12 @@ def main(argv: list[str]) -> int:
             rule, joined, ts_col="event_time", duration=args.window, watermark=None
         )
 
-    q_missing = None
-    missing_sink = None
     if args.missing_report:
         if args.chunk_ms:
             p.error("--missing-report is not supported with --chunk-ms")
         if args.continuous:
             p.error("--missing-report requires availableNow mode (drop "
                     "--continuous)")
-        from jepl_spark.streaming.join import audio_transcript_join_outer
-
-        # a second concurrent query over the same sources (independent
-        # progress via its own checkpoint): narrow audio projection —
-        # the report never needs features or bytes
-        miss = audio_transcript_join_outer(
-            file_stream(spark, args.audio_path, schema_a).select(
-                "clip_id", "codec", "event_time"
-            ),
-            file_stream(spark, args.transcript_path, schema_t).drop("seq"),
-            audio_watermark=args.watermark,
-            transcript_watermark=args.watermark,
-            max_delay=args.max_delay,
-        ).where(F.col("joined_transcript").isNull()).select(
-            "clip_id", "codec", "event_time"
-        )
-        missing_sink = IdempotentParquetSink(args.missing_report)
-        q_missing = (
-            miss.writeStream.outputMode("append")
-            .foreachBatch(missing_sink.foreach_batch())
-            .option("checkpointLocation", args.checkpoint + "_missing")
-            .trigger(availableNow=True)
-            .start()
-        )
 
     sink_cls = (
         ManifestCommitSink if args.sink_protocol == "manifest"
@@ -209,9 +184,10 @@ def main(argv: list[str]) -> int:
         q = writer.trigger(availableNow=True).start()
         run_to_completion(q, timeout_s=3600)
 
-    if q_missing is not None:
-        run_to_completion(q_missing, timeout_s=3600)
-
+    # snapshot the main pipeline's metrics BEFORE the (optional)
+    # missing-report query runs: it re-reads both sources under the
+    # same session-global listener and would otherwise double-count
+    # input_rows / inflate clips_per_sec
     wall = time.time() - t0
     summary = listener.summary()
     summary.update(
@@ -219,7 +195,34 @@ def main(argv: list[str]) -> int:
         committed_batches=sink.committed_count(),
         clips_per_sec=round(summary["input_rows"] / wall, 1) if wall else None,
     )
-    if missing_sink is not None:
+
+    if args.missing_report:
+        from jepl_spark.streaming.join import audio_transcript_join_outer
+
+        # a second query over the SAME source frames (independent
+        # progress via its own checkpoint), run after the main one so
+        # the summary above describes only the main pipeline.  The
+        # unmatched discriminator is transcript_time IS NULL — non-null
+        # on every matched row — NOT joined_transcript IS NULL, which
+        # a matched transcript row with NULL text would also satisfy.
+        miss = audio_transcript_join_outer(
+            a.select("clip_id", "codec", "event_time"),
+            t_raw,
+            audio_watermark=args.watermark,
+            transcript_watermark=args.watermark,
+            max_delay=args.max_delay,
+        ).where(F.col("transcript_time").isNull()).select(
+            "clip_id", "codec", "event_time"
+        )
+        missing_sink = IdempotentParquetSink(args.missing_report)
+        q_missing = (
+            miss.writeStream.outputMode("append")
+            .foreachBatch(missing_sink.foreach_batch())
+            .option("checkpointLocation", args.checkpoint + "_missing")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q_missing, timeout_s=3600)
         try:
             summary["missing_transcripts"] = (
                 missing_sink.read_committed(spark).count()

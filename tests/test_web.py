@@ -218,6 +218,9 @@ def test_canonical_url_rules(spark):
         # interior tracker between two kept params: no '&&' residue
         (5, "https://example.com/x?a=1&utm_source=t&b=2",
          "https://example.com/x?a=1&b=2"),
+        # a literal '&&' in the PATH is content, never collapsed
+        (11, "https://example.com/a&&b", "https://example.com/a&&b"),
+        (12, "https://example.com/a&b", "https://example.com/a&b"),
         # path case preserved; non-default port kept; www in the middle kept
         (6, "HTTP://WwW.A.com/CaseD", "http://a.com/CaseD"),
         (7, "https://example.com:8443/x", "https://example.com:8443/x"),
