@@ -340,11 +340,28 @@ class _HuffTable:
         raise ValueError("invalid Huffman code in JPEG scan")
 
 
-def jpeg_decode(buf: bytes) -> np.ndarray:
+def jpeg_decode(buf: bytes, max_pixels: int = 100_000_000) -> np.ndarray:
     """Decode a baseline JFIF JPEG to (h, w, c) uint8 — c = 3 (RGB,
-    from YCbCr) or 1.  Raises (never guesses) on: progressive/other
-    SOF types, chroma subsampling, 16-bit quant tables, restart
-    intervals, multi-scan files."""
+    from YCbCr) or 1.  Raises ValueError (never guesses, never leaks
+    an internal IndexError/KeyError/struct.error) on: progressive /
+    other SOF types, chroma subsampling, 16-bit quant tables, restart
+    intervals, multi-scan files, structural corruption, and SOF
+    dimensions past ``max_pixels`` (a corrupt size field must not
+    become a multi-GB allocation)."""
+    try:
+        return _jpeg_decode_impl(buf, max_pixels)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error, OverflowError,
+            ZeroDivisionError) as e:
+        # a corrupt stream must surface as the contract's ValueError,
+        # not whatever internal error the parser happened to hit
+        raise ValueError(
+            f"corrupt or unsupported JPEG ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _jpeg_decode_impl(buf: bytes, max_pixels: int) -> np.ndarray:
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -396,6 +413,11 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
             prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"precision {prec} not supported")
+            if h == 0 or w == 0 or h * w > max_pixels:
+                raise ValueError(
+                    f"SOF dimensions {w}x{h} invalid or beyond "
+                    f"max_pixels={max_pixels}"
+                )
             comps = []
             for k in range(nf):
                 cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * k)

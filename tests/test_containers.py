@@ -410,3 +410,40 @@ class TestJpeg:
                 assert r["max_abs_err"] <= 32.0 and r["mean_abs_err"] <= 4.0
             else:
                 assert r["max_abs_err"] == 0.0
+
+
+def test_jpeg_decode_error_contract_fuzz():
+    """Robustness contract: on ANY corruption (bit flips, truncation,
+    garbage) jpeg_decode either succeeds or raises ValueError — never
+    an internal IndexError/KeyError/struct.error — and a corrupt SOF
+    size field cannot demand a pathological allocation."""
+    import random
+
+    from jepl_spark.functions.multimodal import _synth_pixels
+    from jepl_spark.sources import jpeg as J
+
+    good = J.jpeg_encode(_synth_pixels(3, 48, 24, 3), 90)
+    rng = random.Random(7)
+    for trial in range(400):
+        buf = bytearray(good)
+        mode = trial % 4
+        if mode == 0:
+            i = rng.randrange(len(buf)); buf[i] ^= rng.randrange(1, 256)
+        elif mode == 1:
+            buf = buf[:rng.randrange(2, len(buf))]
+        elif mode == 2:
+            for _ in range(rng.randrange(1, 8)):
+                i = rng.randrange(len(buf)); buf[i] ^= rng.randrange(1, 256)
+        else:
+            buf = bytearray(b"\xff\xd8") + bytearray(
+                rng.randrange(256) for _ in range(rng.randrange(5, 200)))
+        try:
+            J.jpeg_decode(bytes(buf))
+        except ValueError:
+            pass  # the ONLY allowed failure mode
+    # oversized SOF: rejected before any allocation
+    big = bytearray(good)
+    sof = big.index(b"\xff\xc0")
+    struct.pack_into(">HH", big, sof + 5, 65500, 65500)
+    with pytest.raises(ValueError, match="max_pixels"):
+        J.jpeg_decode(bytes(big))
