@@ -83,7 +83,21 @@ def _paeth(a: int, b: int, c: int) -> int:
 def png_decode(buf: bytes) -> np.ndarray:
     """Decode PNG bytes to an (h, w, c) uint8 array.  Verifies chunk
     CRCs; handles all five scanline filters; rejects interlaced /
-    non-8-bit / palette images explicitly."""
+    non-8-bit / palette images explicitly.  Error contract: any
+    corruption raises ValueError — internal struct/zlib/index errors
+    never leak (fuzz-pinned)."""
+    try:
+        return _png_decode_impl(buf)
+    except ValueError:
+        raise
+    except (struct.error, zlib.error, IndexError, KeyError,
+            OverflowError) as e:
+        raise ValueError(
+            f"corrupt or unsupported PNG ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _png_decode_impl(buf: bytes) -> np.ndarray:
     if bytes(buf[:8]) != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, idat = 8, None, []
@@ -188,7 +202,20 @@ def wav_encode(x: np.ndarray, sr_hz: int, codec: str = "pcm16") -> bytes:
 
 def wav_decode(buf: bytes) -> tuple[np.ndarray, int, str]:
     """Decode WAV bytes → (float samples, sample rate, inner codec).
-    Walks chunks (unknown ones skipped), mono only."""
+    Walks chunks (unknown ones skipped), mono only.  Error contract:
+    any corruption raises ValueError — internal struct/index errors
+    never leak (fuzz-pinned)."""
+    try:
+        return _wav_decode_impl(buf)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(
+            f"corrupt or unsupported WAV ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _wav_decode_impl(buf: bytes) -> tuple[np.ndarray, int, str]:
     if bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, n = 12, len(buf)

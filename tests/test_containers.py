@@ -447,3 +447,27 @@ def test_jpeg_decode_error_contract_fuzz():
     struct.pack_into(">HH", big, sof + 5, 65500, 65500)
     with pytest.raises(ValueError, match="max_pixels"):
         J.jpeg_decode(bytes(big))
+
+
+def test_png_wav_decode_error_contract_fuzz():
+    """Same robustness contract as jpeg_decode: corruption raises
+    ValueError only — internal struct/zlib/index errors never leak."""
+    import random
+
+    px = np.arange(12 * 16 * 3, dtype=np.uint8).reshape(12, 16, 3)
+    png = C.png_encode(px)
+    wav = C.wav_encode(audio.synth_wave(3, 8000, 200), 8000, "pcm16")
+    rng = random.Random(5)
+    for good, dec in ((png, C.png_decode), (wav, lambda b: C.wav_decode(b))):
+        for trial in range(200):
+            buf = bytearray(good)
+            if trial % 2:
+                buf = buf[:rng.randrange(1, len(buf))]
+            else:
+                for _ in range(rng.randrange(1, 6)):
+                    i = rng.randrange(len(buf))
+                    buf[i] ^= rng.randrange(1, 256)
+            try:
+                dec(bytes(buf))
+            except ValueError:
+                pass  # the ONLY allowed failure mode
