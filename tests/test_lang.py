@@ -383,3 +383,39 @@ def test_condition_validation_errors():
             ),
             None,
         )
+
+
+def test_parser_fuzz_error_contract():
+    """Crash-freedom: arbitrary garbage, mutated rules, and shuffled
+    token soup raise only JeplParseError / JeplValidationError — the
+    parser never leaks an internal IndexError/RecursionError."""
+    import random
+    import string
+
+    from jepl_spark.lang.ast import JeplValidationError
+    from jepl_spark.lang.parser import JeplParseError, parse_statement
+
+    rng = random.Random(0)
+    corpus = [
+        "select sum(x) from t where a > 1 group by b",
+        "SELECT max(tcp.in_pkts) FROM pb WHERE ip = '1.2.3.4'",
+    ]
+    for trial in range(800):
+        mode = trial % 3
+        if mode == 0:
+            s = "".join(rng.choice(string.printable)
+                        for _ in range(rng.randrange(1, 80)))
+        elif mode == 1:
+            base = list(rng.choice(corpus))
+            for _ in range(rng.randrange(1, 6)):
+                i = rng.randrange(len(base))
+                base[i] = rng.choice(string.printable)
+            s = "".join(base)
+        else:
+            toks = rng.choice(corpus).split()
+            rng.shuffle(toks)
+            s = " ".join(toks[: rng.randrange(1, len(toks) + 1)])
+        try:
+            parse_statement(s)
+        except (JeplParseError, JeplValidationError):
+            pass  # the only allowed failure modes
