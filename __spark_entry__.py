@@ -931,6 +931,31 @@ def q_image_decode_stats(spark, sf_dir):
     )
 
 
+def q_dedup_against_docs(spark, sf_dir):
+    """Incremental cross-corpus dedup (round-5 lane): the documents
+    table deduped against the committed corpus snapshot 'every 5th
+    doc' — rows whose normalized content hash exists in the snapshot
+    drop (the %5 docs themselves, plus any doc sharing their
+    normalized content).  The oracle replays the md5-of-normalized
+    anti-membership directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % 5 == 0)
+    return D.dedup_against(docs, existing).select("doc_id")
+
+
+def q_outliers_events(spark, sf_dir):
+    """Robust (median/MAD) outlier flagging per event_type (round-5
+    lane) — the modified-z-score data-cleaning filter.  Spark's exact
+    `percentile` is bit-identical to DuckDB's quantile_cont, so the
+    oracle replays median, MAD, and every flag exactly."""
+    from jepl_spark.operators import stats as ST
+
+    ev = load_table(spark, sf_dir, "events")
+    return ST.robust_outliers(ev, "value", group_by="event_type").select(
+        "event_id", "event_type", "is_outlier"
+    )
+
+
 def q_url_dedup_docs(spark, sf_dir):
     """URL-level dedup (round-5 lane): every 7th doc carries a messy
     VARIANT of the previous doc's URL (uppercase WWW, trailing slash,
@@ -2262,6 +2287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_batch": q_ann_index_batch,
         "stream_domain_cap": q_stream_domain_cap,
         "url_dedup_docs": q_url_dedup_docs,
+        "dedup_against_docs": q_dedup_against_docs,
+        "outliers_events": q_outliers_events,
         "oov_rate_docs": q_oov_rate_docs,
         "strip_boilerplate_docs": q_strip_boilerplate_docs,
         "stream_outer_join_missing": q_stream_outer_join_missing,
@@ -3966,6 +3993,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, host, domain, CAST(rk AS BIGINT) AS rk
             FROM r WHERE rk <= 8
+        """,
+        # incremental cross-corpus dedup: md5-of-normalized anti-join
+        "dedup_against_docs": """
+            WITH h AS (
+              SELECT doc_id,
+                     md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                     AS ch
+              FROM documents
+            ),
+            old AS (SELECT DISTINCT ch FROM h WHERE doc_id % 5 = 0)
+            SELECT h.doc_id FROM h
+            WHERE h.ch NOT IN (SELECT ch FROM old)
+        """,
+        # median/MAD outlier flags: exact percentile == quantile_cont
+        "outliers_events": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS m
+              FROM events GROUP BY event_type
+            ),
+            dev AS (
+              SELECT e.event_id, e.event_type, e.value,
+                     abs(e.value - med.m) AS d
+              FROM events e JOIN med USING (event_type)
+            ),
+            mad AS (
+              SELECT event_type, quantile_cont(d, 0.5) AS md
+              FROM dev GROUP BY event_type
+            )
+            SELECT dev.event_id, dev.event_type,
+                   CASE WHEN dev.value IS NULL THEN FALSE
+                        ELSE dev.d > 3.5 * mad.md END AS is_outlier
+            FROM dev JOIN mad USING (event_type)
         """,
         # URL dedup: canonicals rebuilt from the doc_id formula — a
         # variant doc (d%7==3) canonicalizes onto doc d-1's URL and

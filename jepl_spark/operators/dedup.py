@@ -59,6 +59,35 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def dedup_against(
+    df: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    existing_text_col: str | None = None,
+) -> DataFrame:
+    """Incremental-ingest dedup: drop rows of ``df`` whose normalized
+    content already exists in ``existing`` (the committed corpus) —
+    the cross-run complement of ``exact_dedup``, which only folds
+    duplicates WITHIN one batch.  A re-crawl or a daily delta dedups
+    against yesterday's corpus without re-processing it.
+
+    Shape: one LEFT-ANTI join on the 128-bit content hash; the
+    existing side projects only what the hash needs (column pruning —
+    the old corpus's text never reads past the scan), and the new
+    side's text never shuffles.  At 10¹²-doc scale, hash the corpus
+    ONCE into a persisted distinct-hash side table and anti-join
+    deltas against that (``new.withColumn('__h', content_hash(...))
+    .join(hash_table, '__h', 'left_anti')`` — the same plan this
+    function builds, minus re-hashing the corpus per delta)."""
+    etc = existing_text_col or text_col
+    old = existing.select(content_hash(F.col(etc)).alias("__h")).distinct()
+    return (
+        df.withColumn("__h", content_hash(F.col(text_col)))
+        .join(old, "__h", "left_anti")
+        .drop("__h")
+    )
+
+
 def stream_exact_dedup(
     stream: DataFrame,
     text_col: str = "text",

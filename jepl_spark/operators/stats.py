@@ -187,6 +187,51 @@ def key_skew_report(
     )
 
 
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_by: Optional[Union[str, Sequence[str]]] = None,
+    k: float = 3.5,
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Median/MAD outlier flagging — the data-cleaning filter that
+    survives the outliers themselves (mean/stddev z-scores move WITH
+    the contamination; the median and the median absolute deviation
+    don't).  A row is flagged when |x − median| > k · MAD of its
+    group (k=3.5 ≈ the classic Iglewicz-Hoaglin cut for the modified
+    z-score).  NULL values are never flagged (no evidence); a
+    zero-MAD group (over half its values identical) flags exactly the
+    rows that differ from the median at all.
+
+    Shape: one exact-percentile aggregation per group for the median,
+    a second for the MAD (the deviation needs the median first), each
+    a single exchange on the group key; thresholds broadcast back via
+    the group join (AQE).  For unbounded group cardinality swap in
+    percentile_approx the same way grouped_percentiles documents."""
+    groups = list(_groups(group_by))
+    v = F.col(value_col).cast("double")
+    med_agg = F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    if groups:
+        med = df.groupBy(*groups).agg(med_agg)
+        with_med = df.join(med, groups, "left")
+    else:
+        med = df.agg(med_agg)
+        with_med = df.crossJoin(F.broadcast(med))
+    dev = F.abs(v - F.col("__med"))
+    mad_agg = F.expr("percentile(__dev, 0.5)").alias("__mad")
+    devs = with_med.withColumn("__dev", dev)
+    if groups:
+        mad = devs.groupBy(*groups).agg(mad_agg)
+        full = devs.join(mad, groups, "left")
+    else:
+        mad = devs.agg(mad_agg)
+        full = devs.crossJoin(F.broadcast(mad))
+    flagged = F.when(v.isNull(), F.lit(False)).otherwise(
+        F.col("__dev") > F.lit(float(k)) * F.col("__mad")
+    )
+    return full.withColumn(flag_col, flagged).drop("__med", "__dev", "__mad")
+
+
 def stream_windowed_topk(
     stream: DataFrame,
     key_col: str,

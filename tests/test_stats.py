@@ -151,3 +151,55 @@ class TestTopkAndSkew:
             ST.grouped_topk(df, "rank")
         with pytest.raises(ValueError, match="collides"):
             ST.key_skew_report(df, "cnt")
+
+
+def test_robust_outliers_known_answers(spark):
+    from jepl_spark.operators.stats import robust_outliers
+
+    rows = (
+        # group a: 1..7 plus a wild 100 — median 4, MAD 2; |100-4|=96 > 7
+        [("a", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 100]]
+        # group b: over half identical -> MAD 0: only non-median rows flag
+        + [("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 6.0)]
+        + [("c", None)]
+    )
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "g string, v double, i long"
+    )
+    out = {(r["g"], r["i"]): r["is_outlier"]
+           for r in robust_outliers(df, "v", group_by="g").collect()}
+    a_flags = [out[("a", i)] for i in range(8)]
+    assert a_flags == [False] * 7 + [True]
+    assert [out[("b", i)] for i in range(8, 12)] == [False, False, False, True]
+    assert out[("c", 12)] is False  # NULL: no evidence
+    # global (ungrouped) mode runs and flags the same wild point
+    g = {r["i"]: r["is_outlier"]
+         for r in robust_outliers(df, "v").collect()}
+    assert g[7] is True
+
+
+def test_dedup_against_cross_corpus(spark):
+    from jepl_spark.operators import dedup as D
+
+    existing = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "another committed doc")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "THE  quick brown fox"),   # normalized dup of existing 0
+            (11, "a genuinely new document"),
+            (12, "another committed doc"),  # exact dup of existing 1
+            (13, "also new content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in D.dedup_against(new, existing).collect())
+    assert kept == [11, 13]
+    # empty corpus: everything passes
+    assert D.dedup_against(new, existing.limit(0)).count() == 4
+    # WITHIN-batch dups are exact_dedup's job, not this one's
+    assert D.dedup_against(
+        new.unionByName(new.selectExpr("doc_id + 100 AS doc_id", "text")),
+        existing,
+    ).count() == 4
