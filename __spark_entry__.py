@@ -4003,8 +4003,12 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             old AS (SELECT DISTINCT ch FROM h WHERE doc_id % 5 = 0)
+            -- NOT EXISTS, not NOT IN: a NULL hash in `old` (NULL text)
+            -- would make NOT IN return zero rows for the whole query,
+            -- while the Spark side's left-anti join keeps NULL-hash
+            -- rows -- anti-join semantics on both sides
             SELECT h.doc_id FROM h
-            WHERE h.ch NOT IN (SELECT ch FROM old)
+            WHERE NOT EXISTS (SELECT 1 FROM old WHERE old.ch = h.ch)
         """,
         # median/MAD outlier flags: exact percentile == quantile_cont
         "outliers_events": """

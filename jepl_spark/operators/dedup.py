@@ -80,11 +80,14 @@ def dedup_against(
     .join(hash_table, '__h', 'left_anti')`` — the same plan this
     function builds, minus re-hashing the corpus per delta)."""
     etc = existing_text_col or text_col
-    old = existing.select(content_hash(F.col(etc)).alias("__h")).distinct()
+    hc = "__dedup_against_h"
+    while hc in df.columns:  # never clobber a caller column
+        hc += "_"
+    old = existing.select(content_hash(F.col(etc)).alias(hc)).distinct()
     return (
-        df.withColumn("__h", content_hash(F.col(text_col)))
-        .join(old, "__h", "left_anti")
-        .drop("__h")
+        df.withColumn(hc, content_hash(F.col(text_col)))
+        .join(old, hc, "left_anti")
+        .drop(hc)
     )
 
 

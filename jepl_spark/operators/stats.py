@@ -205,27 +205,47 @@ def robust_outliers(
 
     Shape: one exact-percentile aggregation per group for the median,
     a second for the MAD (the deviation needs the median first), each
-    a single exchange on the group key; thresholds broadcast back via
-    the group join (AQE).  For unbounded group cardinality swap in
-    percentile_approx the same way grouped_percentiles documents."""
+    a single exchange on the group key; thresholds join back null-safe
+    on the group key (a NULL group is a real group — plain equality
+    would leave its rows with NULL thresholds and a NULL flag that
+    silently drops under a boolean filter).  For unbounded group
+    cardinality swap in percentile_approx the same way
+    grouped_percentiles documents."""
+    for c in ("__med", "__dev", "__mad", flag_col):
+        if c in df.columns:
+            raise ValueError(
+                f"input column {c!r} collides with an output/helper "
+                f"column name"
+            )
     groups = list(_groups(group_by))
     v = F.col(value_col).cast("double")
+
+    def _join_back(left, right):
+        # null-safe equi-join on the group key; the right side's key
+        # columns are renamed so nothing shadows the caller's
+        renamed = right.select(
+            *[F.col(g).alias(f"__g_{g}") for g in groups],
+            *[c for c in right.columns if c not in groups],
+        )
+        cond = None
+        for g in groups:
+            c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+            cond = c if cond is None else (cond & c)
+        return left.join(renamed, cond, "left").drop(
+            *[f"__g_{g}" for g in groups]
+        )
+
     med_agg = F.expr(f"percentile({value_col}, 0.5)").alias("__med")
     if groups:
-        med = df.groupBy(*groups).agg(med_agg)
-        with_med = df.join(med, groups, "left")
+        with_med = _join_back(df, df.groupBy(*groups).agg(med_agg))
     else:
-        med = df.agg(med_agg)
-        with_med = df.crossJoin(F.broadcast(med))
-    dev = F.abs(v - F.col("__med"))
+        with_med = df.crossJoin(F.broadcast(df.agg(med_agg)))
+    devs = with_med.withColumn("__dev", F.abs(v - F.col("__med")))
     mad_agg = F.expr("percentile(__dev, 0.5)").alias("__mad")
-    devs = with_med.withColumn("__dev", dev)
     if groups:
-        mad = devs.groupBy(*groups).agg(mad_agg)
-        full = devs.join(mad, groups, "left")
+        full = _join_back(devs, devs.groupBy(*groups).agg(mad_agg))
     else:
-        mad = devs.agg(mad_agg)
-        full = devs.crossJoin(F.broadcast(mad))
+        full = devs.crossJoin(F.broadcast(devs.agg(mad_agg)))
     flagged = F.when(v.isNull(), F.lit(False)).otherwise(
         F.col("__dev") > F.lit(float(k)) * F.col("__mad")
     )

@@ -353,7 +353,7 @@ def jpeg_decode(buf: bytes, max_pixels: int = 100_000_000) -> np.ndarray:
     except ValueError:
         raise
     except (IndexError, KeyError, struct.error, OverflowError,
-            ZeroDivisionError) as e:
+            ZeroDivisionError, MemoryError) as e:
         # a corrupt stream must surface as the contract's ValueError,
         # not whatever internal error the parser happened to hit
         raise ValueError(
@@ -417,6 +417,15 @@ def _jpeg_decode_impl(buf: bytes, max_pixels: int) -> np.ndarray:
                 raise ValueError(
                     f"SOF dimensions {w}x{h} invalid or beyond "
                     f"max_pixels={max_pixels}"
+                )
+            if nf not in (1, 3):
+                # also caps the per-component coefficient allocations:
+                # without this a crafted nf=255 multiplies the
+                # max_pixels bound 255x
+                raise ValueError(
+                    f"{nf}-component JPEG not supported (grayscale or "
+                    f"YCbCr 3-component only — CMYK would decode "
+                    f"silently wrong)"
                 )
             comps = []
             for k in range(nf):

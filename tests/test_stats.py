@@ -203,3 +203,23 @@ def test_dedup_against_cross_corpus(spark):
         new.unionByName(new.selectExpr("doc_id + 100 AS doc_id", "text")),
         existing,
     ).count() == 4
+
+
+def test_robust_outliers_null_group_and_collisions(spark):
+    """Review findings: a NULL group key is a real group (null-safe
+    threshold join — its flag must be a real boolean, not NULL), and
+    helper/output column collisions raise up front."""
+    import pytest as _pt
+
+    from jepl_spark.operators.stats import robust_outliers
+
+    rows = [(None, 1.0, 0), (None, 1.0, 1), (None, 2.0, 2),
+            (None, 500.0, 3), ("a", 1.0, 4)]
+    df = spark.createDataFrame(rows, "g string, v double, i long")
+    out = {r["i"]: r["is_outlier"]
+           for r in robust_outliers(df, "v", group_by="g").collect()}
+    assert out[3] is True          # flagged WITHIN the NULL group
+    assert out[0] is False and out[4] is False
+    assert all(v is not None for v in out.values())
+    with _pt.raises(ValueError, match="collides"):
+        robust_outliers(df.withColumn("is_outlier", df.v), "v")

@@ -695,14 +695,16 @@ def test_metrics_listener(spark, tmp_path):
         _run_fixture(spark, tmp_path, batches, sql)
         # progress events ride the async listener bus and can lag the
         # query's completion under load — poll with a deadline
-        deadline = __import__("time").time() + 30
+        import time as _time
+
+        deadline = _time.time() + 30
         while True:
             summary = listener.summary()
             if summary["batches"] >= 1 and summary["input_rows"] >= 3:
                 break
-            if __import__("time").time() > deadline:
+            if _time.time() > deadline:
                 break
-            __import__("time").sleep(0.5)
+            _time.sleep(0.5)
         assert summary["batches"] >= 1
         assert summary["input_rows"] >= 3
     finally:
