@@ -321,6 +321,20 @@ def batch_queries(spark, sf_dir):
         return _drain(T.strip_boilerplate_lines(
             df.withColumn("text", aug).select("doc_id", "text"), max_df=10))
 
+    def dedup_against():
+        # incremental cross-corpus dedup: the corpus vs the committed
+        # snapshot 'every 5th doc' — one left-anti hash join
+        df = load_table(spark, sf_dir, "documents")
+        return _drain(D.dedup_against(
+            df, df.where(F.col("doc_id") % 5 == 0)))
+
+    def outliers():
+        # median/MAD modified z-score per event_type over all events
+        from jepl_spark.operators import stats as ST
+
+        ev = load_table(spark, sf_dir, "events")
+        return _drain(ST.robust_outliers(ev, "value", group_by="event_type"))
+
     return {
         "jepl_lineitem_agg": jepl_lineitem_agg,
         "jepl_events_rule": jepl_events_rule,
@@ -347,6 +361,8 @@ def batch_queries(spark, sf_dir):
         "url_dedup": url_dedup,
         "oov_rate": oov_rate,
         "boilerplate": boilerplate,
+        "dedup_against": dedup_against,
+        "outliers": outliers,
     }
 
 
