@@ -389,3 +389,48 @@ def test_stream_domain_cap_restart_resumes_budget(spark, tmp_path):
     n_batches = sink.committed_count(spark)
     sink = run()
     assert sink.committed_count(spark) == n_batches
+
+
+def test_canonical_url_component_grid(spark):
+    """Systematic sweep: URLs built from a component grid (scheme case
+    x www x port x path shape x tracker positions x fragment) must
+    canonicalize (a) idempotently, (b) with every tracker parameter
+    gone and every kept parameter preserved IN ORDER, (c) with the
+    path's case and content untouched."""
+    import itertools
+    import re
+
+    urls = []
+    for scheme, www, port, path, params, frag in itertools.product(
+        ["https://", "HTTPS://", "http://"],
+        ["", "www.", "WWW."],
+        ["", ":443", ":8080"],
+        ["/Path/Sub", "/a&&b", ""],
+        ["", "?a=1", "?utm_s=1&a=1", "?a=1&gclid=x&b=2",
+         "?fbclid=1&utm_a=2&utm_b=3&a=1"],
+        ["", "#frag"],
+    ):
+        urls.append(scheme + www + "Example.COM" + port + path + params + frag)
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    c1 = W.canonical_url(F.col("u"))
+    rows = df.select(
+        "u", c1.alias("c"), W.canonical_url(c1).alias("cc")
+    ).collect()
+    assert len(rows) == len(urls)
+    for r in rows:
+        u, c, cc = r["u"], r["c"], r["cc"]
+        assert c == cc, (u, c, cc)                       # idempotent
+        q = c.split("?", 1)[1] if "?" in c else ""
+        assert not re.search(r"(^|&)(utm_|gclid|fbclid|msclkid)", q), (u, c)
+        # kept params survive in order
+        want = [p for p in (u.split("?", 1)[1].split("#")[0].split("&")
+                            if "?" in u else [])
+                if not re.match(r"(utm_|gclid|fbclid|msclkid)", p)]
+        got = [p for p in q.split("&") if p] if q else []
+        assert got == want, (u, c, want, got)
+        # path case/content untouched (trailing slash aside)
+        if "/Path/Sub" in u:
+            assert "/Path/Sub" in c, (u, c)
+        if "/a&&b" in u:
+            assert "/a&&b" in c, (u, c)
+        assert "#" not in c and "www." not in c.split("/")[2], (u, c)
