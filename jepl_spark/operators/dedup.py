@@ -419,6 +419,19 @@ def near_dup_components(
     the pair policy keeps BOTH 0 and 1.  Resolving components first is
     the standard corpus-dedup shape (one canonical doc per cluster).
 
+    Id types: integral ids (byte/short/int/long) propagate directly
+    (labels ARE ids).  Any other id type — string/UUID, decimal,
+    float — is remapped through a collision-free long surrogate
+    (``monotonically_increasing_id`` over the distinct ids, frozen by
+    an eager localCheckpoint so every consumer sees ONE assignment),
+    propagated, then mapped back with ``component`` recomputed as the
+    MINIMUM ORIGINAL id of each cluster (lexicographic for strings) —
+    so the "smallest reachable id" contract holds for every id type.
+    The earlier behavior (``cast('long')``) either raised an opaque
+    ANSI ``CAST_INVALID_INPUT`` on string ids or, with ANSI off,
+    NULLed them out and silently dropped the rows — while
+    ``policy='pairs'`` handled any id type; this path now does too.
+
     Algorithm: iterative min-label propagation with pointer jumping
     (label(x) ← min over neighbors' labels, then ``jumps`` rounds of
     label(x) ← label(label(x))).  Each jump composes the label map
@@ -438,6 +451,19 @@ def near_dup_components(
     """
     if jumps < 1:
         raise ValueError(f"jumps must be >= 1, got {jumps}")
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType,
+    )
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    dtypes = {f.name: f.dataType for f in pairs.schema.fields}
+    for c in (id_a, id_b):
+        if c not in dtypes:
+            raise ValueError(
+                f"pair column {c!r} not in input columns {list(dtypes)}"
+            )
+    if not all(isinstance(dtypes[c], integral) for c in (id_a, id_b)):
+        return _components_remapped(pairs, id_a, id_b, max_rounds, jumps)
     edges = (
         pairs.select(
             F.col(id_a).cast("long").alias("src"),
@@ -509,6 +535,52 @@ def near_dup_components(
         f"near_dup_components did not converge in {max_rounds} rounds — "
         f"component diameter exceeds 2^{max_rounds}, which should be "
         f"impossible; refusing to return a partial clustering"
+    )
+
+
+def _components_remapped(
+    pairs: DataFrame, id_a: str, id_b: str, max_rounds: int, jumps: int
+) -> DataFrame:
+    """near_dup_components for NON-integral id types: remap ids through
+    a collision-free long surrogate, propagate on the surrogates (they
+    carry no order — only connectivity matters), then map back and
+    recompute each cluster's representative as the minimum ORIGINAL id.
+    The surrogate assignment is frozen by an eager localCheckpoint so
+    every downstream consumer joins against ONE assignment (a lazy
+    monotonically_increasing_id re-evaluates per consumer).  Two extra
+    ids-only joins + one groupBy vs the integral fast path — all over
+    the (thresholded, tiny-vs-corpus) pair graph's node set."""
+    ids = (
+        pairs.select(F.col(id_a).alias("__oid"))
+        .unionByName(pairs.select(F.col(id_b).alias("__oid")))
+        .where(F.col("__oid").isNotNull())
+        .distinct()
+    )
+    mapping = ids.withColumn(
+        "__sid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+    m_a = mapping.select(
+        F.col("__oid").alias("__a"), F.col("__sid").alias("id_a")
+    )
+    m_b = mapping.select(
+        F.col("__oid").alias("__b"), F.col("__sid").alias("id_b")
+    )
+    sedges = (
+        pairs.select(F.col(id_a).alias("__a"), F.col(id_b).alias("__b"))
+        .where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+        .join(m_a, "__a")
+        .join(m_b, "__b")
+        .select("id_a", "id_b")
+    )
+    labels = near_dup_components(
+        sedges, "id_a", "id_b", max_rounds=max_rounds, jumps=jumps
+    )
+    orig = labels.join(
+        mapping.select(F.col("__sid").alias("id"), "__oid"), "id"
+    ).select(F.col("__oid").alias("id"), "component")
+    reps = orig.groupBy("component").agg(F.min("id").alias("__rep"))
+    return orig.join(reps, "component").select(
+        "id", F.col("__rep").alias("component")
     )
 
 
@@ -756,7 +828,20 @@ def stream_simhash_near_dedup(
     """Streaming NEAR-duplicate dedup at ingest: beyond exact-content
     drops (stream_exact_dedup), rows whose SimHash is within
     ``max_hamming`` bits of already-admitted content are filtered
-    before they reach the corpus.  Returns ``(prepared_stream,
+    before they reach the corpus.
+
+    .. BREAKING DEFAULT (round 5): ``horizon_s`` now defaults to
+       ``"watermark"`` (scan only the last watermark-delay seconds of
+       admitted history), where it previously defaulted to ``None``
+       (scan ALL committed history).  Callers upgrading across that
+       change silently trade recall for a bounded read: near-dups of
+       content admitted more than the watermark delay earlier are
+       RE-ADMITTED.  Pass ``horizon_s=None`` explicitly to restore the
+       old full-recall behavior — and re-evaluate which bound your
+       pipeline's dedup contract actually needs (details under "Scale
+       shape" below).
+
+    Returns ``(prepared_stream,
     foreach_batch)`` — wire the stream through
     ``writeStream.foreachBatch(foreach_batch)``; the callback commits
     survivors to ``sink`` exactly-once.

@@ -118,6 +118,22 @@ def grouped_topk(
         .groupBy(*groups, key_col)
         .agg(w.alias("cnt"))
     )
+    return _ranked_topk(counts, groups, key_col, k, partial_buckets)
+
+
+def _ranked_topk(
+    counts: DataFrame,
+    groups: Sequence[str],
+    key_col: str,
+    k: int,
+    partial_buckets: int = 32,
+) -> DataFrame:
+    """Shared rank core of grouped_topk / stream_windowed_topk: the
+    lossless salted pre-cut (any global top-k row is top-k within its
+    key-hash salt bucket — pigeonhole) followed by the final per-group
+    rank, which therefore sees at most ``partial_buckets``·k rows per
+    group instead of the group's full distinct-key set.  Input must be
+    a ``(groups…, key_col, cnt)`` counts frame."""
     from pyspark.sql.window import Window
 
     order = [F.col("cnt").desc(), F.col(key_col).asc()]
@@ -235,13 +251,16 @@ def robust_outliers(
             *[f"__g_{g}" for g in groups]
         )
 
-    med_agg = F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    # F.percentile over the Column (never f-string SQL interpolation):
+    # a name needing backticks ('a-b', 'my value') must behave like
+    # the F.col-based deviation path below, not parse as an expression
+    med_agg = F.percentile(v, F.lit(0.5)).alias("__med")
     if groups:
         with_med = _join_back(df, df.groupBy(*groups).agg(med_agg))
     else:
         with_med = df.crossJoin(F.broadcast(df.agg(med_agg)))
     devs = with_med.withColumn("__dev", F.abs(v - F.col("__med")))
-    mad_agg = F.expr("percentile(__dev, 0.5)").alias("__mad")
+    mad_agg = F.percentile(F.col("__dev"), F.lit(0.5)).alias("__mad")
     if groups:
         full = _join_back(devs, devs.groupBy(*groups).agg(mad_agg))
     else:
@@ -260,29 +279,42 @@ def stream_windowed_topk(
     duration: str = "6 hours",
     k: int = 5,
     watermark: str = "1 hour",
+    partial_buckets: int = 32,
 ):
     """Streaming per-window top-k — the "trending keys" lane: the k
     heaviest keys of every event-time window, emitted once when the
     watermark closes the window, committed exactly-once.  Returns
     ``(windowed_counts, foreach_batch)``; wire the counts frame
-    through ``writeStream.foreachBatch(foreach_batch)``.
+    through ``writeStream.outputMode("append")
+    .foreachBatch(foreach_batch)``.
+
+    APPEND MODE IS REQUIRED, and the callback enforces it: the
+    per-batch rank is only total-per-window because append mode emits
+    ALL of a window's count rows in the single micro-batch where the
+    watermark passes the window end.  Under update mode a window's
+    partial counts re-emit across batches and a rank over them would
+    commit wrong top-k rows — so ``foreach_batch`` tracks the newest
+    window already committed and RAISES when a batch carries a window
+    at or before it (closed windows strictly ascend batch-over-batch
+    in append mode; a repeat is the update-mode signature).  The guard
+    is driver-side, O(1) state, and resets on restart (harmless: the
+    exactly-once sink already makes replays idempotent).
 
     Why this composition: a rank over a streaming windowed aggregate
     cannot ride the streaming plan itself (window functions over a
     streaming aggregation are unsupported), and it does not need to —
-    append mode emits ALL of a window's count rows in the single
-    micro-batch where the watermark passes the window end, so a
-    per-batch rank partitioned by the window is total per window.
-    Ties break (count desc, key asc), matching ``grouped_topk``.
+    see above.  Ties break (count desc, key asc), matching
+    ``grouped_topk``.
 
     Scale shape: the windowed count is the only stateful stage (state
     = live windows × distinct keys, watermark-evicted; map-side
     partial aggregation absorbs hot keys); the rank runs on emitted
-    count rows only — per window that is ≤ the distinct-key count,
-    already reduced, never raw events.  NULL keys carry no identity
-    and are excluded (matching key_skew_report / grouped_topk)."""
-    from pyspark.sql.window import Window
-
+    count rows only, THROUGH grouped_topk's lossless salted pre-cut
+    (``partial_buckets``) — a closing window's full distinct-key set
+    (~the user population for the trending use case) never funnels
+    through one task; the final rank sees ≤ partial_buckets·k rows
+    per window.  NULL keys carry no identity and are excluded
+    (matching key_skew_report / grouped_topk)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     counts = (
@@ -297,14 +329,35 @@ def stream_windowed_topk(
         )
     )
 
+    newest_committed: list = [None]  # driver-side append-mode guard
+
     def foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy("window_start").orderBy(
-            F.desc("cnt"), F.asc(key_col)
-        )
-        ranked = (
-            batch_df.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-        )
-        sink.write_batch(ranked, batch_id)
+        batch = batch_df.persist()  # guard agg + rank: one execution
+        try:
+            hi_lo = batch.agg(
+                F.max("window_start").alias("hi"),
+                F.min("window_start").alias("lo"),
+            ).first()
+            if hi_lo["lo"] is not None:
+                prev = newest_committed[0]
+                if prev is not None and hi_lo["lo"] <= prev:
+                    raise RuntimeError(
+                        "stream_windowed_topk requires append output "
+                        f"mode: batch {batch_id} re-emitted window "
+                        f"{hi_lo['lo']} at or before the newest "
+                        f"committed window {prev} — in append mode "
+                        "closed windows strictly ascend, so this "
+                        "stream is wired with update/complete mode "
+                        "and a per-batch rank would commit partial "
+                        "top-k rows"
+                    )
+            ranked = _ranked_topk(
+                batch, ["window_start"], key_col, k, partial_buckets
+            )
+            sink.write_batch(ranked, batch_id)
+            if hi_lo["lo"] is not None:
+                newest_committed[0] = hi_lo["hi"]
+        finally:
+            batch.unpersist()
 
     return counts, foreach_batch

@@ -1469,3 +1469,65 @@ def test_topk_batch_null_query_rows_skipped(spark, tmp_path):
     only_null = spark.createDataFrame(
         [(None, None)], "query_id long, query_vec array<double>")
     assert lsh.topk_batch(spark, only_null, k=3).count() == 0
+
+
+def test_near_dup_components_non_integral_ids(spark):
+    """ADVICE r5 (medium): string/UUID/float ids previously hit an
+    opaque ANSI CAST_INVALID_INPUT (or, ANSI off, NULLed out and the
+    dedup silently no-op'd).  Non-integral ids now remap through a
+    collision-free long surrogate and the representative is the
+    minimum ORIGINAL id (lexicographic for strings)."""
+    edges = [
+        # chain of 8 (forces several pointer-jump rounds)
+        *[(f"doc-{i:04d}", f"doc-{i + 1:04d}") for i in range(10, 17)],
+        # non-transitive star through the largest id
+        ("aaa", "ccc"), ("bbb", "ccc"),
+        # reversed pair + a component whose min arrives on the b side
+        ("zz-2", "zz-1"),
+    ]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["component"]
+           for r in D.near_dup_components(df).collect()}
+    want = {f"doc-{i:04d}": "doc-0010" for i in range(10, 18)}
+    want.update({"aaa": "aaa", "bbb": "aaa", "ccc": "aaa",
+                 "zz-1": "zz-1", "zz-2": "zz-1"})
+    assert got == want
+    # empty edge list through the remap path
+    assert D.near_dup_components(df.limit(0)).count() == 0
+    # float ids work too (equality joins are exact on the same value)
+    fdf = spark.createDataFrame(
+        [(1.5, 2.5), (2.5, 3.5)], ["id_a", "id_b"]
+    )
+    fgot = {r["id"]: r["component"]
+            for r in D.near_dup_components(fdf).collect()}
+    assert fgot == {1.5: 1.5, 2.5: 1.5, 3.5: 1.5}
+    # a missing pair column is a clear error, not a KeyError
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not in input columns"):
+        D.near_dup_components(df.withColumnRenamed("id_b", "other"))
+
+
+def test_minhash_dedup_components_string_ids_end_to_end(spark):
+    """The ADVICE scenario verbatim: minhash_dedup(policy='components')
+    over STRING doc ids must behave exactly like the pairs policy's id
+    handling — near-identical docs collapse to one lexicographic-min
+    representative instead of raising (or silently keeping all)."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    rows = [
+        ("u-b", base),
+        ("u-a", base + " extra"),
+        ("u-c", base + " extra token"),
+        ("u-d", "a completely different document about spark plans "
+                "and shuffle partitioning strategies at scale"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(
+        r["doc_id"]
+        for r in D.minhash_dedup(
+            df, threshold=0.5, policy="components",
+            bands=16, num_hashes=64,
+        ).collect()
+    )
+    assert kept == ["u-a", "u-d"]

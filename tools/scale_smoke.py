@@ -325,6 +325,44 @@ def main() -> int:
     res["boilerplate_s"] = round(time.time() - t0, 1)
     assert still_marked == 0 and res["boilerplate_rows"] == n_docs
 
+    # round-6 lane: stream_windowed_topk's per-batch rank under the
+    # exact shape VERDICT r5 flagged — ONE closing window whose
+    # distinct-key set is huge (~10⁶ "user ids" trending in a 6-hour
+    # window).  The salted pre-cut must keep the final rank off the
+    # single-task funnel; correctness: the planted top-k is exact.
+    from jepl_spark.operators.stats import stream_windowed_topk
+
+    class _CountSink:
+        rows = None
+
+        def write_batch(self, df, batch_id):
+            self.rows = df.collect()
+
+        def is_committed(self, batch_id):
+            return False
+
+    n_keys = max(1_000_000, n_docs)
+    hot = 20  # keys 0..19 planted heavier than the uniform tail
+    counts_batch = spark.range(n_keys, numPartitions=64).selectExpr(
+        "timestamp '2024-01-01 00:00:00' AS window_start",
+        "CAST(id AS STRING) AS k",
+        f"CASE WHEN id < {hot} THEN 1000000 - id ELSE 1 + id % 97 END "
+        "AS cnt",
+    )
+    csink = _CountSink()
+    _, topk_fb = stream_windowed_topk(
+        spark.readStream.format("rate").load().selectExpr(
+            "timestamp AS ts", "CAST(value AS STRING) AS k"
+        ),
+        "k", csink, k=10,
+    )
+    t0 = time.time()
+    topk_fb(counts_batch, 0)
+    res["topk_skew_keys"] = n_keys
+    res["topk_skew_s"] = round(time.time() - t0, 1)
+    got_topk = [r["k"] for r in sorted(csink.rows, key=lambda r: r["rank"])]
+    assert got_topk == [str(i) for i in range(10)], got_topk
+
     print(json.dumps(res))
     spark.stop()
     return 0
