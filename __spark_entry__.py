@@ -1036,6 +1036,51 @@ def q_oov_rate_docs(spark, sf_dir):
     )
 
 
+def q_extract_html_docs(spark, sf_dir):
+    """HTML→text extraction (round-6 lane): every doc's text is wrapped
+    in formula-built crawl markup — head/title + (by doc_id residue)
+    style blocks, markup-containing scripts, comments, an entity-heavy
+    list, and a crawl-truncated UNCLOSED script — then html_to_text
+    must recover clean text.  Both engines fold the one frozen
+    HTML_TO_TEXT_STEPS spec (Java∩RE2 dialect, same contract as
+    scrub_pii / canonical_url), and the oracle rebuilds the identical
+    markup from the doc_id formula, so the md5 pins tag/script/comment
+    removal, entity decoding, and whitespace normalization on real
+    corpus text."""
+    from jepl_spark.operators import web as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    e = F.lit("")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), ds, F.lit("</title>"),
+        F.when(d % 3 == 0, F.lit("<style>p{margin:0}</style>")).otherwise(e),
+        F.lit("</head>\n<body>"),
+        F.when(d % 5 == 0, F.concat(
+            F.lit('<script type="text/javascript">if(a<b){track("<p>'),
+            ds, F.lit('</p>")}</script>'))).otherwise(e),
+        F.when(d % 7 == 0, F.concat(
+            F.lit("<!-- crawl comment "), ds, F.lit(" -->"))).otherwise(e),
+        F.lit('<div class="main"><p>'), t, F.lit("</p></div>"),
+        F.when(d % 11 == 0, F.lit(
+            "<ul><li>Tom &amp; Jerry</li><li>1 &lt; 2 &gt; 0</li></ul>"
+        )).otherwise(e),
+        F.when(d % 13 == 0, F.lit("<script>var truncated=1; // cut"))
+        .otherwise(F.lit("</body></html>")),
+    )
+    out = W.extract_html(
+        docs.withColumn("html", html).select("doc_id", "html")
+    )
+    clean = F.coalesce(F.col("text"), F.lit(""))
+    return out.select(
+        "doc_id",
+        F.md5(clean).alias("text_md5"),
+        F.length(clean).cast("bigint").alias("text_len"),
+    )
+
+
 def q_image_jpeg_roundtrip(spark, sf_dir):
     """Entropy-coded container lane (round-5): a rawv1/png/JPEG mix
     transits generation → container encode → Arrow decode → pixel
@@ -2293,6 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate_docs": q_strip_boilerplate_docs,
         "stream_outer_join_missing": q_stream_outer_join_missing,
         "stream_windowed_topk": q_stream_windowed_topk,
+        # -- round-6 lanes ----------------------------------------------
+        "extract_html_docs": q_extract_html_docs,
         # -- block 3: veteran core (driver-green in r3/r4 ledgers) -----
         "jepl_sum_filter": q_jepl_sum_filter,
         "jepl_five_aggs_group": q_jepl_five_aggs_group,
@@ -2640,6 +2687,15 @@ def _winnow_oracle_sql(k: int = 8, window: int = 4) -> str:
 
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect)
+
+
+def _html_chain_sql(expr: str) -> str:
+    """DuckDB replay of the HTML_TO_TEXT_STEPS chain — generated from
+    the same frozen spec the Spark column folds (web.html_to_text_sql),
+    so the extract_html_docs oracle cannot drift from the operator."""
+    from jepl_spark.operators import web as W2
+
+    return W2.html_to_text_sql(expr)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4033,6 +4089,44 @@ def oracle_sql() -> dict[str, str]:
         # URL dedup: canonicals rebuilt from the doc_id formula — a
         # variant doc (d%7==3) canonicalizes onto doc d-1's URL and
         # must lose the min-id contest; NULL-URL docs pass through
+        # HTML→text: rebuild the identical formula markup, then fold
+        # the SAME frozen HTML_TO_TEXT_STEPS chain (html_to_text_sql —
+        # one spec, two engines, as scrub_pii / canonical_url)
+        "extract_html_docs": f"""
+            WITH h AS (
+              SELECT doc_id,
+                '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                || '</title>'
+                || CASE WHEN doc_id % 3 = 0
+                        THEN '<style>p{{margin:0}}</style>' ELSE '' END
+                || '</head>' || chr(10) || '<body>'
+                || CASE WHEN doc_id % 5 = 0
+                        THEN '<script type="text/javascript">'
+                             || 'if(a<b){{track("<p>'
+                             || CAST(doc_id AS VARCHAR)
+                             || '</p>")}}</script>'
+                        ELSE '' END
+                || CASE WHEN doc_id % 7 = 0
+                        THEN '<!-- crawl comment '
+                             || CAST(doc_id AS VARCHAR) || ' -->'
+                        ELSE '' END
+                || '<div class="main"><p>' || coalesce(text, '')
+                || '</p></div>'
+                || CASE WHEN doc_id % 11 = 0
+                        THEN '<ul><li>Tom &amp; Jerry</li>'
+                             || '<li>1 &lt; 2 &gt; 0</li></ul>'
+                        ELSE '' END
+                || CASE WHEN doc_id % 13 = 0
+                        THEN '<script>var truncated=1; // cut'
+                        ELSE '</body></html>' END
+                AS html
+              FROM documents
+            ),
+            x AS (SELECT doc_id, {_html_chain_sql('html')} AS text FROM h)
+            SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS text_len
+            FROM x
+        """,
         "url_dedup_docs": """
             WITH u AS (
               SELECT doc_id,

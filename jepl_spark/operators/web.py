@@ -320,3 +320,101 @@ def domain_mix_report(
         df, url_col, domain_col=domain_col, multi_suffixes=multi_suffixes
     )
     return key_skew_report(d, domain_col, top=top)
+
+
+# HTML→text extraction: the FIRST stage of every web corpus (C4 /
+# RefinedWeb start from crawled markup, not text).  One frozen spec —
+# an ordered list of (Java∩RE2 pattern, Java-style replacement) — that
+# BOTH the Spark column (html_to_text) and the DuckDB oracle twin
+# (html_to_text_sql) fold over, so the two engines execute the
+# identical chain: no lookaheads, no backrefs-in-pattern, inline (?is)
+# flags only (the same dialect contract as scrub_pii / canonical_url).
+#
+# Order is load-bearing:
+#   1. comments, then script/style/head BLOCKS (closed form first,
+#      then unclosed-to-EOF — a crawl-truncated <script> must not leak
+#      JavaScript into the corpus as "text");
+#   2. CDATA markers stripped, content kept;
+#   3. block-level tags become NEWLINES (so line structure survives
+#      for strip_boilerplate_lines), every other tag a space;
+#   4. entities decode AFTER tag removal (a decoded '<' must not look
+#      like a tag) with &amp; LAST (single-pass: '&amp;lt;' must yield
+#      the literal text '&lt;', not '<');
+#   5. whitespace normalizes, newline structure preserved.
+#
+# Known approximation (shared with every regex-level extractor): a '>'
+# inside a quoted attribute value ends the tag early; and a </script>
+# inside a JS string literal ends the script block early — the latter
+# matching browser tokenizer behavior.
+HTML_TO_TEXT_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<!--.*?-->", " "),              # comments (closed)
+    (r"(?is)<!--.*", " "),                  # unclosed comment: to EOF
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<script\b[^>]*>.*", " "),       # unclosed script: to EOF
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*", " "),        # unclosed style: to EOF
+    (r"(?is)<head\b[^>]*>.*?</head\s*>", " "),
+    (r"(?is)<!\[CDATA\[(.*?)\]\]>", "$1"),  # markers off, content kept
+    (r"(?i)<(br|hr)\b[^>]*>", "\n"),
+    (
+        r"(?i)</?(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|"
+        r"article|header|footer|pre|title|td|th|dt|dd)(\s[^>]*)?/?\s*>",
+        "\n",
+    ),
+    (r"(?is)</?[a-z][^>]*>", " "),          # any remaining tag
+    (r"(?is)<[!?][^>]*>", " "),             # doctype / PI / stray <!…>
+    (r"&nbsp;|&#160;", " "),
+    (r"&lt;|&#60;", "<"),
+    (r"&gt;|&#62;", ">"),
+    (r"&quot;|&#34;", "\""),
+    (r"&apos;|&#39;", "'"),
+    (r"&amp;|&#38;", "&"),                  # LAST (single-pass decode)
+    (r"[ \t\r\f\x0B]+", " "),               # spaces collapse, \n kept
+    (r"[ ]*\n[ ]*", "\n"),                  # trim line edges
+    (r"\n+", "\n"),                         # collapse blank lines
+    (r"^\s+|\s+$", ""),                     # trim document edges
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Extracted text of an HTML document — tag/script/style/comment
+    removal, common-entity decoding, whitespace normalization — as a
+    pure JVM regexp_replace chain over ``HTML_TO_TEXT_STEPS`` (see the
+    spec above for ordering and the documented approximations).  Block
+    tags become newlines so the output feeds ``strip_boilerplate_lines``
+    / ``repetition_features`` with real line structure; NULL
+    propagates; plain text without markup passes through unchanged
+    (modulo whitespace normalization).
+
+    Scale: one projection, no shuffle, whole-stage-codegen'd; the
+    chain is fixed-size so plan cost is constant in corpus size."""
+    out = html
+    for pat, rep in HTML_TO_TEXT_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB twin of ``html_to_text``: the SAME step list folded into
+    nested ``regexp_replace(…, 'g')`` calls — group refs converted
+    from Java ``$1`` to RE2 ``\\1``, literal newlines embedded directly
+    in the SQL string literal.  Exists so correctness gates replay the
+    chain verbatim instead of hand-mirroring it (one spec, two
+    engines)."""
+    sql = expr
+    for pat, rep in HTML_TO_TEXT_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("$", "\\").replace("'", "''")
+        sql = f"regexp_replace({sql}, '{p}', '{r}', 'gs')"
+    return sql
+
+
+def extract_html(
+    df: DataFrame,
+    html_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """Attach ``text_col`` = extracted text of ``html_col`` — the
+    pipeline-stage wrapper over ``html_to_text`` (wired ahead of
+    boilerplate/dedup by jobs.corpus_pipeline --html)."""
+    return df.withColumn(text_col, html_to_text(F.col(html_col)))

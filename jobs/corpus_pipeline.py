@@ -7,7 +7,8 @@
         [--langs en,fr,es,de] \\
         [--near-dup-threshold 0.8] [--minhash-bands 16] \\
         [--near-dedup-policy pairs|components] \\
-        [--url-col url] [--boilerplate-max-df N] [--max-oov-rate R] \\
+        [--url-col url] [--html-col html] \\
+        [--boilerplate-max-df N] [--max-oov-rate R] \\
         [--audit-output <dir>] \\
         [--decontam-input <benchmark.parquet>] \\
         [--split train=0.9,val=0.1] [--chunk-tokens 512 | --pack-budget 4096] \\
@@ -66,6 +67,12 @@ def main(argv: list[str]) -> int:
     p.add_argument("--url-col", default=None,
                    help="run URL-level dedup first (canonical_url + "
                         "min-id per canonical) on this column")
+    p.add_argument("--html-col", default=None,
+                   help="input is crawled markup in this column: extract "
+                        "text (tag/script/style strip, entity decode, "
+                        "block tags -> newlines) into --text-col before "
+                        "any content stage runs; the markup column is "
+                        "dropped after extraction")
     p.add_argument("--boilerplate-max-df", type=int, default=None,
                    help="strip lines appearing in more than this many "
                         "distinct docs (before the quality gate, so "
@@ -169,7 +176,21 @@ def main(argv: list[str]) -> int:
             "after_url_dedup",
         )
 
-    # 0b. boilerplate strip — before the quality gate, so nav/footer
+    # 0b. HTML→text extraction — AFTER url dedup (collapsed URL
+    #     variants never pay extraction), BEFORE every content stage
+    #     (boilerplate df counts, quality ratios, lang_id, hashes all
+    #     presuppose text, not markup).  Pure per-row projection the
+    #     optimizer fuses with the scan; the raw markup column drops
+    #     here so it never rides a shuffle or the output.
+    if args.html_col:
+        from jepl_spark.operators import web as W
+
+        df = W.extract_html(df, html_col=args.html_col,
+                            text_col=args.text_col)
+        if args.html_col != args.text_col:
+            df = df.drop(args.html_col)
+
+    # 0c. boilerplate strip — before the quality gate, so nav/footer
     #     lines cannot pollute the token/punct ratios it reads
     if args.boilerplate_max_df is not None:
         df = checkpoint_stage(

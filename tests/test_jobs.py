@@ -134,6 +134,47 @@ def test_corpus_pipeline_url_boilerplate_oov_stages(spark, tmp_path, capsys):
     assert audit == {(1, "url_dedup"), (5, "quality"), (6, "oov")}
 
 
+def test_corpus_pipeline_html_stage(spark, tmp_path, capsys):
+    """--html-col: crawled markup becomes text BEFORE every content
+    stage — the script-only doc extracts to nothing and dies at the
+    quality gate, two docs whose markup differs only in tags become
+    exact dupes AFTER extraction, and the extracted (not raw) text is
+    what the output carries, with the markup column dropped."""
+    body = ("the quick brown fox jumps over the lazy dog near the "
+            "river while the other animals watch the water flow")
+    docs = [
+        (0, f"<html><body><p>{body} bank</p></body></html>"),
+        # tag-variant of 1's content: exact dupe only after extraction
+        (1, f"<div><p>{body} <b>bend</b></p></div>"),
+        (2, f"<span>{body} bend</span>"),
+        (3, "<script>var x = 'no text at all';</script>"),
+    ]
+    src = str(tmp_path / "html_docs")
+    spark.createDataFrame(docs, ["doc_id", "html"]).write.parquet(src)
+
+    from jobs.corpus_pipeline import main
+
+    out = str(tmp_path / "curated")
+    rc = main([
+        "--input", src, "--output", out,
+        "--html-col", "html", "--min-tokens", "4",
+        "--near-dup-threshold", "0.99",
+        "--audit-output", str(tmp_path / "audit"),
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    s = rep["stages"]
+    assert s["input"] == 4
+    assert s["after_quality"] == 3        # 3 extracts to "" -> dropped
+    assert s["after_exact_dedup"] == 2    # 2 deduped against 1
+    assert rep["dropped"] == {"quality": 1, "exact_dedup": 1}
+    written = spark.read.parquet(out)
+    assert "html" not in written.columns
+    texts = {r["doc_id"]: r["text"] for r in written.collect()}
+    assert texts[0] == f"{body} bank"
+    assert texts[1] == f"{body} bend"
+
+
 def test_cli_runner(spark, capsys):
     """python -m jepl_spark happy path (json rows) and compile-error
     path (reference-identical message, exit 1)."""

@@ -434,3 +434,99 @@ def test_canonical_url_component_grid(spark):
         if "/a&&b" in u:
             assert "/a&&b" in c, (u, c)
         assert "#" not in c and "www." not in c.split("/")[2], (u, c)
+
+
+# -- HTML→text extraction (round-6 lane) -------------------------------------
+
+# (input, exact expected output) — the CONTENT anchor: these pin the
+# chain's behavior independently of the oracle (which pins only
+# cross-engine equivalence, since both sides fold the same spec)
+_HTML_CASES = [
+    ("<html><head><title>T</title><style>p{color:red}</style></head>"
+     "<body><p>Hello world</p></body></html>", "Hello world"),
+    ("<p>a</p><p>b</p>", "a\nb"),                     # line structure
+    ("<div><p>nested <b>bold</b> text</p></div>", "nested bold text"),
+    ("<b>unclosed bold", "unclosed bold"),            # unclosed inline
+    ('<script>if(a<b){document.write("<p>x</p>")}</script>after',
+     "after"),                                        # markup inside JS
+    ("<script src='x.js'>var leaked=1; // crawl truncated", ""),
+    ("<style>body{}  truncated", ""),                 # unclosed style
+    ("<!-- c -->kept<!-- unclosed", "kept"),          # unclosed comment
+    ("before<![CDATA[x < y & z]]>after", "beforex < y & zafter"),
+    ("Tom &amp; Jerry &lt;tag&gt; &quot;q&quot; &apos;a&apos; "
+     "&#39;n&#39; x&nbsp;y", "Tom & Jerry <tag> \"q\" 'a' 'n' x y"),
+    # single-pass decode: &amp;lt; is the TEXT '&lt;', never '<'
+    ("double &amp;lt; encode &amp;amp;", "double &lt; encode &amp;"),
+    ("<ul><li>one</li><li>two</li></ul>", "one\ntwo"),
+    ("<br/>line<br>break<hr>", "line\nbreak"),
+    ("plain text no markup at all", "plain text no markup at all"),
+    ("<table><tr><td>a</td><td>b</td></tr></table>", "a\nb"),
+    ("<a href='x?a=1&b=2'>link</a> tail", "link tail"),
+    ("<P CLASS='X'>upper</P>", "upper"),              # case-insensitive
+    ("<?xml version='1.0'?><!DOCTYPE html><html>x</html>", "x"),
+    ("< notatag but kept", "< notatag but kept"),
+    ("", ""),
+    ("<header>h</header><article>art</article><footer>f</footer>",
+     "h\nart\nf"),
+    # documented approximation: '>' inside a quoted attribute ends the
+    # tag early — the residue is text, never a crash
+    ('<a title="a>b">early end</a>', 'b">early end'),
+]
+
+
+def test_html_to_text_adversarial_content(spark):
+    """Exact expected extractions for nested/unclosed tags, CDATA,
+    entities (incl. double-encoding), script-containing-markup,
+    truncated crawls, and the documented attribute-'>' approximation."""
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(_HTML_CASES)], ["i", "h"]
+    )
+    got = {r["i"]: r["t"] for r in df.select(
+        "i", W.html_to_text(F.col("h")).alias("t")).collect()}
+    for i, (h, want) in enumerate(_HTML_CASES):
+        assert got[i] == want, (h, got[i], want)
+    # NULL propagates
+    n = spark.createDataFrame([(None,)], "h string").select(
+        W.html_to_text(F.col("h")).alias("t")).first()
+    assert n["t"] is None
+    # extraction is idempotent on its own output (no '<'/'&' left that
+    # a second pass would reinterpret, for these fixtures)
+    twice = {r["i"]: r["t"] for r in df.select(
+        "i", W.html_to_text(W.html_to_text(F.col("h"))).alias("t")
+    ).collect()}
+    for i, (h, want) in enumerate(_HTML_CASES):
+        if "&amp;" not in h:  # double-encoded fixtures decode one level per pass, by design
+            assert twice[i] == got[i], (h, twice[i], got[i])
+
+
+def test_html_to_text_duckdb_twin_parity(spark):
+    """The generated DuckDB chain (html_to_text_sql) must execute the
+    spec identically to the Spark column — the Java∩RE2 dialect
+    contract, same as scrub_pii / canonical_url."""
+    import duckdb
+
+    cases = [h for h, _ in _HTML_CASES] + [
+        "text with\nnewlines\n\n\nmany",
+        "  leading  and   trailing  ",
+        "<pre>code  spacing</pre>next",
+        "<div>a<div>b<div>c</div></div></div>",
+        "&#60;b&#62;not a tag&#60;/b&#62;",
+    ]
+    df = spark.createDataFrame(list(enumerate(cases)), ["i", "h"])
+    got = {r["i"]: r["t"] for r in df.select(
+        "i", W.html_to_text(F.col("h")).alias("t")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c(i INT, h VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", list(enumerate(cases)))
+    ora = dict(con.execute(
+        f"SELECT i, {W.html_to_text_sql('h')} FROM c").fetchall())
+    assert got == ora
+
+
+def test_extract_html_wrapper(spark):
+    df = spark.createDataFrame(
+        [(0, "<p>Hello</p>"), (1, None)], ["doc_id", "html"]
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in W.extract_html(df).select("doc_id", "text").collect()}
+    assert out == {0: "Hello", 1: None}
