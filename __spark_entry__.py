@@ -1081,6 +1081,72 @@ def q_extract_html_docs(spark, sf_dir):
     )
 
 
+def q_dedup_against_minhash_docs(spark, sf_dir):
+    """Batch cross-corpus NEAR-dup dedup (round-6 lane): the delta is
+    every 10th long doc lightly re-crawled (one appended token —
+    exact Jaccard n/(n+1) ≈ 0.97, far above the 0.8 threshold) plus
+    every (10th+5) doc replaced by formula-novel text (Jaccard 0 vs
+    everything).  dedup_against(policy='minhash') bands the delta's
+    signatures against the corpus and must drop exactly the re-crawls;
+    the oracle replays the decision with EXACT 3-shingle Jaccard
+    (the same exact-vs-estimator pinning as minhash_near_dups — the
+    corpus's pair Jaccards are well separated from the threshold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    mutated = docs.where((d % 10 == 0) & (F.col("n_chars") >= 200)).select(
+        (d + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    novel = docs.where(d % 10 == 5).select(
+        (d + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("nv"), ds, F.lit("a nv"), ds, F.lit("b nv"), ds,
+            F.lit("c nv"), ds, F.lit("d"),
+        ).alias("text"),
+    )
+    delta = mutated.unionByName(novel)
+    kept = D.dedup_against(delta, docs, policy="minhash", threshold=0.8)
+    return kept.select("doc_id")
+
+
+def q_dedup_against_simhash_docs(spark, sf_dir):
+    """Batch cross-corpus near-dup by banded Hamming distance
+    (round-6 lane), with the SQL-replayable signature surrogate (no
+    xxhash64 twin exists): sig = first 15 md5 hex digits of the text
+    as a 60-bit BIGINT — well spread, identical in both engines.  The
+    delta re-crawls flip exactly 3 bits (XOR with bits 0/20/40 —
+    Hamming 3 ≤ max_hamming, lands in 3 different 16-bit bands, so the
+    pigeonhole guarantee is itself exercised); the novel rows re-hash
+    mutated text (Hamming ~30 vs everything).  Banding is LOSSLESS for
+    max_hamming < sim_bands, so the oracle's brute-force xor/bit_count
+    replay must match exactly.  The snapshot side enters as a
+    simhash_signature_table — the persisted hash-the-corpus-once
+    recipe — and the delta carries no text column at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def md5sig(text: Column) -> Column:
+        return F.conv(F.substring(F.md5(text), 1, 15), 16, 10).cast("long")
+
+    xor_pat = (1 << 0) | (1 << 20) | (1 << 40)
+    snapshot = D.simhash_signature_table(docs, sig=md5sig(F.col("text")))
+    mutated = docs.where(d % 10 == 0).select(
+        (d + 1000000).alias("doc_id"),
+        md5sig(F.col("text")).bitwiseXOR(F.lit(xor_pat)).alias("sig"),
+    )
+    novel = docs.where(d % 10 == 5).select(
+        (d + 2000000).alias("doc_id"),
+        md5sig(F.concat(F.col("text"), F.lit("~novel"))).alias("sig"),
+    )
+    delta = mutated.unionByName(novel)
+    kept = D.dedup_against(
+        delta, snapshot, policy="simhash", max_hamming=3,
+        sig=F.col("sig"),
+    )
+    return kept.select("doc_id")
+
+
 def q_image_jpeg_roundtrip(spark, sf_dir):
     """Entropy-coded container lane (round-5): a rawv1/png/JPEG mix
     transits generation → container encode → Arrow decode → pixel
@@ -2340,6 +2406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_topk": q_stream_windowed_topk,
         # -- round-6 lanes ----------------------------------------------
         "extract_html_docs": q_extract_html_docs,
+        "dedup_against_minhash_docs": q_dedup_against_minhash_docs,
+        "dedup_against_simhash_docs": q_dedup_against_simhash_docs,
         # -- block 3: veteran core (driver-green in r3/r4 ledgers) -----
         "jepl_sum_filter": q_jepl_sum_filter,
         "jepl_five_aggs_group": q_jepl_five_aggs_group,
@@ -4126,6 +4194,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
                    CAST(length(coalesce(text, '')) AS BIGINT) AS text_len
             FROM x
+        """,
+        # cross-corpus near-dup: exact 3-shingle Jaccard of every
+        # (delta, corpus) pair decides the drop; kept = no qualifying
+        # corpus neighbor (NOT EXISTS, never NOT IN — NULL poison)
+        "dedup_against_minhash_docs": """
+            WITH delta AS (
+              SELECT doc_id + 1000000 AS doc_id, text || ' zq' AS text
+              FROM documents WHERE doc_id % 10 = 0 AND n_chars >= 200
+              UNION ALL
+              SELECT doc_id + 2000000,
+                     'nv'||doc_id||'a nv'||doc_id||'b nv'||doc_id
+                     ||'c nv'||doc_id||'d'
+              FROM documents WHERE doc_id % 10 = 5
+            ),
+            dt AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ') AS w
+              FROM delta
+            ),
+            dsh AS (
+              SELECT doc_id,
+                CASE WHEN array_length(w) < 3 THEN list_distinct([array_to_string(w, ' ')])
+                     ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                          FOR i IN range(1, array_length(w) - 1)]) END AS s
+              FROM dt
+            ),
+            ct AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ') AS w
+              FROM documents
+            ),
+            csh AS (
+              SELECT doc_id,
+                CASE WHEN array_length(w) < 3 THEN list_distinct([array_to_string(w, ' ')])
+                     ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                          FOR i IN range(1, array_length(w) - 1)]) END AS s
+              FROM ct
+            ),
+            dex AS (SELECT doc_id, array_length(s) AS n, unnest(s) AS g FROM dsh),
+            cex AS (SELECT doc_id, array_length(s) AS n, unnest(s) AS g FROM csh),
+            cnt AS (
+              SELECT dex.doc_id AS did, cex.doc_id AS cid,
+                     dex.n AS na, cex.n AS nb, count(*) AS c
+              FROM dex JOIN cex ON dex.g = cex.g
+              GROUP BY 1,2,3,4
+            ),
+            losers AS (
+              SELECT DISTINCT did FROM cnt
+              WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8
+            )
+            SELECT doc_id FROM delta d
+            WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.did = d.doc_id)
+        """,
+        # banded-Hamming cross-corpus near-dup: lossless banding means
+        # the brute-force xor/bit_count replay is exact, not a bound
+        "dedup_against_simhash_docs": """
+            WITH csig AS (
+              SELECT CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+                          AS BIGINT) AS sig
+              FROM documents
+            ),
+            delta AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     xor(CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+                              AS BIGINT), 1099512676353) AS sig
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 2000000,
+                     CAST(CAST('0x' || substr(md5(text || '~novel'), 1, 15)
+                               AS UBIGINT) AS BIGINT)
+              FROM documents WHERE doc_id % 10 = 5
+            )
+            SELECT d.doc_id FROM delta d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM csig c WHERE bit_count(xor(d.sig, c.sig)) <= 3
+            )
         """,
         "url_dedup_docs": """
             WITH u AS (

@@ -59,36 +59,266 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+#: Column names the signature side-table builders emit — the contract
+#: by which ``dedup_against`` recognizes a pre-hashed snapshot (and
+#: therefore never re-reads the committed corpus's text).
+MINHASH_SIG_COL = "minhash_sig"
+SIMHASH_SIG_COL = "simhash_sig"
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``(id_col, minhash_sig)`` snapshot side table: hash the
+    committed corpus ONCE, write it to parquet next to the corpus, and
+    pass it as ``existing`` to ``dedup_against(policy="minhash")`` for
+    every subsequent delta — the corpus text is never re-shingled per
+    ingest.  The signature parameters are baked into the table; deltas
+    must dedup with the same (num_hashes, shingle_n)."""
+    return df.select(
+        F.col(id_col),
+        minhash_signature_from_hashes(
+            word_shingle_hashes(F.col(text_col), shingle_n), num_hashes
+        ).alias(MINHASH_SIG_COL),
+    )
+
+
+def simhash_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sig: Column | None = None,
+) -> DataFrame:
+    """``(id_col, simhash_sig)`` snapshot side table for
+    ``dedup_against(policy="simhash")`` — one packed BIGINT per doc
+    (8 bytes of state per committed document).  ``sig`` overrides the
+    signature expression (any BIGINT column), the same escape hatch
+    simhash_hamming_near_dups exposes for SQL-replayable gates."""
+    s = sig if sig is not None else simhash64(F.col(text_col))
+    return df.select(F.col(id_col), s.alias(SIMHASH_SIG_COL))
+
+
+def _banded_cross_candidates(
+    new_banded: DataFrame,
+    old_banded: DataFrame,
+    max_bucket: int | None,
+) -> DataFrame:
+    """``(__id_new, __id_old)`` pairs sharing ≥1 (band, key) ACROSS two
+    banded ``(__id, __band, __key)`` frames — the cross-corpus sibling
+    of ``banded_candidate_pairs`` (delta joined against a committed
+    snapshot instead of a self-join).  Same scale rules: the hot-bucket
+    cap applies per side BEFORE the join (a boilerplate bucket costs
+    O(G_old·G_new) pairs), only (band, key, id) rides the shuffle —
+    payloads re-attach in the caller — and cross-band duplicates of a
+    pair collapse via distinct."""
+
+    def capped(banded: DataFrame) -> DataFrame:
+        if max_bucket is None:
+            return banded
+        sizes = banded.groupBy("__band", "__key").agg(
+            F.count(F.lit(1)).alias("__bucket_n")
+        )
+        return banded.join(
+            sizes.filter(F.col("__bucket_n") <= max_bucket),
+            on=["__band", "__key"],
+            how="inner",
+        ).drop("__bucket_n")
+
+    n = capped(new_banded).select(
+        "__band", "__key", F.col("__id").alias("__id_new")
+    )
+    o = capped(old_banded).select(
+        "__band", "__key", F.col("__id").alias("__id_old")
+    )
+    return (
+        n.join(o, on=["__band", "__key"], how="inner")
+        .select("__id_new", "__id_old")
+        .distinct()
+    )
+
+
 def dedup_against(
     df: DataFrame,
     existing: DataFrame,
     text_col: str = "text",
     existing_text_col: str | None = None,
+    id_col: str = "doc_id",
+    policy: str = "exact",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_hamming: int = 3,
+    sim_bands: int = 4,
+    max_band_bucket: int | None | str = "auto",
+    sig: Column | None = None,
 ) -> DataFrame:
-    """Incremental-ingest dedup: drop rows of ``df`` whose normalized
-    content already exists in ``existing`` (the committed corpus) —
-    the cross-run complement of ``exact_dedup``, which only folds
-    duplicates WITHIN one batch.  A re-crawl or a daily delta dedups
-    against yesterday's corpus without re-processing it.
+    """Incremental-ingest dedup: drop rows of ``df`` whose content
+    already exists in ``existing`` (the committed corpus) — the
+    cross-run complement of the within-batch operators (exact_dedup /
+    minhash_dedup), so a re-crawl or a daily delta dedups against
+    yesterday's corpus without re-processing it.
 
-    Shape: one LEFT-ANTI join on the 128-bit content hash; the
-    existing side projects only what the hash needs (column pruning —
-    the old corpus's text never reads past the scan), and the new
-    side's text never shuffles.  At 10¹²-doc scale, hash the corpus
-    ONCE into a persisted distinct-hash side table and anti-join
-    deltas against that (``new.withColumn('__h', content_hash(...))
-    .join(hash_table, '__h', 'left_anti')`` — the same plan this
-    function builds, minus re-hashing the corpus per delta)."""
+    ``policy="exact"`` (default): normalized-content-hash membership.
+    One LEFT-ANTI join on the 128-bit hash; the existing side projects
+    only what the hash needs (column pruning — the old corpus's text
+    never reads past the scan) and the new side's text never shuffles.
+
+    ``policy="minhash"``: NEAR-duplicate membership — drop delta docs
+    whose estimated Jaccard vs ANY committed doc is ≥ ``threshold``
+    (re-crawls with trivial edits, the dominant duplicate class in
+    incremental ingest).  MinHash signatures band exactly as
+    minhash_candidates, but the banded join is delta-vs-snapshot, not
+    a self-join: the snapshot side never pairs with itself, so cost is
+    O(delta × collision rate), not O(corpus²).
+
+    ``policy="simhash"``: NEAR-duplicate membership by packed-64-bit
+    SimHash Hamming distance ≤ ``max_hamming``, banded as
+    simhash_hamming_near_dups (lossless by pigeonhole while
+    max_hamming < sim_bands).  ``sig`` overrides the delta side's
+    signature expression; override the snapshot side by passing a
+    ``simhash_signature_table(existing, sig=...)``.
+
+    Snapshot side tables — hash the corpus ONCE, not per delta: if
+    ``existing`` carries the ``minhash_sig`` / ``simhash_sig`` column
+    (built by minhash_signature_table / simhash_signature_table and
+    persisted to parquet), its text is never read; only the (id, sig)
+    pairs are.  Passing the raw corpus works too but re-hashes it on
+    every call.  For ``policy="exact"`` the same recipe is a persisted
+    distinct-hash side table (pass it as ``existing`` with the hash in
+    ``existing_text_col``'s place — or just anti-join it directly).
+
+    Scale shape shared by both near-dup policies: only
+    (band, key, id) rides the banded shuffle; signatures re-attach to
+    the (tiny) candidate pair set by id; ``max_band_bucket`` caps hot
+    buckets per side before the join ("auto" = 1000 for minhash,
+    None for simhash — preserving simhash's lossless guarantee;
+    capping trades recall for bounded work exactly as in the
+    within-batch operators).  The delta's losers materialize eagerly
+    (ids only) so no cache entry outlives the call."""
     etc = existing_text_col or text_col
-    hc = "__dedup_against_h"
-    while hc in df.columns:  # never clobber a caller column
-        hc += "_"
-    old = existing.select(content_hash(F.col(etc)).alias(hc)).distinct()
-    return (
-        df.withColumn(hc, content_hash(F.col(text_col)))
-        .join(old, hc, "left_anti")
-        .drop(hc)
+    if policy == "exact":
+        hc = "__dedup_against_h"
+        while hc in df.columns:  # never clobber a caller column
+            hc += "_"
+        old = existing.select(content_hash(F.col(etc)).alias(hc)).distinct()
+        return (
+            df.withColumn(hc, content_hash(F.col(text_col)))
+            .join(old, hc, "left_anti")
+            .drop(hc)
+        )
+    if policy not in ("minhash", "simhash"):
+        raise ValueError(f"unknown policy {policy!r}")
+    if id_col not in df.columns:
+        raise ValueError(
+            f"policy={policy!r} needs id column {id_col!r} in df "
+            f"(signatures re-attach to candidate pairs by id)"
+        )
+
+    if policy == "minhash":
+        if num_hashes % bands != 0:
+            raise ValueError(
+                f"num_hashes ({num_hashes}) must be divisible by bands "
+                f"({bands})"
+            )
+        rows = num_hashes // bands
+        cap = 1000 if max_band_bucket == "auto" else max_band_bucket
+        sig_col = MINHASH_SIG_COL
+
+        def build_sigs(frame: DataFrame, tcol: str) -> DataFrame:
+            return minhash_signature_table(
+                frame, tcol, id_col, num_hashes, shingle_n
+            )
+
+        def band_of(sigs: DataFrame) -> DataFrame:
+            return sigs.select(
+                F.col(id_col).alias("__id"),
+                F.posexplode(
+                    minhash_bands(F.col(sig_col), bands, rows)
+                ).alias("__band", "__key"),
+            )
+
+        def qualifies(sa: Column, sb: Column) -> Column:
+            matches = F.size(
+                F.filter(F.zip_with(sa, sb, lambda x, y: x == y),
+                         lambda eq: eq)
+            )
+            return (
+                matches.cast("double") / F.lit(float(num_hashes))
+                >= F.lit(threshold)
+            )
+
+    else:  # simhash
+        if 64 % sim_bands != 0:
+            raise ValueError(f"sim_bands ({sim_bands}) must divide 64")
+        if max_hamming >= sim_bands:
+            raise ValueError(
+                f"max_hamming ({max_hamming}) must be < sim_bands "
+                f"({sim_bands}): the pigeonhole recall guarantee needs "
+                f"one untouched band per qualifying pair"
+            )
+        width = 64 // sim_bands
+        mask = (1 << width) - 1
+        cap = None if max_band_bucket == "auto" else max_band_bucket
+        sig_col = SIMHASH_SIG_COL
+
+        def build_sigs(frame: DataFrame, tcol: str) -> DataFrame:
+            s = sig if frame is df and sig is not None else None
+            return simhash_signature_table(frame, tcol, id_col, sig=s)
+
+        def band_of(sigs: DataFrame) -> DataFrame:
+            return sigs.select(
+                F.col(id_col).alias("__id"),
+                F.posexplode(
+                    F.array(*[
+                        F.shiftrightunsigned(
+                            F.col(sig_col), width * b
+                        ).bitwiseAND(F.lit(mask))
+                        for b in range(sim_bands)
+                    ])
+                ).alias("__band", "__key"),
+            )
+
+        def qualifies(sa: Column, sb: Column) -> Column:
+            return hamming64(sa, sb) <= F.lit(max_hamming)
+
+    # snapshot path: a pre-hashed side table is used as-is (its text,
+    # if any, never reads); the raw-corpus path computes and caches
+    old_is_table = sig_col in existing.columns
+    if old_is_table:
+        if id_col not in existing.columns:
+            raise ValueError(
+                f"signature table is missing id column {id_col!r}"
+            )
+        old_sigs = existing.select(id_col, sig_col)
+    else:
+        old_sigs = build_sigs(existing, etc).persist()
+    new_sigs = build_sigs(df, text_col).persist()
+
+    cands = _banded_cross_candidates(
+        band_of(new_sigs), band_of(old_sigs), cap
     )
+    sa = new_sigs.select(
+        F.col(id_col).alias("__id_new"), F.col(sig_col).alias("__sa")
+    )
+    sb = old_sigs.select(
+        F.col(id_col).alias("__id_old"), F.col(sig_col).alias("__sb")
+    )
+    losers = (
+        cands.join(sa, "__id_new").join(sb, "__id_old")
+        .filter(qualifies(F.col("__sa"), F.col("__sb")))
+        .select(F.col("__id_new").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)  # ids only, ≤ |delta| rows
+    )
+    new_sigs.unpersist()
+    if not old_is_table:
+        old_sigs.unpersist()
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 def stream_exact_dedup(
