@@ -992,6 +992,79 @@ def q_url_dedup_docs(spark, sf_dir):
     return kept.select("doc_id", "canon")
 
 
+def q_stream_url_dedup(spark, sf_dir):
+    """STREAMING URL dedup at ingest (round-6 lane): the url_dedup_docs
+    fixture (messy variants every 7th doc, no URL every 97th) PLUS a
+    fragment-only re-crawl copy of every URL-bearing doc (+30 min
+    event time, inside the 1 h horizon) staged as a file stream →
+    canonical_url + dropDuplicatesWithinWatermark → exactly-once sink.
+    Exactly one row per distinct canonical survives and every re-crawl
+    copy drops; WHICH arrival survives is execution-order-dependent,
+    so the gate projects the group-invariant canonical only — NULL-URL
+    docs pass through stateless and keep their doc_id.  Cross-batch
+    folding, state eviction/re-admission, and checkpoint restart are
+    pinned by tests/test_web.py."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from jepl_spark.operators import web as W
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-urldedup-")
+    docs = load_table(spark, sf_dir, "documents")
+    d = F2.col("doc_id")
+    suffix = F2.when(d % 4 == 0, F2.lit(".co.uk")).otherwise(F2.lit(".com"))
+    psuffix = F2.when((d - 1) % 4 == 0, F2.lit(".co.uk")).otherwise(
+        F2.lit(".com"))
+    base = F2.concat(F2.lit("https://www.src"), (d % 20).cast("string"),
+                     suffix, F2.lit("/d/"), d.cast("string"))
+    variant = F2.concat(
+        F2.lit("https://WWW.src"), ((d - 1) % 20).cast("string"), psuffix,
+        F2.lit("/d/"), (d - 1).cast("string"),
+        F2.lit("/?utm_source=x&utm_campaign="), d.cast("string"),
+        F2.lit("#frag"),
+    )
+    url = (
+        F2.when(d % 97 == 3, F2.lit(None).cast("string"))
+        .when((d % 7 == 3) & (d > 0) & ((d - 1) % 97 != 3), variant)
+        .otherwise(base)
+    )
+    tagged = docs.select(
+        "doc_id", url.alias("url"),
+        (F2.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F2.make_interval(secs=d.cast("double"))).alias("event_time"),
+    )
+    recrawl = tagged.where(F2.col("url").isNotNull()).select(
+        (d + 1_000_000).alias("doc_id"),
+        F2.concat(F2.col("url"), F2.lit("#recrawl")).alias("url"),
+        (F2.col("event_time") + F2.expr("INTERVAL 30 MINUTES"))
+        .alias("event_time"),
+    )
+    src = f"{work}/src"
+    tagged.unionByName(recrawl).write.mode("overwrite").parquet(src)
+    deduped = W.stream_url_dedup(
+        file_stream(spark, src, tagged.schema),
+        ts_col="event_time", watermark="1 hour", keep_canonical_col="canon",
+    )
+    sink = IdempotentParquetSink(f"{work}/sink")
+    q = (
+        deduped.select(
+            "canon",
+            F2.when(F2.col("canon").isNull(), F2.col("doc_id"))
+            .cast("bigint").alias("null_doc"),
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    return sink.read_committed(spark).select("canon", "null_doc")
+
+
 def q_strip_boilerplate_docs(spark, sf_dir):
     """Corpus-wide boilerplate line removal (round-5 lane): every 3rd
     doc gains a shared footer line, every 5th a shared nav line; with
@@ -2408,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html_docs": q_extract_html_docs,
         "dedup_against_minhash_docs": q_dedup_against_minhash_docs,
         "dedup_against_simhash_docs": q_dedup_against_simhash_docs,
+        "stream_url_dedup": q_stream_url_dedup,
         # -- block 3: veteran core (driver-green in r3/r4 ledgers) -----
         "jepl_sum_filter": q_jepl_sum_filter,
         "jepl_five_aggs_group": q_jepl_five_aggs_group,
@@ -4297,6 +4371,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, canon FROM w WHERE doc_id = keeper
             UNION ALL
             SELECT doc_id, canon FROM u WHERE canon IS NULL
+        """,
+        # streaming URL dedup: one row per distinct canonical (the
+        # re-crawl copies fold by construction), NULL-URL docs pass
+        # through with their ids — replay of the url_dedup_docs
+        # canonical formula
+        "stream_url_dedup": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE
+                  WHEN doc_id % 97 = 3 THEN NULL
+                  WHEN doc_id % 7 = 3 AND doc_id > 0
+                       AND (doc_id - 1) % 97 <> 3
+                    THEN 'https://src' || CAST((doc_id - 1) % 20 AS VARCHAR)
+                         || CASE WHEN (doc_id - 1) % 4 = 0
+                                 THEN '.co.uk' ELSE '.com' END
+                         || '/d/' || CAST(doc_id - 1 AS VARCHAR)
+                  ELSE 'https://src' || CAST(doc_id % 20 AS VARCHAR)
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN '.co.uk' ELSE '.com' END
+                       || '/d/' || CAST(doc_id AS VARCHAR)
+                END AS canon
+              FROM documents
+            )
+            SELECT canon, CAST(NULL AS BIGINT) AS null_doc
+            FROM (SELECT DISTINCT canon FROM u WHERE canon IS NOT NULL) t
+            UNION ALL
+            SELECT CAST(NULL AS VARCHAR) AS canon,
+                   CAST(doc_id AS BIGINT) AS null_doc
+            FROM u WHERE canon IS NULL
         """,
         # streaming trending keys: per-window counts + rank replayed
         # from raw rows, append-emission cutoff as the cms/kmv twins

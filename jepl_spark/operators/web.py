@@ -209,6 +209,56 @@ def url_dedup(
     return out.drop("__canon")
 
 
+def stream_url_dedup(
+    stream: DataFrame,
+    url_col: str = "url",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    keep_canonical_col: str | None = None,
+) -> DataFrame:
+    """STREAMING URL-level dedup at ingest: the first arrival of each
+    canonical URL passes, later utm-tagged / fragment / www-variant
+    fetches of the same page drop BEFORE their content is ever decoded
+    — the streaming twin of ``url_dedup``, and the cheapest first-pass
+    filter an ingest pipeline can run (composition of two gated
+    pieces: ``canonical_url`` + ``dropDuplicatesWithinWatermark``,
+    mirroring ``dedup.stream_exact_dedup``).
+
+    Rows whose URL has no canonical form (NULL url or NULL canonical)
+    are passed through UNCHANGED and hold no dedup state — no URL
+    evidence, so content-level dedup downstream still sees them; this
+    matches the batch operator.  The two branches are a streaming
+    union of the same source, so the query stays one stream.
+
+    With ``ts_col``: state for a canonical is evicted once the
+    event-time watermark passes its timestamp + delay — state is
+    bounded by rate × delay (the only shape that survives an unbounded
+    crawl); a re-fetch arriving after eviction is re-admitted, which
+    is the documented contract of watermark-bounded dedup.  Without
+    ``ts_col``: exact-forever dedup, state grows with distinct URLs —
+    bounded backfills only.
+
+    Scale shape: canonicalization is a fixed regexp chain (pure JVM
+    projection, no Python); the dedup state key is the canonical
+    string only — rows are emitted immediately, state filters rather
+    than holds, so it composes in front of windowed aggregation / the
+    exactly-once sink without adding latency."""
+    canon_name = keep_canonical_col or "__canon"
+    tagged = stream.withColumn(canon_name, canonical_url(F.col(url_col)))
+    with_url = tagged.where(F.col(canon_name).isNotNull())
+    no_url = tagged.where(F.col(canon_name).isNull())
+    if ts_col is None:
+        deduped = with_url.dropDuplicates([canon_name])
+    else:
+        deduped = with_url.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark([canon_name])
+    out = deduped.unionByName(no_url)
+    if keep_canonical_col is not None:
+        return out
+    return out.drop("__canon")
+
+
 def stream_domain_cap(
     stream: DataFrame,
     url_col: str,

@@ -530,3 +530,109 @@ def test_extract_html_wrapper(spark):
     out = {r["doc_id"]: r["text"]
            for r in W.extract_html(df).select("doc_id", "text").collect()}
     assert out == {0: "Hello", 1: None}
+
+
+def _url_dedup_stream_harness(spark, tmp_path, batches, ts_col="event_time",
+                              watermark="10 seconds"):
+    """Stage one parquet file per micro-batch (mtime-ordered), run
+    stream_url_dedup through the exactly-once sink, return the sink."""
+    import os
+    import time as _time
+    from datetime import datetime, timedelta, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    existing = len(os.listdir(src))
+    for bi, rows in enumerate(batches):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+                "event_time": pa.array(
+                    [base + timedelta(seconds=r[2]) for r in rows],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+            }),
+            os.path.join(src, f"b{existing + bi}.parquet"),
+        )
+        _time.sleep(0.05)  # strictly increasing mtimes => batch order
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("url", StringType()),
+        StructField("event_time", TimestampType()),
+    ])
+    out = W.stream_url_dedup(
+        file_stream(spark, src, schema, max_files_per_trigger=1),
+        ts_col=ts_col, watermark=watermark, keep_canonical_col="canon",
+    )
+    assert out.isStreaming
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    return sink
+
+
+def test_stream_url_dedup_variants_fold_nulls_pass(spark, tmp_path):
+    """Cross-batch variant folding inside the watermark horizon, NULL
+    passthrough without state, and re-admission after state eviction
+    (the bounded-state contract stream_exact_dedup pins for content)."""
+    batches = [
+        [(0, "https://www.a.com/p?utm_source=x", 0),
+         (1, "https://b.com/q", 1),
+         (2, None, 1)],
+        # dup of 0's canonical (www + utm folded), inside horizon -> drop;
+        # another NULL url -> passes (no state key collision with 2)
+        [(3, "https://a.com/p#frag", 5), (4, None, 6)],
+        # watermark movers push eviction past 0's time + 10s delay
+        [(5, "https://c.com/r", 4000)],
+        [(6, "https://d.com/s", 4001)],
+        # 0's canonical state evicted -> re-admitted
+        [(7, "https://a.com/p", 3995)],
+        [(8, "https://e.com/flush", 90000)],
+    ]
+    sink = _url_dedup_stream_harness(spark, tmp_path, batches)
+    rows = sink.read_committed(spark).select("doc_id", "canon").collect()
+    got = sorted(r["doc_id"] for r in rows)
+    assert got == [0, 1, 2, 4, 5, 6, 7, 8], got
+    canon = {r["doc_id"]: r["canon"] for r in rows}
+    assert canon[0] == canon[7] == "https://a.com/p"
+    assert canon[2] is None and canon[4] is None
+
+
+def test_stream_url_dedup_restart_resumes_state(spark, tmp_path):
+    """Checkpoint restart: dedup state survives — a variant arriving
+    after stop/restart still drops against the pre-restart original,
+    and an idle restart commits nothing new."""
+    def run(batches):
+        return _url_dedup_stream_harness(
+            spark, tmp_path, batches, watermark="1 hour")
+
+    sink = run([[(0, "https://www.a.com/p/", 0), (1, "https://b.com/q", 1)]])
+    assert sink.read_committed(spark).count() == 2
+
+    # restart with a new file: variant of 0 drops, fresh url admits
+    sink = run([[(2, "https://a.com/p?utm_campaign=z", 10),
+                 (3, "https://c.com/new", 11)]])
+    got = sorted(r["doc_id"] for r in sink.read_committed(spark).collect())
+    assert got == [0, 1, 3], got
+
+    # idle restart: no new commits
+    n = sink.committed_count(spark)
+    sink = run([])
+    assert sink.committed_count(spark) == n
