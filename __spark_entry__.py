@@ -1154,6 +1154,36 @@ def q_extract_html_docs(spark, sf_dir):
     )
 
 
+def q_fix_encoding_docs(spark, sf_dir):
+    """Mojibake repair (round-6 lane): every doc's text gains a
+    formula-chosen corrupted tail — cp1252-mojibake punctuation,
+    accented Latin, a sequence carrying a raw C1 control byte (the
+    cp1252-unmapped 0x9D case: repair must precede the control strip),
+    or a clean tail — and fix_encoding must repair exactly the planted
+    corruption.  Both engines fold the one frozen MOJIBAKE_PAIRS spec
+    (text.fix_encoding / text.fix_encoding_sql), and the oracle
+    rebuilds the identical augmented text from the doc_id formula, so
+    the md5 pins the full 120-pair replace chain plus the control
+    strip on real corpus text."""
+    from jepl_spark.operators import text as T2
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    tail = (
+        F.when(d % 4 == 0, F.lit("donâ€™t â€“stopâ€” now"))
+        .when(d % 4 == 1, F.lit("cafÃ© â‚¬9 StraÃŸe"))
+        .when(d % 4 == 2, F.lit("â€œquotedâ€\u009d end"))
+        .otherwise(F.lit("clean tail"))
+    )
+    aug = F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" "), tail)
+    fixed = T2.fix_encoding(aug)
+    return docs.select(
+        "doc_id",
+        F.md5(fixed).alias("fixed_md5"),
+        F.length(fixed).cast("bigint").alias("fixed_len"),
+    )
+
+
 def q_dedup_against_minhash_docs(spark, sf_dir):
     """Batch cross-corpus NEAR-dup dedup (round-6 lane): the delta is
     every 10th long doc lightly re-crawled (one appended token —
@@ -2482,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_minhash_docs": q_dedup_against_minhash_docs,
         "dedup_against_simhash_docs": q_dedup_against_simhash_docs,
         "stream_url_dedup": q_stream_url_dedup,
+        "fix_encoding_docs": q_fix_encoding_docs,
         # -- block 3: veteran core (driver-green in r3/r4 ledgers) -----
         "jepl_sum_filter": q_jepl_sum_filter,
         "jepl_five_aggs_group": q_jepl_five_aggs_group,
@@ -2838,6 +2869,16 @@ def _html_chain_sql(expr: str) -> str:
     from jepl_spark.operators import web as W2
 
     return W2.html_to_text_sql(expr)
+
+
+def _fix_chain_sql(expr: str) -> str:
+    """DuckDB replay of the MOJIBAKE_PAIRS repair chain — generated
+    from the same frozen spec the Spark column folds
+    (text.fix_encoding_sql), so the fix_encoding_docs oracle cannot
+    drift from the operator."""
+    from jepl_spark.operators import text as T2
+
+    return T2.fix_encoding_sql(expr)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4234,6 +4275,26 @@ def oracle_sql() -> dict[str, str]:
         # HTML→text: rebuild the identical formula markup, then fold
         # the SAME frozen HTML_TO_TEXT_STEPS chain (html_to_text_sql —
         # one spec, two engines, as scrub_pii / canonical_url)
+        # mojibake repair: rebuild the corrupted tails from the
+        # doc_id formula (chr(157) = the raw C1 byte of the 0x9D
+        # case), fold the SAME frozen pair chain, md5 the result
+        "fix_encoding_docs": f"""
+            WITH a AS (
+              SELECT doc_id,
+                coalesce(text, '') || ' ' ||
+                CASE doc_id % 4
+                  WHEN 0 THEN 'donâ€™t â€“stopâ€” now'
+                  WHEN 1 THEN 'cafÃ© â‚¬9 StraÃŸe'
+                  WHEN 2 THEN 'â€œquotedâ€' || chr(157) || ' end'
+                  ELSE 'clean tail'
+                END AS aug
+              FROM documents
+            ),
+            x AS (SELECT doc_id, {_fix_chain_sql('aug')} AS fixed FROM a)
+            SELECT doc_id, md5(fixed) AS fixed_md5,
+                   CAST(length(fixed) AS BIGINT) AS fixed_len
+            FROM x
+        """,
         "extract_html_docs": f"""
             WITH h AS (
               SELECT doc_id,

@@ -345,6 +345,103 @@ def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Encoding repair (mojibake)
+
+
+def _cp1252_render(b: int) -> str:
+    """How byte ``b`` renders when mis-read as cp1252: the cp1252 char,
+    or (for the five unmapped bytes 81/8D/8F/90/9D) the C1 control at
+    the same code point — the browser / WHATWG windows-1252 convention,
+    which is what real mojibake in crawled text looks like."""
+    try:
+        return bytes([b]).decode("cp1252")
+    except UnicodeDecodeError:
+        return chr(b)
+
+
+def _mojibake_pairs() -> tuple[tuple[str, str], ...]:
+    """(mojibake, repaired) pairs for the classic UTF-8-read-as-cp1252
+    corruption, covering the whole Latin-1 supplement (U+00A0–U+00FF:
+    the accented letters of every western-European language), the
+    cp1252-only letters (Œ œ Š š Ÿ Ž ž), and the common punctuation
+    block (curly quotes, dashes, ellipsis, bullets, €, ™, ‰, ‹›).
+    Each pair maps the char's UTF-8 bytes rendered per cp1252 back to
+    the char.  Sorted longest-mojibake-first, then lexicographic — the
+    frozen application order (3-byte sequences repair before any
+    2-byte pair can consume their lead byte)."""
+    chars = [chr(c) for c in range(0x00A0, 0x0100)]
+    chars += list("ŒœŠšŸŽž")
+    chars += [chr(c) for c in (
+        0x2013, 0x2014, 0x2018, 0x2019, 0x201A, 0x201C, 0x201D, 0x201E,
+        0x2020, 0x2021, 0x2022, 0x2026, 0x2030, 0x2039, 0x203A,
+        0x20AC, 0x2122,
+    )]
+    pairs = [
+        ("".join(_cp1252_render(b) for b in ch.encode("utf-8")), ch)
+        for ch in chars
+    ]
+    pairs.sort(key=lambda p: (-len(p[0]), p[0]))
+    return tuple(pairs)
+
+
+#: The frozen repair spec — ONE list, two engines (``fix_encoding`` on
+#: the JVM, ``fix_encoding_sql`` for the DuckDB oracle), same contract
+#: as HTML_TO_TEXT_STEPS / PII_PATTERNS.  tests/test_operators.py pins
+#: size, order, and a digest so an accidental change to the generator
+#: cannot shift both engines identically unnoticed.
+MOJIBAKE_PAIRS: tuple[tuple[str, str], ...] = _mojibake_pairs()
+
+#: C0/C1 control chars minus tab/newline/CR — stripped AFTER the
+#: replace chain (some mojibake renderings contain C1 controls from
+#: the five cp1252-unmapped bytes; stripping first would destroy the
+#: evidence the chain needs).  Hex escapes, not raw chars, so the same
+#: pattern text is valid in both Java regex and RE2 with identical
+#: code-point semantics.
+CONTROL_CHARS_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]"
+
+
+def fix_encoding(text: Column) -> Column:
+    """Repair the classic UTF-8-read-as-cp1252 mojibake (â€™ → ’,
+    Ã© → é, â‚¬ → €, …) and strip stray C0/C1 control characters —
+    the standard curation step between HTML extraction and quality
+    scoring (unrepaired mojibake inflates punctuation ratios and OOV
+    rates, and duplicate pages that differ only in corruption defeat
+    exact dedup).  One pass removes exactly ONE corruption level
+    (empirically pinned) — apply twice for double-encoded text.  Like
+    all mojibake repair, a genuine 'Ã©' in clean text is rewritten —
+    the false-positive rate is negligible on real corpora because the
+    byte sequences are vanishingly rare as intentional text.
+
+    Scale: the pair table rides as ONE literal array and the repair is
+    a single ``aggregate`` (higher-order fold) applying ``replace`` per
+    element — NOT 120 nested replace expressions, whose inlined
+    codegen blows Janino's 64 KB method limit the moment the column
+    fuses with another wide expression (empirically: lang_id +
+    the nested chain knocked the whole fused stage back to
+    interpreted mode).  Pure JVM projection, no Python, no shuffle,
+    constant plan cost in corpus size; NULL propagates."""
+    pairs = F.array(*[
+        F.struct(F.lit(m).alias("m"), F.lit(r).alias("r"))
+        for m, r in MOJIBAKE_PAIRS
+    ])
+    repaired = F.aggregate(
+        pairs, text, lambda acc, p: F.replace(acc, p["m"], p["r"])
+    )
+    return F.regexp_replace(repaired, CONTROL_CHARS_RE, "")
+
+
+def fix_encoding_sql(expr: str) -> str:
+    """DuckDB twin of ``fix_encoding``: the SAME pair list folded into
+    nested ``replace()`` calls plus the control-char strip — exists so
+    correctness gates replay the chain verbatim instead of
+    hand-mirroring it (one spec, two engines)."""
+    sql = expr
+    for moji, fixed in MOJIBAKE_PAIRS:
+        sql = f"replace({sql}, '{moji}', '{fixed}')"
+    return f"regexp_replace({sql}, '{CONTROL_CHARS_RE}', '', 'g')"
+
+
+# ---------------------------------------------------------------------------
 # Repetition features (Gopher-rule style quality signals)
 
 

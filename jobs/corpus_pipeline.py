@@ -7,7 +7,7 @@
         [--langs en,fr,es,de] \\
         [--near-dup-threshold 0.8] [--minhash-bands 16] \\
         [--near-dedup-policy pairs|components] \\
-        [--url-col url] [--html-col html] \\
+        [--url-col url] [--html-col html] [--fix-encoding] \\
         [--boilerplate-max-df N] [--max-oov-rate R] \\
         [--audit-output <dir>] \\
         [--decontam-input <benchmark.parquet>] \\
@@ -73,6 +73,10 @@ def main(argv: list[str]) -> int:
                         "block tags -> newlines) into --text-col before "
                         "any content stage runs; the markup column is "
                         "dropped after extraction")
+    p.add_argument("--fix-encoding", action="store_true",
+                   help="repair UTF-8-read-as-cp1252 mojibake and strip "
+                        "stray control chars in --text-col right after "
+                        "extraction, before any content stage")
     p.add_argument("--boilerplate-max-df", type=int, default=None,
                    help="strip lines appearing in more than this many "
                         "distinct docs (before the quality gate, so "
@@ -189,6 +193,14 @@ def main(argv: list[str]) -> int:
                             text_col=args.text_col)
         if args.html_col != args.text_col:
             df = df.drop(args.html_col)
+
+    # 0b2. encoding repair — right after extraction, before every
+    #      content stage: unrepaired mojibake inflates punct ratios /
+    #      OOV rates and splits exact-dup groups.  Pure per-row JVM
+    #      replace chain, fused with the scan; no shuffle.
+    if args.fix_encoding:
+        df = df.withColumn(args.text_col,
+                           T.fix_encoding(F.col(args.text_col)))
 
     # 0c. boilerplate strip — before the quality gate, so nav/footer
     #     lines cannot pollute the token/punct ratios it reads

@@ -519,3 +519,35 @@ def test_clips_pipeline_missing_report(spark, tmp_path, capsys):
            for r in spark.read.parquet(str(tmp_path / "missing") + "/data")
            .collect() if r["clip_id"].startswith("clip-")}
     assert got == want_missing
+
+
+def test_corpus_pipeline_fix_encoding_stage(spark, tmp_path, capsys):
+    """--fix-encoding: mojibake repairs right after extraction, BEFORE
+    exact dedup â a clean doc and its mojibake-corrupted twin become
+    exact dupes only because the repair ran; the output carries the
+    repaired text."""
+    body = ("the quick brown fox jumps over the lazy dog near the "
+            "river while the other animals watch the water flow")
+    clean = body + " café — ok"
+    moji = body + " cafÃ© â€” ok"
+    docs = [(0, clean), (1, moji), (2, body + " other text")]
+    src = str(tmp_path / "moji_docs")
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(src)
+
+    from jobs.corpus_pipeline import main
+
+    out = str(tmp_path / "curated")
+    rc = main([
+        "--input", src, "--output", out,
+        "--fix-encoding", "--min-tokens", "4",
+        "--near-dup-threshold", "0.99",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    s = rep["stages"]
+    assert s["input"] == 3
+    assert s["after_exact_dedup"] == 2     # repaired twin deduped
+    written = spark.read.parquet(out)
+    texts = {r["doc_id"]: r["text"] for r in written.collect()}
+    assert set(texts) == {0, 2}
+    assert texts[0] == clean               # repaired == clean original
