@@ -335,6 +335,53 @@ def batch_queries(spark, sf_dir):
         ev = load_table(spark, sf_dir, "events")
         return _drain(ST.robust_outliers(ev, "value", group_by="event_type"))
 
+    def extract_html():
+        # tag/script/entity strip over every doc wrapped in crawl
+        # markup (the gate's formula) — times the frozen regex chain
+        from jepl_spark.operators import web as W
+
+        df = load_table(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        html = F.concat(
+            F.lit("<html><head><title>D</title></head><body><p>"),
+            F.col("text"),
+            F.when(d % 5 == 0,
+                   F.lit('</p><script>track("<p>x</p>")</script>'))
+            .otherwise(F.lit("</p>")),
+            F.lit("<ul><li>Tom &amp; Jerry</li></ul></body></html>"),
+        )
+        return _drain(W.extract_html(
+            df.withColumn("html", html).select("doc_id", "html")))
+
+    def fix_encoding():
+        # mojibake repair (120-pair fold + control strip) over every
+        # doc with a planted corrupted tail
+        df = load_table(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        tail = (
+            F.when(d % 3 == 0, F.lit(" cafÃ© â‚¬9 â€” ok"))
+            .when(d % 3 == 1, F.lit(" donâ€™t StraÃŸe"))
+            .otherwise(F.lit(" clean"))
+        )
+        aug = F.concat(F.col("text"), tail)
+        return _drain(df.select(
+            "doc_id", T.fix_encoding(aug).alias("fixed")))
+
+    def minhash_against():
+        # cross-corpus NEAR-dup: every 10th doc (lightly mutated) as
+        # the delta vs the full corpus with PRE-BUILT signatures —
+        # the snapshot-reuse path: corpus hashed once, delta banded
+        # against the (id, sig) side table
+        snap = D.minhash_signature_table(
+            load_table(spark, sf_dir, "documents"))
+        delta = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" xq")).alias("text"))
+        )
+        return _drain(D.dedup_against(delta, snap, policy="minhash"))
+
     return {
         "jepl_lineitem_agg": jepl_lineitem_agg,
         "jepl_events_rule": jepl_events_rule,
@@ -363,6 +410,9 @@ def batch_queries(spark, sf_dir):
         "boilerplate": boilerplate,
         "dedup_against": dedup_against,
         "outliers": outliers,
+        "extract_html": extract_html,
+        "fix_encoding": fix_encoding,
+        "minhash_against": minhash_against,
     }
 
 
