@@ -228,6 +228,16 @@ def batch_queries(spark, sf_dir):
         return _drain(chunk_clips(clips, chunk_ms=250, hop_ms=200,
                                   min_tail_ms=100))
 
+    def audio_near_dup():
+        # audio near-dup pairs over 2000 clips with planted copies:
+        # decode+fingerprint Arrow UDF, (sr, dur-bucket) blocking
+        # join, JVM Hamming verify — audio bytes never shuffle
+        from jepl_spark.operators.audio_dedup import audio_near_dups
+        from jepl_spark.sources.clips import planted_dup_clips
+
+        clips = planted_dup_clips(spark, 2000)
+        return _drain(audio_near_dups(clips))
+
     def decontam():
         # production lane: hashed shingles, broadcast benchmark = the
         # 120-char prefixes of every 97th doc
@@ -399,6 +409,7 @@ def batch_queries(spark, sf_dir):
         "bloom_prune": bloom_prune,
         "pii_repetition": pii_repetition,
         "audio_chunk": audio_chunk,
+        "audio_near_dup": audio_near_dup,
         "decontam": decontam,
         "pack_sequences": pack_sequences,
         "lm_score": lm_score,

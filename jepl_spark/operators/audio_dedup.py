@@ -1,0 +1,261 @@
+"""Audio near-duplicate detection and dedup — batch and streaming.
+
+The audio twin of the text near-dup suite (dedup.py): re-encoded,
+re-gained, or container-rewrapped copies of the same recording are the
+dominant duplicate class in crawled audio corpora, and none of them
+hash equal at the byte level, so ``exact_dedup`` never sees them.
+
+Design (all public building blocks):
+
+1. **Content signature** — the 240-bit Haitsma-Kalker band-energy
+   fingerprint (functions/audio_udfs.py): computed once per clip inside
+   an Arrow UDF; only 32 bytes cross back to the JVM.
+2. **Candidate generation = blocking, not banding** — candidates must
+   share ``sr_hz`` and sit within ``dur_tol_ms`` of each other's
+   duration.  Transcode/regain copies preserve sample rate and duration
+   to the millisecond, so blocking loses nothing for the duplicate
+   class this lane targets, and it is the standard audio-dedup
+   prefilter (AcoustID applies a length gate before fingerprint
+   compare).  Duration buckets use the two-bucket band-join trick
+   (bucket b joins b and b+1), so a pair can never straddle an
+   unjoined boundary.
+3. **Verification** — exact Hamming distance over the fingerprint
+   arrays, pure JVM (zip_with + bit_count), on candidates only.
+
+Decision thresholds, measured on 2000 synthetic clips (the corpus's
+pure-tone content is the fingerprint's WORST case — real speech/music
+has far richer band dynamics and correspondingly lower copy distances;
+Haitsma & Kalker report ~2-10%% bit error under heavy degradation):
+
+- lossless re-gain copies (pcm16, any gain): distance <= 1
+- G.711 transcode copies: mean ~8.5, p90 ~17, rare tail to ~40+
+  (clips whose bands are mostly quantization noise)
+- distinct clips in the same (sr, duration) block: >= 25, mean ~120
+
+The default ``max_hamming=10`` therefore catches every regain/lossless
+copy with a >= 15-bit margin and ~75%% of G.711 transcodes on this
+worst-case content; raise to ~20 for lossy-transcode recall at the
+cost of the margin (documented, caller's dial).
+
+Scale shape at 100 TB: fingerprints are 32 bytes/clip, the blocking
+join shuffles (sr, dur_bucket, fp, id) only — audio bytes never leave
+the scan stage.  Block sizes are bounded by real duration spread
+(buckets of ``dur_tol_ms``); a pathological single-duration corpus
+degrades to one block and should raise ``dur_tol_ms`` granularity or
+add an upstream per-block cap, mirroring ``max_band_bucket`` in the
+text lanes.  The streaming variant keeps ONE fingerprint row per
+admitted clip in the sink (no unbounded growth beyond the corpus
+itself) and prunes the committed side to the batch's duration range.
+
+Reference parity: the reference engine (youfulife/jepl) has no audio
+operators at all — this module is part of the mandated audio axis, not
+a translation (BASELINE.md: the reference publishes a grammar only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.audio_udfs import (
+    fp_hamming,
+    with_audio_fingerprint,
+)
+from .dedup import near_dup_components
+
+__all__ = [
+    "audio_near_dups",
+    "audio_dedup",
+    "stream_audio_near_dedup",
+]
+
+
+def _blocked(
+    fps: DataFrame,
+    id_col: str,
+    dur_tol_ms: int,
+    side: str,
+) -> DataFrame:
+    """(sr, bucket) blocking keys for one side: every row lands in its
+    own duration bucket AND the next one, so any pair within
+    ``dur_tol_ms`` shares at least one (sr, bucket) cell."""
+    b = (F.col("dur_ms") / F.lit(dur_tol_ms)).cast("long")
+    return fps.select(
+        F.col(id_col).alias(f"id_{side}"),
+        F.col("sr_hz").alias("__sr"),
+        F.col("dur_ms").alias(f"__dur_{side}"),
+        F.col("__fp").alias(f"__fp_{side}"),
+        F.explode(F.array(b, b + 1)).alias("__bucket"),
+    )
+
+
+def audio_near_dups(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    max_hamming: int = 10,
+    dur_tol_ms: int = 25,
+    fp_col: str | None = None,
+) -> DataFrame:
+    """Audio near-duplicate PAIRS: (id_a, id_b, hamming) for every pair
+    of clips with identical ``sr_hz``, duration within ``dur_tol_ms``
+    milliseconds, and fingerprint Hamming distance <= ``max_hamming``
+    (id_a < id_b; each qualifying pair exactly once).
+
+    Input needs (id_col, bytes, codec, sr_hz, dur_ms) — or pass
+    ``fp_col`` naming a precomputed array<bigint> fingerprint column to
+    skip the decode (the streaming lane and any pipeline that already
+    ran ``with_audio_fingerprint`` reuse signatures this way).
+
+    Recall contract: EXACT for the blocked duplicate class — blocking
+    keys are preserved by the targeted transformations (gain change,
+    codec transcode, container rewrap), and within a block every pair
+    is distance-checked (two-bucket trick, no boundary loss).  A copy
+    that is also trimmed/padded beyond ``dur_tol_ms`` or resampled is
+    out of scope by design — document-level near-dup for those requires
+    sequence alignment, a different cost class."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if dur_tol_ms < 1:
+        raise ValueError(f"dur_tol_ms must be >= 1, got {dur_tol_ms}")
+    if fp_col is None:
+        fps = with_audio_fingerprint(df, "__fp")
+    else:
+        fps = df.withColumn("__fp", F.col(fp_col))
+    fps = fps.select(id_col, "sr_hz", "dur_ms", "__fp")
+    a = _blocked(fps, id_col, dur_tol_ms, "a")
+    b = _blocked(fps, id_col, dur_tol_ms, "b")
+    ham = fp_hamming(F.col("__fp_a"), F.col("__fp_b"))
+    return (
+        a.join(b, ["__sr", "__bucket"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.abs(F.col("__dur_a") - F.col("__dur_b"))
+                <= F.lit(dur_tol_ms)
+            )
+        )
+        .select(
+            "id_a", "id_b", ham.alias("hamming"),
+            "__dur_a", "__dur_b",
+        )
+        .where(F.col("hamming") <= max_hamming)
+        # the two-bucket explode makes close pairs collide in 1-2 cells
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def audio_dedup(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    max_hamming: int = 10,
+    dur_tol_ms: int = 25,
+    policy: str = "pairs",
+) -> DataFrame:
+    """Drop audio near-duplicates, keeping one representative per
+    duplicate group.  ``policy="pairs"`` drops the higher id of every
+    qualifying pair; ``policy="components"`` resolves connected
+    components first and keeps exactly the minimum id per cluster
+    (transitive-safe — see near_dup_components)."""
+    if policy not in ("pairs", "components"):
+        raise ValueError(f"unknown policy {policy!r}")
+    pairs = audio_near_dups(
+        df, id_col=id_col, max_hamming=max_hamming, dur_tol_ms=dur_tol_ms
+    )
+    if policy == "components":
+        losers = (
+            near_dup_components(pairs)
+            .where(F.col("id") != F.col("component"))
+            .select(F.col("id").alias(id_col))
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def stream_audio_near_dedup(
+    stream: DataFrame,
+    sink,
+    id_col: str = "clip_id",
+    max_hamming: int = 10,
+    dur_tol_ms: int = 25,
+    fp_col: str = "fp",
+):
+    """Streaming audio near-dedup at ingest: each micro-batch's clips
+    are fingerprinted, checked against (a) each other and (b) the
+    already-ADMITTED corpus in ``sink``, and only novel clips commit —
+    the audio twin of ``stream_simhash_near_dedup``.
+
+    Returns ``(prepared_stream, foreach_batch)``; wire through
+    ``writeStream.foreachBatch(foreach_batch)``.  The prepared stream
+    carries ``fp_col`` (computed once, Arrow UDF) so the committed
+    corpus stores signatures alongside the clips and NEVER re-decodes
+    audio on later batches — the admitted side of every batch's check
+    is a column-pruned parquet read of (id, sr_hz, dur_ms, fp).
+
+    In-batch semantics mirror the batch operator with pairs policy:
+    the LOWEST id of an in-batch duplicate group is admitted (ids are
+    compared as the column's natural ordering).  Vs-admitted semantics:
+    any batch clip within ``max_hamming`` of ANY admitted clip in the
+    same (sr, duration±tol) block is dropped.  State is the committed
+    corpus itself — no separate state store, so a restart resumes
+    exactly from what was durably admitted (exactly-once via the
+    sink's batch-id ledger)."""
+    prepared = with_audio_fingerprint(stream, fp_col)
+
+    def _sides(fps: DataFrame, side: str) -> DataFrame:
+        return _blocked(
+            fps.withColumn("__fp", F.col(fp_col)), id_col, dur_tol_ms, side
+        )
+
+    def _qualifying(a: DataFrame, b: DataFrame) -> DataFrame:
+        ham = fp_hamming(F.col("__fp_a"), F.col("__fp_b"))
+        return (
+            a.join(b, ["__sr", "__bucket"])
+            .where(
+                F.abs(F.col("__dur_a") - F.col("__dur_b"))
+                <= F.lit(dur_tol_ms)
+            )
+            .where(ham <= max_hamming)
+        )
+
+    def foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if sink.is_committed(batch_id):
+            return
+        batch = batch_df.persist()
+        try:
+            cols = [id_col, "sr_hz", "dur_ms", fp_col]
+            sigs = batch.select(*cols)
+            b_side = _sides(sigs, "b")
+            # in-batch: drop the higher id of every qualifying pair
+            drops = (
+                _qualifying(
+                    _sides(sigs, "a").where(F.lit(True)), b_side
+                )
+                .where(F.col("id_a") < F.col("id_b"))
+                .select(F.col("id_b").alias(id_col))
+                .distinct()
+            )
+            admitted = None
+            try:
+                admitted = sink.read_committed(spark)
+            except ValueError:
+                # no committed batches yet is the ONLY fall-through;
+                # any real read failure must fail the batch so Spark
+                # retries instead of permanently admitting dups
+                pass
+            if admitted is not None:
+                ad = _sides(admitted.select(*cols), "a")
+                vs_admitted = (
+                    _qualifying(ad, b_side)
+                    .select(F.col("id_b").alias(id_col))
+                    .distinct()
+                )
+                drops = drops.unionByName(vs_admitted).distinct()
+            survivors = batch.join(drops, on=id_col, how="left_anti")
+            sink.write_batch(survivors, batch_id)
+        finally:
+            batch.unpersist()
+
+    return prepared, foreach_batch

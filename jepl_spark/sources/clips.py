@@ -183,3 +183,52 @@ def zipf_clip_events(
         n_events, numPartitions=partitions or spark.sparkContext.defaultParallelism
     )
     return rng.mapInPandas(gen, schema=schema)
+
+
+def dup_clip_row(
+    i: int,
+    every: int = 7,
+    offset: int = 3,
+    gain: float = 0.9,
+    step_s: float = 1.0,
+) -> dict:
+    """Clip row with PLANTED near-duplicates: every ``every``-th clip
+    (i %% every == offset, i > 0) is a re-gained, pcm16-re-encoded copy
+    of clip i-1's recording — same sample rate and duration (the
+    blocking keys a regain/transcode copy preserves), its own clip_id /
+    transcript / event_time.  The expected near-dup pair set is
+    closed-form: {(clip-(i-1), clip-i) : i %% every == offset}, which
+    is what the correctness gate's SQL oracle rebuilds."""
+    row = clip_row(i, step_s=step_s)
+    if i > 0 and i % every == offset:
+        src = clip_row(i - 1, step_s=step_s)
+        wave = audio.decode(src["bytes"], src["codec"]) * gain
+        row["bytes"] = audio.encode(wave.astype(np.float32), "pcm16")
+        row["codec"] = "pcm16"
+        row["sr_hz"] = src["sr_hz"]
+        row["dur_ms"] = src["dur_ms"]
+    return row
+
+
+def planted_dup_clips(
+    spark: SparkSession,
+    n: int,
+    every: int = 7,
+    offset: int = 3,
+    gain: float = 0.9,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Distributed clips table with planted audio near-duplicates
+    (dup_clip_row) — the fixture for audio_near_dups / audio_dedup
+    gates and tests."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [dup_clip_row(int(i), every, offset, gain) for i in pdf["id"]]
+            )
+
+    rng = spark.range(
+        n, numPartitions=partitions or spark.sparkContext.defaultParallelism
+    )
+    return rng.mapInPandas(gen, schema=CLIP_SCHEMA)

@@ -1,0 +1,130 @@
+"""Audio corpus ADMISSION job, packaged for spark-submit: the ingest
+stage that runs BEFORE the training pipeline — every arriving clip is
+fingerprinted and near-dup-checked against the batch and the admitted
+corpus; only novel audio commits to the curated store the downstream
+jobs (clips_pipeline, serving) read.
+
+    spark-submit --py-files jepl_spark.zip jobs/audio_ingest.py \\
+        --audio-path <dir> --sink <dir> --checkpoint <dir> \\
+        [--max-hamming 10] [--dur-tol-ms 25] \\
+        [--exact-dedup-watermark "1 hour"]  # drop byte-identical first
+        [--sink-protocol marker|manifest] \\
+        [--synthesize N] [--plant-dups]     # deterministic test corpus
+
+Two admission filters, cheap first:
+
+1. (optional) streaming EXACT dedup on the raw bytes — byte-identical
+   re-deliveries die in watermark-bounded state before any decode.
+2. audio NEAR-dedup (operators/audio_dedup.py): 240-bit
+   Haitsma-Kalker fingerprint (Arrow UDF, audio decoded exactly once),
+   (sr_hz, duration-bucket) blocking join, JVM Hamming verify, against
+   both the micro-batch and the committed corpus.
+
+The committed rows carry the fingerprint column, so later batches'
+vs-admitted checks are a column-pruned parquet read — admitted audio
+is never re-decoded.  Exactly-once via the sink's batch-id ledger;
+a restart resumes from the durably admitted corpus (no separate state).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--audio-path", required=True)
+    p.add_argument("--sink", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--max-hamming", type=int, default=10)
+    p.add_argument("--dur-tol-ms", type=int, default=25)
+    p.add_argument("--exact-dedup-watermark", default=None,
+                   help="also drop byte-identical clips in "
+                        "watermark-bounded state before the near-dup "
+                        "stage")
+    p.add_argument("--sink-protocol", choices=("marker", "manifest"),
+                   default="marker")
+    p.add_argument("--synthesize", type=int, default=0)
+    p.add_argument("--plant-dups", action="store_true",
+                   help="with --synthesize: plant a near-dup copy at "
+                        "every 7th clip (test/demo corpus)")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("jepl-audio-ingest").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from jepl_spark.operators.audio_dedup import stream_audio_near_dedup
+    from jepl_spark.sources.clips import clips_df, planted_dup_clips
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.listener import MetricsListener
+    from jepl_spark.streaming.sink import (
+        IdempotentParquetSink,
+        ManifestCommitSink,
+    )
+
+    if args.synthesize:
+        gen = planted_dup_clips if args.plant_dups else clips_df
+        gen(spark, args.synthesize).write.mode("overwrite").parquet(
+            args.audio_path
+        )
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+
+    schema = clips_df(spark, 1).schema
+    stream = file_stream(spark, args.audio_path, schema)
+    if args.exact_dedup_watermark:
+        # raw md5 of the bytes, NOT dedup.content_hash: that helper
+        # whitespace-normalizes text and would mangle binary payloads
+        from pyspark.sql import functions as F
+
+        stream = (
+            stream.withColumn("__bh", F.md5(F.col("bytes")))
+            .withWatermark("event_time", args.exact_dedup_watermark)
+            .dropDuplicatesWithinWatermark(["__bh"])
+            .drop("__bh")
+        )
+
+    sink_cls = (
+        ManifestCommitSink if args.sink_protocol == "manifest"
+        else IdempotentParquetSink
+    )
+    sink = sink_cls(args.sink)
+    t0 = time.time()
+    prepared, fb = stream_audio_near_dedup(
+        stream, sink,
+        max_hamming=args.max_hamming,
+        dur_tol_ms=args.dur_tol_ms,
+    )
+    q = (
+        prepared.writeStream.outputMode("append")
+        .foreachBatch(fb)
+        .option("checkpointLocation", args.checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=3600)
+
+    wall = time.time() - t0
+    summary = listener.summary()
+    admitted = sink.read_committed(spark).count()
+    summary.update(
+        wall_s=round(wall, 2),
+        committed_batches=sink.committed_count(),
+        admitted_clips=admitted,
+        dropped_clips=(summary["input_rows"] - admitted
+                       if summary.get("input_rows") is not None else None),
+        clips_per_sec=(round(summary["input_rows"] / wall, 1)
+                       if wall and summary.get("input_rows") else None),
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

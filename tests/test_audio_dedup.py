@@ -1,0 +1,280 @@
+"""Audio near-dup detection / dedup — batch pairs vs the closed-form
+plant, policies, JVM Hamming parity, transcode-recall statistics, and
+the live streaming ingest lane."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from jepl_spark.functions.audio_udfs import (
+    FP_BITS,
+    FP_WORDS,
+    fingerprint_of,
+    fp_hamming,
+    with_audio_fingerprint,
+)
+from jepl_spark.operators.audio_dedup import (
+    audio_dedup,
+    audio_near_dups,
+    stream_audio_near_dedup,
+)
+from jepl_spark.sources import audio
+from jepl_spark.sources.clips import (
+    clip_row,
+    dup_clip_row,
+    planted_dup_clips,
+)
+
+
+def _expected_pairs(n: int, every: int = 7, offset: int = 3):
+    return sorted(
+        (f"clip-{i - 1:012d}", f"clip-{i:012d}")
+        for i in range(1, n)
+        if i % every == offset
+    )
+
+
+def test_audio_near_dups_matches_plant_formula(spark):
+    n = 200
+    df = planted_dup_clips(spark, n)
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in audio_near_dups(df).collect()
+    )
+    assert got == _expected_pairs(n)
+
+
+def test_audio_near_dups_planted_distance_tiny(spark):
+    """Regain+pcm16 copies sit essentially at distance 0 — the >=15-bit
+    margin below the default threshold is what makes the gate formula
+    exact."""
+    df = planted_dup_clips(spark, 100)
+    rows = audio_near_dups(df).collect()
+    assert rows and all(r["hamming"] <= 2 for r in rows)
+
+
+def test_audio_dedup_pairs_policy(spark):
+    n = 100
+    df = planted_dup_clips(spark, n)
+    kept = sorted(r["clip_id"] for r in audio_dedup(df).collect())
+    dropped = {f"clip-{i:012d}" for i in range(1, n) if i % 7 == 3}
+    assert kept == sorted(
+        f"clip-{i:012d}" for i in range(n) if f"clip-{i:012d}" not in dropped
+    )
+
+
+def test_audio_dedup_components_policy(spark):
+    """Chain plant: i and i+1 both copies of i-1 → one cluster of 3;
+    components keeps exactly the minimum id."""
+    rows = []
+    for i in range(12):
+        row = clip_row(i)
+        if i in (5, 6):  # two copies of clip 4
+            src = clip_row(4)
+            wave = audio.decode(src["bytes"], src["codec"]) * (0.9 + 0.02 * i)
+            row["bytes"] = audio.encode(wave.astype(np.float32), "pcm16")
+            row["codec"] = "pcm16"
+            row["sr_hz"] = src["sr_hz"]
+            row["dur_ms"] = src["dur_ms"]
+        rows.append(row)
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    kept = sorted(
+        r["clip_id"]
+        for r in audio_dedup(df, policy="components").collect()
+    )
+    assert f"clip-{4:012d}" in kept
+    assert f"clip-{5:012d}" not in kept and f"clip-{6:012d}" not in kept
+    assert len(kept) == 10
+
+
+def test_fp_hamming_jvm_matches_python(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(16):
+        a = [int(x) for x in rng.integers(0, 1 << 60, FP_WORDS)]
+        b = [int(x) for x in rng.integers(0, 1 << 60, FP_WORDS)]
+        rows.append((a, b, sum(bin(x ^ y).count("1") for x, y in zip(a, b))))
+    schema = StructType(
+        [
+            StructField("a", ArrayType(LongType())),
+            StructField("b", ArrayType(LongType())),
+            StructField("want", LongType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    bad = df.where(
+        fp_hamming(F.col("a"), F.col("b")) != F.col("want")
+    ).count()
+    assert bad == 0
+
+
+def test_transcode_recall_and_margin():
+    """Deterministic statistics of the fingerprint on the tonal
+    worst-case corpus: G.711 transcode copies are mostly within 20
+    bits, while distinct same-block clips never get near the default
+    threshold."""
+    n = 240
+    fps, srs, durs = [], [], []
+    for i in range(n):
+        r = clip_row(i)
+        fps.append(fingerprint_of(audio.decode(r["bytes"], r["codec"])))
+        srs.append(r["sr_hz"])
+        durs.append(r["dur_ms"])
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    d = []
+    for i in range(0, n, 3):
+        x = audio.synth_wave(i, srs[i], durs[i]) * 0.9
+        y = audio.decode(audio.encode(x, "ulaw"), "ulaw")
+        d.append(ham(fps[i], fingerprint_of(y)))
+    d = np.array(d)
+    assert (d <= 20).mean() >= 0.85  # measured 0.936 at n=2000
+    # distinct clips sharing a block never approach the threshold
+    close = [
+        ham(fps[a], fps[b])
+        for a in range(n)
+        for b in range(a + 1, n)
+        if srs[a] == srs[b] and abs(durs[a] - durs[b]) <= 25
+    ]
+    assert close and min(close) > 20
+
+
+def test_short_clip_fingerprints_all_zero():
+    assert fingerprint_of(np.zeros(3, dtype=np.float32)) == [0] * FP_WORDS
+    assert FP_BITS == 240
+
+
+def test_audio_near_dups_validation(spark):
+    df = planted_dup_clips(spark, 4)
+    with pytest.raises(ValueError):
+        audio_near_dups(df, max_hamming=-1)
+    with pytest.raises(ValueError):
+        audio_near_dups(df, dur_tol_ms=0)
+    with pytest.raises(ValueError):
+        audio_dedup(df, policy="nope")
+
+
+def test_precomputed_fp_col_short_circuits_decode(spark):
+    """fp_col reuse path: corrupt the audio bytes — with a precomputed
+    fingerprint column the operator must not decode them."""
+    df = planted_dup_clips(spark, 60)
+    fps = with_audio_fingerprint(df, "fp").withColumn(
+        "bytes", F.lit(b"\x00")
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in audio_near_dups(fps, fp_col="fp").collect()
+    )
+    assert got == _expected_pairs(60)
+
+
+# -- streaming ----------------------------------------------------------------
+
+
+def _clip_batches(ids_per_batch):
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            pa.field("clip_id", pa.string()),
+            pa.field("bytes", pa.binary()),
+            pa.field("sr_hz", pa.int32()),
+            pa.field("dur_ms", pa.int32()),
+            pa.field("codec", pa.string()),
+            pa.field("transcript", pa.string()),
+            pa.field("event_time", pa.timestamp("us", tz="UTC")),
+            pa.field("seq", pa.int64()),
+        ]
+    )
+    batches = [
+        [dup_clip_row(i) for i in ids] for ids in ids_per_batch
+    ]
+    return batches, schema
+
+
+CLIP_SPARK_SCHEMA = StructType.fromJson(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "clip_id", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "bytes", "type": "binary", "nullable": True, "metadata": {}},
+            {"name": "sr_hz", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "dur_ms", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "codec", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "transcript", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "event_time", "type": "timestamp", "nullable": True, "metadata": {}},
+            {"name": "seq", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _run_stream(spark, tmp_path, ids_per_batch, name="adp"):
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    from streaming_helpers import write_batches
+
+    batches, pa_schema = _clip_batches(ids_per_batch)
+    src = str(tmp_path / f"{name}-src")
+    write_batches(src, batches, pa_schema)
+    sink = IdempotentParquetSink(str(tmp_path / f"{name}-sink"))
+    prepared, fb = stream_audio_near_dedup(
+        file_stream(spark, src, CLIP_SPARK_SCHEMA, max_files_per_trigger=1),
+        sink,
+    )
+
+    def run():
+        q = (
+            prepared.writeStream.outputMode("append")
+            .foreachBatch(fb)
+            .option("checkpointLocation", str(tmp_path / f"{name}-ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+
+    return sink, run
+
+
+def test_stream_audio_near_dedup_multibatch(spark, tmp_path):
+    """In-batch copies drop by id order; cross-batch copies drop
+    against the ADMITTED corpus; originals all survive.  Plant: i=3
+    copies 2 (in-batch), i=10 copies 9 (batch 2 vs admitted batch 1),
+    i=17 copies 16 (in-batch in batch 2)."""
+    sink, run = _run_stream(
+        spark, tmp_path, [list(range(10)), list(range(10, 20))]
+    )
+    run()
+    got = sorted(r["clip_id"] for r in sink.read_committed(spark).collect())
+    want = sorted(
+        f"clip-{i:012d}" for i in range(20) if i % 7 != 3
+    )
+    assert got == want
+
+
+def test_stream_audio_near_dedup_restart_idempotent(spark, tmp_path):
+    sink, run = _run_stream(
+        spark, tmp_path, [list(range(8)), list(range(8, 14))], name="rr"
+    )
+    run()
+    first = sorted(r["clip_id"] for r in sink.read_committed(spark).collect())
+    n = sink.committed_count(spark)
+    run()
+    assert (
+        sorted(r["clip_id"] for r in sink.read_committed(spark).collect())
+        == first
+    )
+    assert sink.committed_count(spark) == n

@@ -551,3 +551,31 @@ def test_corpus_pipeline_fix_encoding_stage(spark, tmp_path, capsys):
     texts = {r["doc_id"]: r["text"] for r in written.collect()}
     assert set(texts) == {0, 2}
     assert texts[0] == clean               # repaired == clean original
+
+
+def test_audio_ingest_job(spark, tmp_path, capsys):
+    """audio_ingest e2e: planted-dup synthetic corpus → exact-dedup +
+    near-dedup admission → exactly the originals commit, with the
+    fingerprint column persisted for snapshot reuse; the JSON summary
+    reports admitted/dropped counts."""
+    import json as _json
+
+    from jobs.audio_ingest import main
+
+    n = 70
+    argv = [
+        "--audio-path", str(tmp_path / "a"),
+        "--sink", str(tmp_path / "sink"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--synthesize", str(n), "--plant-dups",
+        "--exact-dedup-watermark", "1 hour",
+    ]
+    assert main(argv) == 0
+    out = spark.read.parquet(str(tmp_path / "sink"))
+    got = sorted(r["clip_id"] for r in out.select("clip_id").collect())
+    want = sorted(f"clip-{i:012d}" for i in range(n) if i % 7 != 3)
+    assert got == want
+    assert "fp" in out.columns  # signatures persisted for reuse
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["admitted_clips"] == len(want)
+    assert summary["dropped_clips"] == n - len(want)
