@@ -1065,6 +1065,113 @@ def q_stream_url_dedup(spark, sf_dir):
     return sink.read_committed(spark).select("canon", "null_doc")
 
 
+def q_nfc_docs(spark, sf_dir):
+    """Unicode NFC normalization (round-6 lane): every doc gains a
+    planted tail — combining-sequence 'Cafe'+U+0301, ring/diaeresis
+    decompositions, the OHM-SIGN singleton, or plain ascii — built
+    from explicit codepoints on BOTH sides (no source-encoding trust),
+    then Spark's pandas-UDF unicodedata NFC is compared byte-exact
+    (md5) against DuckDB's utf8proc nfc_normalize: two independent
+    UAX #15 implementations pinning each other."""
+    from jepl_spark.operators import text as T2
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    tail = (
+        F.when(d % 4 == 0, F.lit(" Café menu"))
+        .when(d % 4 == 1, F.lit(" Ångström"))
+        .when(d % 4 == 2, F.lit(" Ω ohm"))
+        .otherwise(F.lit(" plain"))
+    )
+    aug = F.concat(F.coalesce(F.col("text"), F.lit("")), tail)
+    return docs.select(
+        "doc_id",
+        F.md5(T2.nfc_normalize(aug)).alias("nfc_md5"),
+    )
+
+
+def q_epoch_mix_docs(spark, sf_dir):
+    """Training-mixture assembly by per-source epoch weights (round-6
+    lane): 2.5 epochs of src0, half of src1, none of src2, 3 of src3,
+    one of everything else — every copy materialized with its 0-based
+    epoch index.  Deterministic in (seed, source, doc_id) via the
+    md5-based 60-bit hash, so the oracle replays full copies AND the
+    fractional-epoch membership decision exactly."""
+    from jepl_spark.operators.sampling import epoch_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = epoch_mix(
+        docs.select("doc_id", "source"),
+        {"src0": 2.5, "src1": 0.5, "src2": 0.0, "src3": 3.0},
+        default_weight=1.0,
+    )
+    return out.select("doc_id", "source", "epoch")
+
+
+def q_hist_percentiles_events(spark, sf_dir):
+    """Histogram-sketch percentiles (round-6 lane): fixed 50-unit bins
+    of events.value per event_type, then the deterministic
+    upper-edge extraction rule (first bin whose cumulative count
+    reaches ceil(p·total)) for p ∈ {0.5, 0.9, 0.99} — the mergeable,
+    engine-replayable alternative to percentile_approx."""
+    from jepl_spark.operators.stats import (
+        histogram_percentiles,
+        histogram_sketch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    h = histogram_sketch(events, "value", 50.0, group_by="event_type")
+    est = histogram_percentiles(
+        h, [0.5, 0.9, 0.99], 50.0, group_by="event_type"
+    )
+    return est.select(
+        "event_type",
+        F.col("p").cast("double").alias("p"),
+        F.round(F.col("est").cast("double"), 6).alias("est"),
+    )
+
+
+def q_stream_windowed_hist(spark, sf_dir):
+    """STREAMING per-window histogram sketch (round-6 lane): events
+    staged as a file stream → event-time 6 h windows × event_type ×
+    50-unit value bins, watermark 1 h, append mode through the
+    exactly-once sink.  The oracle replays the binning, the windowing,
+    and the append-mode emission cutoff (window_end ≤ max(ts) −
+    delay); per-window percentile extraction over the committed rows
+    is pinned by the batch lane + tests."""
+    import tempfile
+
+    from jepl_spark.operators.stats import stream_windowed_histogram
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-streamhist-")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    events.write.mode("overwrite").parquet(f"{work}/src")
+    sink = IdempotentParquetSink(f"{work}/sink")
+    hist = stream_windowed_histogram(
+        file_stream(spark, f"{work}/src", events.schema),
+        "value", ts_col="ts", duration="6 hours", watermark="1 hour",
+        bin_width=50.0, group_by="event_type",
+    )
+    q = (
+        hist.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    return sink.read_committed(spark).select(
+        F.unix_timestamp("window_start").cast("bigint").alias("ws"),
+        "event_type",
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
 def q_audio_fp_near_dups(spark, sf_dir):
     """Audio near-duplicate pairs (round-6 lane): 400 synthetic clips
     with a planted re-gained, pcm16-re-encoded copy of clip i-1 at
@@ -2536,12 +2643,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     caps at 50 entries (taking the FIRST 50 of this dict), so the
     window rotates each round to keep every gate driver-attested at
     most one round stale: round-6 lanes that have never been attested
-    lead (7, incl. the two audio near-dup lanes), then 34 of the 36
-    oracle-checkable veterans the round-5 window skipped (the r5
-    judge-rerun list minus its 2 rows-only members; ann_topk and
-    simhash_dup_consistency sit just past the boundary, pinned by
-    in-window siblings), then the 9 jepl_* language anchors that stay
-    in-window every round.  Past the window: the r4/r5 lanes the CORRECTNESS_r05
+    lead (11: html/mojibake/url/cross-corpus lanes, the two audio
+    near-dup lanes, NFC, epoch mixing, and the histogram-sketch
+    batch + streaming pair), then 30 of the 36 oracle-checkable
+    veterans the round-5 window skipped (the r5 judge-rerun list
+    minus its 2 rows-only members; six sit just past the boundary,
+    each pinned by in-window siblings — see the past-the-window
+    comment), then the 9 jepl_* language anchors that stay in-window
+    every round.  Past the window: the r4/r5 lanes the CORRECTNESS_r05
     ledger just attested, plus the 2 rows-only gates — all still
     checked locally every round by ``tools/check_entry.py`` (every
     entry vs its DuckDB oracle) and by prior-round ledgers."""
@@ -2554,6 +2663,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_encoding_docs": q_fix_encoding_docs,
         "audio_fp_near_dups": q_audio_fp_near_dups,
         "stream_audio_dedup": q_stream_audio_dedup,
+        "nfc_docs": q_nfc_docs,
+        "epoch_mix_docs": q_epoch_mix_docs,
+        "hist_percentiles_events": q_hist_percentiles_events,
+        "stream_windowed_hist": q_stream_windowed_hist,
         # -- block 2: veterans rotated OUT of the round-5 window -------
         "window_session": q_window_session,
         "window_sliding": q_window_sliding,
@@ -2569,13 +2682,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_cascade_events": q_rollup_cascade_events,
         "text_token_count": q_text_token_count,
         "doc_fingerprint": q_doc_fingerprint,
-        "ann_cosine_scores": q_ann_cosine_scores,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "simhash_hamming_near_dups": q_simhash_hamming_near_dups,
         "lang_id": q_lang_id,
-        "text_bpe_tokens": q_text_bpe_tokens,
         "winnow_fingerprints": q_winnow_fingerprints,
         "asof_join_events": q_asof_join_events,
         "cms_user_counts": q_cms_user_counts,
@@ -2584,8 +2695,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "split_train_val_test": q_split_train_val_test,
         "stratified_sample_docs": q_stratified_sample_docs,
-        "reservoir_events": q_reservoir_events,
-        "range_join_events": q_range_join_events,
         "interval_overlap_events": q_interval_overlap_events,
         "fingerprint_overlap_pairs": q_fingerprint_overlap_pairs,
         "image_decode_stats": q_image_decode_stats,
@@ -2600,13 +2709,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jepl_lineitem_rule": q_jepl_lineitem_rule,
         "jepl_orders_rule": q_jepl_orders_rule,
         # -- past the window: attested by CORRECTNESS_r05 --------------
-        # (ann_topk and simhash_dup_consistency rotated just past the
-        # boundary to make room for the two round-6 audio lanes — each
-        # stays pinned by in-window siblings: ann_topk by
-        # ann_topk_batch/ann_lsh_topk/ann_ivf_topk/ann_cosine_scores,
-        # simhash_dup_consistency by simhash_hamming_near_dups)
+        # (six veterans rotated just past the boundary to make room
+        # for the six round-6 lanes — each stays pinned by in-window
+        # siblings: ann_topk/ann_cosine_scores by
+        # ann_topk_batch/ann_lsh_topk/ann_ivf_topk;
+        # simhash_dup_consistency by simhash_hamming_near_dups;
+        # text_bpe_tokens by text_token_count; range_join_events by
+        # asof_join_events + interval_overlap_events; reservoir_events
+        # by stratified_sample_docs + split_train_val_test)
         "ann_topk": q_ann_topk,
+        "ann_cosine_scores": q_ann_cosine_scores,
         "simhash_dup_consistency": q_simhash_dup_consistency,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "range_join_events": q_range_join_events,
+        "reservoir_events": q_reservoir_events,
         "stream_windowed_rule": q_stream_windowed_rule,
         "stream_join_windowed": q_stream_join_windowed,
         "window_tumbling": q_window_tumbling,
@@ -4334,6 +4450,87 @@ def oracle_sql() -> dict[str, str]:
             -- rows -- anti-join semantics on both sides
             SELECT h.doc_id FROM h
             WHERE NOT EXISTS (SELECT 1 FROM old WHERE old.ch = h.ch)
+        """,
+        # NFC: two independent UAX #15 implementations (unicodedata vs
+        # utf8proc) pin each other byte-exact; tails built from
+        # explicit codepoints on both sides
+        "nfc_docs": """
+            SELECT doc_id,
+                   md5(nfc_normalize(
+                     coalesce(text, '') ||
+                     CASE doc_id % 4
+                       WHEN 0 THEN ' Caf' || chr(101) || chr(769) || ' menu'
+                       WHEN 1 THEN ' ' || chr(65) || chr(778) || 'ngstr'
+                                   || chr(111) || chr(776) || 'm'
+                       WHEN 2 THEN ' ' || chr(8486) || ' ohm'
+                       ELSE ' plain'
+                     END
+                   )) AS nfc_md5
+            FROM documents
+        """,
+        # epoch mixing: full copies from the floor, the fractional
+        # copy from the same md5 60-bit hash formula as hash_sample
+        "epoch_mix_docs": """
+            WITH w AS (
+              SELECT doc_id, source,
+                CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+                            WHEN 'src2' THEN 0.0 WHEN 'src3' THEN 3.0
+                            ELSE 1.0 END AS wt,
+                CAST(('0x' || substr(md5('epochs:' || source || '|' ||
+                      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id, source, CAST(floor(wt) AS BIGINT)
+                + CASE WHEN wt - floor(wt) > 0
+                       AND h < CAST((wt - floor(wt)) * 1152921504606846976
+                                    AS BIGINT)
+                       THEN 1 ELSE 0 END AS n
+              FROM w
+            )
+            SELECT doc_id, source,
+                   CAST(unnest(range(n)) AS BIGINT) AS epoch
+            FROM e
+        """,
+        # histogram-sketch percentiles: the deterministic upper-edge
+        # extraction rule replayed over the same fixed bins
+        "hist_percentiles_events": """
+            WITH h AS (
+              SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+                     COUNT(*) AS n
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT event_type, bin, n,
+                     SUM(n) OVER (PARTITION BY event_type ORDER BY bin)
+                       AS cum,
+                     SUM(n) OVER (PARTITION BY event_type) AS total
+              FROM h
+            ),
+            p AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+            SELECT c.event_type, p.p,
+                   round(CAST((MIN(c.bin) + 1) * 50.0 AS DOUBLE), 6) AS est
+            FROM c, p
+            WHERE c.cum >= ceil(p.p * c.total)
+            GROUP BY c.event_type, p.p
+        """,
+        # streaming windowed histogram: binning + 6h windowing +
+        # append-mode emission cutoff (window_end <= max(ts) - delay)
+        "stream_windowed_hist": """
+            WITH g AS (
+              SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts))
+                          AS BIGINT) AS ws,
+                     event_type,
+                     CAST(floor(value / 50.0) AS BIGINT) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1, 2, 3
+            ), m AS (SELECT epoch(max(ts)) AS mx FROM events)
+            SELECT g.ws, g.event_type, g.bin, g.n FROM g, m
+            WHERE g.ws + 21600 <= m.mx - 3600
         """,
         # audio near-dup pairs: the decision is deterministic with a
         # >= 15-bit Hamming margin on both sides (tests pin the

@@ -377,6 +377,29 @@ def batch_queries(spark, sf_dir):
         return _drain(df.select(
             "doc_id", T.fix_encoding(aug).alias("fixed")))
 
+    def nfc_normalize():
+        # Arrow-batched unicodedata NFC over every doc with a planted
+        # decomposed tail — times the pandas-UDF string lane
+        from jepl_spark.operators import text as T2
+
+        df = load_table(spark, sf_dir, "documents")
+        aug = F.concat(F.col("text"), F.lit(" Café Å tail"))
+        return _drain(df.select(
+            "doc_id", T2.nfc_normalize(aug).alias("t")))
+
+    def hist_percentiles():
+        # histogram sketch + deterministic percentile extraction per
+        # event_type — the mergeable streaming-percentile machinery
+        from jepl_spark.operators.stats import (
+            histogram_percentiles,
+            histogram_sketch,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        h = histogram_sketch(ev, "value", 50.0, group_by="event_type")
+        return _drain(histogram_percentiles(
+            h, [0.5, 0.9, 0.99], 50.0, group_by="event_type"))
+
     def minhash_against():
         # cross-corpus NEAR-dup: every 10th doc (lightly mutated) as
         # the delta vs the full corpus with PRE-BUILT signatures —
@@ -424,6 +447,8 @@ def batch_queries(spark, sf_dir):
         "extract_html": extract_html,
         "fix_encoding": fix_encoding,
         "minhash_against": minhash_against,
+        "nfc_normalize": nfc_normalize,
+        "hist_percentiles": hist_percentiles,
     }
 
 

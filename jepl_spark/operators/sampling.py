@@ -180,3 +180,81 @@ def deterministic_reservoir(
     if rank_col is not None:
         return out.withColumnRenamed("__rk", rank_col)
     return out.drop("__rk")
+
+
+def epoch_mix(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    seed: str = "epochs",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Training-mixture assembly by per-source EPOCH weights — the
+    up-sampling half of data mixing that ``stratified_hash_sample``
+    (rates <= 1) cannot express: weight 2.5 means every row of that
+    source appears twice and half the rows (hash-chosen,
+    deterministic) a third time, so the assembled corpus realizes the
+    published "epochs per source" recipe exactly (e.g. several epochs
+    of a small high-quality source against a fraction of a crawl).
+
+    Output: the input rows, each duplicated per its source's weight,
+    with ``epoch_col`` (0-based LongType copy index) appended —
+    downstream shuffling/packing treats copies as distinct rows.
+    Weight 0 drops the source; fractional parts reuse the 60-bit
+    ``kmv_hash`` membership decision, so the selection is a pure
+    function of (seed, source, id): partition-independent, resumable,
+    and replayable in the SQL oracle (same contract as hash_sample).
+    The fractional-epoch row subset is the SAME rows for epoch k and
+    any higher threshold would be — i.e. thresholds nest, so raising a
+    source's weight only ADDS copies, never reshuffles which rows
+    carry the extra epoch.
+
+    Scale shape: one JVM projection — the weight is a CASE literal,
+    copies come from exploding a per-row integer sequence (no join, no
+    shuffle; output size = sum of weights × source sizes, the
+    irreducible cost of materializing the mixture).  For pipelines
+    that can consume a (row, multiplicity) pair instead, skip this and
+    carry the count — this operator exists for sinks that need the
+    rows physically repeated (sequence packing, shard export)."""
+    for k, v in weights.items():
+        if v < 0:
+            raise ValueError(f"weight for {k!r} must be >= 0, got {v}")
+    if default_weight < 0:
+        raise ValueError(
+            f"default_weight must be >= 0, got {default_weight}"
+        )
+    if epoch_col in df.columns:
+        raise ValueError(f"column {epoch_col!r} already exists")
+    w = None
+    for name, wt in weights.items():
+        cond = F.col(source_col) == F.lit(name)
+        lit = F.lit(float(wt))
+        w = F.when(cond, lit) if w is None else w.when(cond, lit)
+    w = F.lit(float(default_weight)) if w is None else w.otherwise(
+        F.lit(float(default_weight))
+    )
+    full = F.floor(w).cast("long")
+    frac = w - full.cast("double")
+    # seed per source so retuning one source's weight leaves other
+    # sources' fractional-copy selections untouched (the
+    # stratified_hash_sample contract; same '|' caveat)
+    h = _sample_hash(
+        F.concat(
+            F.col(source_col).cast("string"),
+            F.lit("|"),
+            F.col(id_col).cast("string"),
+        ),
+        seed,
+    )
+    whole = F.when(
+        full >= 1, F.sequence(F.lit(0).cast("long"), full - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    extra = F.when(
+        (frac > 0) & (h < (frac * F.lit(float(_DOMAIN))).cast("long")),
+        F.array(full),
+    ).otherwise(F.array().cast("array<long>"))
+    return df.withColumn(
+        epoch_col, F.explode(F.concat(whole, extra))
+    )

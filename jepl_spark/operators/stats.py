@@ -361,3 +361,157 @@ def stream_windowed_topk(
             batch.unpersist()
 
     return counts, foreach_batch
+
+
+# -- fixed-bin histogram sketch ------------------------------------------------
+
+
+def _hist_bin(value_col: str, bin_width: float):
+    return F.floor(F.col(value_col) / F.lit(float(bin_width))).cast("long")
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    bin_width: float,
+    group_by: Optional[GroupCols] = None,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col`` per group: one row per
+    non-empty bin, ``bin = floor(value / bin_width)``, with its count.
+    The third distribution sketch next to KMV and CMS — and unlike the
+    Greenwald-Khanna percentile_approx sketch, the row form is
+    TRIVIALLY mergeable (sum counts by bin: daily → weekly → monthly
+    rollups, or shard → global) and exactly replayable by the SQL
+    oracle, at the cost of a caller-chosen VALUE-error bound
+    (≤ bin_width) instead of a rank-error bound.
+
+    NULL and NaN values carry no bin and are excluded (count them
+    upstream if the distinction matters).  Negative values bin
+    correctly (floor, not truncation).
+
+    Scale shape: one partially-aggregated exchange on
+    (group, bin) — hot bins absorb map-side; state/output is bounded
+    by value-range / bin_width per group, independent of row count."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    keys = _groups(group_by)
+    v = F.col(value_col)
+    return (
+        df.where(v.isNotNull() & ~F.isnan(v.cast("double")))
+        .groupBy(*keys, _hist_bin(value_col, bin_width).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_merge(
+    hists: DataFrame,
+    group_by: Optional[GroupCols] = None,
+) -> DataFrame:
+    """Merge histogram-sketch rows (same bin_width!) across shards /
+    windows / days: sum counts by (group, bin)."""
+    keys = _groups(group_by)
+    return hists.groupBy(*keys, "bin").agg(F.sum("n").alias("n"))
+
+
+def histogram_percentiles(
+    hist: DataFrame,
+    percentiles: Sequence[float],
+    bin_width: float,
+    group_by: Optional[GroupCols] = None,
+) -> DataFrame:
+    """Percentile estimates from histogram-sketch rows: for each group
+    and each p, the UPPER EDGE ``(bin + 1) · bin_width`` of the first
+    bin (ascending) whose cumulative count reaches ``ceil(p · total)``
+    — a deterministic, engine-replayable rule with value error
+    ≤ bin_width (the true p-quantile lies inside the chosen bin; its
+    upper edge is never below it and overshoots by less than one bin).
+
+    Output: group keys + (p double, est double), one row per (group,
+    p).  Percentiles must lie in (0, 1].
+
+    Scale shape: cumulative sum by a window over bins WITHIN each
+    group — safe precisely because the sketch bounded the per-group
+    row count to value-range / bin_width (this is a sketch
+    post-processor, never pointed at raw rows); then an explode of the
+    literal percentile list and a min-bin aggregation.  No data×data
+    join; cost is |groups| × bins."""
+    from pyspark.sql.window import Window
+
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    ps = sorted(set(float(p) for p in percentiles))
+    if not ps or any(not (0.0 < p <= 1.0) for p in ps):
+        raise ValueError(
+            f"percentiles must be non-empty and each in (0, 1], got "
+            f"{percentiles}"
+        )
+    keys = _groups(group_by)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("bin") \
+        if keys else Window.orderBy("bin")
+    cum = hist.select(
+        *keys, "bin", "n",
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__cum"),
+        F.sum("n").over(
+            Window.partitionBy(*[F.col(k) for k in keys]) if keys
+            else Window.partitionBy()
+        ).alias("__total"),
+    )
+    p_arr = F.explode(
+        F.array(*[F.lit(p) for p in ps])
+    ).alias("p")
+    return (
+        cum.select(*keys, "bin", "__cum", "__total", p_arr)
+        .where(
+            F.col("__cum") >= F.ceil(F.col("p") * F.col("__total"))
+        )
+        .groupBy(*keys, "p")
+        .agg(
+            ((F.min("bin") + 1) * F.lit(float(bin_width))).alias("est")
+        )
+    )
+
+
+def stream_windowed_histogram(
+    stream: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    watermark: str = "10 minutes",
+    bin_width: float = 1.0,
+    group_by: Optional[GroupCols] = None,
+) -> DataFrame:
+    """Streaming per-window histogram sketch: event-time windowed
+    (group, bin) counts, emitted once per window when the watermark
+    closes it (append mode) — streaming VALUE-DISTRIBUTION monitoring
+    (latency percentiles per window, score drift) with state bounded
+    by live-windows × groups × bins, never by row count.
+
+    Returns the windowed counts frame (window_start, window_end,
+    group keys, bin, n) ready for ``writeStream.outputMode("append")``
+    + the exactly-once sink; run ``histogram_percentiles`` (grouping
+    by window_start + the group keys) over the committed rows — or in
+    a foreachBatch — for per-window percentile estimates, and
+    ``histogram_merge`` to roll windows up to coarser horizons.
+
+    NULL/NaN values are excluded (the batch-sketch contract)."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    keys = _groups(group_by)
+    v = F.col(value_col)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .where(v.isNotNull() & ~F.isnan(v.cast("double")))
+        .groupBy(
+            F.window(F.col(ts_col), duration).alias("__w"),
+            *[F.col(k) for k in keys],
+            _hist_bin(value_col, bin_width).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            *keys, "bin", "n",
+        )
+    )

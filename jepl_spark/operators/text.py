@@ -441,6 +441,44 @@ def fix_encoding_sql(expr: str) -> str:
     return f"regexp_replace({sql}, '{CONTROL_CHARS_RE}', '', 'g')"
 
 
+def nfc_normalize(text: Column) -> Column:
+    """Unicode canonical composition (NFC, UAX #15): the curation step
+    that folds decomposed sequences (``e`` + COMBINING ACUTE) and
+    compatibility singletons (OHM SIGN → GREEK CAPITAL OMEGA) onto
+    their canonical forms — without it, visually identical documents
+    hash differently (defeating exact dedup), tokenizers split café
+    two ways, and vocab/OOV statistics double-count.
+
+    NFC only (not NFKC): canonical equivalence is lossless; the
+    compatibility foldings (ligatures, full-width forms) change
+    content and belong to a separate, opt-in step — and NFC is what
+    the DuckDB oracle (``nfc_normalize``, utf8proc) replays verbatim,
+    so the gate pins byte-exact agreement between the two engines'
+    UAX #15 implementations.
+
+    Scale shape: Arrow-batched pandas UDF (no JVM normalize builtin in
+    Spark 4.1) — a per-row string map with no shuffle; the ~flat cost
+    rides the same scan that already crosses to Python for any
+    adjacent UDF stage.  ASCII-only batches short-circuit inside
+    unicodedata (quick-check property).  NULL in → NULL out."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if t is not None else None
+        )
+
+    # `from __future__ import annotations` stringifies hints
+    # module-wide and pyspark's resolver rejects the strings — attach
+    # real class objects (the winnow_fingerprints workaround)
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_nfc, "string")(text)
+
+
 # ---------------------------------------------------------------------------
 # Repetition features (Gopher-rule style quality signals)
 

@@ -77,6 +77,17 @@ def main(argv: list[str]) -> int:
                    help="repair UTF-8-read-as-cp1252 mojibake and strip "
                         "stray control chars in --text-col right after "
                         "extraction, before any content stage")
+    p.add_argument("--nfc", action="store_true",
+                   help="Unicode NFC normalization of --text-col right "
+                        "after encoding repair: canonical composition so "
+                        "visually identical docs hash/tokenize alike")
+    p.add_argument("--epoch-weights", default=None,
+                   help="JSON object of per-source epoch weights (e.g. "
+                        "'{\"wiki\": 3.0, \"crawl\": 0.5}'): materialize "
+                        "the training mixture as the FINAL stage — rows "
+                        "duplicated per weight with an `epoch` column; "
+                        "unlisted sources default to 1.0")
+    p.add_argument("--epoch-source-col", default="source")
     p.add_argument("--boilerplate-max-df", type=int, default=None,
                    help="strip lines appearing in more than this many "
                         "distinct docs (before the quality gate, so "
@@ -201,6 +212,13 @@ def main(argv: list[str]) -> int:
     if args.fix_encoding:
         df = df.withColumn(args.text_col,
                            T.fix_encoding(F.col(args.text_col)))
+
+    # 0b3. Unicode NFC — after encoding repair (mojibake fixes can
+    #      emit decomposable sequences), before dedup/quality: NFC
+    #      folds visually-identical variants onto one byte form
+    if args.nfc:
+        df = df.withColumn(args.text_col,
+                           T.nfc_normalize(F.col(args.text_col)))
 
     # 0c. boilerplate strip — before the quality gate, so nav/footer
     #     lines cannot pollute the token/punct ratios it reads
@@ -363,6 +381,23 @@ def main(argv: list[str]) -> int:
         stages["packed_spans"] = spark.read.parquet(
             args.output + "_packing"
         ).count()
+
+    # 8. (optional) training-mixture assembly: per-source epoch
+    #    weights materialized as duplicated rows + epoch index — the
+    #    LAST stage, so every copy is of a fully curated doc
+    if args.epoch_weights:
+        import json as _json
+
+        from jepl_spark.operators.sampling import epoch_mix
+
+        weights = _json.loads(args.epoch_weights)
+        if not isinstance(weights, dict):
+            p.error("--epoch-weights must be a JSON object")
+        df = epoch_mix(
+            df, {k: float(v) for k, v in weights.items()},
+            source_col=args.epoch_source_col, id_col=args.id_col,
+        )
+        stages["after_epoch_mix"] = df.count()
 
     if not args.report_only:
         # partitioned by language: downstream per-language reads prune

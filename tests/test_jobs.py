@@ -579,3 +579,38 @@ def test_audio_ingest_job(spark, tmp_path, capsys):
     summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["admitted_clips"] == len(want)
     assert summary["dropped_clips"] == n - len(want)
+
+
+def test_corpus_pipeline_nfc_and_epoch_mix(spark, tmp_path, capsys):
+    """--nfc folds decomposed sequences before dedup; --epoch-weights
+    materializes the mixture as the final stage with an epoch column."""
+    import json as _json
+
+    from jobs.corpus_pipeline import main
+
+    rows = [
+        (i, f"src{i % 2}", f"document body number {i} Café menu")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    inp = str(tmp_path / "in")
+    df.write.parquet(inp)
+    out = str(tmp_path / "out")
+    rc = main([
+        "--input", inp, "--output", out,
+        "--nfc",
+        "--epoch-weights", _json.dumps({"src0": 2.0, "src1": 0.5}),
+        "--min-tokens", "1",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert "epoch" in got.columns
+    by = {r["source"]: r["count"]
+          for r in got.groupBy("source").count().collect()}
+    assert by["src0"] == 40              # 2.0 epochs of 20 docs
+    assert 0 < by.get("src1", 0) < 20    # ~half of 20
+    # NFC applied: no combining acute survives
+    import unicodedata
+    for r in got.select("text").limit(5).collect():
+        assert "́" not in r["text"]
+        assert "Café" in unicodedata.normalize("NFC", r["text"])

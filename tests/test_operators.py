@@ -1531,3 +1531,49 @@ def test_minhash_dedup_components_string_ids_end_to_end(spark):
         ).collect()
     )
     assert kept == ["u-a", "u-d"]
+
+
+# -- Unicode NFC normalization --------------------------------------------------
+
+
+def test_nfc_normalize_cases(spark):
+    from jepl_spark.operators.text import nfc_normalize
+
+    cases = [
+        ("Café menu", "Café menu"),          # combining acute
+        ("Ångström", "Ångström"),      # ring + diaeresis
+        ("Ω ohm", "Ω ohm"),              # singleton OHM SIGN
+        ("already composed é", "already composed é"),
+        ("plain ascii", "plain ascii"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], ["i", "t"]
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", nfc_normalize(F.col("t")).alias("n")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_nfc_normalize_idempotent_and_duckdb_parity(spark):
+    import duckdb
+
+    from jepl_spark.operators.text import nfc_normalize
+
+    texts = ["Café", "Å", "Ω", "ﬁle réﬂex", "x" * 50]
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    once = df.select(nfc_normalize(F.col("t")).alias("n"))
+    twice = once.select(nfc_normalize(F.col("n")).alias("n"))
+    assert [r["n"] for r in once.collect()] == [
+        r["n"] for r in twice.collect()
+    ]
+    con = duckdb.connect()
+    for t, r in zip(texts, once.collect()):
+        assert r["n"] == con.execute(
+            "select nfc_normalize(?)", [t]
+        ).fetchone()[0]

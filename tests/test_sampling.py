@@ -173,3 +173,63 @@ class TestNullIds:
                for r in S.hash_split(df, "doc_id",
                                      {"a": 0.5, "b": 0.5}).collect()}
         assert out[None] is None and out[1] in ("a", "b")
+
+
+# -- epoch mixing -------------------------------------------------------------
+
+
+def _mix_df(spark, n=1000):
+    return spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(n)], ["doc_id", "source"]
+    )
+
+
+def test_epoch_mix_counts_and_weights(spark):
+    from jepl_spark.operators.sampling import epoch_mix
+
+    df = _mix_df(spark)
+    out = epoch_mix(df, {"src0": 2.5, "src1": 0.5, "src2": 0.0})
+    by = {r["source"]: r["count"]
+          for r in out.groupBy("source").count().collect()}
+    assert by.get("src2") is None           # weight 0 drops the source
+    assert by["src3"] == 250                # default weight 1.0
+    assert 500 <= by["src0"] <= 750         # 2 full + ~half a third
+    assert 0 < by["src1"] < 250             # ~half of one epoch
+    # every full epoch present: each src0 row appears at least twice
+    twice = (
+        out.where(F.col("source") == "src0")
+        .groupBy("doc_id").count().where("count < 2").count()
+    )
+    assert twice == 0
+
+
+def test_epoch_mix_deterministic_and_nested(spark):
+    from jepl_spark.operators.sampling import epoch_mix
+
+    df = _mix_df(spark)
+    w = {"src0": 2.5, "src1": 0.5, "src2": 0.0}
+    a = sorted(map(tuple,
+                   epoch_mix(df, w).select("doc_id", "epoch").collect()))
+    b = sorted(map(tuple,
+                   epoch_mix(df.repartition(13), w)
+                   .select("doc_id", "epoch").collect()))
+    assert a == b  # partition-independent
+    # raising a weight only ADDS copies (thresholds nest)
+    s3 = set(map(tuple,
+                 epoch_mix(df, {**w, "src0": 2.8})
+                 .select("doc_id", "epoch").collect()))
+    assert set(a) <= s3
+
+
+def test_epoch_mix_validation(spark):
+    import pytest
+
+    from jepl_spark.operators.sampling import epoch_mix
+
+    df = _mix_df(spark, 4)
+    with pytest.raises(ValueError):
+        epoch_mix(df, {"src0": -1.0})
+    with pytest.raises(ValueError):
+        epoch_mix(df, {}, default_weight=-0.1)
+    with pytest.raises(ValueError):
+        epoch_mix(df.withColumn("epoch", F.lit(0)), {"src0": 2.0})

@@ -487,3 +487,144 @@ def test_stream_windowed_topk_batch_rank_salted_and_guarded(spark):
     assert sink.batches[3] == []
     fb(_topk_counts(spark, [(dt.datetime(2024, 1, 1, 18), "q", 1)]), 4)
     assert len(sink.batches[4]) == 1
+
+
+# -- histogram sketch ---------------------------------------------------------
+
+
+def test_histogram_sketch_counts_and_merge(spark):
+    from jepl_spark.operators.stats import histogram_merge, histogram_sketch
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in (-7.1, -0.1, 0.0, 0.9, 1.0, 4.9, 5.0)]
+        + [(None,), (float("nan"),)],
+        "v double",
+    )
+    h = {(r["bin"], r["n"]) for r in histogram_sketch(df, "v", 1.0).collect()}
+    assert h == {(-8, 1), (-1, 1), (0, 2), (1, 1), (4, 1), (5, 1)}
+    merged = histogram_merge(
+        histogram_sketch(df, "v", 1.0).unionByName(
+            histogram_sketch(df, "v", 1.0)
+        )
+    )
+    assert {(r["bin"], r["n"]) for r in merged.collect()} == {
+        (b, 2 * n) for b, n in h
+    }
+
+
+def test_histogram_percentiles_bound_and_exact_rule(spark):
+    """Estimate = upper edge of the first bin reaching ceil(p*total):
+    never below the true quantile, overshoot < bin_width."""
+    from jepl_spark.operators.stats import (
+        grouped_percentiles,
+        histogram_percentiles,
+        histogram_sketch,
+    )
+
+    rows = [(i % 4, float((i * 131) % 997)) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    bw = 10.0
+    est = {
+        (r["g"], r["p"]): r["est"]
+        for r in histogram_percentiles(
+            histogram_sketch(df, "v", bw, group_by="g"),
+            [0.5, 0.9, 1.0], bw, group_by="g",
+        ).collect()
+    }
+    exact = {
+        r["g"]: (r["p50"], r["p90"], r["p100"])
+        for r in grouped_percentiles(
+            df, "v", [0.5, 0.9, 1.0], group_by="g"
+        ).collect()
+    }
+    for g, (p50, p90, p100) in exact.items():
+        for p, true in ((0.5, p50), (0.9, p90), (1.0, p100)):
+            e = est[(g, p)]
+            assert true <= e <= true + bw, (g, p, true, e)
+
+
+def test_histogram_validation(spark):
+    import pytest
+
+    from jepl_spark.operators.stats import (
+        histogram_percentiles,
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        histogram_sketch(df, "v", 0.0)
+    h = histogram_sketch(df, "v", 1.0)
+    with pytest.raises(ValueError):
+        histogram_percentiles(h, [], 1.0)
+    with pytest.raises(ValueError):
+        histogram_percentiles(h, [0.0], 1.0)
+    with pytest.raises(ValueError):
+        histogram_percentiles(h, [1.1], 1.0)
+
+
+def test_stream_windowed_histogram_live(spark, tmp_path):
+    """Live availableNow run: per-window bins equal the batch sketch of
+    the same rows windowed the same way; late rows beyond the watermark
+    are dropped from their closed window."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from jepl_spark.operators.stats import stream_windowed_histogram
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+    from streaming_helpers import ts, write_batches
+
+    pa_schema = pa.schema(
+        [
+            pa.field("ts", pa.timestamp("us", tz="UTC")),
+            pa.field("v", pa.float64()),
+        ]
+    )
+    spark_schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    batches = [
+        [{"ts": ts(i), "v": float(i % 13)} for i in range(0, 60)],
+        [{"ts": ts(i), "v": float(i % 13)} for i in range(60, 120)],
+        # sentinel far-future batch flushes every real window
+        [{"ts": ts(100000), "v": 0.0}],
+    ]
+    src = str(tmp_path / "src")
+    write_batches(src, batches, pa_schema)
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    hist = stream_windowed_histogram(
+        file_stream(spark, src, spark_schema, max_files_per_trigger=1),
+        "v", ts_col="ts", duration="1 minute", watermark="10 seconds",
+        bin_width=5.0,
+    )
+    q = (
+        hist.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    fmt = "%Y-%m-%dT%H:%M:%S"
+    got = {
+        (r["window_start"].strftime(fmt), r["bin"], r["n"])
+        for r in sink.read_committed(spark)
+        .select("window_start", "bin", "n")
+        .collect()
+    }
+    # batch replay of the same windowing over the first 120 rows
+    want = {}
+    for i in range(120):
+        w = ts(60 * (i // 60)).strftime(fmt)
+        b = int(i % 13 // 5)
+        want[(w, b)] = want.get((w, b), 0) + 1
+    assert got == {(w, b, n) for (w, b), n in want.items()}
