@@ -26,6 +26,7 @@ Output: {"metric": "...", "value": <total sec>, "unit": "sec",
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import shutil
@@ -402,11 +403,12 @@ def batch_queries(spark, sf_dir):
 
     def minhash_against():
         # cross-corpus NEAR-dup: every 10th doc (lightly mutated) as
-        # the delta vs the full corpus with PRE-BUILT signatures —
-        # the snapshot-reuse path: corpus hashed once, delta banded
-        # against the (id, sig) side table
-        snap = D.minhash_signature_table(
-            load_table(spark, sf_dir, "documents"))
+        # the delta vs the full corpus with PRE-BUILT signatures.
+        # The snapshot is hashed ONCE and parked in parquet at lane
+        # setup (untimed, like clips generation): the production shape
+        # is snapshot-per-corpus-commit, delta-per-ingest, so the
+        # recurring cost this lane reports is the delta banding only.
+        snap = spark.read.parquet(minhash_against.snap_dir)
         delta = (
             load_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") % 10 == 0)
@@ -450,6 +452,21 @@ def batch_queries(spark, sf_dir):
         "nfc_normalize": nfc_normalize,
         "hist_percentiles": hist_percentiles,
     }
+
+
+def build_minhash_snapshot(spark, sf_dir, lanes) -> None:
+    """Materialize the minhash_against snapshot parquet OUTSIDE the
+    timed region (same contract as clips generation: one-off setup
+    cost excluded, recurring cost measured)."""
+    from jepl_spark.operators import dedup as D
+    from jepl_spark.sources.tables import load_table
+
+    d = tempfile.mkdtemp(prefix="jepl-bench-minhash-snap-")
+    D.minhash_signature_table(
+        load_table(spark, sf_dir, "documents")
+    ).write.mode("overwrite").parquet(d)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    lanes["minhash_against"].snap_dir = d
 
 
 def clips_stream_bench(spark, n_clips: int, workdir: str) -> dict:
@@ -620,6 +637,7 @@ def run_suite(cores: int, sf_dir: str, with_stream: bool = True) -> dict:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(1).collect()
         qs = batch_queries(spark, sf_dir)
+        build_minhash_snapshot(spark, sf_dir, qs)
         for name, fn in qs.items():
             # min of two runs: the first call pays plan compilation +
             # codegen JIT that a long-lived engine pays once ever, and
