@@ -2638,6 +2638,38 @@ def q_text_bpe_tokens(spark, sf_dir):
     )
 
 
+def q_dup_spans_docs(spark, sf_dir):
+    """Exact-substring dedup, span report (round-6 lane): merged
+    0-based token spans covered by any 5-token window whose exact
+    token sequence occurs more than once corpus-wide (Lee et al. 2022
+    policy, rolling-window-hash formulation — dedup.py docstring).
+    Spark keys windows by chained xxhash64; the oracle keys them by
+    the window STRING (equality of token tuples is the shared
+    semantics, identical modulo 64-bit collisions — the standing
+    contract of every hash-keyed dedup lane here).  k=5 keeps the
+    corpus's NATURAL duplication non-trivial: 1096 duplicated window
+    keys at sf0.01, 71 merged spans."""
+    df = load_table(spark, sf_dir, "documents")
+    return D.duplicated_token_spans(df, k=5, max_occurrences=1).select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+    )
+
+
+def q_substring_dedup_docs(spark, sf_dir):
+    """Exact-substring dedup, rewrite path: every token covered by a
+    duplicated 5-token window is removed and affected docs rebuild
+    from surviving tokens (space-joined); unaffected docs pass
+    through byte-identical.  The gate carries md5(clean) so the
+    ledger row stays narrow; NULL text maps to a sentinel hash."""
+    df = load_table(spark, sf_dir, "documents")
+    out = D.dedup_substrings(df, k=5, max_occurrences=1, out_col="clean")
+    return out.select(
+        "doc_id", F.md5(F.coalesce(F.col("clean"), F.lit("\0"))).alias("clean_md5")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness ledger
     caps at 50 entries (taking the FIRST 50 of this dict), so the
@@ -2667,6 +2699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mix_docs": q_epoch_mix_docs,
         "hist_percentiles_events": q_hist_percentiles_events,
         "stream_windowed_hist": q_stream_windowed_hist,
+        "dup_spans_docs": q_dup_spans_docs,
+        "substring_dedup_docs": q_substring_dedup_docs,
         # -- block 2: veterans rotated OUT of the round-5 window -------
         "window_session": q_window_session,
         "window_sliding": q_window_sliding,
@@ -4531,6 +4565,102 @@ def oracle_sql() -> dict[str, str]:
             ), m AS (SELECT epoch(max(ts)) AS mx FROM events)
             SELECT g.ws, g.event_type, g.bin, g.n FROM g, m
             WHERE g.ws + 21600 <= m.mx - 3600
+        """,
+        # exact-substring dedup: the oracle keys windows by the window
+        # STRING where Spark uses chained xxhash64 — identical token-
+        # tuple equality modulo 64-bit collisions (the standing
+        # contract of every hash-keyed dedup lane)
+        "dup_spans_docs": """
+            WITH tok AS (
+              SELECT doc_id,
+                     string_split_regex(
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                       '\\s+') AS t
+              FROM documents WHERE text IS NOT NULL
+            ),
+            idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 5 + 1)) AS i
+              FROM tok WHERE len(t) >= 5
+            ),
+            win AS (
+              SELECT doc_id, i - 1 AS s,
+                     array_to_string(t[i : i + 4], ' ') AS w
+              FROM idx
+            ),
+            dup AS (SELECT w FROM win GROUP BY w HAVING count(*) > 1),
+            starts AS (
+              SELECT doc_id, s FROM win WHERE w IN (SELECT w FROM dup)
+            ),
+            cov AS (
+              SELECT DISTINCT doc_id,
+                     unnest(generate_series(s, s + 4)) AS pos
+              FROM starts
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM cov
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) AS BIGINT) AS span_end
+            FROM isl GROUP BY doc_id, grp
+        """,
+        "substring_dedup_docs": """
+            WITH base AS (SELECT doc_id, text FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     string_split_regex(
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                       '\\s+') AS t
+              FROM base WHERE text IS NOT NULL
+            ),
+            idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 5 + 1)) AS i
+              FROM tok WHERE len(t) >= 5
+            ),
+            win AS (
+              SELECT doc_id, i - 1 AS s,
+                     array_to_string(t[i : i + 4], ' ') AS w
+              FROM idx
+            ),
+            dup AS (SELECT w FROM win GROUP BY w HAVING count(*) > 1),
+            starts AS (
+              SELECT doc_id, s FROM win WHERE w IN (SELECT w FROM dup)
+            ),
+            cov AS (
+              SELECT DISTINCT doc_id,
+                     unnest(generate_series(s, s + 4)) AS pos
+              FROM starts
+            ),
+            te AS (
+              SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+              FROM tok
+            ),
+            tke AS (
+              SELECT te.doc_id, te.i, te.t[te.i] AS tokv
+              FROM te LEFT JOIN cov
+                ON cov.doc_id = te.doc_id AND cov.pos = te.i - 1
+              WHERE cov.doc_id IS NULL
+            ),
+            reb AS (
+              SELECT doc_id,
+                     array_to_string(array_agg(tokv ORDER BY i), ' ')
+                       AS clean
+              FROM tke GROUP BY doc_id
+            ),
+            aff AS (SELECT DISTINCT doc_id FROM cov)
+            SELECT b.doc_id,
+                   md5(CASE WHEN b.text IS NULL THEN chr(0)
+                            WHEN aff.doc_id IS NULL THEN b.text
+                            ELSE coalesce(reb.clean, '') END) AS clean_md5
+            FROM base b
+            LEFT JOIN aff ON aff.doc_id = b.doc_id
+            LEFT JOIN reb ON reb.doc_id = b.doc_id
+                         AND aff.doc_id IS NOT NULL
         """,
         # audio near-dup pairs: the decision is deterministic with a
         # >= 15-bit Hamming margin on both sides (tests pin the

@@ -401,6 +401,14 @@ def batch_queries(spark, sf_dir):
         return _drain(histogram_percentiles(
             h, [0.5, 0.9, 0.99], 50.0, group_by="event_type"))
 
+    def substring_dedup():
+        # exact-substring (repeated 8-token window) dedup over the
+        # full documents corpus: window hashing map-side, ONE
+        # multiplicity exchange on the hash, rebuild only for the
+        # affected-doc subset (Lee et al. 2022 policy)
+        df = load_table(spark, sf_dir, "documents")
+        return _drain(D.dedup_substrings(df, k=8))
+
     def minhash_against():
         # cross-corpus NEAR-dup: every 10th doc (lightly mutated) as
         # the delta vs the full corpus with PRE-BUILT signatures.
@@ -451,6 +459,7 @@ def batch_queries(spark, sf_dir):
         "minhash_against": minhash_against,
         "nfc_normalize": nfc_normalize,
         "hist_percentiles": hist_percentiles,
+        "substring_dedup": substring_dedup,
     }
 
 

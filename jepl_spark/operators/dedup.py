@@ -1459,3 +1459,196 @@ def ngram_jaccard_pairs(
         out = out.localCheckpoint(eager=True)  # tiny: thresholded pairs
         base.unpersist()
     return out
+
+
+# -- exact substring (repeated k-token window) dedup -------------------------
+#
+# Lee et al., "Deduplicating Training Data Makes Language Models
+# Better" (ACL 2022, public): exact substrings repeated across a
+# corpus (licenses, boilerplate, quoted spam) measurably hurt LMs, and
+# removing ALL copies of any duplicated >=k-token span is the simple,
+# effective policy.  Their suffix-array construction is a single-node
+# design; the distributed re-expression here is the standard rolling
+# window-hash formulation: every k-token window hashes once, one
+# corpus-wide exchange counts window multiplicity, and only documents
+# that actually contain a duplicated window ever re-shuffle tokens.
+# The reference engine has no corpus surface (BASELINE.md: grammar
+# only); this lane is part of the mandated training-data toolbox.
+
+
+def _raw_tokens(text: Column) -> Column:
+    """Case-preserving whitespace tokens with anchored edge trim (the
+    _norm_tokens shape WITHOUT lower-casing — exact substring equality
+    is case-sensitive).  Empty / all-whitespace text yields the [""]
+    singleton, which k >= 2 windowing then ignores."""
+    return F.split(F.regexp_replace(text, r"^\s+|\s+$", ""), r"\s+")
+
+
+def window_hash_positions(text: Column, k: int) -> Column:
+    """Per-start-position chained 64-bit hashes of every k-token
+    window of ``_raw_tokens(text)`` — array index i (0-based via
+    posexplode) is the hash of tokens[i .. i+k-1].  Same
+    zip_with-over-shifted-arrays chain combine as
+    ``word_shingle_hashes`` (equal windows <=> equal token tuples <=>
+    equal chained hashes modulo 64-bit collisions), but positional:
+    no distinct, no short-text fallback — texts with fewer than k
+    tokens have no windows and yield the empty array.  Cost is
+    O(k * n_tokens) hashes per row, map-side only."""
+    toks = _raw_tokens(text)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def shifted(arr: Column, j: int) -> Column:
+        return F.slice(arr, j + 1, F.greatest(F.size(arr) - j, F.lit(0)))
+
+    combined = th
+    for j in range(1, k):
+        combined = F.zip_with(
+            combined, shifted(th, j), lambda p, c: F.xxhash64(p, c)
+        )
+    return F.slice(combined, 1, F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+
+
+def _covered_positions(
+    df: DataFrame,
+    k: int,
+    max_occurrences: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, __pos) of every token covered by a duplicated window.
+
+    Shape at scale: the posexplode emits (id, start, hash64) only —
+    text never leaves the row.  The multiplicity count is ONE exchange
+    on the window hash with map-side partial aggregation (the hot
+    hashes are exactly the duplicated ones, so combiners absorb them);
+    the join back re-shuffles the same ids-and-longs frame.  Token
+    coverage explodes k rows per duplicated window START — k * (number
+    of duplicated windows), proportional to the dup mass, not the
+    corpus."""
+    win = df.select(
+        F.col(id_col),
+        F.posexplode(window_hash_positions(F.col(text_col), k)).alias(
+            "__start", "__wh"
+        ),
+    )
+    dup = (
+        win.groupBy("__wh")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .where(F.col("__occ") > max_occurrences)
+        .select("__wh")
+    )
+    starts = win.join(dup, "__wh").select(id_col, "__start")
+    return starts.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("__start"), F.col("__start") + F.lit(k - 1))
+        ).alias("__pos"),
+    ).distinct()
+
+
+def duplicated_token_spans(
+    df: DataFrame,
+    k: int = 20,
+    max_occurrences: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Merged spans of duplicated k-token windows: one row per maximal
+    run of covered tokens, as ``(id_col, span_start, span_end)`` —
+    0-based INCLUSIVE token positions.  A window is duplicated when
+    its exact token sequence occurs more than ``max_occurrences``
+    times corpus-wide (total multiplicity: within-document repetition
+    counts, so a doc repeating its own k tokens flags itself).
+
+    Span merging is per-document gaps-and-islands (pos - row_number
+    over the doc's covered positions) — the window partitions by
+    document, so no single task ever sees more than one document's
+    positions."""
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if max_occurrences < 1:
+        raise ValueError(
+            f"max_occurrences must be >= 1, got {max_occurrences}"
+        )
+    covered = _covered_positions(df, k, max_occurrences, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    isl = covered.withColumn(
+        "__grp", F.col("__pos") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy(id_col, "__grp")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            F.max("__pos").alias("span_end"),
+        )
+        .drop("__grp")
+    )
+
+
+def dedup_substrings(
+    df: DataFrame,
+    k: int = 20,
+    max_occurrences: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Remove every token covered by a duplicated k-token window and
+    rebuild each affected document from its surviving tokens (joined
+    by single spaces — token-sequence semantics, like the suffix-array
+    original).  UNAFFECTED documents pass through byte-identical
+    (original whitespace preserved), and at real corpus scale they are
+    the overwhelming majority: the rebuild explode/regroup only ever
+    runs on the left-semi-filtered affected subset.  NULL text passes
+    through NULL; a fully-duplicated document becomes ''.
+
+    ``out_col`` writes the cleaned text to a new column instead of
+    replacing ``text_col``.  ``materialize`` (default True) eagerly
+    localCheckpoints the covered-position frame — it feeds THREE
+    consumers (affected filter, anti-join, and the affected-doc
+    marker), and without materialization each one re-runs the whole
+    window-hash + count pipeline over the corpus.  The checkpointed
+    frame is two longs per covered token: proportional to the dup
+    mass, not the corpus."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if max_occurrences < 1:
+        raise ValueError(
+            f"max_occurrences must be >= 1, got {max_occurrences}"
+        )
+    out_col = out_col or text_col
+    covered = _covered_positions(df, k, max_occurrences, text_col, id_col)
+    if materialize:
+        covered = covered.localCheckpoint(eager=True)
+    affected = covered.select(id_col).distinct()
+    toks_e = (
+        df.join(affected, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.posexplode(_raw_tokens(F.col(text_col))).alias(
+                "__pos", "__tok"
+            ),
+        )
+    )
+    kept = toks_e.join(covered, [id_col, "__pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+        ).alias("__clean")
+    )
+    base = df.join(
+        affected.withColumn("__aff", F.lit(True)), id_col, "left"
+    ).join(rebuilt, id_col, "left")
+    clean = (
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .when(F.col("__aff").isNull(), F.col(text_col))
+        .otherwise(F.coalesce(F.col("__clean"), F.lit("")))
+    )
+    return base.withColumn(out_col, clean).drop("__aff", "__clean")

@@ -9,6 +9,7 @@
         [--near-dedup-policy pairs|components] \\
         [--url-col url] [--html-col html] [--fix-encoding] \\
         [--boilerplate-max-df N] [--max-oov-rate R] \\
+        [--substring-dedup-k 20] \\
         [--audit-output <dir>] \\
         [--decontam-input <benchmark.parquet>] \\
         [--split train=0.9,val=0.1] [--chunk-tokens 512 | --pack-budget 4096] \\
@@ -111,6 +112,11 @@ def main(argv: list[str]) -> int:
                         "of whole documents")
     p.add_argument("--chunk-overlap", type=int, default=0)
     p.add_argument("--chunk-min-tail", type=int, default=1)
+    p.add_argument("--substring-dedup-k", type=int, default=None,
+                   help="exact-substring dedup: remove every token "
+                        "covered by a duplicated k-token window "
+                        "(corpus-wide multiplicity; Lee et al. 2022)")
+    p.add_argument("--substring-max-occurrences", type=int, default=1)
     p.add_argument("--lm-ref-input", default=None,
                    help="parquet of clean reference text (same text "
                         "column): train a bigram LM on it and drop docs "
@@ -289,6 +295,22 @@ def main(argv: list[str]) -> int:
         "near_dedup",
     )
     df = checkpoint_stage(df, "after_near_dedup")
+
+    # 4c. (optional) exact-substring dedup — Lee et al. 2022: remove
+    #     every copy of any >= k-token run duplicated corpus-wide.
+    #     AFTER doc-level dedup (survivors only pay the window-hash +
+    #     multiplicity exchange) and BEFORE the LM filter, so scores
+    #     read the deduplicated text.  Rewrites text in place; docs
+    #     are never dropped here (a fully-duplicated doc becomes '').
+    if args.substring_dedup_k is not None:
+        df = checkpoint_stage(
+            D.dedup_substrings(
+                df, k=args.substring_dedup_k,
+                max_occurrences=args.substring_max_occurrences,
+                text_col=args.text_col, id_col=args.id_col,
+            ),
+            "after_substring_dedup",
+        )
 
     # 4a. (optional) LM quality filter — CCNet-style: bigram model
     #     trained on the clean reference corpus ranks the survivors

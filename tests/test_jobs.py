@@ -614,3 +614,35 @@ def test_corpus_pipeline_nfc_and_epoch_mix(spark, tmp_path, capsys):
     for r in got.select("text").limit(5).collect():
         assert "́" not in r["text"]
         assert "Café" in unicodedata.normalize("NFC", r["text"])
+
+
+def test_corpus_pipeline_substring_dedup_stage(spark, tmp_path, capsys):
+    """--substring-dedup-k rewrites duplicated >=k-token runs out of
+    surviving docs (Lee et al. policy) after doc-level dedup: the two
+    docs sharing a 6-token license line keep their unique halves."""
+    shared = "licensed under the apache license version two"
+    docs = [
+        (0, f"alpha beta gamma delta epsilon {shared}"),
+        (1, f"{shared} zeta eta theta iota kappa"),
+        (2, "a completely different document about the spark engine"),
+    ]
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "clean")
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(src)
+
+    from jobs.corpus_pipeline import main
+
+    rc = main([
+        "--input", src, "--output", out,
+        "--min-tokens", "3", "--max-punct-ratio", "0.9",
+        "--near-dup-threshold", "0.9",
+        "--substring-dedup-k", "4",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["stages"]["after_substring_dedup"] == 3
+    got = {r["doc_id"]: r["text"] for r in
+           spark.read.parquet(out).collect()}
+    assert got[0] == "alpha beta gamma delta epsilon"
+    assert got[1] == "zeta eta theta iota kappa"
+    assert got[2] == "a completely different document about the spark engine"
