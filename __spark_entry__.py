@@ -2670,6 +2670,25 @@ def q_substring_dedup_docs(spark, sf_dir):
     )
 
 
+def q_audio_quality_admit(spark, sf_dir):
+    """Audio admission gate (round-6 lane): 600 synthetic clips with
+    planted defects — every i%11==4 re-encoded at 4x gain (codecs
+    clamp at the rails: clipping_ratio >= 0.16 measured, natural
+    content exactly 0.0) and every i%13==6 at 0.002x gain (whole clip
+    under the -40 dBFS floor: silence_ratio 1.0, natural < 0.04).
+    admit_clips decodes once in an Arrow worker (codec-aware rail
+    detection — ulaw rails at 0.9803, so a fixed 0.999 threshold can
+    never fire) and must flag EXACTLY the closed-form defect set,
+    clipping taking precedence; the oracle rebuilds that formula, per
+    the audio_fp_near_dups pattern (no SQL twin of codec decode
+    exists — the deterministic DECISION is the contract)."""
+    from jepl_spark.functions.audio_udfs import admit_clips
+    from jepl_spark.sources.clips import degraded_clips
+
+    clips = degraded_clips(spark, 600)
+    return admit_clips(clips).select("clip_id", "reject_reason")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness ledger
     caps at 50 entries (taking the FIRST 50 of this dict), so the
@@ -2701,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_hist": q_stream_windowed_hist,
         "dup_spans_docs": q_dup_spans_docs,
         "substring_dedup_docs": q_substring_dedup_docs,
+        "audio_quality_admit": q_audio_quality_admit,
         # -- block 2: veterans rotated OUT of the round-5 window -------
         "window_session": q_window_session,
         "window_sliding": q_window_sliding,
@@ -4661,6 +4681,16 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN aff ON aff.doc_id = b.doc_id
             LEFT JOIN reb ON reb.doc_id = b.doc_id
                          AND aff.doc_id IS NOT NULL
+        """,
+        # audio admission: planted defect set is closed-form in the
+        # clip index; clipping precedence mirrors admit_clips
+        "audio_quality_admit": """
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0')
+                     AS clip_id,
+                   CASE WHEN i % 11 = 4 THEN 'clipped'
+                        WHEN i % 13 = 6 THEN 'silent'
+                        ELSE NULL END AS reject_reason
+            FROM range(600) t(i)
         """,
         # audio near-dup pairs: the decision is deterministic with a
         # >= 15-bit Hamming margin on both sides (tests pin the

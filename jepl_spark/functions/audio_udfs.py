@@ -58,10 +58,33 @@ _STATS_SCHEMA = StructType(
 )
 
 
+_RAIL_CACHE: dict = {}
+
+
+def _codec_rail(codec: str) -> float:
+    """The decoded value a full-scale sample lands on for ``codec`` —
+    companded codecs rail WELL below 1.0 (measured: ulaw 0.9803, alaw
+    0.9844, pcm16 0.99997), so a fixed 0.999 clipping threshold can
+    never fire for ulaw/alaw content.  Derived from the codec itself
+    (decode(encode(1.0))) rather than a hand-typed table, so a new
+    codec registration stays correct automatically."""
+    r = _RAIL_CACHE.get(codec)
+    if r is None:
+        r = float(
+            audio.decode(
+                audio.encode(np.array([1.0], dtype=np.float32), codec), codec
+            )[0]
+        )
+        _RAIL_CACHE[codec] = r
+    return r
+
+
 @F.pandas_udf(_STATS_SCHEMA)
 def pcm_stats(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
     """Decode + reduce to scalar features inside the Python worker —
-    PCM never crosses back to the JVM (bandwidth-optimal path)."""
+    PCM never crosses back to the JVM (bandwidth-optimal path).
+    clipping_ratio counts samples at >= 99.9% of the CODEC's rail
+    value (_codec_rail), not a fixed 0.999 of full scale."""
     rms, peak, n, clip = [], [], [], []
     for blob, c in zip(b, codec):
         x = audio.decode(blob, c).astype(np.float64)
@@ -71,7 +94,7 @@ def pcm_stats(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
         rms.append(float(np.sqrt(np.mean(x * x))))
         peak.append(float(np.max(np.abs(x))))
         n.append(int(x.size))
-        clip.append(float(np.mean(np.abs(x) > 0.999)))
+        clip.append(float(np.mean(np.abs(x) >= 0.999 * _codec_rail(c))))
     return pd.DataFrame(
         {"rms": rms, "peak": peak, "n_samples": n, "clipping_ratio": clip}
     )
@@ -533,3 +556,78 @@ def fp_hamming(a: Column, b: Column) -> Column:
         F.lit(0),
         lambda acc, v: acc + v,
     )
+
+
+# -- audio quality / admission -------------------------------------------------
+
+_QUALITY_SCHEMA = StructType(
+    [
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("n_samples", IntegerType()),
+        StructField("clipping_ratio", DoubleType()),
+        StructField("silence_ratio", DoubleType()),
+        StructField("crest_db", DoubleType()),
+    ]
+)
+
+# -40 dBFS: the conventional "digital silence" floor for admission
+# checks — comfortably above the quantization noise of all three
+# codecs here and comfortably below any synthesized content
+_SILENCE_AMP = 10.0 ** (-40.0 / 20.0)
+
+
+@F.pandas_udf(_QUALITY_SCHEMA)
+def pcm_quality(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
+    """Decode + reduce to admission-quality scalars inside the worker
+    (pcm_stats plus silence ratio and crest factor; PCM never crosses
+    back to the JVM).  crest_db = 20*log10(peak/rms) — NULL for
+    digital-zero or empty clips."""
+    rms, peak, n, clip, sil, crest = [], [], [], [], [], []
+    for blob, c in zip(b, codec):
+        x = audio.decode(blob, c).astype(np.float64)
+        if x.size == 0:
+            rms.append(0.0); peak.append(0.0); n.append(0)
+            clip.append(0.0); sil.append(1.0); crest.append(None)
+            continue
+        ax = np.abs(x)
+        r = float(np.sqrt(np.mean(x * x)))
+        p = float(np.max(ax))
+        rms.append(r); peak.append(p); n.append(int(x.size))
+        clip.append(float(np.mean(ax >= 0.999 * _codec_rail(c))))
+        sil.append(float(np.mean(ax < _SILENCE_AMP)))
+        crest.append(
+            float(20.0 * np.log10(p / r)) if r > 0.0 else None
+        )
+    return pd.DataFrame(
+        {"rms": rms, "peak": peak, "n_samples": n,
+         "clipping_ratio": clip, "silence_ratio": sil, "crest_db": crest}
+    )
+
+
+def with_audio_quality(df: DataFrame, out_col: str = "aq") -> DataFrame:
+    return df.withColumn(out_col, pcm_quality(F.col("bytes"), F.col("codec")))
+
+
+def admit_clips(
+    df: DataFrame,
+    max_clipping_ratio: float = 0.05,
+    max_silence_ratio: float = 0.9,
+    quality_col: str = "aq",
+) -> DataFrame:
+    """Admission decision for an audio-ingest pipeline: adds
+    ``reject_reason`` ('empty' | 'clipped' | 'silent', first failing
+    check in that order) — NULL means admitted.  The quality struct
+    stays on the row for reporting; callers filter
+    ``reject_reason IS NULL`` to admit.  One Arrow decode pass, then
+    pure JVM CASE — no second look at the bytes."""
+    out = df if quality_col in df.columns else with_audio_quality(
+        df, quality_col
+    )
+    q = F.col(quality_col)
+    reason = (
+        F.when(q["n_samples"] == 0, F.lit("empty"))
+        .when(q["clipping_ratio"] > max_clipping_ratio, F.lit("clipped"))
+        .when(q["silence_ratio"] > max_silence_ratio, F.lit("silent"))
+    )
+    return out.withColumn("reject_reason", reason)

@@ -232,3 +232,54 @@ def planted_dup_clips(
         n, numPartitions=partitions or spark.sparkContext.defaultParallelism
     )
     return rng.mapInPandas(gen, schema=CLIP_SCHEMA)
+
+
+def degraded_clip_row(
+    i: int,
+    clip_every: int = 11,
+    clip_offset: int = 4,
+    silent_every: int = 13,
+    silent_offset: int = 6,
+    step_s: float = 1.0,
+) -> dict:
+    """Clip row with PLANTED quality defects for the admission gate:
+    every (i %% clip_every == clip_offset) clip re-encodes its wave at
+    4x gain (the codecs clamp at the rails -> heavy clipping, ratio
+    >= ~0.3 vs the natural 0.0 — synth amplitude caps at 0.9), and
+    every (i %% silent_every == silent_offset) clip at 0.002x gain
+    (whole clip below the -40 dBFS silence floor -> silence_ratio 1.0
+    vs the natural <~0.05).  When both trigger, clipping wins — the
+    same precedence admit_clips applies.  The defect set is
+    closed-form in clip_id, which is what the gate's SQL oracle
+    rebuilds."""
+    row = clip_row(i, step_s=step_s)
+    wave = audio.synth_wave(i, row["sr_hz"], row["dur_ms"])
+    if i % clip_every == clip_offset:
+        row["bytes"] = audio.encode(
+            np.clip(wave * 4.0, -1.0, 1.0).astype(np.float32), row["codec"]
+        )
+    elif i % silent_every == silent_offset:
+        row["bytes"] = audio.encode(
+            (wave * 0.002).astype(np.float32), row["codec"]
+        )
+    return row
+
+
+def degraded_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Distributed clips table with planted clipping/silence defects
+    (degraded_clip_row) — the fixture for the audio admission gate."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [degraded_clip_row(int(i)) for i in pdf["id"]]
+            )
+
+    rng = spark.range(
+        n, numPartitions=partitions or spark.sparkContext.defaultParallelism
+    )
+    return rng.mapInPandas(gen, schema=CLIP_SCHEMA)

@@ -8,8 +8,9 @@ jobs (clips_pipeline, serving) read.
         --audio-path <dir> --sink <dir> --checkpoint <dir> \\
         [--max-hamming 10] [--dur-tol-ms 25] \\
         [--exact-dedup-watermark "1 hour"]  # drop byte-identical first
+        [--max-clipping-ratio 0.05] [--max-silence-ratio 0.9] \\
         [--sink-protocol marker|manifest] \\
-        [--synthesize N] [--plant-dups]     # deterministic test corpus
+        [--synthesize N] [--plant-dups | --plant-degraded]
 
 Two admission filters, cheap first:
 
@@ -47,10 +48,22 @@ def main(argv: list[str]) -> int:
                         "stage")
     p.add_argument("--sink-protocol", choices=("marker", "manifest"),
                    default="marker")
+    p.add_argument("--max-clipping-ratio", type=float, default=None,
+                   help="quality admission: reject clips with more "
+                        "than this fraction of samples at the codec "
+                        "rail (decodes in its own Arrow pass, before "
+                        "fingerprinting — rejected clips never enter "
+                        "the near-dup store)")
+    p.add_argument("--max-silence-ratio", type=float, default=None,
+                   help="quality admission: reject clips with more "
+                        "than this fraction of samples under -40 dBFS")
     p.add_argument("--synthesize", type=int, default=0)
     p.add_argument("--plant-dups", action="store_true",
                    help="with --synthesize: plant a near-dup copy at "
                         "every 7th clip (test/demo corpus)")
+    p.add_argument("--plant-degraded", action="store_true",
+                   help="with --synthesize: plant clipped/silent "
+                        "defects (quality-admission test corpus)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -68,7 +81,15 @@ def main(argv: list[str]) -> int:
     )
 
     if args.synthesize:
-        gen = planted_dup_clips if args.plant_dups else clips_df
+        if args.plant_dups and args.plant_degraded:
+            p.error("--plant-dups and --plant-degraded are exclusive")
+        from jepl_spark.sources.clips import degraded_clips
+
+        gen = (
+            planted_dup_clips if args.plant_dups
+            else degraded_clips if args.plant_degraded
+            else clips_df
+        )
         gen(spark, args.synthesize).write.mode("overwrite").parquet(
             args.audio_path
         )
@@ -88,6 +109,23 @@ def main(argv: list[str]) -> int:
             .withWatermark("event_time", args.exact_dedup_watermark)
             .dropDuplicatesWithinWatermark(["__bh"])
             .drop("__bh")
+        )
+
+    if (args.max_clipping_ratio is not None
+            or args.max_silence_ratio is not None):
+        from pyspark.sql import functions as F
+
+        from jepl_spark.functions.audio_udfs import admit_clips
+
+        kw = {}
+        if args.max_clipping_ratio is not None:
+            kw["max_clipping_ratio"] = args.max_clipping_ratio
+        if args.max_silence_ratio is not None:
+            kw["max_silence_ratio"] = args.max_silence_ratio
+        stream = (
+            admit_clips(stream, **kw)
+            .where(F.col("reject_reason").isNull())
+            .drop("aq", "reject_reason")
         )
 
     sink_cls = (

@@ -286,3 +286,77 @@ def test_detect_speech_segments(spark):
         detect_speech_segments(df, frame_ms=0)
     with _pt.raises(ValueError):
         detect_speech_segments(df, min_silence_frames=0)
+
+
+def test_pcm_quality_known_arrays(spark):
+    """pcm_quality on hand-built waves: full-scale square -> clipping
+    1.0 / crest 0 dB; near-zero wave -> silence 1.0; empty -> NULLs."""
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import with_audio_quality
+    from jepl_spark.sources import audio as AU
+
+    rows = [
+        ("sq", AU.encode(np.ones(800, dtype=np.float32), "pcm16"), "pcm16"),
+        ("quiet", AU.encode(np.full(800, 1e-4, dtype=np.float32), "pcm16"),
+         "pcm16"),
+        ("empty", AU.encode(np.zeros(0, dtype=np.float32), "pcm16"),
+         "pcm16"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    got = {r.clip_id: r.aq.asDict()
+           for r in with_audio_quality(df).collect()}
+    assert got["sq"]["clipping_ratio"] == 1.0
+    assert abs(got["sq"]["crest_db"]) < 0.01
+    assert got["sq"]["silence_ratio"] == 0.0
+    assert got["quiet"]["silence_ratio"] == 1.0
+    assert got["quiet"]["clipping_ratio"] == 0.0
+    assert got["empty"]["n_samples"] == 0
+    assert got["empty"]["crest_db"] is None
+
+
+def test_codec_rail_detection(spark):
+    """A hard-clipped wave trips clipping detection under ALL three
+    codecs — companded codecs rail below 1.0, so the threshold must
+    derive from the codec (ulaw rails at 0.9803)."""
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import with_audio_quality
+    from jepl_spark.sources import audio as AU
+
+    t = np.arange(1600, dtype=np.float64) / 8000.0
+    wave = np.clip(
+        3.0 * np.sin(2 * np.pi * 440.0 * t), -1.0, 1.0
+    ).astype(np.float32)
+    rows = [(c, AU.encode(wave, c), c) for c in AU.CODECS]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    got = {r.clip_id: r.aq["clipping_ratio"]
+           for r in with_audio_quality(df).collect()}
+    for c in AU.CODECS:
+        assert got[c] > 0.3, (c, got[c])
+
+
+def test_admit_clips_reason_precedence(spark):
+    """An empty clip reports 'empty' even though its silence_ratio is
+    1.0; clipping wins over silence when both trip."""
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import admit_clips
+    from jepl_spark.sources import audio as AU
+
+    clipped_and_quiet_gap = np.concatenate([
+        np.ones(100, dtype=np.float32),           # rails
+        np.zeros(900, dtype=np.float32),          # silence 0.9 of samples
+    ])
+    rows = [
+        ("empty", AU.encode(np.zeros(0, dtype=np.float32), "pcm16"), "pcm16"),
+        ("both", AU.encode(clipped_and_quiet_gap, "pcm16"), "pcm16"),
+        ("fine", AU.encode(
+            (0.5 * np.sin(np.arange(800) / 8.0)).astype(np.float32),
+            "pcm16"), "pcm16"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    got = {r.clip_id: r.reject_reason
+           for r in admit_clips(df, max_clipping_ratio=0.05,
+                                max_silence_ratio=0.85).collect()}
+    assert got == {"empty": "empty", "both": "clipped", "fine": None}

@@ -646,3 +646,32 @@ def test_corpus_pipeline_substring_dedup_stage(spark, tmp_path, capsys):
     assert got[0] == "alpha beta gamma delta epsilon"
     assert got[1] == "zeta eta theta iota kappa"
     assert got[2] == "a completely different document about the spark engine"
+
+
+def test_audio_ingest_quality_admission(spark, tmp_path, capsys):
+    """--max-clipping-ratio/--max-silence-ratio reject exactly the
+    planted defect set (clipped at i%11==4, silent at i%13==6,
+    clipping precedence) before fingerprinting; survivors commit."""
+    import json as _json
+
+    from jobs.audio_ingest import main
+
+    n = 80
+    argv = [
+        "--audio-path", str(tmp_path / "a"),
+        "--sink", str(tmp_path / "sink"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--synthesize", str(n), "--plant-degraded",
+        "--max-clipping-ratio", "0.05",
+        "--max-silence-ratio", "0.9",
+    ]
+    assert main(argv) == 0
+    out = spark.read.parquet(str(tmp_path / "sink"))
+    got = sorted(r["clip_id"] for r in out.select("clip_id").collect())
+    want = sorted(
+        f"clip-{i:012d}" for i in range(n)
+        if not (i % 11 == 4 or i % 13 == 6)
+    )
+    assert got == want
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["admitted_clips"] == len(want)
