@@ -2694,14 +2694,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     caps at 50 entries (taking the FIRST 50 of this dict), so the
     window rotates each round to keep every gate driver-attested at
     most one round stale: round-6 lanes that have never been attested
-    lead (11: html/mojibake/url/cross-corpus lanes, the two audio
-    near-dup lanes, NFC, epoch mixing, and the histogram-sketch
-    batch + streaming pair), then 30 of the 36 oracle-checkable
-    veterans the round-5 window skipped (the r5 judge-rerun list
-    minus its 2 rows-only members; six sit just past the boundary,
-    each pinned by in-window siblings — see the past-the-window
-    comment), then the 9 jepl_* language anchors that stay in-window
-    every round.  Past the window: the r4/r5 lanes the CORRECTNESS_r05
+    lead (13: html/mojibake/url/cross-corpus lanes, the two audio
+    near-dup lanes, NFC, epoch mixing, the histogram-sketch batch +
+    streaming pair, substring-dedup spans, and audio admission), then
+    28 of the 36 oracle-checkable veterans the round-5 window skipped
+    (the r5 judge-rerun list minus its 2 rows-only members; those
+    past the boundary are each pinned by in-window siblings — see the
+    past-the-window comment), then the 9 jepl_* language anchors that
+    stay in-window every round.  Past the window: the r4/r5 lanes the CORRECTNESS_r05
     ledger just attested, plus the 2 rows-only gates — all still
     checked locally every round by ``tools/check_entry.py`` (every
     entry vs its DuckDB oracle) and by prior-round ledgers."""
@@ -2719,7 +2719,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_percentiles_events": q_hist_percentiles_events,
         "stream_windowed_hist": q_stream_windowed_hist,
         "dup_spans_docs": q_dup_spans_docs,
-        "substring_dedup_docs": q_substring_dedup_docs,
         "audio_quality_admit": q_audio_quality_admit,
         # -- block 2: veterans rotated OUT of the round-5 window -------
         "window_session": q_window_session,
@@ -2734,9 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_orders": q_bloom_prune_orders,
         "kmv_distinct_users": q_kmv_distinct_users,
         "rollup_cascade_events": q_rollup_cascade_events,
-        "text_token_count": q_text_token_count,
         "doc_fingerprint": q_doc_fingerprint,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "simhash_hamming_near_dups": q_simhash_hamming_near_dups,
@@ -2762,6 +2759,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jepl_div0_quirk": q_jepl_div0_quirk,
         "jepl_lineitem_rule": q_jepl_lineitem_rule,
         "jepl_orders_rule": q_jepl_orders_rule,
+        # substring_dedup_docs sits just past the fold by choice: its
+        # in-window sibling dup_spans_docs attests the same window-
+        # hash + multiplicity machinery (the rewrite step it adds is
+        # pinned by tests/test_substring_dedup.py's python-reference
+        # parity and the check_entry receipt), and keeping it here
+        # costs one fewer veteran its round-6 re-attestation
+        "substring_dedup_docs": q_substring_dedup_docs,
+        # text_token_count and ann_lsh_topk ceded their window slots
+        # to the two new round-6 gates: token_count is exercised
+        # in-window by text_quality (q_n_tokens) and the pack/oov
+        # lanes, the LSH index path by ann_topk_batch + ann_index_topk
+        "text_token_count": q_text_token_count,
+        "ann_lsh_topk": q_ann_lsh_topk,
         # -- past the window: attested by CORRECTNESS_r05 --------------
         # (six veterans rotated just past the boundary to make room
         # for the six round-6 lanes — each stays pinned by in-window

@@ -401,6 +401,18 @@ def batch_queries(spark, sf_dir):
         return _drain(histogram_percentiles(
             h, [0.5, 0.9, 0.99], 50.0, group_by="event_type"))
 
+    def audio_quality():
+        # decode + admission scalars (clipping/silence/crest) for 2000
+        # clips in one Arrow pass — PCM never crosses back to the JVM
+        from jepl_spark.functions.audio_udfs import admit_clips
+        from jepl_spark.sources.clips import degraded_clips
+
+        return _drain(
+            admit_clips(degraded_clips(spark, 2000)).select(
+                "clip_id", "reject_reason"
+            )
+        )
+
     def substring_dedup():
         # exact-substring (repeated 8-token window) dedup over the
         # full documents corpus: window hashing map-side, ONE
@@ -460,6 +472,7 @@ def batch_queries(spark, sf_dir):
         "nfc_normalize": nfc_normalize,
         "hist_percentiles": hist_percentiles,
         "substring_dedup": substring_dedup,
+        "audio_quality": audio_quality,
     }
 
 
