@@ -363,6 +363,28 @@ def main() -> int:
     got_topk = [r["k"] for r in sorted(csink.rows, key=lambda r: r["rank"])]
     assert got_topk == [str(i) for i in range(10)], got_topk
 
+    # round-6 lane: exact-substring dedup at corpus scale — every 9th
+    # doc carries the same 12-token "license" run appended; after
+    # dedup_substrings(k=8) NO document may still contain any 8-token
+    # window of it (the near-dup plant pairs also share long runs and
+    # are masked too — that IS the policy: remove all copies)
+    t0 = time.time()
+    lic = " ".join(f"lic{j}" for j in range(12))
+    aug = docs.withColumn(
+        "text",
+        F.when((d % 9 == 2),
+               F.concat(F.col("text"), F.lit(" " + lic)))
+        .otherwise(F.col("text")),
+    ).select("doc_id", "text")
+    cleaned = D.dedup_substrings(aug, k=8)
+    residual = cleaned.where(
+        F.col("text").contains("lic0 lic1 lic2 lic3 lic4 lic5 lic6 lic7")
+    ).count()
+    res["substring_rows"] = cleaned.count()
+    res["substring_residual"] = residual
+    res["substring_s"] = round(time.time() - t0, 1)
+    assert residual == 0 and res["substring_rows"] == n_docs
+
     print(json.dumps(res))
     spark.stop()
     return 0
