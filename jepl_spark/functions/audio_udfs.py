@@ -68,6 +68,12 @@ def _codec_rail(codec: str) -> float:
     never fire for ulaw/alaw content.  Derived from the codec itself
     (decode(encode(1.0))) rather than a hand-typed table, so a new
     codec registration stays correct automatically."""
+    if codec == "wav":
+        raise ValueError(
+            "'wav' is a container label, not a sample format — the rail "
+            "belongs to the RIFF header's inner codec; decode via "
+            "_decode_and_rail"
+        )
     r = _RAIL_CACHE.get(codec)
     if r is None:
         r = float(
@@ -79,6 +85,20 @@ def _codec_rail(codec: str) -> float:
     return r
 
 
+def _decode_and_rail(blob, c: str) -> tuple:
+    """Decode one blob and the clipping rail that applies to IT.  For
+    raw codecs the rail is the codec's own (decode(encode(1.0))); for
+    the 'wav' container label the sample format lives in the RIFF
+    header, so the rail comes from the INNER codec — a ulaw payload
+    inside a wav rails at 0.9803 exactly as a bare ulaw clip does."""
+    if c == "wav":
+        from jepl_spark.sources.containers import wav_decode
+
+        x, _sr, inner = wav_decode(bytes(blob))
+        return x.astype(np.float64), _codec_rail(inner)
+    return audio.decode(blob, c).astype(np.float64), _codec_rail(c)
+
+
 @F.pandas_udf(_STATS_SCHEMA)
 def pcm_stats(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
     """Decode + reduce to scalar features inside the Python worker —
@@ -87,14 +107,14 @@ def pcm_stats(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
     value (_codec_rail), not a fixed 0.999 of full scale."""
     rms, peak, n, clip = [], [], [], []
     for blob, c in zip(b, codec):
-        x = audio.decode(blob, c).astype(np.float64)
+        x, rail = _decode_and_rail(blob, c)
         if x.size == 0:
             rms.append(0.0); peak.append(0.0); n.append(0); clip.append(0.0)
             continue
         rms.append(float(np.sqrt(np.mean(x * x))))
         peak.append(float(np.max(np.abs(x))))
         n.append(int(x.size))
-        clip.append(float(np.mean(np.abs(x) >= 0.999 * _codec_rail(c))))
+        clip.append(float(np.mean(np.abs(x) >= 0.999 * rail)))
     return pd.DataFrame(
         {"rms": rms, "peak": peak, "n_samples": n, "clipping_ratio": clip}
     )
@@ -585,7 +605,7 @@ def pcm_quality(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
     digital-zero or empty clips."""
     rms, peak, n, clip, sil, crest = [], [], [], [], [], []
     for blob, c in zip(b, codec):
-        x = audio.decode(blob, c).astype(np.float64)
+        x, rail = _decode_and_rail(blob, c)
         if x.size == 0:
             rms.append(0.0); peak.append(0.0); n.append(0)
             clip.append(0.0); sil.append(1.0); crest.append(None)
@@ -594,7 +614,7 @@ def pcm_quality(b: pd.Series, codec: pd.Series) -> pd.DataFrame:
         r = float(np.sqrt(np.mean(x * x)))
         p = float(np.max(ax))
         rms.append(r); peak.append(p); n.append(int(x.size))
-        clip.append(float(np.mean(ax >= 0.999 * _codec_rail(c))))
+        clip.append(float(np.mean(ax >= 0.999 * rail)))
         sil.append(float(np.mean(ax < _SILENCE_AMP)))
         crest.append(
             float(20.0 * np.log10(p / r)) if r > 0.0 else None

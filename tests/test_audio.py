@@ -336,6 +336,38 @@ def test_codec_rail_detection(spark):
         assert got[c] > 0.3, (c, got[c])
 
 
+def test_codec_rail_wav_container_uses_inner_codec(spark):
+    """codec='wav' is a container label: the clipping rail must come
+    from the RIFF header's inner sample format.  A hard-clipped ulaw
+    payload inside a wav rails at 0.9803 — a naive full-scale 0.999
+    threshold would report zero clipping."""
+    import numpy as np
+    import pytest as _pt
+
+    from jepl_spark.functions.audio_udfs import (
+        _codec_rail,
+        with_audio_quality,
+    )
+    from jepl_spark.sources.containers import wav_encode
+
+    with _pt.raises(ValueError, match="container label"):
+        _codec_rail("wav")
+
+    t = np.arange(1600, dtype=np.float64) / 8000.0
+    wave = np.clip(
+        3.0 * np.sin(2 * np.pi * 440.0 * t), -1.0, 1.0
+    ).astype(np.float32)
+    rows = [
+        ("wav_ulaw", wav_encode(wave, 8000, "ulaw"), "wav"),
+        ("wav_pcm16", wav_encode(wave, 8000, "pcm16"), "wav"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    got = {r.clip_id: r.aq["clipping_ratio"]
+           for r in with_audio_quality(df).collect()}
+    for k, v in got.items():
+        assert v > 0.3, (k, v)
+
+
 def test_admit_clips_reason_precedence(spark):
     """An empty clip reports 'empty' even though its silence_ratio is
     1.0; clipping wins over silence when both trip."""
