@@ -651,3 +651,120 @@ def admit_clips(
         .when(q["silence_ratio"] > max_silence_ratio, F.lit("silent"))
     )
     return out.withColumn("reject_reason", reason)
+
+
+def speech_rate(
+    df: DataFrame,
+    frame_ms: int = 20,
+    energy_thr: float = 1e-6,
+    min_silence_frames: int = 3,
+    transcript_col: str = "transcript",
+) -> DataFrame:
+    """Transcript↔audio consistency features for paired clip +
+    transcript rows (the north-rule input shape): adds
+
+    - ``voiced_ms``  — total speech duration under the SAME framing /
+      qualification semantics as :func:`detect_speech_segments`
+      (voiced_ms == SUM of that function's segment ``dur_ms``), so the
+      two operators agree by construction;
+    - ``n_tokens``   — whitespace token count of the transcript
+      (0 for blank/NULL);
+    - ``tokens_per_voiced_s`` — the speech rate, NULL when nothing is
+      voiced.
+
+    A grossly out-of-band rate is the classic signature of a
+    misaligned or mis-paired transcript — the dominant defect class in
+    paired speech corpora — and is what :func:`admit_paired_clips`
+    gates on.
+
+    Scale shape: ONE stateless Arrow pass per clip computes voiced_ms
+    (decode + vectorized framing, like the VAD — no per-frame Python);
+    token counting and the rate are pure JVM expressions on the same
+    row, so there is NO shuffle and NO join — the transcript already
+    rides the input row.  Statelessness means the operator runs
+    unchanged on a Structured Streaming source (batching-invariant,
+    like detect_speech_segments)."""
+    if frame_ms <= 0:
+        raise ValueError(f"frame_ms must be positive, got {frame_ms}")
+    if min_silence_frames < 1:
+        raise ValueError(
+            f"min_silence_frames must be >= 1, got {min_silence_frames}"
+        )
+
+    def _voiced(b: pd.Series, codec: pd.Series, sr: pd.Series) -> pd.Series:
+        out = []
+        for blob, c, s in zip(b, codec, sr):
+            x = audio.decode(blob, c)
+            frame_n = int(s) * frame_ms // 1000
+            nf = x.size // frame_n if frame_n > 0 else 0
+            if nf == 0:
+                out.append(0)
+                continue
+            frames = x[: nf * frame_n].astype(np.float64).reshape(nf, frame_n)
+            silent = (frames * frames).mean(axis=1) < energy_thr
+            edges = np.flatnonzero(
+                np.diff(np.concatenate(([0], silent.view(np.int8), [0])))
+            )
+            gap = sum(
+                int(s1 - s0)
+                for s0, s1 in zip(edges[0::2], edges[1::2])
+                if s1 - s0 >= min_silence_frames
+            )
+            out.append((nf - gap) * frame_ms)
+        return pd.Series(out)
+
+    voiced_udf = F.pandas_udf(LongType())(_voiced)
+    t = F.trim(F.coalesce(F.col(transcript_col), F.lit("")))
+    return (
+        df.withColumn(
+            "voiced_ms",
+            voiced_udf(F.col("bytes"), F.col("codec"), F.col("sr_hz")),
+        )
+        .withColumn(
+            "n_tokens",
+            F.when(F.length(t) == 0, F.lit(0)).otherwise(
+                F.size(F.split(t, r"\s+"))
+            ).cast("long"),
+        )
+        .withColumn(
+            "tokens_per_voiced_s",
+            F.when(
+                F.col("voiced_ms") > 0,
+                F.col("n_tokens") / (F.col("voiced_ms") / F.lit(1000.0)),
+            ),
+        )
+    )
+
+
+def admit_paired_clips(
+    df: DataFrame,
+    min_tps: float = 1.0,
+    max_tps: float = 8.0,
+    **rate_kwargs,
+) -> DataFrame:
+    """Admission decision for (clip, transcript) PAIRS: adds
+    ``reject_reason`` — first failing check of
+
+    ``empty_pair`` (no speech AND no transcript) > ``empty_transcript``
+    (speech but nothing transcribed) > ``no_speech`` (transcript but
+    silent audio) > ``too_fast`` > ``too_slow`` (rate outside
+    [min_tps, max_tps] tokens per voiced second) — NULL = admitted.
+
+    Runs :func:`speech_rate` first unless its columns are already
+    present; the decision itself is pure JVM CASE, so the whole lane
+    stays one Arrow decode pass + codegen."""
+    out = df if "tokens_per_voiced_s" in df.columns else speech_rate(
+        df, **rate_kwargs
+    )
+    rate = F.col("tokens_per_voiced_s")
+    reason = (
+        F.when(
+            (F.col("voiced_ms") == 0) & (F.col("n_tokens") == 0),
+            F.lit("empty_pair"),
+        )
+        .when(F.col("n_tokens") == 0, F.lit("empty_transcript"))
+        .when(F.col("voiced_ms") == 0, F.lit("no_speech"))
+        .when(rate > max_tps, F.lit("too_fast"))
+        .when(rate < min_tps, F.lit("too_slow"))
+    )
+    return out.withColumn("reject_reason", reason)

@@ -336,6 +336,99 @@ def test_codec_rail_detection(spark):
         assert got[c] > 0.3, (c, got[c])
 
 
+def test_speech_rate_matches_vad_and_counts_tokens(spark):
+    """voiced_ms agrees with detect_speech_segments' segment sum by
+    construction across a parameter sweep; token counting handles
+    blank / NULL / multi-space transcripts; rate is NULL when nothing
+    is voiced."""
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import (
+        detect_speech_segments,
+        speech_rate,
+    )
+    from jepl_spark.sources import audio as AU
+
+    rows = []
+    for i in range(24):
+        sr = (8000, 16000)[i % 2]
+        dur = 300 + i * 97
+        wave = AU.synth_wave(i, sr, dur).copy()
+        frame_n = sr * 20 // 1000
+        f0, k = 1 + i % 5, 2 + i % 4
+        wave[f0 * frame_n:(f0 + k) * frame_n] = 0.0
+        if i % 7 == 0:
+            wave[:] = 0.0
+        txt = " ".join(f"w{j}" for j in range(i % 9))
+        if i % 5 == 0:
+            txt = "  " + txt + "  "          # stray whitespace
+        if i == 3:
+            txt = None
+        rows.append((f"c{i:03d}", AU.encode(wave, "pcm16"), "pcm16",
+                     sr, txt))
+    schema = ("clip_id string, bytes binary, codec string, "
+              "sr_hz int, transcript string")
+    df = spark.createDataFrame(rows, schema)
+
+    from pyspark.sql import functions as F
+
+    got = {r.clip_id: r for r in speech_rate(df).collect()}
+    segs = detect_speech_segments(df).groupBy("clip_id").agg(
+        F.sum("dur_ms").alias("v")).collect()
+    vad = {r.clip_id: r.v for r in segs}
+    for i in range(24):
+        cid = f"c{i:03d}"
+        assert got[cid].voiced_ms == vad.get(cid, 0), cid
+        want_tokens = 0 if i == 3 else i % 9
+        assert got[cid].n_tokens == want_tokens, cid
+        if got[cid].voiced_ms == 0:
+            assert got[cid].tokens_per_voiced_s is None
+        else:
+            assert abs(got[cid].tokens_per_voiced_s
+                       - want_tokens / (got[cid].voiced_ms / 1000.0)) < 1e-12
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        speech_rate(df, frame_ms=0)
+
+
+def test_admit_paired_clips_reasons(spark):
+    """Every reject_reason fires on a purpose-built pair; precedence
+    empty_pair > empty_transcript > no_speech > too_fast > too_slow."""
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import admit_paired_clips
+    from jepl_spark.sources import audio as AU
+
+    sr = 8000
+    voiced = (0.5 * np.sin(np.arange(sr, dtype=np.float64) / 8.0)) \
+        .astype(np.float32)                     # 1 s fully voiced
+    voiced3 = (0.5 * np.sin(np.arange(3 * sr, dtype=np.float64) / 8.0)) \
+        .astype(np.float32)                     # 3 s fully voiced
+    silent = np.zeros(sr, dtype=np.float32)
+    mk = AU.encode
+    rows = [
+        ("ok",    mk(voiced, "pcm16"), "pcm16", sr, "three token line"),
+        ("fast",  mk(voiced, "pcm16"), "pcm16", sr,
+         " ".join(["w"] * 20)),                  # 20 tps > 8
+        ("slow",  mk(voiced3, "pcm16"), "pcm16", sr, "one"),  # 0.33 tps
+        ("no_sp", mk(silent, "pcm16"), "pcm16", sr, "ghost words"),
+        ("no_tx", mk(voiced, "pcm16"), "pcm16", sr, ""),
+        ("both",  mk(silent, "pcm16"), "pcm16", sr, ""),
+    ]
+    schema = ("clip_id string, bytes binary, codec string, "
+              "sr_hz int, transcript string")
+    df = spark.createDataFrame(rows, schema)
+    got = {r.clip_id: r.reject_reason
+           for r in admit_paired_clips(df, min_tps=1.0,
+                                       max_tps=8.0).collect()}
+    assert got == {
+        "ok": None, "fast": "too_fast", "slow": "too_slow",
+        "no_sp": "no_speech", "no_tx": "empty_transcript",
+        "both": "empty_pair",
+    }
+
+
 def test_codec_rail_wav_container_uses_inner_codec(spark):
     """codec='wav' is a container label: the clipping rail must come
     from the RIFF header's inner sample format.  A hard-clipped ulaw
