@@ -576,6 +576,37 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_duration_batches_clips(spark, sf_dir):
+    """Duration-bucketed training-batch assembly (the audio twin of
+    pack_sequences — clips bucket instead of cutting) under the hard
+    signal: formula-generated clip durations → md5-hash shard →
+    duration bucket → deterministic (hash, id, dur) rank → fixed-size
+    batches.  Every output column (shard, bucket, batch index,
+    position) is integer arithmetic on the replayable hash, so DuckDB
+    reproduces the entire assignment bit-for-bit; zero-duration rows
+    (every 97th) must drop out."""
+    from jepl_spark.operators.batching import duration_batches
+
+    base = spark.range(0, 4000).select(
+        F.concat(
+            F.lit("clip-"), F.lpad(F.col("id").cast("string"), 6, "0")
+        ).alias("clip_id"),
+        F.when(F.col("id") % 97 == 0, F.lit(0))
+        .otherwise(F.lit(150) + (F.col("id") * 37) % 6000)
+        .cast("int")
+        .alias("dur_ms"),
+    )
+    out = duration_batches(base, batch_size=16, bucket_ms=500, shards=8)
+    return out.select(
+        "clip_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("batch_idx").cast("bigint").alias("batch_idx"),
+        F.col("pos_in_batch").cast("bigint").alias("pos_in_batch"),
+        F.col("dur_ms").cast("bigint").alias("dur_ms"),
+    )
+
+
 def q_lm_score_docs(spark, sf_dir):
     """Count-based bigram LM quality scoring (the CCNet perplexity-
     filter signal) under the hard signal: model trained on the corpus
@@ -2842,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_quality_admit": q_audio_quality_admit,
         "speech_rate_admit": q_speech_rate_admit,
         "stream_speech_rate": q_stream_speech_rate,
+        "duration_batches_clips": q_duration_batches_clips,
         # -- block 2: veterans rotated OUT of the round-5 window -------
         "window_session": q_window_session,
         "window_sliding": q_window_sliding,
@@ -2866,7 +2898,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": q_pii_scrub_docs,
         "repetition_docs": q_repetition_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
-        "interval_overlap_events": q_interval_overlap_events,
         "fingerprint_overlap_pairs": q_fingerprint_overlap_pairs,
         "image_decode_stats": q_image_decode_stats,
         # -- block 3: the 9 jepl_* language anchors (always in-window) -
@@ -2892,12 +2923,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lanes, the LSH index path by ann_topk_batch + ann_index_topk
         "text_token_count": q_text_token_count,
         "ann_lsh_topk": q_ann_lsh_topk,
-        # doc_fingerprint and split_train_val_test ceded their window
-        # slots to the two speech-rate gates: fingerprinting is
+        # doc_fingerprint, split_train_val_test, and
+        # interval_overlap_events ceded their window slots to the two
+        # speech-rate gates and duration_batches: fingerprinting is
         # exercised in-window by dedup_exact (same md5-of-normalized
-        # machinery), hash-membership splits by stratified_sample_docs
+        # machinery), hash-membership splits by stratified_sample_docs,
+        # interval banding by asof_join_events
         "doc_fingerprint": q_doc_fingerprint,
         "split_train_val_test": q_split_train_val_test,
+        "interval_overlap_events": q_interval_overlap_events,
         # -- past the window: attested by CORRECTNESS_r05 --------------
         # (six veterans rotated just past the boundary to make room
         # for the six round-6 lanes — each stays pinned by in-window
@@ -4441,6 +4475,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         # sequence packing: the full integer replay — hash shard,
         # running sum in (h, doc_id) order, cut points, span offsets
+        # duration bucketing: replay shard/bucket/rank/batch from the
+        # md5 hash + dur formula (pack_sequences' determinism recipe)
+        "duration_batches_clips": """
+            WITH c AS (
+              SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 6, '0')
+                       AS clip_id,
+                     CASE WHEN i % 97 = 0 THEN 0
+                          ELSE 150 + (i * 37) % 6000 END AS dur
+              FROM range(4000) t(i)
+            ),
+            h AS (
+              SELECT clip_id, CAST(dur AS BIGINT) AS dur,
+                     CAST(('0x' || substr(md5('bucket:' || clip_id), 1, 15))
+                          AS BIGINT) AS hh
+              FROM c WHERE dur > 0
+            ),
+            b AS (
+              SELECT clip_id, dur, hh, hh % 8 AS shard,
+                     dur // 500 AS bucket
+              FROM h
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY shard, bucket
+                       ORDER BY hh, clip_id, dur) - 1 AS rn
+              FROM b
+            )
+            SELECT clip_id,
+                   CAST(shard AS BIGINT) AS shard,
+                   CAST(bucket AS BIGINT) AS bucket,
+                   CAST(rn // 16 AS BIGINT) AS batch_idx,
+                   CAST(rn % 16 AS BIGINT) AS pos_in_batch,
+                   dur AS dur_ms
+            FROM r
+        """,
         "pack_sequences_docs": """
             WITH d AS (
               SELECT doc_id,

@@ -421,6 +421,37 @@ def batch_queries(spark, sf_dir):
         df = load_table(spark, sf_dir, "documents")
         return _drain(D.dedup_substrings(df, k=8))
 
+    def speech_rate():
+        # transcript↔voiced-duration consistency admission for 2000
+        # paired clips — one stateless Arrow VAD pass derives
+        # voiced_ms, token count / rate / reject CASE stay JVM-side
+        from jepl_spark.functions.audio_udfs import admit_paired_clips
+        from jepl_spark.sources.clips import clips_df
+
+        return _drain(
+            admit_paired_clips(clips_df(spark, 2000)).select(
+                "clip_id", "voiced_ms", "n_tokens", "reject_reason"
+            )
+        )
+
+    def duration_batches():
+        # duration-bucketed training-batch assembly over 200k clips'
+        # metadata (ids + durations only — bytes never enter the
+        # plan): ONE exchange on (shard, bucket), rank per group
+        from jepl_spark.operators.batching import (
+            duration_batches as assemble,
+        )
+
+        base = spark.range(0, 200_000).select(
+            F.concat(
+                F.lit("clip-"), F.lpad(F.col("id").cast("string"), 8, "0")
+            ).alias("clip_id"),
+            (F.lit(150) + (F.col("id") * 37) % 6000)
+            .cast("int").alias("dur_ms"),
+        )
+        return _drain(assemble(base, batch_size=16, bucket_ms=500,
+                               shards=64))
+
     def minhash_against():
         # cross-corpus NEAR-dup: every 10th doc (lightly mutated) as
         # the delta vs the full corpus with PRE-BUILT signatures.
@@ -473,6 +504,8 @@ def batch_queries(spark, sf_dir):
         "hist_percentiles": hist_percentiles,
         "substring_dedup": substring_dedup,
         "audio_quality": audio_quality,
+        "speech_rate": speech_rate,
+        "duration_batches": duration_batches,
     }
 
 

@@ -1,0 +1,93 @@
+"""duration_batches / batch_padding_report — determinism vs a python
+md5 reference, batching invariants, the padding bound, and hygiene."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from jepl_spark.operators.batching import batch_padding_report, duration_batches
+
+
+def _h(seed: str, cid: str) -> int:
+    return int(hashlib.md5(f"{seed}:{cid}".encode()).hexdigest()[:15], 16)
+
+
+def _reference(rows, batch_size, bucket_ms, shards, seed="bucket"):
+    """Pure-python duration_batches replica."""
+    keyed = []
+    for cid, dur in rows:
+        if cid is None or dur is None or dur <= 0:
+            continue
+        h = _h(seed, cid)
+        keyed.append((h % shards, dur // bucket_ms, h, cid, dur))
+    out = {}
+    groups = {}
+    for row in keyed:
+        groups.setdefault((row[0], row[1]), []).append(row)
+    for (shard, bucket), grp in groups.items():
+        grp.sort(key=lambda r: (r[2], r[3], r[4]))
+        for rn, (_, _, _, cid, dur) in enumerate(grp):
+            out[cid] = (shard, bucket, rn // batch_size,
+                        rn % batch_size, dur)
+    return out
+
+
+def test_duration_batches_matches_python_reference(spark):
+    rows = [(f"clip-{i:04d}", 200 + (i * 37) % 1801) for i in range(400)]
+    rows += [(None, 500), ("bad-zero", 0), ("bad-neg", -10),
+             ("bad-null", None)]
+    df = spark.createDataFrame(rows, "clip_id string, dur_ms int")
+    got = {
+        r.clip_id: (r.shard, r.bucket, r.batch_idx, r.pos_in_batch,
+                    r.dur_ms)
+        for r in duration_batches(df, batch_size=8, bucket_ms=250,
+                                  shards=4).collect()
+    }
+    assert got == _reference(rows, 8, 250, 4)
+
+
+def test_duration_batches_invariants(spark):
+    rows = [(f"c{i:05d}", 100 + (i * 53) % 5000) for i in range(1000)]
+    df = spark.createDataFrame(rows, "clip_id string, dur_ms int")
+    batches = duration_batches(df, batch_size=16, bucket_ms=500,
+                               shards=8).cache()
+    rep = batch_padding_report(batches).collect()
+    per_group = {}
+    for r in rep:
+        assert 1 <= r.n_clips <= 16
+        # padding bound: every clip within bucket_ms of the batch max
+        assert r.pad_ms <= r.n_clips * (500 - 1)
+        per_group.setdefault((r.shard, r.bucket), []).append(
+            (r.batch_idx, r.n_clips))
+    # only the LAST batch of a (shard, bucket) may be short, and
+    # batch indexes are contiguous from 0
+    for grp in per_group.values():
+        grp.sort()
+        assert [b for b, _ in grp] == list(range(len(grp)))
+        assert all(n == 16 for _, n in grp[:-1])
+    # bucket homogeneity: duration spread inside a bucket < bucket_ms
+    for r in batches.collect():
+        assert r.bucket == r.dur_ms // 500
+    batches.unpersist()
+
+
+def test_duration_batches_partitioning_invariant(spark):
+    rows = [(f"c{i}", 100 + i * 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "clip_id string, dur_ms int")
+    a = sorted(map(tuple, duration_batches(
+        df.coalesce(1), 3, 200, shards=4).collect()))
+    b = sorted(map(tuple, duration_batches(
+        df.repartition(13), 3, 200, shards=4).collect()))
+    assert a == b
+
+
+def test_duration_batches_validation(spark):
+    df = spark.createDataFrame([("a", 1)], "clip_id string, dur_ms int")
+    with pytest.raises(ValueError):
+        duration_batches(df, 0, 100)
+    with pytest.raises(ValueError):
+        duration_batches(df, 4, 0)
+    with pytest.raises(ValueError):
+        duration_batches(df, 4, 100, shards=0)
