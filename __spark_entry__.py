@@ -2650,6 +2650,51 @@ def q_audio_chunks(spark, sf_dir):
     )
 
 
+def q_chunk_pairs(spark, sf_dir):
+    """Paired-data chunking: chunk_clips windows + proportional
+    transcript alignment (uniform-rate fallback — tokens
+    [start·n_tok div n_total, end·n_tok div n_total) per chunk, text
+    re-joined).  Transcripts are rebuilt to formula token counts
+    ((i·13)%40 tokens 'w0 w1 …') so the oracle replays the chunk
+    boundary math AND every token span and chunk text string —
+    including overlapping spans (200 ms hop under 250 ms chunks),
+    empty transcripts, and dropped-tail token loss."""
+    from jepl_spark.functions.audio_udfs import (
+        align_transcript_to_chunks,
+        chunk_clips,
+    )
+    from jepl_spark.sources.clips import clips_df
+
+    clips = clips_df(spark, 400)
+    i = F.substring("clip_id", 6, 12).cast("int")
+    t = (i * 13) % 40
+    clips = clips.withColumn(
+        "transcript",
+        F.when(
+            t > 0,
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), t - 1),
+                    lambda j: F.concat(F.lit("w"), j.cast("string")),
+                ),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    out = align_transcript_to_chunks(
+        chunk_clips(clips, chunk_ms=250, hop_ms=200, min_tail_ms=100)
+    )
+    return out.select(
+        "clip_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start_sample").cast("bigint").alias("start_sample"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("tok_start").cast("bigint").alias("tok_start"),
+        F.col("tok_end").cast("bigint").alias("tok_end"),
+        "chunk_text",
+    )
+
+
 def q_pii_scrub_docs(spark, sf_dir):
     """PII redaction gate: inject a deterministic email/URL/IP/phone
     per document (built from doc_id IN SQL ON BOTH SIDES — the corpus
@@ -2874,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speech_rate_admit": q_speech_rate_admit,
         "stream_speech_rate": q_stream_speech_rate,
         "duration_batches_clips": q_duration_batches_clips,
+        "chunk_pairs": q_chunk_pairs,
         # -- block 2: veterans rotated OUT of the round-5 window -------
         "window_session": q_window_session,
         "window_sliding": q_window_sliding,
@@ -2882,10 +2928,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk_batch": q_ann_topk_batch,
+        # kmv_distinct_users ceded its slot to chunk_pairs: the KMV
+        # sketch core is r05-driver-attested via stream_kmv_windowed
         "ann_index_topk": q_ann_index_topk,
         "text_quality": q_text_quality,
         "bloom_prune_orders": q_bloom_prune_orders,
-        "kmv_distinct_users": q_kmv_distinct_users,
         "rollup_cascade_events": q_rollup_cascade_events,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -2923,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lanes, the LSH index path by ann_topk_batch + ann_index_topk
         "text_token_count": q_text_token_count,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "kmv_distinct_users": q_kmv_distinct_users,
         # doc_fingerprint, split_train_val_test, and
         # interval_overlap_events ceded their window slots to the two
         # speech-rate gates and duration_batches: fingerprinting is
@@ -3691,6 +3739,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start_frame * 20 AS BIGINT) AS start_ms,
                    CAST(n_frames * 20 AS BIGINT) AS dur_ms
             FROM segs
+        """,
+        # paired-data chunking: the audio_chunks boundary CTE plus the
+        # (i*13)%40 token formula — spans by integer div, chunk_text
+        # rebuilt as the same token range the Spark side slices out
+        "chunk_pairs": """
+            WITH c AS (
+              SELECT i,
+                     CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          ELSE 44100 END AS sr,
+                     200 + (i * 37) % 1801 AS dur,
+                     (i * 13) % 40 AS tok
+              FROM range(400) t(i)
+            ),
+            p AS (
+              SELECT i, tok,
+                     (sr * dur) // 1000 AS n,
+                     (sr * 250) // 1000 AS chunk_n,
+                     (sr * 200) // 1000 AS hop_n,
+                     (sr * 100) // 1000 AS tail_n
+              FROM c
+            ),
+            f AS (
+              SELECT i, tok, n, chunk_n, hop_n, tail_n,
+                     CASE WHEN n >= chunk_n
+                          THEN (n - chunk_n) // hop_n + 1 ELSE 0 END AS fulls
+              FROM p
+            ),
+            fc AS (
+              SELECT i, tok, n, unnest(range(fulls)) AS idx, hop_n, chunk_n
+              FROM f
+            ),
+            allc AS (
+              SELECT i, tok, n, idx AS chunk_idx,
+                     idx * hop_n AS start_sample, chunk_n AS n_samples
+              FROM fc
+              UNION ALL
+              SELECT i, tok, n, fulls, fulls * hop_n, n - fulls * hop_n
+              FROM f
+              WHERE fulls * hop_n < n AND (n - fulls * hop_n) >= tail_n
+            ),
+            s AS (
+              SELECT i, chunk_idx, start_sample, n_samples,
+                     (start_sample * tok) // n AS tok_start,
+                     ((start_sample + n_samples) * tok) // n AS tok_end
+              FROM allc
+            )
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(start_sample AS BIGINT) AS start_sample,
+                   CAST(n_samples AS BIGINT) AS n_samples,
+                   CAST(tok_start AS BIGINT) AS tok_start,
+                   CAST(tok_end AS BIGINT) AS tok_end,
+                   -- DuckDB array_to_string([]) is NULL, Spark
+                   -- concat_ws is '' — pin the Spark contract
+                   coalesce(array_to_string(
+                     list_transform(
+                       range(CAST(tok_start AS BIGINT),
+                             CAST(tok_end AS BIGINT)),
+                       j -> 'w' || CAST(j AS VARCHAR)),
+                     ' '), '') AS chunk_text
+            FROM s
         """,
         "audio_chunks": """
             WITH c AS (

@@ -229,6 +229,24 @@ def batch_queries(spark, sf_dir):
         return _drain(chunk_clips(clips, chunk_ms=250, hop_ms=200,
                                   min_tail_ms=100))
 
+    def chunk_align():
+        # paired-data chunking: the audio_chunk lane plus proportional
+        # transcript alignment — the alignment itself is pure codegen
+        # appended to the chunk map stage (no shuffle, no extra
+        # Python), so the delta vs audio_chunk is the honest price of
+        # the token spans + chunk_text strings
+        from jepl_spark.functions.audio_udfs import (
+            align_transcript_to_chunks,
+            chunk_clips,
+        )
+        from jepl_spark.sources.clips import clips_df
+
+        clips = clips_df(spark, 2000)
+        return _drain(align_transcript_to_chunks(
+            chunk_clips(clips, chunk_ms=250, hop_ms=200, min_tail_ms=100)
+        ).select("clip_id", "chunk_idx", "tok_start", "tok_end",
+                 "chunk_text"))
+
     def audio_near_dup():
         # audio near-dup pairs over 2000 clips with planted copies:
         # decode+fingerprint Arrow UDF, (sr, dur-bucket) blocking
@@ -506,6 +524,7 @@ def batch_queries(spark, sf_dir):
         "audio_quality": audio_quality,
         "speech_rate": speech_rate,
         "duration_batches": duration_batches,
+        "chunk_align": chunk_align,
     }
 
 

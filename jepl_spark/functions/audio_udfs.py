@@ -348,6 +348,10 @@ def chunk_clips(
         StructField("chunk_idx", IntegerType()),
         StructField("start_sample", LongType()),
         StructField("n_samples", IntegerType()),
+        # the clip's full decoded length — free at decode time, and it
+        # lets downstream per-chunk math (e.g. proportional transcript
+        # alignment) run with NO join back to the clip table
+        StructField("n_total", LongType()),
         StructField("sr_hz", IntegerType()),
         StructField("codec", StringType()),
         StructField("bytes", BinaryType()),
@@ -381,12 +385,12 @@ def chunk_clips(
                 fulls = (n - chunk_n) // hop_n + 1 if n >= chunk_n else 0
                 for idx in range(fulls):
                     s = idx * hop_n
-                    row = (cid, idx, s, chunk_n, sr, "pcm16",
+                    row = (cid, idx, s, chunk_n, n, sr, "pcm16",
                            audio.pcm16_encode(x[s : s + chunk_n]), tr)
                     rows.append(row + (et,) if has_ts else row)
                 ts = fulls * hop_n
                 if min_tail_ms > 0 and ts < n and (n - ts) >= tail_n:
-                    row = (cid, fulls, ts, n - ts, sr, "pcm16",
+                    row = (cid, fulls, ts, n - ts, n, sr, "pcm16",
                            audio.pcm16_encode(x[ts:]), tr)
                     rows.append(row + (et,) if has_ts else row)
             yield pd.DataFrame(
@@ -768,3 +772,72 @@ def admit_paired_clips(
         .when(rate < min_tps, F.lit("too_slow"))
     )
     return out.withColumn("reject_reason", reason)
+
+
+def align_transcript_to_chunks(
+    chunks: DataFrame,
+    transcript_col: str = "transcript",
+) -> DataFrame:
+    """Proportional transcript alignment for :func:`chunk_clips`
+    output: each chunk gets the token span whose PROPORTIONAL time
+    range it covers —
+
+      ``tok_start = start_sample · n_tokens div n_total``
+      ``tok_end   = (start_sample + n_samples) · n_tokens div n_total``
+
+    — plus ``chunk_text``, the transcript's tokens
+    [tok_start, tok_end) re-joined with single spaces.  This is the
+    standard uniform-rate fallback when no forced alignment exists:
+    deterministic, integer-exact, and monotone (a later chunk never
+    gets an earlier token).  Semantics that follow from the formula,
+    all intentional: overlapping chunks (hop < chunk) get overlapping
+    token spans; tokens over audio past the last kept chunk (a dropped
+    tail) are dropped with it; an empty transcript yields empty spans.
+
+    Scale shape: NO shuffle and NO Python — chunk rows already carry
+    the transcript and ``n_total`` (decode-time passthrough), so the
+    whole operator is whole-stage-codegen expressions appended to the
+    chunking map stage.  Token indexes use 64-bit integer division;
+    the ``start_sample · n_tokens`` product stays far inside int64
+    for any real clip (an hour at 48 kHz against a 10⁶-token
+    transcript is ~1.7e14)."""
+    from jepl_spark.operators.text import _tokens
+
+    for col in ("start_sample", "n_samples", "n_total"):
+        if col not in chunks.columns:
+            raise ValueError(
+                f"align_transcript_to_chunks needs chunk_clips output "
+                f"(missing column {col!r})"
+            )
+    toks = _tokens(F.col(transcript_col))
+    n_tok = F.size(toks).cast("long")
+    out = (
+        chunks.withColumn("__toks", toks)
+        .withColumn("__ntok", n_tok)
+        .withColumn(
+            "tok_start",
+            F.when(
+                F.col("n_total") > 0,
+                F.expr("(start_sample * __ntok) div n_total"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "tok_end",
+            F.when(
+                F.col("n_total") > 0,
+                F.expr("((start_sample + n_samples) * __ntok) div n_total"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "chunk_text",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("__toks"),
+                    (F.col("tok_start") + 1).cast("int"),
+                    (F.col("tok_end") - F.col("tok_start")).cast("int"),
+                ),
+            ),
+        )
+    )
+    return out.drop("__toks", "__ntok")

@@ -429,6 +429,85 @@ def test_admit_paired_clips_reasons(spark):
     }
 
 
+def _chunked(spark, n_samples, transcript, chunk_ms, hop_ms, tail_ms,
+             sr=1000):
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import chunk_clips
+    from jepl_spark.sources import audio as AU
+
+    wave = (0.4 * np.sin(np.arange(n_samples) / 5.0)).astype(np.float32)
+    df = spark.createDataFrame(
+        [("c0", AU.encode(wave, "pcm16"), "pcm16", sr, transcript)],
+        "clip_id string, bytes binary, codec string, sr_hz int, "
+        "transcript string",
+    )
+    return chunk_clips(df, chunk_ms=chunk_ms, hop_ms=hop_ms,
+                       min_tail_ms=tail_ms)
+
+
+def test_align_transcript_known_answer(spark):
+    """1000 samples, 4 non-overlapping 250-sample chunks, 8 tokens →
+    exactly 2 tokens per chunk, in order."""
+    from jepl_spark.functions.audio_udfs import align_transcript_to_chunks
+
+    out = align_transcript_to_chunks(
+        _chunked(spark, 1000, "a b c d e f g h", 250, 250, 0))
+    got = {r.chunk_idx: (r.tok_start, r.tok_end, r.chunk_text)
+           for r in out.collect()}
+    assert got == {0: (0, 2, "a b"), 1: (2, 4, "c d"),
+                   2: (4, 6, "e f"), 3: (6, 8, "g h")}
+
+
+def test_align_transcript_concat_property(spark):
+    """With hop == chunk and the tail kept, the chunk texts
+    concatenate back to the whole (trimmed) transcript; spans are
+    monotone and within bounds."""
+    from jepl_spark.functions.audio_udfs import align_transcript_to_chunks
+
+    txt = " ".join(f"t{i}" for i in range(13))
+    rows = sorted(
+        align_transcript_to_chunks(
+            _chunked(spark, 1037, txt, 300, 300, 1)).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert rows[-1].start_sample + rows[-1].n_samples == 1037
+    joined = " ".join(r.chunk_text for r in rows if r.chunk_text)
+    assert joined == txt
+    prev = 0
+    for r in rows:
+        assert r.tok_start == prev and r.tok_end >= r.tok_start
+        prev = r.tok_end
+    assert prev == 13
+
+
+def test_align_transcript_overlap_and_empty(spark):
+    """Overlapping chunks get overlapping spans; an empty transcript
+    yields empty spans and ''; missing n_total raises."""
+    import pytest as _pt
+
+    from jepl_spark.functions.audio_udfs import align_transcript_to_chunks
+
+    rows = sorted(
+        align_transcript_to_chunks(
+            _chunked(spark, 1000, "a b c d e f g h", 500, 250, 0)
+        ).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    spans = [(r.tok_start, r.tok_end) for r in rows]
+    assert spans == [(0, 4), (2, 6), (4, 8)]
+    assert rows[1].chunk_text == "c d e f"
+
+    empty = align_transcript_to_chunks(
+        _chunked(spark, 1000, "   ", 250, 250, 0)).collect()
+    assert all(r.tok_start == 0 and r.tok_end == 0 and r.chunk_text == ""
+               for r in empty)
+
+    with _pt.raises(ValueError, match="n_total"):
+        align_transcript_to_chunks(
+            _chunked(spark, 1000, "x", 250, 250, 0).drop("n_total"))
+
+
 def test_codec_rail_wav_container_uses_inner_codec(spark):
     """codec='wav' is a container label: the clipping rail must come
     from the RIFF header's inner sample format.  A hard-clipped ulaw
