@@ -607,6 +607,36 @@ def q_duration_batches_clips(spark, sf_dir):
     )
 
 
+def q_shard_export_clips(spark, sf_dir):
+    """Sized-shard export assignment (the WebDataset/tar-shard shape)
+    under the hard signal: formula clip sizes → md5-hash group →
+    deterministic (hash, id, size) order → running byte offset →
+    start-offset shard assignment (rows never split; a shard
+    overflows by at most one row).  The oracle replays group, order,
+    the cumulative sum, and the div — zero-size rows (every 89th)
+    must drop out."""
+    from jepl_spark.operators.batching import assign_shards
+
+    base = spark.range(0, 3000).select(
+        F.concat(
+            F.lit("clip-"), F.lpad(F.col("id").cast("string"), 6, "0")
+        ).alias("clip_id"),
+        F.when(F.col("id") % 89 == 0, F.lit(0))
+        .otherwise(F.lit(4000) + (F.col("id") * 173) % 60000)
+        .cast("int")
+        .alias("n_bytes"),
+    )
+    out = assign_shards(base, shard_bytes=262144, size_col="n_bytes",
+                        groups=8)
+    return out.select(
+        "clip_id",
+        F.col("group").cast("bigint").alias("group"),
+        F.col("shard_idx").cast("bigint").alias("shard_idx"),
+        F.col("group_offset").cast("bigint").alias("group_offset"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+    )
+
+
 def q_lm_score_docs(spark, sf_dir):
     """Count-based bigram LM quality scoring (the CCNet perplexity-
     filter signal) under the hard signal: model trained on the corpus
@@ -2920,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_speech_rate": q_stream_speech_rate,
         "duration_batches_clips": q_duration_batches_clips,
         "chunk_pairs": q_chunk_pairs,
+        "shard_export_clips": q_shard_export_clips,
         # -- block 2: veterans rotated OUT of the round-5 window -------
         "window_session": q_window_session,
         "window_sliding": q_window_sliding,
@@ -2940,7 +2971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "winnow_fingerprints": q_winnow_fingerprints,
         "asof_join_events": q_asof_join_events,
-        "cms_user_counts": q_cms_user_counts,
+        # cms_user_counts ceded its slot to shard_export_clips: the
+        # CMS core is r05-driver-attested via stream_cms_windowed
         "audio_chunks": q_audio_chunks,
         "pii_scrub_docs": q_pii_scrub_docs,
         "repetition_docs": q_repetition_docs,
@@ -2971,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "ann_lsh_topk": q_ann_lsh_topk,
         "kmv_distinct_users": q_kmv_distinct_users,
+        "cms_user_counts": q_cms_user_counts,
         # doc_fingerprint, split_train_val_test, and
         # interval_overlap_events ceded their window slots to the two
         # speech-rate gates and duration_batches: fingerprinting is
@@ -4584,6 +4617,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # sequence packing: the full integer replay — hash shard,
         # running sum in (h, doc_id) order, cut points, span offsets
+        # sized-shard export: replay group/order/cumsum/assignment
+        "shard_export_clips": """
+            WITH c AS (
+              SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 6, '0')
+                       AS clip_id,
+                     CASE WHEN i % 89 = 0 THEN 0
+                          ELSE 4000 + (i * 173) % 60000 END AS sz
+              FROM range(3000) t(i)
+            ),
+            h AS (
+              SELECT clip_id, CAST(sz AS BIGINT) AS sz,
+                     CAST(('0x' || substr(md5('shard:' || clip_id), 1, 15))
+                          AS BIGINT) AS hh
+              FROM c WHERE sz > 0
+            ),
+            g AS (SELECT clip_id, sz, hh, hh % 8 AS grp FROM h),
+            s AS (
+              SELECT *, CAST(sum(sz) OVER (
+                       PARTITION BY grp ORDER BY hh, clip_id, sz
+                       ROWS UNBOUNDED PRECEDING) - sz AS BIGINT) AS st
+              FROM g
+            )
+            SELECT clip_id,
+                   CAST(grp AS BIGINT) AS "group",
+                   CAST(st // 262144 AS BIGINT) AS shard_idx,
+                   st AS group_offset,
+                   sz AS n_bytes
+            FROM s
+        """,
         # duration bucketing: replay shard/bucket/rank/batch from the
         # md5 hash + dur formula (pack_sequences' determinism recipe)
         "duration_batches_clips": """

@@ -94,6 +94,78 @@ def duration_batches(
     )
 
 
+def assign_shards(
+    df: DataFrame,
+    shard_bytes: int,
+    size_col: str,
+    id_col: str = "clip_id",
+    groups: int = 64,
+    seed: str = "shard",
+) -> DataFrame:
+    """Assign rows to approximately-``shard_bytes``-sized output
+    shards for training-data export (the WebDataset/tar-shard shape:
+    a dataloader streams whole shards, so shards should be uniformly
+    sized and rows must never split across two).  Emits the input's
+    id and size plus
+
+      (group, shard_idx, group_offset)
+
+    where rows are taken in the deterministic (md5-hash, id, size)
+    order WITHIN a hash group and a row belongs to the shard its
+    START offset falls in: ``shard_idx = group_offset div
+    shard_bytes``.  A shard therefore overflows by at most one row —
+    the standard never-split compromise — and every shard except a
+    group's last holds ≥ ``shard_bytes - max_row_size + 1`` bytes.
+    ``group_offset`` is the row's start in the group's concatenated
+    byte stream (shard boundaries are NOT aligned to it once a row
+    overflows — a sequential shard writer keeps its own in-file
+    counter, which the deterministic order makes reproducible).
+
+    Rows with NULL ids or non-positive sizes drop out.  Determinism:
+    same recipe as :func:`duration_batches` / ``text.pack_sequences``
+    — a pure function of the data, invariant to partitioning and
+    cluster size, SQL-replayable.
+
+    Scale shape: rows carry (id, size, hash) only; ONE exchange on
+    ``group`` for the per-group running sum.  The cumulative sum is
+    sequential per group, so ``groups`` is the parallelism knob —
+    size it to the cluster's task slots; shard numbering is
+    per-group, so writers parallelize over (group, shard_idx)."""
+    if shard_bytes <= 0:
+        raise ValueError(f"shard_bytes must be positive, got {shard_bytes}")
+    if groups <= 0:
+        raise ValueError(f"groups must be positive, got {groups}")
+    from pyspark.sql.window import Window
+
+    from jepl_spark.operators.sampling import _sample_hash
+
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(size_col).cast("long").alias("__sz"),
+            _sample_hash(F.col(id_col), seed).alias("__h"),
+        )
+        .where(F.col("__h").isNotNull() & (F.col("__sz") > 0))
+        .withColumn("group", F.pmod(F.col("__h"), F.lit(groups)))
+    )
+    w = (
+        Window.partitionBy("group")
+        .orderBy("__h", id_col, "__sz")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("__sz").over(w) - F.col("__sz")).alias("__start")
+    return (
+        base.withColumn("__start", start)
+        .select(
+            F.col(id_col),
+            "group",
+            F.expr(f"__start div {int(shard_bytes)}").alias("shard_idx"),
+            F.col("__start").alias("group_offset"),
+            F.col("__sz").alias(size_col),
+        )
+    )
+
+
 def batch_padding_report(
     batches: DataFrame,
     dur_col: str = "dur_ms",

@@ -7,7 +7,11 @@ import hashlib
 
 import pytest
 
-from jepl_spark.operators.batching import batch_padding_report, duration_batches
+from jepl_spark.operators.batching import (
+    assign_shards,
+    batch_padding_report,
+    duration_batches,
+)
 
 
 def _h(seed: str, cid: str) -> int:
@@ -81,6 +85,59 @@ def test_duration_batches_partitioning_invariant(spark):
     b = sorted(map(tuple, duration_batches(
         df.repartition(13), 3, 200, shards=4).collect()))
     assert a == b
+
+
+def _shard_reference(rows, shard_bytes, groups, seed="shard"):
+    grouped = {}
+    for cid, sz in rows:
+        if cid is None or sz is None or sz <= 0:
+            continue
+        h = _h(seed, cid)
+        grouped.setdefault(h % groups, []).append((h, cid, sz))
+    out = {}
+    for g, grp in grouped.items():
+        grp.sort()
+        cum = 0
+        for h, cid, sz in grp:
+            out[cid] = (g, cum // shard_bytes, cum, sz)
+            cum += sz
+    return out
+
+
+def test_assign_shards_matches_python_reference(spark):
+    rows = [(f"clip-{i:04d}", 1 + (i * 131) % 4000) for i in range(500)]
+    rows += [(None, 10), ("z", 0), ("zz", -5)]
+    df = spark.createDataFrame(rows, "clip_id string, n_bytes int")
+    got = {r.clip_id: (r.group, r.shard_idx, r.group_offset, r.n_bytes)
+           for r in assign_shards(df, shard_bytes=10_000,
+                                  size_col="n_bytes",
+                                  groups=4).collect()}
+    assert got == _shard_reference(rows, 10_000, 4)
+
+
+def test_assign_shards_invariants(spark):
+    """Shard indexes are contiguous per group; every shard except a
+    group's last reaches past its nominal boundary (rows never split,
+    so the overflow row carries it across)."""
+    rows = [(f"c{i:04d}", 50 + (i * 17) % 900) for i in range(800)]
+    df = spark.createDataFrame(rows, "clip_id string, n_bytes int")
+    out = assign_shards(df, shard_bytes=5_000, size_col="n_bytes",
+                        groups=4).collect()
+    per_shard = {}
+    for r in out:
+        assert r.shard_idx == r.group_offset // 5_000
+        s = per_shard.setdefault((r.group, r.shard_idx),
+                                 {"end": 0, "n": 0})
+        s["end"] = max(s["end"], r.group_offset + r.n_bytes)
+        s["n"] += 1
+    by_group = {}
+    for (g, sidx), s in per_shard.items():
+        by_group.setdefault(g, []).append((sidx, s["end"]))
+    for g, shards in by_group.items():
+        shards.sort()
+        assert [s for s, _ in shards] == list(range(len(shards)))
+        for sidx, end in shards[:-1]:
+            assert end >= (sidx + 1) * 5_000
 
 
 def test_duration_batches_validation(spark):
