@@ -607,6 +607,28 @@ def q_duration_batches_clips(spark, sf_dir):
     )
 
 
+def q_time_mask_clips(spark, sf_dir):
+    """SpecAugment-style deterministic time masking: the mask PLAN
+    (md5-derived span per (seed, clip, mask index)) is the oracle-
+    checkable surface — DuckDB replays the hash, the length/start
+    modular arithmetic, and dur_eff's double floor from the clip
+    formulas.  The masked bytes themselves are byte-surgery in the
+    encoded domain, pinned by unit tests (zero codes inside the span,
+    bit-identical outside)."""
+    from jepl_spark.functions.audio_udfs import time_mask_clips
+    from jepl_spark.sources.clips import clips_df
+
+    out = time_mask_clips(clips_df(spark, 300), n_masks=2,
+                          max_mask_ms=150)
+    m = out.select("clip_id", F.explode("masks").alias("m"))
+    return m.select(
+        "clip_id",
+        F.col("m.mask_idx").cast("bigint").alias("mask_idx"),
+        F.col("m.start_ms").cast("bigint").alias("start_ms"),
+        F.col("m.len_ms").cast("bigint").alias("len_ms"),
+    )
+
+
 def q_shard_export_clips(spark, sf_dir):
     """Sized-shard export assignment (the WebDataset/tar-shard shape)
     under the hard signal: formula clip sizes → md5-hash group →
@@ -2951,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duration_batches_clips": q_duration_batches_clips,
         "chunk_pairs": q_chunk_pairs,
         "shard_export_clips": q_shard_export_clips,
+        "time_mask_clips": q_time_mask_clips,
         # -- block 2: veterans rotated OUT of the round-5 window -------
         "window_session": q_window_session,
         "window_sliding": q_window_sliding,
@@ -2969,7 +2992,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "simhash_hamming_near_dups": q_simhash_hamming_near_dups,
         "lang_id": q_lang_id,
-        "winnow_fingerprints": q_winnow_fingerprints,
         "asof_join_events": q_asof_join_events,
         # cms_user_counts ceded its slot to shard_export_clips: the
         # CMS core is r05-driver-attested via stream_cms_windowed
@@ -3004,6 +3026,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "kmv_distinct_users": q_kmv_distinct_users,
         "cms_user_counts": q_cms_user_counts,
+        # winnow_fingerprints ceded its slot to time_mask_clips: the
+        # winnowing machinery is attested in-window by
+        # fingerprint_overlap_pairs (same fingerprint core)
+        "winnow_fingerprints": q_winnow_fingerprints,
         # doc_fingerprint, split_train_val_test, and
         # interval_overlap_events ceded their window slots to the two
         # speech-rate gates and duration_batches: fingerprinting is
@@ -4617,6 +4643,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # sequence packing: the full integer replay — hash shard,
         # running sum in (h, doc_id) order, cut points, span offsets
+        # time masking: replay the md5 mask plan + dur_eff double
+        # floor from the clips_df formulas (the masked bytes are
+        # byte-surgery, pinned by unit tests)
+        "time_mask_clips": """
+            WITH c AS (
+              SELECT i,
+                     'clip-' || lpad(CAST(i AS VARCHAR), 12, '0')
+                       AS clip_id,
+                     CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          ELSE 44100 END AS sr,
+                     200 + (i * 37) % 1801 AS dur
+              FROM range(300) t(i)
+            ),
+            p AS (
+              SELECT clip_id,
+                     ((sr * dur) // 1000) * 1000 // sr AS dur_eff
+              FROM c
+            ),
+            m AS (
+              SELECT clip_id, dur_eff, unnest(range(2)) AS j FROM p
+            ),
+            l AS (
+              SELECT clip_id, j, dur_eff,
+                     1 + CAST(('0x' || substr(md5(
+                           'mask:' || clip_id || ':'
+                           || CAST(j AS VARCHAR) || ':L'), 1, 15))
+                         AS BIGINT) % 150 AS len_ms
+              FROM m
+            )
+            SELECT clip_id,
+                   CAST(j AS BIGINT) AS mask_idx,
+                   CAST(CAST(('0x' || substr(md5(
+                          'mask:' || clip_id || ':'
+                          || CAST(j AS VARCHAR) || ':S'), 1, 15))
+                        AS BIGINT)
+                        % greatest(1, dur_eff - len_ms + 1)
+                        AS BIGINT) AS start_ms,
+                   CAST(len_ms AS BIGINT) AS len_ms
+            FROM l
+        """,
         # sized-shard export: replay group/order/cumsum/assignment
         "shard_export_clips": """
             WITH c AS (

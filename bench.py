@@ -229,6 +229,20 @@ def batch_queries(spark, sf_dir):
         return _drain(chunk_clips(clips, chunk_ms=250, hop_ms=200,
                                   min_tail_ms=100))
 
+    def time_mask():
+        # SpecAugment time masking over 2000 clips: byte surgery in
+        # the encoded domain (no decode, no transcode) — the lane
+        # prices the md5 mask plan + splice, which is why it should
+        # sit well under any decode-bearing audio lane
+        from jepl_spark.functions.audio_udfs import time_mask_clips
+        from jepl_spark.sources.clips import clips_df
+
+        return _drain(
+            time_mask_clips(clips_df(spark, 2000), n_masks=2,
+                            max_mask_ms=150)
+            .select("clip_id", "bytes", "masks")
+        )
+
     def chunk_align():
         # paired-data chunking: the audio_chunk lane plus proportional
         # transcript alignment — the alignment itself is pure codegen
@@ -525,6 +539,7 @@ def batch_queries(spark, sf_dir):
         "speech_rate": speech_rate,
         "duration_batches": duration_batches,
         "chunk_align": chunk_align,
+        "time_mask": time_mask,
     }
 
 

@@ -774,6 +774,123 @@ def admit_paired_clips(
     return out.withColumn("reject_reason", reason)
 
 
+def time_mask_clips(
+    df: DataFrame,
+    n_masks: int = 2,
+    max_mask_ms: int = 100,
+    seed: str = "mask",
+) -> DataFrame:
+    """SpecAugment-style time masking (Park et al. 2019's time-mask
+    half, applied in the waveform domain): zero ``n_masks`` spans of
+    at most ``max_mask_ms`` per clip — the standard robustness
+    augmentation for speech training.
+
+    Masks are DETERMINISTIC, derived from md5 of (seed, clip_id,
+    mask_idx) exactly like the sampling/packing operators, so re-runs
+    and different cluster sizes mask identically and an SQL oracle
+    can replay the mask plan:
+
+      ``len_ms   = 1 + h(seed:id:j:L) mod max_mask_ms``
+      ``start_ms = h(seed:id:j:S) mod max(1, dur_eff - len_ms + 1)``
+
+    with ``dur_eff`` the clip duration floored to ms.  The row keeps
+    its schema and gains a ``masks`` array of (mask_idx, start_ms,
+    len_ms) structs — the requested spans; a span is clipped to the
+    clip's end in sample space if the integer math runs past it (only
+    possible on sub-``max_mask_ms`` clips).  Masks may overlap, as in
+    the paper.
+
+    Masking is BYTE SURGERY in the encoded domain: every codec here
+    (pcm16, G.711, and those inside a WAV container) is fixed
+    bytes-per-sample, so the masked span's samples are overwritten
+    with the codec's encoded-zero code and every other byte —
+    including the container header — is BIT-IDENTICAL to the input.
+    No decode, no transcode loss, and the pass is pure memory ops.
+
+    Scale shape: one ``mapInPandas`` pass, no shuffle, no per-row
+    Python plan nodes; change ``seed`` per epoch to draw fresh masks
+    without materializing augmented copies."""
+    if n_masks < 1:
+        raise ValueError(f"n_masks must be >= 1, got {n_masks}")
+    if max_mask_ms < 1:
+        raise ValueError(f"max_mask_ms must be >= 1, got {max_mask_ms}")
+    import hashlib
+
+    _ZERO_CODE: dict = {}
+
+    in_schema = df.schema
+    for col in ("clip_id", "bytes", "codec", "sr_hz"):
+        if col not in df.columns:
+            raise ValueError(f"time_mask_clips needs column {col!r}")
+    out_schema = StructType(
+        list(in_schema.fields)
+        + [
+            StructField(
+                "masks",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("mask_idx", IntegerType()),
+                            StructField("start_ms", LongType()),
+                            StructField("len_ms", LongType()),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    names = [f.name for f in in_schema.fields]
+
+    def _h60(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for row in zip(*(pdf[n] for n in names)):
+                vals = dict(zip(names, row))
+                cid, c, sr = vals["clip_id"], vals["codec"], int(vals["sr_hz"])
+                raw = bytes(vals["bytes"])
+                if c == "wav":
+                    from jepl_spark.sources.containers import (
+                        wav_payload_span,
+                    )
+
+                    eff_codec, _, off, plen = wav_payload_span(raw)
+                else:
+                    eff_codec, off, plen = c, 0, len(raw)
+                zb = _ZERO_CODE.get(eff_codec)
+                if zb is None:
+                    zb = bytes(
+                        audio.encode(np.zeros(1, dtype=np.float32),
+                                     eff_codec)
+                    )
+                    _ZERO_CODE[eff_codec] = zb
+                bps = len(zb)
+                n_samp = plen // bps
+                dur_eff = n_samp * 1000 // sr if sr > 0 else 0
+                buf = bytearray(raw)
+                masks = []
+                for j in range(n_masks):
+                    ln = 1 + _h60(f"{seed}:{cid}:{j}:L") % max_mask_ms
+                    st = _h60(f"{seed}:{cid}:{j}:S") % max(
+                        1, dur_eff - ln + 1
+                    )
+                    masks.append(
+                        {"mask_idx": j, "start_ms": st, "len_ms": ln}
+                    )
+                    s0 = min(st * sr // 1000, n_samp)
+                    s1 = min(s0 + ln * sr // 1000, n_samp)
+                    buf[off + s0 * bps : off + s1 * bps] = zb * (s1 - s0)
+                vals["bytes"] = bytes(buf)
+                out_rows.append(tuple(vals[n] for n in names) + (masks,))
+            yield pd.DataFrame(
+                out_rows, columns=names + ["masks"]
+            )
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def align_transcript_to_chunks(
     chunks: DataFrame,
     transcript_col: str = "transcript",

@@ -215,6 +215,45 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int, str]:
         ) from e
 
 
+def wav_payload_span(buf: bytes) -> tuple[str, int, int, int]:
+    """Locate the data chunk WITHOUT decoding: → (inner codec,
+    sample rate, payload byte offset, payload byte length).  Lets
+    encoded-domain editors (e.g. time masking) splice samples in
+    place while every other byte of the container stays bit-identical.
+    Same ValueError-only contract as wav_decode."""
+    try:
+        if bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        pos, n = 12, len(buf)
+        fmt_code = sr = channels = None
+        span = None
+        while pos + 8 <= n:
+            cid = bytes(buf[pos : pos + 4])
+            (ln,) = struct.unpack_from("<I", buf, pos + 4)
+            if pos + 8 + ln > n:
+                raise ValueError("WAV chunk overruns buffer")
+            if cid == b"fmt ":
+                fmt_code, channels, sr = struct.unpack_from(
+                    "<HHI", buf, pos + 8
+                )
+            elif cid == b"data":
+                span = (pos + 8, ln)
+            pos += 8 + ln + (ln & 1)
+        if fmt_code is None or span is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        if channels != 1:
+            raise ValueError(f"only mono WAV supported, got {channels}")
+        if fmt_code not in _CODEC_OF_WAV_FMT:
+            raise ValueError(f"unsupported WAV format code {fmt_code}")
+        return _CODEC_OF_WAV_FMT[fmt_code], int(sr), span[0], span[1]
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(
+            f"corrupt or unsupported WAV ({type(e).__name__}: {e})"
+        ) from e
+
+
 def _wav_decode_impl(buf: bytes) -> tuple[np.ndarray, int, str]:
     if bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")

@@ -9,6 +9,7 @@ jobs (clips_pipeline, serving) read.
         [--max-hamming 10] [--dur-tol-ms 25] \\
         [--exact-dedup-watermark "1 hour"]  # drop byte-identical first
         [--max-clipping-ratio 0.05] [--max-silence-ratio 0.9] \\
+        [--min-tps 1.0 --max-tps 8.0]  # transcript-rate pair admission
         [--sink-protocol marker|manifest] \\
         [--synthesize N] [--plant-dups | --plant-degraded]
 
@@ -57,6 +58,14 @@ def main(argv: list[str]) -> int:
     p.add_argument("--max-silence-ratio", type=float, default=None,
                    help="quality admission: reject clips with more "
                         "than this fraction of samples under -40 dBFS")
+    p.add_argument("--min-tps", type=float, default=None,
+                   help="pair admission: reject clips whose transcript "
+                        "rate (tokens per voiced second, VAD framing) "
+                        "is below this — the misaligned-transcript "
+                        "filter; requires --max-tps")
+    p.add_argument("--max-tps", type=float, default=None,
+                   help="pair admission: reject clips whose transcript "
+                        "rate is above this; requires --min-tps")
     p.add_argument("--synthesize", type=int, default=0)
     p.add_argument("--plant-dups", action="store_true",
                    help="with --synthesize: plant a near-dup copy at "
@@ -126,6 +135,25 @@ def main(argv: list[str]) -> int:
             admit_clips(stream, **kw)
             .where(F.col("reject_reason").isNull())
             .drop("aq", "reject_reason")
+        )
+
+    if (args.min_tps is None) != (args.max_tps is None):
+        p.error("--min-tps and --max-tps must be given together")
+    if args.min_tps is not None:
+        # transcript↔audio consistency: stateless Arrow voiced_ms +
+        # JVM rate CASE, so it composes with the streaming plan like
+        # the quality stage above (decode pass #2 of at most 3 —
+        # rejected pairs never reach the fingerprint stage)
+        from pyspark.sql import functions as F
+
+        from jepl_spark.functions.audio_udfs import admit_paired_clips
+
+        stream = (
+            admit_paired_clips(stream, min_tps=args.min_tps,
+                               max_tps=args.max_tps)
+            .where(F.col("reject_reason").isNull())
+            .drop("voiced_ms", "n_tokens", "tokens_per_voiced_s",
+                  "reject_reason")
         )
 
     sink_cls = (

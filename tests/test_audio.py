@@ -429,6 +429,97 @@ def test_admit_paired_clips_reasons(spark):
     }
 
 
+def test_time_mask_clips_deterministic_and_zeroed(spark):
+    """Mask metadata matches the md5 formula; samples inside every
+    span decode to exact zero, samples outside are untouched
+    (pcm16 roundtrip is bit-exact); same seed reproduces, a different
+    seed moves at least one mask."""
+    import hashlib
+
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import time_mask_clips
+    from jepl_spark.sources import audio as AU
+
+    def h60(k):
+        return int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+
+    sr = 8000
+    rows = []
+    waves = {}
+    for i in range(6):
+        n = sr * (300 + 370 * i) // 1000
+        w = (0.4 * np.sin(np.arange(n) / 3.0) + 0.2).astype(np.float32)
+        cid = f"c{i}"
+        waves[cid] = AU.decode(AU.encode(w, "pcm16"), "pcm16")
+        rows.append((cid, AU.encode(w, "pcm16"), "pcm16", sr))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int")
+
+    out = {r.clip_id: r for r in time_mask_clips(
+        df, n_masks=2, max_mask_ms=120).collect()}
+    for cid, orig in waves.items():
+        dur_eff = orig.size * 1000 // sr
+        got = [(m.mask_idx, m.start_ms, m.len_ms)
+               for m in out[cid].masks]
+        want, spans = [], []
+        for j in range(2):
+            ln = 1 + h60(f"mask:{cid}:{j}:L") % 120
+            st = h60(f"mask:{cid}:{j}:S") % max(1, dur_eff - ln + 1)
+            want.append((j, st, ln))
+            spans.append((st * sr // 1000,
+                          st * sr // 1000 + ln * sr // 1000))
+        assert got == want, cid
+        dec = AU.decode(bytes(out[cid].bytes), "pcm16")
+        mask = np.zeros(orig.size, dtype=bool)
+        for a, b in spans:
+            mask[a:b] = True
+        assert np.all(dec[mask] == 0.0)
+        assert np.array_equal(dec[~mask], orig[~mask])
+
+    again = {r.clip_id: [(m.mask_idx, m.start_ms, m.len_ms)
+                         for m in r.masks]
+             for r in time_mask_clips(df, n_masks=2,
+                                      max_mask_ms=120).collect()}
+    moved = {r.clip_id: [(m.mask_idx, m.start_ms, m.len_ms)
+                         for m in r.masks]
+             for r in time_mask_clips(df, n_masks=2, max_mask_ms=120,
+                                      seed="epoch2").collect()}
+    assert all(again[c] == [(m.mask_idx, m.start_ms, m.len_ms)
+                            for m in out[c].masks] for c in waves)
+    assert any(moved[c] != again[c] for c in waves)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        time_mask_clips(df, n_masks=0)
+    with _pt.raises(ValueError):
+        time_mask_clips(df, max_mask_ms=0)
+
+
+def test_time_mask_clips_wav_container(spark):
+    """codec='wav' rows re-encode through the container with the
+    inner codec preserved; the masked span decodes to (near-)zero."""
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import time_mask_clips
+    from jepl_spark.sources.containers import wav_decode, wav_encode
+
+    sr = 8000
+    w = (0.5 * np.sin(np.arange(2 * sr) / 4.0)).astype(np.float32)
+    df = spark.createDataFrame(
+        [("wv", wav_encode(w, sr, "ulaw"), "wav", sr)],
+        "clip_id string, bytes binary, codec string, sr_hz int")
+    r = time_mask_clips(df, n_masks=1, max_mask_ms=200).collect()[0]
+    dec, got_sr, inner = wav_decode(bytes(r.bytes))
+    assert (got_sr, inner) == (sr, "ulaw")
+    m = r.masks[0]
+    a = m.start_ms * sr // 1000
+    b = a + m.len_ms * sr // 1000
+    # ulaw's zero code decodes to exactly 0.0
+    assert np.all(dec[a:b] == 0.0)
+    assert dec.size == w.size
+
+
 def _chunked(spark, n_samples, transcript, chunk_ms, hop_ms, tail_ms,
              sr=1000):
     import numpy as np

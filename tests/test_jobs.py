@@ -675,3 +675,43 @@ def test_audio_ingest_quality_admission(spark, tmp_path, capsys):
     assert got == want
     summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["admitted_clips"] == len(want)
+
+
+def test_audio_ingest_speech_rate_admission(spark, tmp_path, capsys):
+    """--min-tps/--max-tps wire admit_paired_clips into the stream:
+    the job admits exactly the pairs the batch operator admits (the
+    operator itself is pinned by its oracle gates), and the bounds
+    must actually reject something on this corpus."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from jepl_spark.functions.audio_udfs import admit_paired_clips
+    from jepl_spark.sources.clips import clips_df
+    from jobs.audio_ingest import main
+
+    n = 60
+    argv = [
+        "--audio-path", str(tmp_path / "a"),
+        "--sink", str(tmp_path / "sink"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--synthesize", str(n),
+        "--min-tps", "2.5", "--max-tps", "40.0",
+    ]
+    assert main(argv) == 0
+    out = spark.read.parquet(str(tmp_path / "sink"))
+    got = sorted(r["clip_id"] for r in out.select("clip_id").collect())
+    want = sorted(
+        r["clip_id"]
+        for r in admit_paired_clips(
+            clips_df(spark, n), min_tps=2.5, max_tps=40.0
+        ).where(F.col("reject_reason").isNull()).select("clip_id").collect()
+    )
+    assert 0 < len(want) < n          # the bounds bite on this corpus
+    assert got == want
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["admitted_clips"] == len(want)
+
+    import pytest as _pt
+    with _pt.raises(SystemExit):
+        main(argv[:-4] + ["--min-tps", "1.0"])   # must come as a pair

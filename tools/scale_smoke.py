@@ -385,6 +385,73 @@ def main() -> int:
     res["substring_s"] = round(time.time() - t0, 1)
     assert residual == 0 and res["substring_rows"] == n_docs
 
+    # round-6 lane: duration bucketing + sized-shard export over 10⁶
+    # metadata rows with a planted MEGA-bucket (40% of the corpus in
+    # one duration bucket — the skew shape the shards knob exists
+    # for).  Invariants checked by aggregation, nothing large
+    # collects: every row assigned; per (shard, bucket) ≤ 1 short
+    # batch and contiguous indexes; padding ≤ batch_size·(bucket-1);
+    # per (group, shard) the boundary-overflow rule.
+    from jepl_spark.operators.batching import (
+        assign_shards,
+        duration_batches,
+        batch_padding_report,
+    )
+
+    n_meta = max(1_000_000, n_docs)
+    meta = spark.range(n_meta, numPartitions=64).selectExpr(
+        "'c' || CAST(id AS STRING) AS clip_id",
+        "CAST(CASE WHEN id % 5 < 2 THEN 900 + id % 100 "
+        "ELSE 1000 + (id * 53) % 50000 END AS INT) AS dur_ms",
+    )
+    t0 = time.time()
+    b = duration_batches(meta, batch_size=32, bucket_ms=1000, shards=64)
+    rep = batch_padding_report(b).persist()
+    assigned = rep.agg(F.sum("n_clips")).first()[0]
+    bad_groups = (
+        rep.groupBy("shard", "bucket")
+        .agg(
+            F.sum(F.when(F.col("n_clips") < 32, 1).otherwise(0))
+            .alias("shorts"),
+            F.max("batch_idx").alias("mx"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        .where((F.col("shorts") > 1) | (F.col("mx") != F.col("nb") - 1))
+        .count()
+    )
+    max_pad = rep.agg(F.max("pad_ms")).first()[0]
+    rep.unpersist()
+    res["batching_rows"] = int(assigned)
+    res["batching_s"] = round(time.time() - t0, 1)
+    assert assigned == n_meta and bad_groups == 0, (assigned, bad_groups)
+    assert max_pad <= 32 * 999, max_pad
+
+    t0 = time.time()
+    sh = assign_shards(
+        meta.withColumn("n_bytes", F.col("dur_ms") * 32),
+        shard_bytes=1 << 20, size_col="n_bytes", groups=64,
+    )
+    shards = (
+        sh.groupBy("group", "shard_idx")
+        .agg(F.max(F.col("group_offset") + F.col("n_bytes")).alias("end"),
+             F.sum("n_bytes").alias("sz"), F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    n_sh_rows = shards.agg(F.sum("n")).first()[0]
+    last = shards.groupBy("group").agg(F.max("shard_idx").alias("mx"))
+    bad_bounds = (
+        shards.join(last, "group")
+        .where(
+            (F.col("shard_idx") != F.col("mx"))
+            & (F.col("end") < (F.col("shard_idx") + 1) * (1 << 20))
+        )
+        .count()
+    )
+    res["shard_count"] = shards.count()
+    shards.unpersist()
+    res["shard_export_s"] = round(time.time() - t0, 1)
+    assert n_sh_rows == n_meta and bad_bounds == 0, (n_sh_rows, bad_bounds)
+
     print(json.dumps(res))
     spark.stop()
     return 0
