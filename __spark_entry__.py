@@ -2941,11 +2941,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     caps at 50 entries (taking the FIRST 50 of this dict), so the
     window rotates each round to keep every gate driver-attested at
     most one round stale: round-6 lanes that have never been attested
-    lead (15: html/mojibake/url/cross-corpus lanes, the two audio
+    lead (19: html/mojibake/url/cross-corpus lanes, the two audio
     near-dup lanes, NFC, epoch mixing, the histogram-sketch batch +
-    streaming pair, substring-dedup spans, audio admission, and the
-    speech-rate pair-admission batch + streaming twins), then
-    26 of the 36 oracle-checkable veterans the round-5 window skipped
+    streaming pair, substring-dedup spans, audio admission, the
+    speech-rate pair-admission batch + streaming twins, duration
+    batching, paired chunking, shard export, and time masking), then
+    22 of the 36 oracle-checkable veterans the round-5 window skipped
     (the r5 judge-rerun list minus its 2 rows-only members; those
     past the boundary are each pinned by in-window siblings — see the
     past-the-window comment), then the 9 jepl_* language anchors that

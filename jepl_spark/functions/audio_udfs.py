@@ -400,6 +400,33 @@ def chunk_clips(
     return df.mapInPandas(gen, schema=out_schema)
 
 
+def _silent_frames(x: "np.ndarray", frame_n: int,
+                   energy_thr: float) -> "np.ndarray | None":
+    """Per-frame silence mask — the ONE dtype and arithmetic shared by
+    detect_speech_segments and speech_rate, so the two can never
+    disagree on a frame whose energy sits at the threshold (float32
+    throughout, as decode emits).  None when no full frame fits."""
+    nf = x.size // frame_n if frame_n > 0 else 0
+    if nf == 0:
+        return None
+    frames = x[: nf * frame_n].reshape(nf, frame_n)
+    return (frames * frames).mean(axis=1) < energy_thr
+
+
+def _qualifying_runs(silent: "np.ndarray",
+                     min_silence_frames: int) -> list:
+    """(start, end) frame spans of silence runs long enough to split —
+    vectorized edge extraction, shared with speech_rate."""
+    edges = np.flatnonzero(
+        np.diff(np.concatenate(([0], silent.view(np.int8), [0])))
+    )
+    return [
+        (int(s0), int(s1))
+        for s0, s1 in zip(edges[0::2], edges[1::2])
+        if s1 - s0 >= min_silence_frames
+    ]
+
+
 def detect_speech_segments(
     df: DataFrame,
     frame_ms: int = 20,
@@ -451,23 +478,14 @@ def detect_speech_segments(
             ):
                 x = audio.decode(blob, c)
                 frame_n = int(sr) * frame_ms // 1000
-                nf = x.size // frame_n if frame_n > 0 else 0
-                if nf == 0:
+                silent = _silent_frames(x, frame_n, energy_thr)
+                if silent is None:
                     continue
-                frames = x[: nf * frame_n].reshape(nf, frame_n)
-                silent = (frames * frames).mean(axis=1) < energy_thr
+                nf = silent.size
                 # qualifying silence runs split the clip — vectorized
                 # run extraction (edges of the silent mask), no
                 # per-frame Python even on hour-long audio
-                edges = np.flatnonzero(
-                    np.diff(np.concatenate(
-                        ([0], silent.view(np.int8), [0])))
-                )
-                splits = [
-                    (int(s0), int(s1))
-                    for s0, s1 in zip(edges[0::2], edges[1::2])
-                    if s1 - s0 >= min_silence_frames
-                ]
+                splits = _qualifying_runs(silent, min_silence_frames)
                 seg_start, seg_idx = 0, 0
                 for (s0, s1) in splits + [(nf, nf)]:
                     if s0 > seg_start:
@@ -700,25 +718,20 @@ def speech_rate(
         for blob, c, s in zip(b, codec, sr):
             x = audio.decode(blob, c)
             frame_n = int(s) * frame_ms // 1000
-            nf = x.size // frame_n if frame_n > 0 else 0
-            if nf == 0:
+            silent = _silent_frames(x, frame_n, energy_thr)
+            if silent is None:
                 out.append(0)
                 continue
-            frames = x[: nf * frame_n].astype(np.float64).reshape(nf, frame_n)
-            silent = (frames * frames).mean(axis=1) < energy_thr
-            edges = np.flatnonzero(
-                np.diff(np.concatenate(([0], silent.view(np.int8), [0])))
-            )
             gap = sum(
-                int(s1 - s0)
-                for s0, s1 in zip(edges[0::2], edges[1::2])
-                if s1 - s0 >= min_silence_frames
+                s1 - s0
+                for s0, s1 in _qualifying_runs(silent, min_silence_frames)
             )
-            out.append((nf - gap) * frame_ms)
+            out.append((silent.size - gap) * frame_ms)
         return pd.Series(out)
 
+    from jepl_spark.operators.text import token_count
+
     voiced_udf = F.pandas_udf(LongType())(_voiced)
-    t = F.trim(F.coalesce(F.col(transcript_col), F.lit("")))
     return (
         df.withColumn(
             "voiced_ms",
@@ -726,8 +739,10 @@ def speech_rate(
         )
         .withColumn(
             "n_tokens",
-            F.when(F.length(t) == 0, F.lit(0)).otherwise(
-                F.size(F.split(t, r"\s+"))
+            # the ONE tokenizer (operators/text.py) — n_tokens here and
+            # align_transcript_to_chunks' spans must never drift apart
+            token_count(
+                F.coalesce(F.col(transcript_col), F.lit(""))
             ).cast("long"),
         )
         .withColumn(
@@ -926,7 +941,7 @@ def align_transcript_to_chunks(
                 f"align_transcript_to_chunks needs chunk_clips output "
                 f"(missing column {col!r})"
             )
-    toks = _tokens(F.col(transcript_col))
+    toks = _tokens(F.coalesce(F.col(transcript_col), F.lit("")))
     n_tok = F.size(toks).cast("long")
     out = (
         chunks.withColumn("__toks", toks)

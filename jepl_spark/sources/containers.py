@@ -220,7 +220,13 @@ def wav_payload_span(buf: bytes) -> tuple[str, int, int, int]:
     sample rate, payload byte offset, payload byte length).  Lets
     encoded-domain editors (e.g. time masking) splice samples in
     place while every other byte of the container stays bit-identical.
-    Same ValueError-only contract as wav_decode."""
+
+    This is THE chunk walk — wav_decode is implemented on top of it,
+    so the two can never diverge on which files parse.  A chunk
+    length that overruns the buffer is clamped to the available bytes
+    (wav_decode's long-standing tolerance: a file truncated in
+    transit decodes — and splices — its available samples).  Same
+    ValueError-only contract as wav_decode."""
     try:
         if bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
             raise ValueError("not a RIFF/WAVE file")
@@ -230,19 +236,19 @@ def wav_payload_span(buf: bytes) -> tuple[str, int, int, int]:
         while pos + 8 <= n:
             cid = bytes(buf[pos : pos + 4])
             (ln,) = struct.unpack_from("<I", buf, pos + 4)
-            if pos + 8 + ln > n:
-                raise ValueError("WAV chunk overruns buffer")
             if cid == b"fmt ":
                 fmt_code, channels, sr = struct.unpack_from(
-                    "<HHI", buf, pos + 8
+                    "<HHI", bytes(buf[pos + 8 : pos + 8 + ln]), 0
                 )
             elif cid == b"data":
-                span = (pos + 8, ln)
-            pos += 8 + ln + (ln & 1)
+                span = (pos + 8, min(ln, n - pos - 8))
+            pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if fmt_code is None or span is None:
             raise ValueError("WAV missing fmt/data chunk")
         if channels != 1:
-            raise ValueError(f"only mono WAV supported, got {channels}")
+            raise ValueError(
+                f"only mono WAV supported, got {channels} channels"
+            )
         if fmt_code not in _CODEC_OF_WAV_FMT:
             raise ValueError(f"unsupported WAV format code {fmt_code}")
         return _CODEC_OF_WAV_FMT[fmt_code], int(sr), span[0], span[1]
@@ -255,25 +261,5 @@ def wav_payload_span(buf: bytes) -> tuple[str, int, int, int]:
 
 
 def _wav_decode_impl(buf: bytes) -> tuple[np.ndarray, int, str]:
-    if bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
-        raise ValueError("not a RIFF/WAVE file")
-    pos, n = 12, len(buf)
-    fmt_code = sr = channels = None
-    payload = None
-    while pos + 8 <= n:
-        cid = bytes(buf[pos : pos + 4])
-        (ln,) = struct.unpack_from("<I", buf, pos + 4)
-        body = bytes(buf[pos + 8 : pos + 8 + ln])
-        if cid == b"fmt ":
-            fmt_code, channels, sr = struct.unpack_from("<HHI", body, 0)
-        elif cid == b"data":
-            payload = body
-        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
-    if fmt_code is None or payload is None:
-        raise ValueError("WAV missing fmt/data chunk")
-    if channels != 1:
-        raise ValueError(f"only mono WAV supported, got {channels} channels")
-    if fmt_code not in _CODEC_OF_WAV_FMT:
-        raise ValueError(f"unsupported WAV format code {fmt_code}")
-    codec = _CODEC_OF_WAV_FMT[fmt_code]
-    return audio.decode(payload, codec), int(sr), codec
+    codec, sr, off, ln = wav_payload_span(buf)
+    return audio.decode(bytes(buf[off : off + ln]), codec), sr, codec

@@ -74,6 +74,8 @@ def main(argv: list[str]) -> int:
                    help="with --synthesize: plant clipped/silent "
                         "defects (quality-admission test corpus)")
     args = p.parse_args(argv)
+    if (args.min_tps is None) != (args.max_tps is None):
+        p.error("--min-tps and --max-tps must be given together")
 
     from pyspark.sql import SparkSession
 
@@ -137,8 +139,6 @@ def main(argv: list[str]) -> int:
             .drop("aq", "reject_reason")
         )
 
-    if (args.min_tps is None) != (args.max_tps is None):
-        p.error("--min-tps and --max-tps must be given together")
     if args.min_tps is not None:
         # transcript↔audio consistency: stateless Arrow voiced_ms +
         # JVM rate CASE, so it composes with the streaming plan like

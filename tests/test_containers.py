@@ -471,3 +471,36 @@ def test_png_wav_decode_error_contract_fuzz():
                 dec(bytes(buf))
             except ValueError:
                 pass  # the ONLY allowed failure mode
+
+
+def test_wav_payload_span_decode_parity_on_truncation():
+    """wav_payload_span and wav_decode share one chunk walk: a file
+    whose data-chunk length overruns the buffer (truncated in
+    transit) must PARSE IN BOTH — decode yields the available
+    samples, the span clamps to the available bytes — and a masked
+    splice through the span leaves the header bit-identical."""
+    import numpy as np
+
+    from jepl_spark.sources.containers import (
+        wav_decode,
+        wav_encode,
+        wav_payload_span,
+    )
+
+    w = (0.5 * np.sin(np.arange(1600) / 4.0)).astype(np.float32)
+    for codec, bps in (("ulaw", 1), ("pcm16", 2)):
+        full = wav_encode(w, 8000, codec)
+        cut = full[: len(full) - 100 * bps]     # drop 100 samples
+        x, sr, inner = wav_decode(cut)
+        assert (sr, inner) == (8000, codec)
+        assert x.size == 1600 - 100
+        c2, sr2, off, ln = wav_payload_span(cut)
+        assert (c2, sr2) == (codec, 8000)
+        assert ln == x.size * bps               # clamped, not raised
+        assert off + ln == len(cut)
+    # garbage still raises ValueError only
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        wav_payload_span(b"RIFFxxxxWAVE" + b"\x00" * 3)
+    with _pt.raises(ValueError):
+        wav_payload_span(b"not a wav at all")
