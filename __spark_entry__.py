@@ -629,6 +629,24 @@ def q_time_mask_clips(spark, sf_dir):
     )
 
 
+def q_speed_perturb_clips(spark, sf_dir):
+    """Kaldi-style speed perturbation: rational factors make every
+    output length exact integer math (n·den div num), which the
+    oracle replays from the clip formulas across the 3-factor
+    explode; the resampled PCM itself is pinned by numpy-reference
+    parity tests and the identity factor's bit-identity."""
+    from jepl_spark.functions.audio_udfs import speed_perturb_clips
+    from jepl_spark.sources.clips import clips_df
+
+    out = speed_perturb_clips(clips_df(spark, 300))
+    return out.select(
+        "clip_id",
+        F.col("factor_num").cast("bigint").alias("factor_num"),
+        F.col("factor_den").cast("bigint").alias("factor_den"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+    )
+
+
 def q_shard_export_clips(spark, sf_dir):
     """Sized-shard export assignment (the WebDataset/tar-shard shape)
     under the hard signal: formula clip sizes → md5-hash group →
@@ -2941,12 +2959,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     caps at 50 entries (taking the FIRST 50 of this dict), so the
     window rotates each round to keep every gate driver-attested at
     most one round stale: round-6 lanes that have never been attested
-    lead (19: html/mojibake/url/cross-corpus lanes, the two audio
+    lead (20: html/mojibake/url/cross-corpus lanes, the two audio
     near-dup lanes, NFC, epoch mixing, the histogram-sketch batch +
     streaming pair, substring-dedup spans, audio admission, the
     speech-rate pair-admission batch + streaming twins, duration
-    batching, paired chunking, shard export, and time masking), then
-    22 of the 36 oracle-checkable veterans the round-5 window skipped
+    batching, paired chunking, shard export, time masking, and speed perturbation), then
+    21 of the 36 oracle-checkable veterans the round-5 window skipped
     (the r5 judge-rerun list minus its 2 rows-only members; those
     past the boundary are each pinned by in-window siblings — see the
     past-the-window comment), then the 9 jepl_* language anchors that
@@ -2975,9 +2993,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_pairs": q_chunk_pairs,
         "shard_export_clips": q_shard_export_clips,
         "time_mask_clips": q_time_mask_clips,
+        "speed_perturb_clips": q_speed_perturb_clips,
         # -- block 2: veterans rotated OUT of the round-5 window -------
         "window_session": q_window_session,
-        "window_sliding": q_window_sliding,
         "stream_session_rule": q_stream_session_rule,
         "dedup_exact": q_dedup_exact,
         "minhash_near_dups": q_minhash_near_dups,
@@ -3031,6 +3049,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # winnowing machinery is attested in-window by
         # fingerprint_overlap_pairs (same fingerprint core)
         "winnow_fingerprints": q_winnow_fingerprints,
+        # window_sliding ceded its slot to speed_perturb_clips: the
+        # F.window wrap is attested in-window by window_session and
+        # by the r05-attested window_tumbling / stream_windowed_rule
+        "window_sliding": q_window_sliding,
         # doc_fingerprint, split_train_val_test, and
         # interval_overlap_events ceded their window slots to the two
         # speech-rate gates and duration_batches: fingerprinting is
@@ -4683,6 +4705,27 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS start_ms,
                    CAST(len_ms AS BIGINT) AS len_ms
             FROM l
+        """,
+        # speed perturbation: replay the 3-factor explode's exact
+        # integer output lengths from the clip formulas
+        "speed_perturb_clips": """
+            WITH c AS (
+              SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0')
+                       AS clip_id,
+                     (CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                           ELSE 44100 END
+                      * (200 + (i * 37) % 1801)) // 1000 AS n
+              FROM range(300) t(i)
+            ),
+            f AS (
+              SELECT * FROM (VALUES (9, 10), (1, 1), (11, 10))
+                     v(num, den)
+            )
+            SELECT clip_id,
+                   CAST(num AS BIGINT) AS factor_num,
+                   CAST(den AS BIGINT) AS factor_den,
+                   CAST((n * den) // num AS BIGINT) AS n_samples
+            FROM c CROSS JOIN f
         """,
         # sized-shard export: replay group/order/cumsum/assignment
         "shard_export_clips": """

@@ -243,6 +243,19 @@ def batch_queries(spark, sf_dir):
             .select("clip_id", "bytes", "masks")
         )
 
+    def speed_perturb():
+        # 3-way speed perturbation over 2000 clips: one decode, two
+        # interpolations + re-encodes per clip (the identity factor is
+        # a byte passthrough), 3x row explode, no shuffle
+        from jepl_spark.functions.audio_udfs import speed_perturb_clips
+        from jepl_spark.sources.clips import clips_df
+
+        return _drain(
+            speed_perturb_clips(clips_df(spark, 2000)).select(
+                "clip_id", "factor_num", "factor_den", "bytes"
+            )
+        )
+
     def chunk_align():
         # paired-data chunking: the audio_chunk lane plus proportional
         # transcript alignment — the alignment itself is pure codegen
@@ -540,6 +553,7 @@ def batch_queries(spark, sf_dir):
         "duration_batches": duration_batches,
         "chunk_align": chunk_align,
         "time_mask": time_mask,
+        "speed_perturb": speed_perturb,
     }
 
 

@@ -906,6 +906,102 @@ def time_mask_clips(
     return df.mapInPandas(gen, schema=out_schema)
 
 
+def speed_perturb_clips(
+    df: DataFrame,
+    factors: tuple = ((9, 10), (1, 1), (11, 10)),
+) -> DataFrame:
+    """Kaldi-style speed perturbation: explode each clip into one copy
+    per factor, the waveform linearly resampled so a factor ``num/den``
+    plays ``num/den``× as fast (duration scales by ``den/num``; pitch
+    shifts with it, as in the standard sp augmentation).  Factors are
+    RATIONALS, not floats, so the output length is exact integer math —
+    ``n_out = n · den div num`` — and an SQL oracle replays every
+    length; the canonical (9,10)/(1,1)/(11,10) triple is the
+    0.9/1.0/1.1 recipe.  The identity factor passes the original bytes
+    through BIT-IDENTICAL (no decode→encode roundtrip drift).
+
+    Rows keep their schema plus (factor_num, factor_den, n_samples);
+    bytes re-encode in the clip's own codec (WAV containers rebuild
+    around the resampled payload with the inner codec preserved).
+
+    Scale shape: one ``mapInPandas`` pass — decode once per clip,
+    ``len(factors)`` interpolations, no shuffle; output rows ≈ input ×
+    len(factors), which is the point (augmentation without
+    materializing a copy of the corpus per epoch is the caller's
+    choice of WHERE to run this — right before the trainer's sink)."""
+    if not factors:
+        raise ValueError("factors must be non-empty")
+    for f in factors:
+        if len(f) != 2 or f[0] <= 0 or f[1] <= 0:
+            raise ValueError(f"factors must be (num, den) positive pairs, got {f!r}")
+    in_schema = df.schema
+    for col in ("clip_id", "bytes", "codec", "sr_hz"):
+        if col not in df.columns:
+            raise ValueError(f"speed_perturb_clips needs column {col!r}")
+    out_schema = StructType(
+        list(in_schema.fields)
+        + [
+            StructField("factor_num", IntegerType()),
+            StructField("factor_den", IntegerType()),
+            StructField("n_samples", LongType()),
+        ]
+    )
+    names = [f.name for f in in_schema.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jepl_spark.sources.containers import wav_encode
+
+        for pdf in batches:
+            out_rows = []
+            for row in zip(*(pdf[n] for n in names)):
+                vals = dict(zip(names, row))
+                c, sr = vals["codec"], int(vals["sr_hz"])
+                raw = bytes(vals["bytes"])
+                x = audio.decode(raw, c)
+                if c == "wav":
+                    from jepl_spark.sources.containers import (
+                        wav_payload_span,
+                    )
+
+                    inner = wav_payload_span(raw)[0]
+
+                    def reenc(arr, _sr=sr, _inner=inner):
+                        return wav_encode(arr, _sr, _inner)
+                else:
+
+                    def reenc(arr, _c=c):
+                        return audio.encode(arr, _c)
+
+                n = x.size
+                for num, den in factors:
+                    if num == den:
+                        out = raw
+                        n_out = n
+                    else:
+                        n_out = n * den // num
+                        if n > 0 and n_out > 0:
+                            t_out = np.linspace(0.0, n - 1, n_out)
+                            y = np.interp(
+                                t_out, np.arange(n), x
+                            ).astype(np.float32)
+                        else:
+                            n_out = 0
+                            y = np.zeros(0, dtype=np.float32)
+                        out = reenc(y)
+                    v = dict(vals)
+                    v["bytes"] = out
+                    out_rows.append(
+                        tuple(v[nm] for nm in names)
+                        + (int(num), int(den), int(n_out))
+                    )
+            yield pd.DataFrame(
+                out_rows,
+                columns=names + ["factor_num", "factor_den", "n_samples"],
+            )
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def align_transcript_to_chunks(
     chunks: DataFrame,
     transcript_col: str = "transcript",

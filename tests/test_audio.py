@@ -520,6 +520,69 @@ def test_time_mask_clips_wav_container(spark):
     assert dec.size == w.size
 
 
+def test_speed_perturb_lengths_and_identity(spark):
+    """n_out = n·den div num per factor; the identity factor passes
+    bytes through bit-identical; resampled content equals the numpy
+    reference through the same codec roundtrip."""
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import speed_perturb_clips
+    from jepl_spark.sources import audio as AU
+
+    sr = 8000
+    waves = {}
+    rows = []
+    for i, n in enumerate((1600, 2401, 803)):
+        w = (0.5 * np.sin(np.arange(n) / 7.0)).astype(np.float32)
+        cid = f"c{i}"
+        waves[cid] = w
+        rows.append((cid, AU.encode(w, "pcm16"), "pcm16", sr))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    out = speed_perturb_clips(df).collect()
+    assert len(out) == 9
+    for r in out:
+        w = waves[r.clip_id]
+        n = w.size
+        want_n = n * r.factor_den // r.factor_num
+        assert r.n_samples == want_n
+        if (r.factor_num, r.factor_den) == (1, 1):
+            assert bytes(r.bytes) == AU.encode(w, "pcm16")
+        else:
+            x = AU.decode(AU.encode(w, "pcm16"), "pcm16")
+            t_out = np.linspace(0.0, n - 1, want_n)
+            want = AU.decode(AU.encode(
+                np.interp(t_out, np.arange(n), x).astype(np.float32),
+                "pcm16"), "pcm16")
+            got = AU.decode(bytes(r.bytes), "pcm16")
+            assert np.array_equal(got, want), (r.clip_id, r.factor_num)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        speed_perturb_clips(df, factors=())
+    with _pt.raises(ValueError):
+        speed_perturb_clips(df, factors=((0, 1),))
+
+
+def test_speed_perturb_wav_container(spark):
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import speed_perturb_clips
+    from jepl_spark.sources.containers import wav_decode, wav_encode
+
+    sr = 8000
+    w = (0.5 * np.sin(np.arange(1800) / 6.0)).astype(np.float32)
+    df = spark.createDataFrame(
+        [("wv", wav_encode(w, sr, "ulaw"), "wav", sr)],
+        "clip_id string, bytes binary, codec string, sr_hz int")
+    got = {(r.factor_num, r.factor_den): r
+           for r in speed_perturb_clips(df).collect()}
+    x, got_sr, inner = wav_decode(bytes(got[(9, 10)].bytes))
+    assert (got_sr, inner) == (sr, "ulaw")
+    assert x.size == 1800 * 10 // 9 == got[(9, 10)].n_samples
+    assert bytes(got[(1, 1)].bytes) == wav_encode(w, sr, "ulaw")
+
+
 def _chunked(spark, n_samples, transcript, chunk_ms, hop_ms, tail_ms,
              sr=1000):
     import numpy as np
