@@ -558,8 +558,10 @@ def _fp_band_energies(x: "np.ndarray") -> "np.ndarray":
 def fingerprint_of(x: "np.ndarray") -> list:
     """240-bit fingerprint of one PCM array as FP_WORDS 60-bit ints
     (pure function — shared by the UDF, tests, and golden builders).
-    Clips shorter than _FP_FRAMES samples fingerprint to all-zero."""
-    if x.size < _FP_FRAMES:
+    Clips shorter than 2·_FP_FRAMES samples fingerprint to all-zero:
+    below that each frame has a single rfft bin, no band structure
+    exists (and reduceat's edge list would walk past the one bin)."""
+    if x.size < 2 * _FP_FRAMES:
         return [0] * FP_WORDS
     e = _fp_band_energies(x)
     bits = (np.diff(e, axis=0) > 0).ravel()  # (frames-1) x bands

@@ -230,9 +230,7 @@ def stream_audio_near_dedup(
             b_side = _sides(sigs, "b")
             # in-batch: drop the higher id of every qualifying pair
             drops = (
-                _qualifying(
-                    _sides(sigs, "a").where(F.lit(True)), b_side
-                )
+                _qualifying(_sides(sigs, "a"), b_side)
                 .where(F.col("id_a") < F.col("id_b"))
                 .select(F.col("id_b").alias(id_col))
                 .distinct()
@@ -246,7 +244,24 @@ def stream_audio_near_dedup(
                 # retries instead of permanently admitting dups
                 pass
             if admitted is not None:
-                ad = _sides(admitted.select(*cols), "a")
+                # prune the committed side to the batch's duration
+                # range (±tol): the per-batch cost tracks the batch's
+                # duration spread, not the whole corpus — the dur_ms
+                # predicate pushes down to the committed parquet's
+                # row-group stats (two-scalar probe on the persisted
+                # batch, bounded)
+                bounds = sigs.agg(
+                    F.min("dur_ms"), F.max("dur_ms")
+                ).first()
+                admitted_pruned = admitted.select(*cols).where(
+                    F.col("dur_ms").between(
+                        bounds[0] - dur_tol_ms, bounds[1] + dur_tol_ms
+                    )
+                ) if bounds[0] is not None else None
+            else:
+                admitted_pruned = None
+            if admitted_pruned is not None:
+                ad = _sides(admitted_pruned, "a")
                 vs_admitted = (
                     _qualifying(ad, b_side)
                     .select(F.col("id_b").alias(id_col))

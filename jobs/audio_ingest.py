@@ -128,11 +128,20 @@ def main(argv: list[str]) -> int:
 
         from jepl_spark.functions.audio_udfs import admit_clips
 
-        kw = {}
-        if args.max_clipping_ratio is not None:
-            kw["max_clipping_ratio"] = args.max_clipping_ratio
-        if args.max_silence_ratio is not None:
-            kw["max_silence_ratio"] = args.max_silence_ratio
+        # only the checks the operator asked for: an absent flag
+        # DISABLES that check (inf threshold) rather than silently
+        # applying the library default (empty clips always reject —
+        # a zero-sample clip is never admissible audio)
+        kw = {
+            "max_clipping_ratio": (
+                args.max_clipping_ratio
+                if args.max_clipping_ratio is not None else float("inf")
+            ),
+            "max_silence_ratio": (
+                args.max_silence_ratio
+                if args.max_silence_ratio is not None else float("inf")
+            ),
+        }
         stream = (
             admit_clips(stream, **kw)
             .where(F.col("reject_reason").isNull())

@@ -375,7 +375,11 @@ def main(argv: list[str]) -> int:
     # 6. (optional) chunk the curated documents into token windows —
     #    the written unit becomes a training example, not a document
     if args.chunk_tokens is not None:
-        carry = [c for c in ("lang", "split") if c in df.columns]
+        # 'source' must survive chunking: the epoch-weighting stage
+        # (8) keys on it, and --chunk-tokens + --epoch-weights is a
+        # valid combination
+        carry = [c for c in ("lang", "split", "source")
+                 if c in df.columns]
         chunks = T.chunk_documents(
             df, id_col=args.id_col, text_col=args.text_col,
             chunk_tokens=args.chunk_tokens,

@@ -523,7 +523,7 @@ def test_clips_pipeline_missing_report(spark, tmp_path, capsys):
 
 def test_corpus_pipeline_fix_encoding_stage(spark, tmp_path, capsys):
     """--fix-encoding: mojibake repairs right after extraction, BEFORE
-    exact dedup â a clean doc and its mojibake-corrupted twin become
+    exact dedup — a clean doc and its mojibake-corrupted twin become
     exact dupes only because the repair ran; the output carries the
     repaired text."""
     body = ("the quick brown fox jumps over the lazy dog near the "
@@ -616,6 +616,38 @@ def test_corpus_pipeline_nfc_and_epoch_mix(spark, tmp_path, capsys):
         assert "Café" in unicodedata.normalize("NFC", r["text"])
 
 
+def test_corpus_pipeline_chunk_then_epoch_mix(spark, tmp_path):
+    """--chunk-tokens + --epoch-weights must compose: the chunk stage
+    carries 'source' through its projection so the final mixture
+    stage can key on it (regression: it used to drop the column and
+    die with an unresolved-column error)."""
+    import json as _json
+
+    from jobs.corpus_pipeline import main
+
+    rows = [
+        (i, f"src{i % 2}", " ".join(f"w{i}x{j}" for j in range(30)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    inp = str(tmp_path / "in")
+    df.write.parquet(inp)
+    out = str(tmp_path / "out")
+    rc = main([
+        "--input", inp, "--output", out,
+        "--chunk-tokens", "8", "--chunk-overlap", "0",
+        "--epoch-weights", _json.dumps({"src0": 2.0, "src1": 1.0}),
+        "--min-tokens", "1",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert {"epoch", "source", "chunk_idx"} <= set(got.columns)
+    by = {r["source"]: r["count"]
+          for r in got.groupBy("source").count().collect()}
+    # 10 docs x 4 chunks per source; src0 doubled by the 2.0 epochs
+    assert by["src0"] == 80 and by["src1"] == 40
+
+
 def test_corpus_pipeline_substring_dedup_stage(spark, tmp_path, capsys):
     """--substring-dedup-k rewrites duplicated >=k-token runs out of
     surviving docs (Lee et al. policy) after doc-level dedup: the two
@@ -675,6 +707,30 @@ def test_audio_ingest_quality_admission(spark, tmp_path, capsys):
     assert got == want
     summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["admitted_clips"] == len(want)
+
+
+def test_audio_ingest_one_sided_quality_flag(spark, tmp_path, capsys):
+    """Giving ONLY --max-silence-ratio must not silently enable the
+    clipping check at its library default: planted clipped clips
+    (i%11==4) are admitted, silent ones (i%13==6) still reject
+    (regression for the one-sided-flag behavior)."""
+    from jobs.audio_ingest import main
+
+    n = 80
+    argv = [
+        "--audio-path", str(tmp_path / "a"),
+        "--sink", str(tmp_path / "sink"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--synthesize", str(n), "--plant-degraded",
+        "--max-silence-ratio", "0.9",
+    ]
+    assert main(argv) == 0
+    out = spark.read.parquet(str(tmp_path / "sink"))
+    got = sorted(r["clip_id"] for r in out.select("clip_id").collect())
+    want = sorted(
+        f"clip-{i:012d}" for i in range(n) if i % 13 != 6
+    )
+    assert got == want
 
 
 def test_audio_ingest_speech_rate_admission(spark, tmp_path, capsys):
