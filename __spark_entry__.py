@@ -629,6 +629,57 @@ def q_time_mask_clips(spark, sf_dir):
     )
 
 
+def q_gain_normalize_clips(spark, sf_dir):
+    """Loudness normalization gate on an integer-exact fixture:
+    constant-valued pcm16 clips built directly from int16 codes
+    v = 300 + (i·211)%30000, so the decoded amplitude is EXACTLY
+    v/32768 (15 bits fit float32) and rms == peak == that value —
+    the oracle replays gain_db = 20·log10(0.1·32768/v) in closed
+    form (both sides round to 6; the peak cap never binds here and
+    is pinned by unit tests)."""
+    import pandas as pd2
+
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from jepl_spark.functions.audio_udfs import normalize_gain_clips
+
+    schema = StructType([
+        StructField("clip_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("codec", StringType()),
+        StructField("sr_hz", IntegerType()),
+    ])
+
+    def gen(batches):
+        import numpy as np2
+
+        srs = (8000, 16000, 44100)
+        for pdf in batches:
+            rows = {f.name: [] for f in schema.fields}
+            for i in pdf["id"]:
+                i = int(i)
+                sr = srs[i % 3]
+                n = sr * (200 + (i * 37) % 1801) // 1000
+                v = 300 + (i * 211) % 30000
+                rows["clip_id"].append(f"clip-{i:012d}")
+                rows["bytes"].append(
+                    np2.full(n, v, dtype="<i2").tobytes()
+                )
+                rows["codec"].append("pcm16")
+                rows["sr_hz"].append(sr)
+            yield pd2.DataFrame(rows)
+
+    clips = spark.range(0, 300, numPartitions=4).mapInPandas(
+        gen, schema=schema
+    )
+    out = normalize_gain_clips(clips)
+    return out.select(
+        "clip_id", _r(F.col("gain_db"), 6).alias("gain_db")
+    )
+
+
 def q_speed_perturb_clips(spark, sf_dir):
     """Kaldi-style speed perturbation: rational factors make every
     output length exact integer math (n·den div num), which the
@@ -2959,12 +3010,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     caps at 50 entries (taking the FIRST 50 of this dict), so the
     window rotates each round to keep every gate driver-attested at
     most one round stale: round-6 lanes that have never been attested
-    lead (20: html/mojibake/url/cross-corpus lanes, the two audio
+    lead (21: html/mojibake/url/cross-corpus lanes, the two audio
     near-dup lanes, NFC, epoch mixing, the histogram-sketch batch +
     streaming pair, substring-dedup spans, audio admission, the
     speech-rate pair-admission batch + streaming twins, duration
-    batching, paired chunking, shard export, time masking, and speed perturbation), then
-    21 of the 36 oracle-checkable veterans the round-5 window skipped
+    batching, paired chunking, shard export, time masking, speed perturbation, and gain
+    normalization), then
+    20 of the 36 oracle-checkable veterans the round-5 window skipped
     (the r5 judge-rerun list minus its 2 rows-only members; those
     past the boundary are each pinned by in-window siblings — see the
     past-the-window comment), then the 9 jepl_* language anchors that
@@ -2994,9 +3046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_export_clips": q_shard_export_clips,
         "time_mask_clips": q_time_mask_clips,
         "speed_perturb_clips": q_speed_perturb_clips,
+        "gain_normalize_clips": q_gain_normalize_clips,
         # -- block 2: veterans rotated OUT of the round-5 window -------
         "window_session": q_window_session,
-        "stream_session_rule": q_stream_session_rule,
         "dedup_exact": q_dedup_exact,
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -3053,6 +3105,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # F.window wrap is attested in-window by window_session and
         # by the r05-attested window_tumbling / stream_windowed_rule
         "window_sliding": q_window_sliding,
+        # stream_session_rule ceded its slot to gain_normalize_clips:
+        # session-window semantics stay attested in-window by
+        # window_session; the live-streaming emission path by the 18
+        # other in-ledger streaming gates
+        "stream_session_rule": q_stream_session_rule,
         # doc_fingerprint, split_train_val_test, and
         # interval_overlap_events ceded their window slots to the two
         # speech-rate gates and duration_batches: fingerprinting is
@@ -4705,6 +4762,17 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS start_ms,
                    CAST(len_ms AS BIGINT) AS len_ms
             FROM l
+        """,
+        # loudness normalization: closed-form gain from the exact
+        # int16 fixture amplitude (rms == peak == v/32768)
+        "gain_normalize_clips": """
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0')
+                     AS clip_id,
+                   round(
+                     20.0 * log10(0.1 * 32768.0
+                                  / (300 + (i * 211) % 30000)),
+                     6) AS gain_db
+            FROM range(300) t(i)
         """,
         # speed perturbation: replay the 3-factor explode's exact
         # integer output lengths from the clip formulas

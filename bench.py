@@ -243,6 +243,18 @@ def batch_queries(spark, sf_dir):
             .select("clip_id", "bytes", "masks")
         )
 
+    def gain_normalize():
+        # loudness normalization over 2000 clips: one decode, float64
+        # rms/peak, scale + re-encode; no shuffle
+        from jepl_spark.functions.audio_udfs import normalize_gain_clips
+        from jepl_spark.sources.clips import clips_df
+
+        return _drain(
+            normalize_gain_clips(clips_df(spark, 2000)).select(
+                "clip_id", "gain_db", "bytes"
+            )
+        )
+
     def speed_perturb():
         # 3-way speed perturbation over 2000 clips: one decode, two
         # interpolations + re-encodes per clip (the identity factor is
@@ -554,6 +566,7 @@ def batch_queries(spark, sf_dir):
         "chunk_align": chunk_align,
         "time_mask": time_mask,
         "speed_perturb": speed_perturb,
+        "gain_normalize": gain_normalize,
     }
 
 

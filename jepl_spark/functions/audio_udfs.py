@@ -908,6 +908,76 @@ def time_mask_clips(
     return df.mapInPandas(gen, schema=out_schema)
 
 
+def normalize_gain_clips(
+    df: DataFrame,
+    target_dbfs: float = -20.0,
+    peak_limit: float = 0.99,
+) -> DataFrame:
+    """Loudness normalization (the gain stage before feature
+    extraction / training): scale each clip so its RMS hits
+    ``target_dbfs``, capped so the post-gain peak never exceeds
+    ``peak_limit`` (normalization must not clip what it normalizes):
+
+      ``gain = min(10^(target_dbfs/20) / rms, peak_limit / peak)``
+
+    Adds ``gain_db`` (the applied gain, 20·log10) and re-encodes the
+    scaled PCM in the clip's own codec (WAV containers rebuild with
+    the inner codec preserved).  Digital-silence and empty clips pass
+    through BIT-IDENTICAL with ``gain_db`` NULL — there is nothing to
+    normalize, and inventing +inf gain would be worse than honesty.
+
+    Scale shape: one ``mapInPandas`` decode→scale→encode pass, no
+    shuffle; rms/peak in float64 for stable gains regardless of clip
+    length."""
+    if not (0.0 < peak_limit <= 1.0):
+        raise ValueError(f"peak_limit must be in (0, 1], got {peak_limit}")
+    target_amp = 10.0 ** (target_dbfs / 20.0)
+    in_schema = df.schema
+    for col in ("clip_id", "bytes", "codec", "sr_hz"):
+        if col not in df.columns:
+            raise ValueError(f"normalize_gain_clips needs column {col!r}")
+    out_schema = StructType(
+        list(in_schema.fields) + [StructField("gain_db", DoubleType())]
+    )
+    names = [f.name for f in in_schema.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jepl_spark.sources.containers import wav_encode
+
+        for pdf in batches:
+            out_rows = []
+            for row in zip(*(pdf[n] for n in names)):
+                vals = dict(zip(names, row))
+                c, sr = vals["codec"], int(vals["sr_hz"])
+                raw = bytes(vals["bytes"])
+                x = audio.decode(raw, c).astype(np.float64)
+                rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+                if rms <= 0.0:
+                    out_rows.append(
+                        tuple(vals[nm] for nm in names) + (None,)
+                    )
+                    continue
+                peak = float(np.max(np.abs(x)))
+                gain = min(target_amp / rms, peak_limit / peak)
+                y = (x * gain).astype(np.float32)
+                if c == "wav":
+                    from jepl_spark.sources.containers import (
+                        wav_payload_span,
+                    )
+
+                    out = wav_encode(y, sr, wav_payload_span(raw)[0])
+                else:
+                    out = audio.encode(y, c)
+                vals["bytes"] = out
+                out_rows.append(
+                    tuple(vals[nm] for nm in names)
+                    + (float(20.0 * np.log10(gain)),)
+                )
+            yield pd.DataFrame(out_rows, columns=names + ["gain_db"])
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def speed_perturb_clips(
     df: DataFrame,
     factors: tuple = ((9, 10), (1, 1), (11, 10)),

@@ -520,6 +520,74 @@ def test_time_mask_clips_wav_container(spark):
     assert dec.size == w.size
 
 
+def test_normalize_gain_known_answers(spark):
+    """Known-rms waves: a sine of amplitude a has rms a/√2 → gain to
+    -20 dBFS is 0.1·√2/a; a loud full-scale square hits the PEAK cap
+    instead; silence and empty pass through bit-identical with NULL
+    gain_db; post-gain rms lands on target within quantization."""
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import normalize_gain_clips
+    from jepl_spark.sources import audio as AU
+
+    sr, n = 8000, 8000
+    sine = (0.4 * np.sin(2 * np.pi * 440 * np.arange(n) / sr)) \
+        .astype(np.float32)
+    loud = np.full(n, 0.05, dtype=np.float32)   # rms ~0.058 < 0.1
+    loud[:8] = 0.9                              # but peak 0.9 caps gain
+    silent = np.zeros(n, dtype=np.float32)
+    rows = [
+        ("sine", AU.encode(sine, "pcm16"), "pcm16", sr),
+        ("loudpeak", AU.encode(loud, "pcm16"), "pcm16", sr),
+        ("silent", AU.encode(silent, "pcm16"), "pcm16", sr),
+        ("empty", AU.encode(np.zeros(0, dtype=np.float32), "pcm16"),
+         "pcm16", sr),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    got = {r.clip_id: r for r in normalize_gain_clips(df).collect()}
+
+    dec = AU.decode(bytes(got["sine"].bytes), "pcm16")
+    rms = float(np.sqrt(np.mean(dec.astype(np.float64) ** 2)))
+    assert abs(rms - 0.1) < 1e-3
+    x = AU.decode(AU.encode(sine, "pcm16"), "pcm16").astype(np.float64)
+    want_gain = 0.1 / float(np.sqrt(np.mean(x * x)))
+    assert abs(got["sine"].gain_db - 20 * np.log10(want_gain)) < 1e-9
+
+    xl = AU.decode(AU.encode(loud, "pcm16"), "pcm16").astype(np.float64)
+    cap = 0.99 / float(np.max(np.abs(xl)))
+    assert cap < 0.1 / float(np.sqrt(np.mean(xl * xl)))
+    assert abs(got["loudpeak"].gain_db - 20 * np.log10(cap)) < 1e-9
+    decl = AU.decode(bytes(got["loudpeak"].bytes), "pcm16")
+    assert float(np.max(np.abs(decl))) <= 0.9903  # never clips
+
+    assert got["silent"].gain_db is None
+    assert bytes(got["silent"].bytes) == AU.encode(silent, "pcm16")
+    assert got["empty"].gain_db is None
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        normalize_gain_clips(df, peak_limit=0.0)
+
+
+def test_normalize_gain_wav_container(spark):
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import normalize_gain_clips
+    from jepl_spark.sources.containers import wav_decode, wav_encode
+
+    sr = 8000
+    w = (0.02 * np.sin(np.arange(2 * sr) / 4.0)).astype(np.float32)
+    df = spark.createDataFrame(
+        [("wv", wav_encode(w, sr, "pcm16"), "wav", sr)],
+        "clip_id string, bytes binary, codec string, sr_hz int")
+    r = normalize_gain_clips(df).collect()[0]
+    dec, got_sr, inner = wav_decode(bytes(r.bytes))
+    assert (got_sr, inner) == (sr, "pcm16")
+    rms = float(np.sqrt(np.mean(dec.astype(np.float64) ** 2)))
+    assert abs(rms - 0.1) < 1e-3 and r.gain_db > 0
+
+
 def test_speed_perturb_lengths_and_identity(spark):
     """n_out = n·den div num per factor; the identity factor passes
     bytes through bit-identical; resampled content equals the numpy

@@ -4,6 +4,30 @@ the live streaming ingest lane."""
 
 from __future__ import annotations
 
+
+def test_fingerprint_of_degenerate_lengths():
+    """Clips of ANY length fingerprint without crashing: 16-31
+    samples used to escape the short-clip guard and blow up
+    np.add.reduceat (regression); below 2·_FP_FRAMES the fingerprint
+    is the documented all-zero degenerate."""
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import (
+        _FP_FRAMES,
+        FP_WORDS,
+        fingerprint_of,
+    )
+
+    for n in (0, 1, 15, 16, 24, 31):
+        assert fingerprint_of(
+            np.full(n, 0.3, dtype=np.float32)
+        ) == [0] * FP_WORDS, n
+    long_fp = fingerprint_of(
+        (0.5 * np.sin(np.arange(4000) / 7.0)).astype(np.float32)
+    )
+    assert len(long_fp) == FP_WORDS and any(w != 0 for w in long_fp)
+    assert 2 * _FP_FRAMES == 32
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
