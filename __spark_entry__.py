@@ -629,6 +629,65 @@ def q_time_mask_clips(spark, sf_dir):
     )
 
 
+def q_trim_silence_clips(spark, sf_dir):
+    """Silence trim gate: planted frame-aligned lead (k0 = i%6 frames)
+    and tail (k1 = i%4 frames, covering the partial frame) zeros,
+    wholly-silent every 13th clip.  The oracle replays the cut
+    arithmetic — first/last voiced frame, partial-frame retention iff
+    the last full frame is voiced, all-silent → empty — from the
+    formulas; the byte-identity of surviving samples is pinned by
+    unit tests."""
+    import pandas as pd2
+
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from jepl_spark.functions.audio_udfs import trim_silence_clips
+    from jepl_spark.sources import audio as A
+
+    schema = StructType([
+        StructField("clip_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("codec", StringType()),
+        StructField("sr_hz", IntegerType()),
+    ])
+
+    def gen(batches):
+        srs = (8000, 16000, 44100)
+        for pdf in batches:
+            rows = {f.name: [] for f in schema.fields}
+            for i in pdf["id"]:
+                i = int(i)
+                sr = srs[i % 3]
+                dur = 200 + (i * 37) % 1801
+                wave = A.synth_wave(i, sr, dur).copy()
+                fn = sr * 20 // 1000
+                nf = wave.size // fn
+                k0, k1 = i % 6, i % 4
+                wave[: k0 * fn] = 0.0
+                if k1 > 0:
+                    wave[(nf - k1) * fn :] = 0.0
+                if i % 13 == 0:
+                    wave[:] = 0.0
+                rows["clip_id"].append(f"clip-{i:012d}")
+                rows["bytes"].append(A.pcm16_encode(wave))
+                rows["codec"].append("pcm16")
+                rows["sr_hz"].append(sr)
+            yield pd2.DataFrame(rows)
+
+    clips = spark.range(0, 300, numPartitions=4).mapInPandas(
+        gen, schema=schema
+    )
+    out = trim_silence_clips(clips, frame_ms=20, energy_thr=1e-6)
+    return out.select(
+        "clip_id",
+        F.col("lead_samples").cast("bigint").alias("lead_samples"),
+        F.col("n_samples_out").cast("bigint").alias("n_samples_out"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+    )
+
+
 def q_gain_normalize_clips(spark, sf_dir):
     """Loudness normalization gate on an integer-exact fixture:
     constant-valued pcm16 clips built directly from int16 codes
@@ -3010,13 +3069,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     caps at 50 entries (taking the FIRST 50 of this dict), so the
     window rotates each round to keep every gate driver-attested at
     most one round stale: round-6 lanes that have never been attested
-    lead (21: html/mojibake/url/cross-corpus lanes, the two audio
+    lead (22: html/mojibake/url/cross-corpus lanes, the two audio
     near-dup lanes, NFC, epoch mixing, the histogram-sketch batch +
     streaming pair, substring-dedup spans, audio admission, the
     speech-rate pair-admission batch + streaming twins, duration
-    batching, paired chunking, shard export, time masking, speed perturbation, and gain
-    normalization), then
-    20 of the 36 oracle-checkable veterans the round-5 window skipped
+    batching, paired chunking, shard export, time masking, speed perturbation, gain
+    normalization, and silence trim), then
+    19 of the 36 oracle-checkable veterans the round-5 window skipped
     (the r5 judge-rerun list minus its 2 rows-only members; those
     past the boundary are each pinned by in-window siblings — see the
     past-the-window comment), then the 9 jepl_* language anchors that
@@ -3047,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_mask_clips": q_time_mask_clips,
         "speed_perturb_clips": q_speed_perturb_clips,
         "gain_normalize_clips": q_gain_normalize_clips,
+        "trim_silence_clips": q_trim_silence_clips,
         # -- block 2: veterans rotated OUT of the round-5 window -------
         "window_session": q_window_session,
         "dedup_exact": q_dedup_exact,
@@ -3058,7 +3118,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_topk": q_ann_index_topk,
         "text_quality": q_text_quality,
         "bloom_prune_orders": q_bloom_prune_orders,
-        "rollup_cascade_events": q_rollup_cascade_events,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "simhash_hamming_near_dups": q_simhash_hamming_near_dups,
@@ -3110,6 +3169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window_session; the live-streaming emission path by the 18
         # other in-ledger streaming gates
         "stream_session_rule": q_stream_session_rule,
+        # rollup_cascade_events ceded its slot to trim_silence_clips:
+        # the cascade is r05-driver-attested via stream_rollup_cascade
+        "rollup_cascade_events": q_rollup_cascade_events,
         # doc_fingerprint, split_train_val_test, and
         # interval_overlap_events ceded their window slots to the two
         # speech-rate gates and duration_batches: fingerprinting is
@@ -4762,6 +4824,40 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS start_ms,
                    CAST(len_ms AS BIGINT) AS len_ms
             FROM l
+        """,
+        # silence trim: replay the cut arithmetic from the planted
+        # lead/tail formulas (partial frame kept iff last full frame
+        # voiced; all-silent → empty)
+        "trim_silence_clips": """
+            WITH c AS (
+              SELECT i,
+                     CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          ELSE 44100 END AS sr,
+                     200 + (i * 37) % 1801 AS dur,
+                     i % 6 AS k0, i % 4 AS k1
+              FROM range(300) t(i)
+            ),
+            p AS (
+              SELECT i, k0, k1,
+                     (sr * dur) // 1000 AS n,
+                     (sr * 20) // 1000 AS fn
+              FROM c
+            ),
+            q AS (SELECT i, k0, k1, n, fn, n // fn AS nf FROM p),
+            s AS (
+              SELECT i, n,
+                     CASE WHEN i % 13 = 0 THEN n ELSE k0 * fn END AS s0,
+                     CASE WHEN i % 13 = 0 THEN n
+                          WHEN k1 = 0 THEN n
+                          ELSE (nf - k1) * fn END AS s1
+              FROM q
+            )
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0')
+                     AS clip_id,
+                   CAST(s0 AS BIGINT) AS lead_samples,
+                   CAST(s1 - s0 AS BIGINT) AS n_samples_out,
+                   CAST(n AS BIGINT) AS n_total
+            FROM s
         """,
         # loudness normalization: closed-form gain from the exact
         # int16 fixture amplitude (rms == peak == v/32768)

@@ -243,6 +243,19 @@ def batch_queries(spark, sf_dir):
             .select("clip_id", "bytes", "masks")
         )
 
+    def trim_silence():
+        # leading/trailing silence trim over 2000 clips: decode for
+        # frame energies, byte-surgery cut (survivors bit-identical),
+        # no shuffle
+        from jepl_spark.functions.audio_udfs import trim_silence_clips
+        from jepl_spark.sources.clips import clips_df
+
+        return _drain(
+            trim_silence_clips(clips_df(spark, 2000)).select(
+                "clip_id", "lead_samples", "n_samples_out", "bytes"
+            )
+        )
+
     def gain_normalize():
         # loudness normalization over 2000 clips: one decode, float64
         # rms/peak, scale + re-encode; no shuffle
@@ -567,6 +580,7 @@ def batch_queries(spark, sf_dir):
         "time_mask": time_mask,
         "speed_perturb": speed_perturb,
         "gain_normalize": gain_normalize,
+        "trim_silence": trim_silence,
     }
 
 

@@ -908,6 +908,99 @@ def time_mask_clips(
     return df.mapInPandas(gen, schema=out_schema)
 
 
+def trim_silence_clips(
+    df: DataFrame,
+    frame_ms: int = 20,
+    energy_thr: float = 1e-6,
+) -> DataFrame:
+    """Leading/trailing silence trim (the classic pre-chunking stage):
+    frame the clip with the SAME shared core as the VAD
+    (:func:`_silent_frames` — one dtype, one threshold, the operators
+    can never disagree), find the first and last voiced frame, and cut
+    everything outside in SAMPLE space:
+
+      keep ``[first_voiced·frame_n, last_voiced_end·frame_n)`` —
+      the trailing partial frame (never classified) is kept iff the
+      last FULL frame is voiced, dropped with the trailing silence
+      otherwise; an all-silent clip trims to zero samples; a clip too
+      short for one full frame passes through untouched.
+
+    The cut is BYTE SURGERY in the encoded domain (fixed bytes per
+    sample; WAV payloads re-wrap via ``wav_wrap`` with the header
+    rebuilt around the sliced payload) — surviving samples are
+    bit-identical to the input, no transcode.  Adds ``lead_samples``
+    (cut from the front; the whole clip for all-silent),
+    ``n_samples_out``, and ``n_total``.
+
+    Scale shape: one ``mapInPandas`` decode-for-energy + slice pass,
+    no shuffle; output bytes shrink by the silence fraction, which is
+    the point — downstream chunking/training never pays for it."""
+    if frame_ms <= 0:
+        raise ValueError(f"frame_ms must be positive, got {frame_ms}")
+    in_schema = df.schema
+    for col in ("clip_id", "bytes", "codec", "sr_hz"):
+        if col not in df.columns:
+            raise ValueError(f"trim_silence_clips needs column {col!r}")
+    out_schema = StructType(
+        list(in_schema.fields)
+        + [
+            StructField("lead_samples", LongType()),
+            StructField("n_samples_out", LongType()),
+            StructField("n_total", LongType()),
+        ]
+    )
+    names = [f.name for f in in_schema.fields]
+    _zero: dict = {}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jepl_spark.sources.containers import (
+            wav_payload_span,
+            wav_wrap,
+        )
+
+        for pdf in batches:
+            out_rows = []
+            for row in zip(*(pdf[n] for n in names)):
+                vals = dict(zip(names, row))
+                c, sr = vals["codec"], int(vals["sr_hz"])
+                raw = bytes(vals["bytes"])
+                if c == "wav":
+                    inner, _, off, plen = wav_payload_span(raw)
+                else:
+                    inner, off, plen = c, 0, len(raw)
+                bps = _zero.setdefault(
+                    inner,
+                    len(audio.encode(np.zeros(1, dtype=np.float32), inner)),
+                )
+                x = audio.decode(raw, c)
+                n = x.size
+                frame_n = sr * frame_ms // 1000
+                silent = _silent_frames(x, frame_n, energy_thr)
+                if silent is None:
+                    s0, s1 = 0, n
+                elif silent.all():
+                    s0, s1 = n, n
+                else:
+                    voiced = np.flatnonzero(~silent)
+                    f0, f1 = int(voiced[0]), int(voiced[-1]) + 1
+                    s0 = f0 * frame_n
+                    s1 = n if f1 == silent.size else f1 * frame_n
+                payload = raw[off + s0 * bps : off + s1 * bps]
+                vals["bytes"] = (
+                    wav_wrap(payload, sr, inner) if c == "wav" else payload
+                )
+                out_rows.append(
+                    tuple(vals[nm] for nm in names)
+                    + (int(s0), int(s1 - s0), int(n))
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=names + ["lead_samples", "n_samples_out", "n_total"],
+            )
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def normalize_gain_clips(
     df: DataFrame,
     target_dbfs: float = -20.0,

@@ -173,9 +173,15 @@ _BITS_OF_CODEC = {"pcm16": 16, "alaw": 8, "ulaw": 8}
 def wav_encode(x: np.ndarray, sr_hz: int, codec: str = "pcm16") -> bytes:
     """Encode mono float samples as a real RIFF/WAVE file whose data
     payload is the named codec (pcm16 / G.711 ulaw / alaw)."""
+    return wav_wrap(audio.encode(x, codec), sr_hz, codec)
+
+
+def wav_wrap(payload: bytes, sr_hz: int, codec: str = "pcm16") -> bytes:
+    """Wrap ALREADY-ENCODED payload bytes in a RIFF/WAVE container —
+    the exactness-preserving path for encoded-domain editors (trim /
+    splice): no decode→encode roundtrip touches the samples."""
     if codec not in _WAV_FMT_OF_CODEC:
         raise ValueError(f"unsupported WAV codec {codec!r}")
-    payload = audio.encode(x, codec)
     bits = _BITS_OF_CODEC[codec]
     block_align = bits // 8  # mono
     fmt = struct.pack(

@@ -520,6 +520,73 @@ def test_time_mask_clips_wav_container(spark):
     assert dec.size == w.size
 
 
+def test_trim_silence_known_answers(spark):
+    """Planted frame-aligned lead/tail silence trims exactly; the
+    surviving bytes are a bit-identical slice of the input; trailing
+    voiced content keeps the partial frame; all-silent empties; a
+    sub-frame clip passes through."""
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import trim_silence_clips
+    from jepl_spark.sources import audio as AU
+
+    sr = 8000
+    frame_n = sr * 20 // 1000  # 160
+    n = 1000                   # 6 full frames + 40-sample partial
+    base = (0.4 * np.sin(np.arange(n) / 3.0) + 0.2).astype(np.float32)
+
+    lead_tail = base.copy()
+    lead_tail[: 2 * frame_n] = 0.0       # 2 lead frames
+    lead_tail[5 * frame_n :] = 0.0       # last full frame + partial
+    tail_voiced = base.copy()
+    tail_voiced[:frame_n] = 0.0          # 1 lead frame, voiced to end
+    rows = [
+        ("lt", AU.encode(lead_tail, "pcm16"), "pcm16", sr),
+        ("tv", AU.encode(tail_voiced, "pcm16"), "pcm16", sr),
+        ("sil", AU.encode(np.zeros(n, dtype=np.float32), "pcm16"),
+         "pcm16", sr),
+        ("tiny", AU.encode(base[:100], "pcm16"), "pcm16", sr),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    got = {r.clip_id: r for r in trim_silence_clips(df).collect()}
+
+    r = got["lt"]
+    assert (r.lead_samples, r.n_samples_out, r.n_total) == (
+        2 * frame_n, 3 * frame_n, n)
+    assert bytes(r.bytes) == AU.encode(lead_tail, "pcm16")[
+        2 * frame_n * 2 : 5 * frame_n * 2]
+    r = got["tv"]
+    assert (r.lead_samples, r.n_samples_out) == (frame_n, n - frame_n)
+    r = got["sil"]
+    assert (r.lead_samples, r.n_samples_out) == (n, 0)
+    assert bytes(r.bytes) == b""
+    r = got["tiny"]
+    assert (r.lead_samples, r.n_samples_out, r.n_total) == (0, 100, 100)
+    assert bytes(r.bytes) == AU.encode(base[:100], "pcm16")
+
+
+def test_trim_silence_wav_container(spark):
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import trim_silence_clips
+    from jepl_spark.sources.containers import wav_decode, wav_encode
+
+    sr = 8000
+    frame_n = 160
+    w = (0.4 * np.sin(np.arange(1600) / 3.0) + 0.2).astype(np.float32)
+    w[: 3 * frame_n] = 0.0
+    df = spark.createDataFrame(
+        [("wv", wav_encode(w, sr, "ulaw"), "wav", sr)],
+        "clip_id string, bytes binary, codec string, sr_hz int")
+    r = trim_silence_clips(df).collect()[0]
+    assert r.lead_samples == 3 * frame_n
+    dec, got_sr, inner = wav_decode(bytes(r.bytes))
+    assert (got_sr, inner) == (sr, "ulaw")
+    full, _, _ = wav_decode(wav_encode(w, sr, "ulaw"))
+    assert np.array_equal(dec, full[3 * frame_n :])
+
+
 def test_normalize_gain_known_answers(spark):
     """Known-rms waves: a sine of amplitude a has rms a/√2 → gain to
     -20 dBFS is 0.1·√2/a; a loud full-scale square hits the PEAK cap
