@@ -833,8 +833,6 @@ def time_mask_clips(
         raise ValueError(f"max_mask_ms must be >= 1, got {max_mask_ms}")
     import hashlib
 
-    _ZERO_CODE: dict = {}
-
     in_schema = df.schema
     for col in ("clip_id", "bytes", "codec", "sr_hz"):
         if col not in df.columns:
@@ -876,13 +874,7 @@ def time_mask_clips(
                     eff_codec, _, off, plen = wav_payload_span(raw)
                 else:
                     eff_codec, off, plen = c, 0, len(raw)
-                zb = _ZERO_CODE.get(eff_codec)
-                if zb is None:
-                    zb = bytes(
-                        audio.encode(np.zeros(1, dtype=np.float32),
-                                     eff_codec)
-                    )
-                    _ZERO_CODE[eff_codec] = zb
+                zb = _zero_code(eff_codec)
                 bps = len(zb)
                 n_samp = plen // bps
                 dur_eff = n_samp * 1000 // sr if sr > 0 else 0
@@ -906,6 +898,20 @@ def time_mask_clips(
             )
 
     return df.mapInPandas(gen, schema=out_schema)
+
+
+_ZERO_CODE_CACHE: dict = {}
+
+
+def _zero_code(codec: str) -> bytes:
+    """One sample's encoded digital zero — the splice filler for
+    encoded-domain editors.  Cached per codec per worker (guarded get,
+    not setdefault: the encode must not run on cache hits)."""
+    zb = _ZERO_CODE_CACHE.get(codec)
+    if zb is None:
+        zb = bytes(audio.encode(np.zeros(1, dtype=np.float32), codec))
+        _ZERO_CODE_CACHE[codec] = zb
+    return zb
 
 
 def trim_silence_clips(
@@ -950,7 +956,6 @@ def trim_silence_clips(
         ]
     )
     names = [f.name for f in in_schema.fields]
-    _zero: dict = {}
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from jepl_spark.sources.containers import (
@@ -968,11 +973,10 @@ def trim_silence_clips(
                     inner, _, off, plen = wav_payload_span(raw)
                 else:
                     inner, off, plen = c, 0, len(raw)
-                bps = _zero.setdefault(
-                    inner,
-                    len(audio.encode(np.zeros(1, dtype=np.float32), inner)),
-                )
-                x = audio.decode(raw, c)
+                bps = len(_zero_code(inner))
+                # decode the payload slice directly — the container
+                # was already walked once above
+                x = audio.decode(raw[off : off + plen], inner)
                 n = x.size
                 frame_n = sr * frame_ms // 1000
                 silent = _silent_frames(x, frame_n, energy_thr)
@@ -1122,17 +1126,19 @@ def speed_perturb_clips(
                 vals = dict(zip(names, row))
                 c, sr = vals["codec"], int(vals["sr_hz"])
                 raw = bytes(vals["bytes"])
-                x = audio.decode(raw, c)
                 if c == "wav":
                     from jepl_spark.sources.containers import (
                         wav_payload_span,
                     )
 
-                    inner = wav_payload_span(raw)[0]
+                    # one container walk: decode the located payload
+                    inner, _, off, plen = wav_payload_span(raw)
+                    x = audio.decode(raw[off : off + plen], inner)
 
                     def reenc(arr, _sr=sr, _inner=inner):
                         return wav_encode(arr, _sr, _inner)
                 else:
+                    x = audio.decode(raw, c)
 
                     def reenc(arr, _c=c):
                         return audio.encode(arr, _c)

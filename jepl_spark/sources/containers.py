@@ -173,6 +173,10 @@ _BITS_OF_CODEC = {"pcm16": 16, "alaw": 8, "ulaw": 8}
 def wav_encode(x: np.ndarray, sr_hz: int, codec: str = "pcm16") -> bytes:
     """Encode mono float samples as a real RIFF/WAVE file whose data
     payload is the named codec (pcm16 / G.711 ulaw / alaw)."""
+    if codec not in _WAV_FMT_OF_CODEC:
+        # before audio.encode, whose dict lookup would leak KeyError —
+        # codec errors are ValueError everywhere in this package
+        raise ValueError(f"unsupported WAV codec {codec!r}")
     return wav_wrap(audio.encode(x, codec), sr_hz, codec)
 
 
