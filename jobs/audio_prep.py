@@ -1,0 +1,230 @@
+"""Audio training-data PREP pipeline, packaged for spark-submit: the
+batch stage between the admitted corpus (jobs/audio_ingest.py writes
+it) and the trainer — the audio analogue of jobs/corpus_pipeline.py.
+
+    spark-submit --master <cluster> --py-files jepl_spark.zip \\
+        jobs/audio_prep.py \\
+        --input <clips.parquet> --output <dir> \\
+        [--trim-silence] [--normalize-dbfs -20.0] \\
+        [--min-tps 1.0 --max-tps 8.0]      # transcript-rate admission
+        [--chunk-ms 250 --hop-ms 200 --min-tail-ms 100]  # + alignment
+        [--time-mask N --max-mask-ms 100 --mask-seed epoch0]
+        [--speed-perturb]                  # 0.9/1.0/1.1 sp explode
+        [--batch-size 16 --bucket-ms 500]  # duration-bucketed batches
+        [--shard-bytes N]                  # sized-shard export manifest
+        [--report-only]
+
+Stage order is the one that minimizes bytes through the pipe:
+
+  1. trim        — silence cut FIRST: every later decode pays only for
+                   speech (byte surgery, survivors bit-identical)
+  2. normalize   — RMS gain to target dBFS (peak-capped)
+  3. pair gate   — transcript↔voiced-duration rate admission: broken
+                   pairs leave before chunking multiplies them
+  4. chunk+align — fixed windows + proportional transcript spans; the
+                   written unit becomes a training example
+  5. augment     — deterministic time masks and/or speed perturbation
+                   (seed-parameterized: per-epoch masks without
+                   materializing copies is the trainer's call — this
+                   job materializes when asked)
+  6. batch plan  — duration-bucketed fixed-size batches (padding
+                   report in the JSON line) and/or a sized-shard
+                   export manifest written next to the output
+
+Every stage is a stateless Arrow pass or an ids+longs shuffle; audio
+bytes never shuffle (chunking emits them map-side, batching/sharding
+plan over metadata only).  One JSON report line at exit carries
+per-stage row counts and the padding summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", default=None)
+    p.add_argument("--id-col", default="clip_id")
+    p.add_argument("--trim-silence", action="store_true")
+    p.add_argument("--trim-frame-ms", type=int, default=20)
+    p.add_argument("--normalize-dbfs", type=float, default=None)
+    p.add_argument("--min-tps", type=float, default=None)
+    p.add_argument("--max-tps", type=float, default=None)
+    p.add_argument("--chunk-ms", type=int, default=None)
+    p.add_argument("--hop-ms", type=int, default=None)
+    p.add_argument("--min-tail-ms", type=int, default=0)
+    p.add_argument("--time-mask", type=int, default=None,
+                   help="number of SpecAugment time masks per clip")
+    p.add_argument("--max-mask-ms", type=int, default=100)
+    p.add_argument("--mask-seed", default="mask")
+    p.add_argument("--speed-perturb", action="store_true",
+                   help="0.9/1.0/1.1 speed explode (3x rows)")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--bucket-ms", type=int, default=500)
+    p.add_argument("--shard-bytes", type=int, default=None)
+    p.add_argument("--report-only", action="store_true")
+    args = p.parse_args(argv)
+    if (args.min_tps is None) != (args.max_tps is None):
+        p.error("--min-tps and --max-tps must be given together")
+    if args.output is None and not args.report_only:
+        p.error("--output is required unless --report-only")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("jepl-audio-prep").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from jepl_spark.functions import audio_udfs as AU
+
+    t0 = time.time()
+    stages: dict = {}
+    persisted = []
+
+    def checkpoint_stage(frame, name):
+        frame = frame.persist()
+        persisted.append(frame)
+        stages[name] = frame.count()
+        return frame
+
+    df = spark.read.parquet(args.input)
+    stages["input"] = df.count()
+
+    if args.trim_silence:
+        df = checkpoint_stage(
+            AU.trim_silence_clips(df, frame_ms=args.trim_frame_ms)
+            .where(F.col("n_samples_out") > 0)
+            .drop("lead_samples", "n_samples_out", "n_total"),
+            "after_trim",
+        )
+
+    if args.normalize_dbfs is not None:
+        # gain_db rides the row as the loudness audit column (note:
+        # it is clip-level — a later chunking stage re-keys to chunk
+        # rows, which do not carry it)
+        df = checkpoint_stage(
+            AU.normalize_gain_clips(df, target_dbfs=args.normalize_dbfs),
+            "after_normalize",
+        )
+
+    if args.min_tps is not None:
+        df = checkpoint_stage(
+            AU.admit_paired_clips(df, min_tps=args.min_tps,
+                                  max_tps=args.max_tps)
+            .where(F.col("reject_reason").isNull())
+            .drop("voiced_ms", "n_tokens", "tokens_per_voiced_s",
+                  "reject_reason"),
+            "after_pair_gate",
+        )
+
+    if args.chunk_ms is not None:
+        chunks = AU.chunk_clips(
+            df, chunk_ms=args.chunk_ms, hop_ms=args.hop_ms,
+            min_tail_ms=args.min_tail_ms,
+        )
+        if "transcript" in df.columns:
+            chunks = AU.align_transcript_to_chunks(chunks)
+        # the training unit is now the chunk: re-key and derive its
+        # duration for the batching stages below
+        df = checkpoint_stage(
+            chunks.withColumn(
+                args.id_col,
+                F.concat_ws("#", F.col(args.id_col),
+                            F.col("chunk_idx").cast("string")),
+            ).withColumn(
+                "dur_ms",
+                (F.col("n_samples") * 1000 / F.col("sr_hz"))
+                .cast("int"),
+            ),
+            "after_chunking",
+        )
+
+    if args.time_mask is not None:
+        df = checkpoint_stage(
+            AU.time_mask_clips(df, n_masks=args.time_mask,
+                               max_mask_ms=args.max_mask_ms,
+                               seed=args.mask_seed),
+            "after_time_mask",
+        )
+
+    if args.speed_perturb:
+        sp = AU.speed_perturb_clips(df)
+        # re-key per factor and rescale the duration metadata so the
+        # batching stages see the perturbed lengths
+        df = checkpoint_stage(
+            sp.withColumn(
+                args.id_col,
+                F.concat_ws(
+                    "@", F.col(args.id_col),
+                    F.concat(F.col("factor_num").cast("string"),
+                             F.lit("_"),
+                             F.col("factor_den").cast("string")),
+                ),
+            ).withColumn(
+                "dur_ms",
+                (F.col("n_samples") * 1000 / F.col("sr_hz")).cast("int"),
+            ).drop("factor_num", "factor_den", "n_samples"),
+            "after_speed_perturb",
+        )
+
+    if args.batch_size is not None:
+        from jepl_spark.operators.batching import (
+            batch_padding_report,
+            duration_batches,
+        )
+
+        plan = duration_batches(
+            df, batch_size=args.batch_size, bucket_ms=args.bucket_ms,
+            id_col=args.id_col,
+        )
+        if not args.report_only:
+            plan.write.mode("overwrite").parquet(args.output + "_batches")
+            plan = spark.read.parquet(args.output + "_batches")
+        rep = batch_padding_report(plan).agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("pad_ms").alias("total_pad_ms"),
+            F.sum("sum_dur_ms").alias("total_dur_ms"),
+        ).first()
+        stages["batches"] = int(rep["n_batches"] or 0)
+        stages["padding_overhead"] = (
+            round(float(rep["total_pad_ms"]) / float(rep["total_dur_ms"]), 4)
+            if rep["total_dur_ms"] else None
+        )
+
+    if args.shard_bytes is not None:
+        from jepl_spark.operators.batching import assign_shards
+
+        sized = df.withColumn("n_bytes", F.length("bytes"))
+        manifest = assign_shards(
+            sized, shard_bytes=args.shard_bytes, size_col="n_bytes",
+            id_col=args.id_col,
+        )
+        if not args.report_only:
+            manifest.write.mode("overwrite").parquet(
+                args.output + "_shards"
+            )
+            manifest = spark.read.parquet(args.output + "_shards")
+        stages["shards"] = manifest.select("group", "shard_idx") \
+            .distinct().count()
+
+    if not args.report_only:
+        df.write.mode("overwrite").parquet(args.output)
+        stages["written"] = spark.read.parquet(args.output).count()
+
+    for f in persisted:
+        f.unpersist()
+    print(json.dumps({
+        "stages": stages,
+        "wall_s": round(time.time() - t0, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -709,6 +709,73 @@ def test_audio_ingest_quality_admission(spark, tmp_path, capsys):
     assert summary["admitted_clips"] == len(want)
 
 
+def test_audio_prep_job_full_chain(spark, tmp_path, capsys):
+    """audio_prep e2e: trim → normalize → pair gate → chunk+align →
+    time mask → duration-batch plan + shard manifest, per-stage counts
+    in the report; chunk rows carry aligned transcript spans and the
+    batch plan's ids are the re-keyed chunk ids."""
+    import json as _json
+
+    import numpy as np
+
+    from jepl_spark.sources import audio as AU
+    from jobs.audio_prep import main
+
+    sr = 8000
+    rows = []
+    for i in range(30):
+        n = sr * (800 + 37 * i) // 1000
+        w = (0.4 * np.sin(np.arange(n) / 5.0) + 0.1).astype(np.float32)
+        w[: sr // 5] = 0.0                   # 200 ms lead silence
+        if i % 10 == 3:
+            w[:] = 0.0                       # all silent -> trimmed away
+        t = "" if i % 9 == 4 else " ".join(
+            f"w{j}" for j in range(2 + i % 5))
+        rows.append((f"clip-{i:04d}", AU.encode(w, "pcm16"), "pcm16",
+                     sr, t))
+    schema = ("clip_id string, bytes binary, codec string, "
+              "sr_hz int, transcript string")
+    inp = str(tmp_path / "clips")
+    spark.createDataFrame(rows, schema).write.parquet(inp)
+
+    out = str(tmp_path / "prep")
+    rc = main([
+        "--input", inp, "--output", out,
+        "--trim-silence", "--normalize-dbfs", "-20.0",
+        "--min-tps", "0.5", "--max-tps", "50.0",
+        "--chunk-ms", "250", "--hop-ms", "250", "--min-tail-ms", "100",
+        "--time-mask", "1", "--max-mask-ms", "50",
+        "--batch-size", "4", "--bucket-ms", "250",
+        "--shard-bytes", "65536",
+    ])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    s = rep["stages"]
+    assert s["input"] == 30
+    assert s["after_trim"] == 27             # the 3 all-silent die
+    assert s["after_normalize"] == 27
+    # empty transcripts (i%9==4, minus any all-silent overlap) reject
+    assert s["after_pair_gate"] == 27 - len(
+        [i for i in range(30) if i % 9 == 4 and i % 10 != 3])
+    assert s["after_chunking"] > s["after_pair_gate"]  # windows multiply
+    assert s["after_time_mask"] == s["after_chunking"]
+    assert s["batches"] >= 1 and 0 <= s["padding_overhead"] < 1
+    assert s["shards"] >= 1
+    assert s["written"] == s["after_time_mask"]
+
+    got = spark.read.parquet(out)
+    # gain_db is a CLIP-level audit value; chunk rows don't carry it
+    # (chunk_clips has a fixed output schema)
+    assert {"chunk_text", "tok_start", "tok_end",
+            "masks"} <= set(got.columns)
+    r = got.where("chunk_idx = 0").limit(1).collect()[0]
+    assert "#" in r["clip_id"]               # re-keyed chunk id
+    plan = spark.read.parquet(out + "_batches")
+    assert plan.count() == s["after_time_mask"]
+    assert spark.read.parquet(out + "_shards").count() \
+        == s["after_time_mask"]
+
+
 def test_audio_ingest_one_sided_quality_flag(spark, tmp_path, capsys):
     """Giving ONLY --max-silence-ratio must not silently enable the
     clipping check at its library default: planted clipped clips
