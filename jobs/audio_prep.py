@@ -23,7 +23,10 @@ Stage order is the one that minimizes bytes through the pipe:
                    pairs leave before chunking multiplies them
   4. chunk+align — fixed windows + proportional transcript spans; the
                    written unit becomes a training example
-  5. augment     — deterministic time masks and/or speed perturbation
+  5. augment     — speed perturbation first, THEN deterministic time
+                   masks, so every mask span is recorded in the final
+                   (possibly stretched) timeline and each perturbed
+                   copy's re-keyed id draws its own masks
                    (seed-parameterized: per-epoch masks without
                    materializing copies is the trainer's call — this
                    job materializes when asked)
@@ -74,6 +77,14 @@ def main(argv: list[str]) -> int:
         p.error("--min-tps and --max-tps must be given together")
     if args.output is None and not args.report_only:
         p.error("--output is required unless --report-only")
+    if args.id_col != "clip_id" and (
+        args.trim_silence or args.normalize_dbfs is not None
+        or args.min_tps is not None or args.chunk_ms is not None
+        or args.time_mask is not None or args.speed_perturb
+    ):
+        p.error("--id-col other than clip_id is only supported for the "
+                "batch/shard planning stages: the audio operators key "
+                "on the input_hint schema's clip_id column")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -94,6 +105,17 @@ def main(argv: list[str]) -> int:
         return frame
 
     df = spark.read.parquet(args.input)
+    if (
+        args.batch_size is not None
+        and "dur_ms" not in df.columns
+        and args.chunk_ms is None
+        and not args.speed_perturb
+    ):
+        # fail before any stage runs: duration batching needs dur_ms —
+        # the input_hint clip schema carries one, and the chunk /
+        # speed-perturb stages derive it for their re-keyed rows
+        p.error("--batch-size needs a dur_ms column on the input (or a "
+                "--chunk-ms / --speed-perturb stage that derives it)")
     stages["input"] = df.count()
 
     if args.trim_silence:
@@ -116,7 +138,8 @@ def main(argv: list[str]) -> int:
     if args.min_tps is not None:
         df = checkpoint_stage(
             AU.admit_paired_clips(df, min_tps=args.min_tps,
-                                  max_tps=args.max_tps)
+                                  max_tps=args.max_tps,
+                                  frame_ms=args.trim_frame_ms)
             .where(F.col("reject_reason").isNull())
             .drop("voiced_ms", "n_tokens", "tokens_per_voiced_s",
                   "reject_reason"),
@@ -141,19 +164,14 @@ def main(argv: list[str]) -> int:
                 "dur_ms",
                 (F.col("n_samples") * 1000 / F.col("sr_hz"))
                 .cast("int"),
-            ),
+            ).drop("n_samples", "n_total"),
             "after_chunking",
         )
 
-    if args.time_mask is not None:
-        df = checkpoint_stage(
-            AU.time_mask_clips(df, n_masks=args.time_mask,
-                               max_mask_ms=args.max_mask_ms,
-                               seed=args.mask_seed),
-            "after_time_mask",
-        )
-
     if args.speed_perturb:
+        # speed BEFORE masking: mask spans must live in the FINAL
+        # timeline, and a perturbed copy's re-keyed id draws its own
+        # deterministic masks
         sp = AU.speed_perturb_clips(df)
         # re-key per factor and rescale the duration metadata so the
         # batching stages see the perturbed lengths
@@ -171,6 +189,14 @@ def main(argv: list[str]) -> int:
                 (F.col("n_samples") * 1000 / F.col("sr_hz")).cast("int"),
             ).drop("factor_num", "factor_den", "n_samples"),
             "after_speed_perturb",
+        )
+
+    if args.time_mask is not None:
+        df = checkpoint_stage(
+            AU.time_mask_clips(df, n_masks=args.time_mask,
+                               max_mask_ms=args.max_mask_ms,
+                               seed=args.mask_seed),
+            "after_time_mask",
         )
 
     if args.batch_size is not None:

@@ -776,6 +776,59 @@ def test_audio_prep_job_full_chain(spark, tmp_path, capsys):
         == s["after_time_mask"]
 
 
+def test_audio_prep_speed_perturb_and_guards(spark, tmp_path, capsys):
+    """chunk + speed-perturb + mask compose (regression: ambiguous
+    n_samples crash); masks are drawn per perturbed copy in the final
+    timeline; --batch-size without any dur_ms source fails fast; a
+    non-clip_id --id-col is rejected for audio stages."""
+    import json as _json
+
+    import numpy as np
+    import pytest as _pt
+
+    from jepl_spark.sources import audio as AU
+    from jobs.audio_prep import main
+
+    sr = 8000
+    rows = [
+        (f"c{i:02d}",
+         AU.encode((0.4 * np.sin(np.arange(sr) / (4.0 + i)) + 0.1)
+                   .astype(np.float32), "pcm16"),
+         "pcm16", sr, f"tok{i} alpha beta")
+        for i in range(6)
+    ]
+    inp = str(tmp_path / "clips")
+    spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int, "
+              "transcript string").write.parquet(inp)
+
+    rc = main([
+        "--input", inp, "--report-only",
+        "--chunk-ms", "250", "--hop-ms", "250",
+        "--speed-perturb", "--time-mask", "1", "--max-mask-ms", "40",
+        "--batch-size", "4", "--bucket-ms", "100",
+    ])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    s = rep["stages"]
+    assert s["after_chunking"] == 6 * 4
+    assert s["after_speed_perturb"] == 3 * s["after_chunking"]
+    assert s["after_time_mask"] == s["after_speed_perturb"]
+    assert s["batches"] >= 1
+
+    # no dur_ms anywhere -> fail fast, before any stage count
+    nodur = str(tmp_path / "nodur")
+    spark.createDataFrame(
+        [("x", b"\x00\x00", "pcm16", sr)],
+        "clip_id string, bytes binary, codec string, sr_hz int",
+    ).write.parquet(nodur)
+    with _pt.raises(SystemExit):
+        main(["--input", nodur, "--report-only", "--batch-size", "4"])
+    with _pt.raises(SystemExit):
+        main(["--input", inp, "--report-only", "--id-col", "uid",
+              "--trim-silence"])
+
+
 def test_audio_ingest_one_sided_quality_flag(spark, tmp_path, capsys):
     """Giving ONLY --max-silence-ratio must not silently enable the
     clipping check at its library default: planted clipped clips
