@@ -629,21 +629,18 @@ def q_time_mask_clips(spark, sf_dir):
     )
 
 
-def q_trim_silence_clips(spark, sf_dir):
-    """Silence trim gate: planted frame-aligned lead (k0 = i%6 frames)
-    and tail (k1 = i%4 frames, covering the partial frame) zeros,
-    wholly-silent every 13th clip.  The oracle replays the cut
-    arithmetic — first/last voiced frame, partial-frame retention iff
-    the last full frame is voiced, all-silent → empty — from the
-    formulas; the byte-identity of surviving samples is pinned by
-    unit tests."""
+def _trim_fixture_clips(spark):
+    """300 clips with planted frame-aligned lead (k0 = i%6 frames) and
+    tail (k1 = i%4 frames, covering the partial frame) zeros,
+    wholly-silent every 13th clip — shared by the batch and streaming
+    trim gates; the oracle replays the cut arithmetic from these
+    formulas."""
     import pandas as pd2
 
     from pyspark.sql.types import (
         BinaryType, IntegerType, StringType, StructField, StructType,
     )
 
-    from jepl_spark.functions.audio_udfs import trim_silence_clips
     from jepl_spark.sources import audio as A
 
     schema = StructType([
@@ -676,15 +673,66 @@ def q_trim_silence_clips(spark, sf_dir):
                 rows["sr_hz"].append(sr)
             yield pd2.DataFrame(rows)
 
-    clips = spark.range(0, 300, numPartitions=4).mapInPandas(
+    return spark.range(0, 300, numPartitions=4).mapInPandas(
         gen, schema=schema
     )
-    out = trim_silence_clips(clips, frame_ms=20, energy_thr=1e-6)
+
+
+def _trim_project(out):
     return out.select(
         "clip_id",
         F.col("lead_samples").cast("bigint").alias("lead_samples"),
         F.col("n_samples_out").cast("bigint").alias("n_samples_out"),
         F.col("n_total").cast("bigint").alias("n_total"),
+    )
+
+
+def q_trim_silence_clips(spark, sf_dir):
+    """Silence trim gate: the oracle replays the cut arithmetic —
+    first/last voiced frame, partial-frame retention iff the last
+    full frame is voiced, all-silent → empty — from the fixture
+    formulas; the byte-identity of surviving samples is pinned by
+    unit tests."""
+    from jepl_spark.functions.audio_udfs import trim_silence_clips
+
+    return _trim_project(trim_silence_clips(
+        _trim_fixture_clips(spark), frame_ms=20, energy_thr=1e-6
+    ))
+
+
+def q_stream_trim_silence(spark, sf_dir):
+    """The trim lane as a LIVE stream: same fixture staged as a file
+    stream → stateless byte-surgery trim → exactly-once sink.
+    Statelessness makes the output batching-invariant, so the batch
+    oracle replays it exactly — silence trimming composes with
+    micro-batch execution and the sink protocol unchanged (the
+    streaming shape an ingest pipeline runs trim in, before bytes
+    ever commit)."""
+    import tempfile
+
+    from jepl_spark.functions.audio_udfs import trim_silence_clips
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-strim-")
+    clips = _trim_fixture_clips(spark)
+    src = f"{work}/src"
+    clips.write.mode("overwrite").parquet(src)
+    trimmed = _trim_project(trim_silence_clips(
+        file_stream(spark, src, clips.schema, max_files_per_trigger=2),
+        frame_ms=20, energy_thr=1e-6,
+    ))
+    sink = IdempotentParquetSink(f"{work}/sink")
+    q = (
+        trimmed.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    return sink.read_committed(spark).select(
+        "clip_id", "lead_samples", "n_samples_out", "n_total"
     )
 
 
@@ -3069,13 +3117,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     caps at 50 entries (taking the FIRST 50 of this dict), so the
     window rotates each round to keep every gate driver-attested at
     most one round stale: round-6 lanes that have never been attested
-    lead (22: html/mojibake/url/cross-corpus lanes, the two audio
+    lead (23: html/mojibake/url/cross-corpus lanes, the two audio
     near-dup lanes, NFC, epoch mixing, the histogram-sketch batch +
     streaming pair, substring-dedup spans, audio admission, the
     speech-rate pair-admission batch + streaming twins, duration
     batching, paired chunking, shard export, time masking, speed perturbation, gain
-    normalization, and silence trim), then
-    19 of the 36 oracle-checkable veterans the round-5 window skipped
+    normalization, and the silence-trim batch + streaming twins),
+    then 18 of the 36 oracle-checkable veterans the round-5 window skipped
     (the r5 judge-rerun list minus its 2 rows-only members; those
     past the boundary are each pinned by in-window siblings — see the
     past-the-window comment), then the 9 jepl_* language anchors that
@@ -3107,6 +3155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speed_perturb_clips": q_speed_perturb_clips,
         "gain_normalize_clips": q_gain_normalize_clips,
         "trim_silence_clips": q_trim_silence_clips,
+        "stream_trim_silence": q_stream_trim_silence,
         # -- block 2: veterans rotated OUT of the round-5 window -------
         "window_session": q_window_session,
         "dedup_exact": q_dedup_exact,
@@ -3119,7 +3168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "bloom_prune_orders": q_bloom_prune_orders,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_near_dups": q_embedding_near_dups,
         "simhash_hamming_near_dups": q_simhash_hamming_near_dups,
         "lang_id": q_lang_id,
         "asof_join_events": q_asof_join_events,
@@ -3172,6 +3220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rollup_cascade_events ceded its slot to trim_silence_clips:
         # the cascade is r05-driver-attested via stream_rollup_cascade
         "rollup_cascade_events": q_rollup_cascade_events,
+        # embedding_near_dups ceded its slot to stream_trim_silence:
+        # the LSH bucket scheme is attested in-window by ann_topk_batch
+        # + ann_ivf_topk and by the r05-attested ann_index_batch
+        "embedding_near_dups": q_embedding_near_dups,
         # doc_fingerprint, split_train_val_test, and
         # interval_overlap_events ceded their window slots to the two
         # speech-rate gates and duration_batches: fingerprinting is
@@ -5843,4 +5895,5 @@ def oracle_sql() -> dict[str, str]:
     out["stream_vad_segments"] = out["audio_vad_segments"]
     # stateless lane: the batch oracle replays the stream verbatim
     out["stream_speech_rate"] = out["speech_rate_admit"]
+    out["stream_trim_silence"] = out["trim_silence_clips"]
     return out

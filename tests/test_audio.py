@@ -520,6 +520,69 @@ def test_time_mask_clips_wav_container(spark):
     assert dec.size == w.size
 
 
+def test_encoded_domain_ops_fuzz(spark):
+    """Property sweep over the three encoded-domain editors (trim,
+    time-mask, speed-perturb) and gain: random lengths / codecs /
+    container wrapping / silence layouts — outputs always decode, the
+    documented length/metadata invariants hold, and no non-ValueError
+    ever escapes (the package-wide decoder error contract)."""
+    import random
+
+    import numpy as np
+
+    from jepl_spark.functions.audio_udfs import (
+        normalize_gain_clips,
+        speed_perturb_clips,
+        time_mask_clips,
+        trim_silence_clips,
+    )
+    from jepl_spark.sources import audio as AU
+    from jepl_spark.sources.containers import wav_decode, wav_encode
+
+    rng = random.Random(20260817)
+    rows = []
+    for i in range(60):
+        sr = rng.choice((8000, 16000, 44100))
+        n = rng.randrange(0, 4000)
+        w = (0.5 * np.sin(np.arange(n) / rng.uniform(2, 30))) \
+            .astype(np.float32)
+        if n and rng.random() < 0.3:          # random silent prefix
+            w[: rng.randrange(0, n)] = 0.0
+        codec = rng.choice(("pcm16", "ulaw", "alaw", "wav"))
+        if codec == "wav":
+            inner = rng.choice(("pcm16", "ulaw", "alaw"))
+            b = wav_encode(w, sr, inner)
+        else:
+            b = AU.encode(w, codec)
+        rows.append((f"f{i:03d}", b, codec, sr))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    orig_n = {r[0]: AU.decode(r[1], r[2]).size for r in rows}
+
+    for r in trim_silence_clips(df).collect():
+        assert r.n_total == orig_n[r.clip_id]
+        assert 0 <= r.n_samples_out <= r.n_total
+        dec = AU.decode(bytes(r.bytes), r.codec)
+        assert dec.size == r.n_samples_out
+    for r in time_mask_clips(df, n_masks=2, max_mask_ms=90).collect():
+        dec = AU.decode(bytes(r.bytes), r.codec)
+        assert dec.size == orig_n[r.clip_id]      # masking never resizes
+        assert len(r.masks) == 2
+        for m in r.masks:
+            assert 1 <= m.len_ms <= 90 and m.start_ms >= 0
+    for r in speed_perturb_clips(df).collect():
+        n = orig_n[r.clip_id]
+        assert r.n_samples == n * r.factor_den // r.factor_num
+        assert AU.decode(bytes(r.bytes), r.codec).size == r.n_samples
+        if r.codec == "wav":
+            wav_decode(bytes(r.bytes))            # container stays valid
+    for r in normalize_gain_clips(df).collect():
+        dec = AU.decode(bytes(r.bytes), r.codec)
+        assert dec.size == orig_n[r.clip_id]
+        if r.gain_db is not None and dec.size:
+            assert float(np.max(np.abs(dec))) <= 0.9905
+
+
 def test_trim_silence_known_answers(spark):
     """Planted frame-aligned lead/tail silence trims exactly; the
     surviving bytes are a bit-identical slice of the input; trailing
