@@ -773,10 +773,21 @@ def admit_paired_clips(
 
     Runs :func:`speech_rate` first unless its columns are already
     present; the decision itself is pure JVM CASE, so the whole lane
-    stays one Arrow decode pass + codegen."""
-    out = df if "tokens_per_voiced_s" in df.columns else speech_rate(
-        df, **rate_kwargs
-    )
+    stays one Arrow decode pass + codegen.  Passing ``rate_kwargs``
+    alongside an input that ALREADY carries ``tokens_per_voiced_s`` is
+    an error — the kwargs would be silently ignored (the rate was
+    computed elsewhere, possibly with different parameters)."""
+    if "tokens_per_voiced_s" in df.columns:
+        if rate_kwargs:
+            raise ValueError(
+                "admit_paired_clips: input already carries "
+                "tokens_per_voiced_s, so rate_kwargs "
+                f"{sorted(rate_kwargs)} would have no effect — drop the "
+                "kwargs or the precomputed rate columns"
+            )
+        out = df
+    else:
+        out = speech_rate(df, **rate_kwargs)
     rate = F.col("tokens_per_voiced_s")
     reason = (
         F.when(
@@ -867,11 +878,7 @@ def time_mask_clips(
                 cid, c, sr = vals["clip_id"], vals["codec"], int(vals["sr_hz"])
                 raw = bytes(vals["bytes"])
                 if c == "wav":
-                    from jepl_spark.sources.containers import (
-                        wav_payload_span,
-                    )
-
-                    eff_codec, _, off, plen = wav_payload_span(raw)
+                    eff_codec, off, plen = _wav_span_checked(raw, sr, cid)
                 else:
                     eff_codec, off, plen = c, 0, len(raw)
                 zb = _zero_code(eff_codec)
@@ -901,6 +908,28 @@ def time_mask_clips(
 
 
 _ZERO_CODE_CACHE: dict = {}
+
+
+def _wav_span_checked(raw: bytes, sr_col: int, cid) -> tuple:
+    """Locate a WAV row's payload (ONE container walk) and validate the
+    row's ``sr_hz`` column against the RIFF header's rate → (inner
+    codec, offset, payload length).
+
+    The encoded-domain editors do all frame/mask/cut arithmetic in the
+    COLUMN's rate and stamp it into any rebuilt header — a row whose
+    header disagrees would silently get wrong spans and a changed
+    playback speed.  Fail fast instead; the mismatch is a corpus
+    metadata bug upstream, not something an editor can repair."""
+    from jepl_spark.sources.containers import wav_payload_span
+
+    inner, hdr_sr, off, plen = wav_payload_span(raw)
+    if int(hdr_sr) != int(sr_col):
+        raise ValueError(
+            f"clip {cid!r}: sr_hz column says {int(sr_col)} but the WAV "
+            f"header says {int(hdr_sr)} — refusing to edit with "
+            f"inconsistent rates"
+        )
+    return inner, off, plen
 
 
 def _zero_code(codec: str) -> bytes:
@@ -958,10 +987,7 @@ def trim_silence_clips(
     names = [f.name for f in in_schema.fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from jepl_spark.sources.containers import (
-            wav_payload_span,
-            wav_wrap,
-        )
+        from jepl_spark.sources.containers import wav_wrap
 
         for pdf in batches:
             out_rows = []
@@ -970,7 +996,9 @@ def trim_silence_clips(
                 c, sr = vals["codec"], int(vals["sr_hz"])
                 raw = bytes(vals["bytes"])
                 if c == "wav":
-                    inner, _, off, plen = wav_payload_span(raw)
+                    inner, off, plen = _wav_span_checked(
+                        raw, sr, vals["clip_id"]
+                    )
                 else:
                     inner, off, plen = c, 0, len(raw)
                 bps = len(_zero_code(inner))
@@ -1047,7 +1075,19 @@ def normalize_gain_clips(
                 vals = dict(zip(names, row))
                 c, sr = vals["codec"], int(vals["sr_hz"])
                 raw = bytes(vals["bytes"])
-                x = audio.decode(raw, c).astype(np.float64)
+                if c == "wav":
+                    # one container walk: locate + rate-check, decode
+                    # the payload slice, and reuse the inner codec for
+                    # the rebuild below
+                    inner, off, plen = _wav_span_checked(
+                        raw, sr, vals["clip_id"]
+                    )
+                    x = audio.decode(
+                        raw[off : off + plen], inner
+                    ).astype(np.float64)
+                else:
+                    inner = c
+                    x = audio.decode(raw, c).astype(np.float64)
                 rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
                 if rms <= 0.0:
                     out_rows.append(
@@ -1058,11 +1098,7 @@ def normalize_gain_clips(
                 gain = min(target_amp / rms, peak_limit / peak)
                 y = (x * gain).astype(np.float32)
                 if c == "wav":
-                    from jepl_spark.sources.containers import (
-                        wav_payload_span,
-                    )
-
-                    out = wav_encode(y, sr, wav_payload_span(raw)[0])
+                    out = wav_encode(y, sr, inner)
                 else:
                     out = audio.encode(y, c)
                 vals["bytes"] = out
@@ -1127,12 +1163,10 @@ def speed_perturb_clips(
                 c, sr = vals["codec"], int(vals["sr_hz"])
                 raw = bytes(vals["bytes"])
                 if c == "wav":
-                    from jepl_spark.sources.containers import (
-                        wav_payload_span,
-                    )
-
                     # one container walk: decode the located payload
-                    inner, _, off, plen = wav_payload_span(raw)
+                    inner, off, plen = _wav_span_checked(
+                        raw, sr, vals["clip_id"]
+                    )
                     x = audio.decode(raw[off : off + plen], inner)
 
                     def reenc(arr, _sr=sr, _inner=inner):

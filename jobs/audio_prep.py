@@ -119,10 +119,21 @@ def main(argv: list[str]) -> int:
     stages["input"] = df.count()
 
     if args.trim_silence:
+        trimmed = AU.trim_silence_clips(
+            df, frame_ms=args.trim_frame_ms
+        ).where(F.col("n_samples_out") > 0)
+        if "dur_ms" in df.columns:
+            # the cut changed the clip's real duration — refresh the
+            # metadata column BEFORE dropping n_samples_out, or every
+            # dur_ms consumer downstream (duration batching, the
+            # padding report, dedup blocking) operates on pre-trim
+            # values
+            trimmed = trimmed.withColumn(
+                "dur_ms",
+                F.expr("n_samples_out * 1000 div sr_hz").cast("int"),
+            )
         df = checkpoint_stage(
-            AU.trim_silence_clips(df, frame_ms=args.trim_frame_ms)
-            .where(F.col("n_samples_out") > 0)
-            .drop("lead_samples", "n_samples_out", "n_total"),
+            trimmed.drop("lead_samples", "n_samples_out", "n_total"),
             "after_trim",
         )
 
@@ -136,10 +147,17 @@ def main(argv: list[str]) -> int:
         )
 
     if args.min_tps is not None:
+        # only parameterize the rate pass when it actually runs here —
+        # a pre-rated input (tokens_per_voiced_s present) computed its
+        # rate elsewhere, and admit_paired_clips rejects stray kwargs
+        rate_kwargs = (
+            {} if "tokens_per_voiced_s" in df.columns
+            else {"frame_ms": args.trim_frame_ms}
+        )
         df = checkpoint_stage(
             AU.admit_paired_clips(df, min_tps=args.min_tps,
                                   max_tps=args.max_tps,
-                                  frame_ms=args.trim_frame_ms)
+                                  **rate_kwargs)
             .where(F.col("reject_reason").isNull())
             .drop("voiced_ms", "n_tokens", "tokens_per_voiced_s",
                   "reject_reason"),

@@ -916,3 +916,59 @@ def test_admit_clips_reason_precedence(spark):
            for r in admit_clips(df, max_clipping_ratio=0.05,
                                 max_silence_ratio=0.85).collect()}
     assert got == {"empty": "empty", "both": "clipped", "fine": None}
+
+
+def test_encoded_editors_reject_sr_mismatch(spark):
+    """A WAV row whose sr_hz column disagrees with the RIFF header rate
+    fails fast in every encoded-domain editor (ADVICE r6): the editors
+    do span arithmetic in the column's rate, so a silent mismatch would
+    corrupt the edit and restamp the header at a new playback speed."""
+    import numpy as np
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from jepl_spark.functions.audio_udfs import (
+        normalize_gain_clips,
+        speed_perturb_clips,
+        time_mask_clips,
+        trim_silence_clips,
+    )
+    from jepl_spark.sources.containers import wav_encode
+
+    w = (0.4 * np.sin(np.arange(8000) / 5.0)).astype(np.float32)
+    # header says 8000 Hz, column says 16000 Hz
+    df = spark.createDataFrame(
+        [("bad", wav_encode(w, 8000, "pcm16"), "wav", 16000)],
+        "clip_id string, bytes binary, codec string, sr_hz int")
+    for op in (trim_silence_clips, time_mask_clips,
+               speed_perturb_clips, normalize_gain_clips):
+        with pytest.raises(Exception) as ei:
+            op(df).collect()
+        # the worker-side ValueError surfaces through Spark's Python
+        # runner; its message must carry the diagnostic
+        assert "sr_hz column says 16000" in str(ei.value), op.__name__
+
+    # consistent rows still pass through every editor
+    ok = spark.createDataFrame(
+        [("ok", wav_encode(w, 8000, "pcm16"), "wav", 8000)],
+        "clip_id string, bytes binary, codec string, sr_hz int")
+    assert trim_silence_clips(ok).count() == 1
+    assert normalize_gain_clips(ok).count() == 1
+
+
+def test_admit_paired_rejects_stray_rate_kwargs(spark):
+    """rate_kwargs on a pre-rated input raise instead of being silently
+    ignored (ADVICE r6)."""
+    import pytest
+
+    from jepl_spark.functions.audio_udfs import admit_paired_clips
+
+    df = spark.createDataFrame(
+        [("c", 1000, 5, 5.0)],
+        "clip_id string, voiced_ms long, n_tokens long, "
+        "tokens_per_voiced_s double")
+    with pytest.raises(ValueError, match="tokens_per_voiced_s"):
+        admit_paired_clips(df, frame_ms=10)
+    # no kwargs → the precomputed rate is used as-is
+    out = admit_paired_clips(df).collect()[0]
+    assert out.reject_reason is None

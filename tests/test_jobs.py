@@ -891,3 +891,43 @@ def test_audio_ingest_speech_rate_admission(spark, tmp_path, capsys):
     import pytest as _pt
     with _pt.raises(SystemExit):
         main(argv[:-4] + ["--min-tps", "1.0"])   # must come as a pair
+
+def test_audio_prep_trim_refreshes_dur_ms(spark, tmp_path, capsys):
+    """--trim-silence on an input that carries dur_ms refreshes the
+    column from the post-trim sample count (ADVICE r6): the batch plan
+    and the written parquet must see trimmed durations, not the stale
+    input metadata."""
+    import json as _json
+
+    import numpy as np
+
+    from jepl_spark.sources import audio as AU
+    from jobs.audio_prep import main
+
+    sr = 8000
+    rows = []
+    for i in range(8):
+        n = sr  # 1000 ms
+        w = (0.4 * np.sin(np.arange(n) / 5.0) + 0.1).astype(np.float32)
+        w[: sr // 2] = 0.0                    # 500 ms lead silence
+        rows.append((f"c{i:02d}", AU.encode(w, "pcm16"), "pcm16",
+                     sr, 1000))
+    inp = str(tmp_path / "clips")
+    spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int, "
+              "dur_ms int").write.parquet(inp)
+
+    out = str(tmp_path / "prep")
+    rc = main(["--input", inp, "--output", out,
+               "--trim-silence", "--batch-size", "4"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stages"]["after_trim"] == 8
+
+    got = spark.read.parquet(out)
+    for r in got.select("dur_ms").collect():
+        # 500 ms of lead silence cut -> dur_ms reflects the trim
+        assert r.dur_ms <= 520, r.dur_ms
+    plan = spark.read.parquet(out + "_batches")
+    for r in plan.select("dur_ms").collect():
+        assert r.dur_ms <= 520, r.dur_ms
