@@ -47,6 +47,13 @@ def main(argv: list[str]) -> int:
                    help="also drop byte-identical clips in "
                         "watermark-bounded state before the near-dup "
                         "stage")
+    p.add_argument("--near-dup-horizon-s", type=int, default=None,
+                   help="bound the vs-admitted near-dup check to "
+                        "signatures within this many seconds before "
+                        "the batch's earliest event_time (recall "
+                        "consequence: older copies re-admit); default "
+                        "= no time bound — the partitioned signature "
+                        "side table already bounds the read")
     p.add_argument("--sink-protocol", choices=("marker", "manifest"),
                    default="marker")
     p.add_argument("--max-clipping-ratio", type=float, default=None,
@@ -175,6 +182,10 @@ def main(argv: list[str]) -> int:
         stream, sink,
         max_hamming=args.max_hamming,
         dur_tol_ms=args.dur_tol_ms,
+        **(
+            {"ts_col": "event_time", "horizon_s": args.near_dup_horizon_s}
+            if args.near_dup_horizon_s is not None else {}
+        ),
     )
     q = (
         prepared.writeStream.outputMode("append")
