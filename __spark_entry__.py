@@ -1569,6 +1569,27 @@ def q_audio_fp_near_dups(spark, sf_dir):
     return audio_near_dups(clips).select("id_a", "id_b")
 
 
+def q_audio_xrate_near_dups(spark, sf_dir):
+    """CROSS-SAMPLE-RATE audio near-duplicate pairs (round-7 lane):
+    300 synthetic clips where every i %% 7 == 3 is clip i-1's recording
+    linear-resampled to 8 kHz, regained, and pcm16-re-encoded — the
+    transcode re-upload class the same-sr blocking key can never catch
+    (sr_hz changes; wall-clock duration survives).  Fingerprints are
+    computed at canonical_sr=8000 (one shared resample_to core), so
+    both sides of a planted pair run the IDENTICAL resample path:
+    planted distances <= 1 vs distinct duration-blocked clips >= 43
+    (measured at n=300, pinned by tests/test_audio_dedup.py), and the
+    default threshold recovers exactly the closed-form plant.  The
+    oracle rebuilds that formula — no SQL twin of the FFT exists; the
+    deterministic decision is the contract (audio_fp_near_dups
+    pattern)."""
+    from jepl_spark.operators.audio_dedup import audio_near_dups
+    from jepl_spark.sources.clips import xrate_dup_clips
+
+    clips = xrate_dup_clips(spark, 300)
+    return audio_near_dups(clips, canonical_sr=8000).select("id_a", "id_b")
+
+
 def q_stream_audio_dedup(spark, sf_dir):
     """STREAMING audio near-dedup at ingest (round-6 lane): the
     planted-copy corpus of q_audio_fp_near_dups staged as a 4-file
@@ -3139,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_url_dedup": q_stream_url_dedup,
         "fix_encoding_docs": q_fix_encoding_docs,
         "audio_fp_near_dups": q_audio_fp_near_dups,
+        "audio_xrate_near_dups": q_audio_xrate_near_dups,
         "stream_audio_dedup": q_stream_audio_dedup,
         "nfc_docs": q_nfc_docs,
         "epoch_mix_docs": q_epoch_mix_docs,
@@ -5461,6 +5483,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'clip-' || lpad(CAST(i - 1 AS VARCHAR), 12, '0') AS id_a,
                    'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS id_b
             FROM range(400) t(i)
+            WHERE i % 7 = 3 AND i > 0
+        """,
+        # cross-rate near-dup pairs: same closed-form plant, copies
+        # resampled to 8 kHz (planted distance <= 1, distinct >= 43 —
+        # the deterministic decision is the contract)
+        "audio_xrate_near_dups": """
+            SELECT 'clip-' || lpad(CAST(i - 1 AS VARCHAR), 12, '0') AS id_a,
+                   'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS id_b
+            FROM range(300) t(i)
             WHERE i % 7 = 3 AND i > 0
         """,
         # streaming audio near-dedup: copies always arrive with or

@@ -128,6 +128,18 @@ def with_pcm_stats(df: DataFrame, out_col: str = "stats") -> DataFrame:
     return df.withColumn(out_col, pcm_stats(F.col("bytes"), F.col("codec")))
 
 
+def resample_to(x: "np.ndarray", sr: int, target_sr: int) -> "np.ndarray":
+    """THE linear-resample core (one formula, shared by resample_pcm,
+    canonical-rate fingerprinting, and test plants — output length is
+    exactly ``max(1, round(n · target/sr))``, the SQL-replayable
+    contract of the audio_resample gate)."""
+    if int(sr) == int(target_sr) or x.size == 0:
+        return x
+    n_out = max(1, int(round(x.size * target_sr / int(sr))))
+    t_out = np.linspace(0.0, x.size - 1, n_out)
+    return np.interp(t_out, np.arange(x.size), x).astype(np.float32)
+
+
 def resample_pcm(df: DataFrame, target_sr: int) -> DataFrame:
     """Decode + linear-resample to a common rate via mapInPandas —
     the shape a feature-extraction stage would use (PCM stays columnar
@@ -142,17 +154,10 @@ def resample_pcm(df: DataFrame, target_sr: int) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pcms = []
-            for blob, c, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"]):
-                x = audio.decode(blob, c)
-                if int(sr) == target_sr or x.size == 0:
-                    pcms.append(x)
-                else:
-                    n_out = max(1, int(round(x.size * target_sr / int(sr))))
-                    t_out = np.linspace(0.0, x.size - 1, n_out)
-                    pcms.append(
-                        np.interp(t_out, np.arange(x.size), x).astype(np.float32)
-                    )
+            pcms = [
+                resample_to(audio.decode(blob, c), int(sr), target_sr)
+                for blob, c, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+            ]
             pdf = pdf.copy()
             pdf["pcm_rs"] = pcms
             pdf["sr_rs"] = target_sr
@@ -584,9 +589,38 @@ def audio_fingerprint(b: pd.Series, codec: pd.Series) -> pd.Series:
     )
 
 
-def with_audio_fingerprint(df: DataFrame, out_col: str = "fp") -> DataFrame:
+def with_audio_fingerprint(
+    df: DataFrame, out_col: str = "fp", canonical_sr: int | None = None
+) -> DataFrame:
+    """Add the 240-bit fingerprint column.  With ``canonical_sr``, PCM
+    is first linear-resampled to that rate (``resample_to``) so clips
+    of DIFFERENT sample rates fingerprint comparably: the band edges
+    are bin-relative, so without a canonical rate the same recording at
+    8 kHz and 16 kHz lands in different absolute-frequency bands and
+    never matches.  The resample stays inside the Arrow worker — still
+    32 bytes per clip back to the JVM."""
+    if canonical_sr is None:
+        return df.withColumn(
+            out_col, audio_fingerprint(F.col("bytes"), F.col("codec"))
+        )
+    if canonical_sr < 1:
+        raise ValueError(f"canonical_sr must be >= 1, got {canonical_sr}")
+
+    def _fp_canon(
+        b: pd.Series, codec: pd.Series, sr: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                fingerprint_of(
+                    resample_to(audio.decode(blob, c), int(s), canonical_sr)
+                )
+                for blob, c, s in zip(b, codec, sr)
+            ]
+        )
+
+    udf = F.pandas_udf(ArrayType(LongType()))(_fp_canon)
     return df.withColumn(
-        out_col, audio_fingerprint(F.col("bytes"), F.col("codec"))
+        out_col, udf(F.col("bytes"), F.col("codec"), F.col("sr_hz"))
     )
 
 

@@ -78,14 +78,19 @@ def _blocked(
     id_col: str,
     dur_tol_ms: int,
     side: str,
+    with_sr: bool = True,
 ) -> DataFrame:
     """(sr, bucket) blocking keys for one side: every row lands in its
     own duration bucket AND the next one, so any pair within
-    ``dur_tol_ms`` shares at least one (sr, bucket) cell."""
+    ``dur_tol_ms`` shares at least one (sr, bucket) cell.
+    ``with_sr=False`` (the canonical-rate cross-sr lane) collapses the
+    sr key to a constant — duration is the only block key, since a
+    resampled copy changes sr_hz but preserves wall-clock duration."""
     b = (F.col("dur_ms") / F.lit(dur_tol_ms)).cast("long")
+    sr_key = F.col("sr_hz") if with_sr else F.lit(0)
     return fps.select(
         F.col(id_col).alias(f"id_{side}"),
-        F.col("sr_hz").alias("__sr"),
+        sr_key.alias("__sr"),
         F.col("dur_ms").alias(f"__dur_{side}"),
         F.col("__fp").alias(f"__fp_{side}"),
         F.explode(F.array(b, b + 1)).alias("__bucket"),
@@ -98,6 +103,7 @@ def audio_near_dups(
     max_hamming: int = 10,
     dur_tol_ms: int = 25,
     fp_col: str | None = None,
+    canonical_sr: int | None = None,
 ) -> DataFrame:
     """Audio near-duplicate PAIRS: (id_a, id_b, hamming) for every pair
     of clips with identical ``sr_hz``, duration within ``dur_tol_ms``
@@ -113,20 +119,34 @@ def audio_near_dups(
     keys are preserved by the targeted transformations (gain change,
     codec transcode, container rewrap), and within a block every pair
     is distance-checked (two-bucket trick, no boundary loss).  A copy
-    that is also trimmed/padded beyond ``dur_tol_ms`` or resampled is
-    out of scope by design — document-level near-dup for those requires
-    sequence alignment, a different cost class."""
+    that is also trimmed/padded beyond ``dur_tol_ms`` is out of scope
+    by design — offset-tolerant matching requires landmark alignment,
+    a different cost class.
+
+    CROSS-SAMPLE-RATE copies (the 8 kHz ↔ 16 kHz transcode re-upload):
+    pass ``canonical_sr`` — fingerprints are then computed at that
+    rate (``with_audio_fingerprint(canonical_sr=...)``) and the
+    blocking key drops sr_hz (duration alone blocks; a resample
+    preserves wall-clock duration to the millisecond).  Raise
+    ``max_hamming`` to ~25 for this class: measured on the tonal
+    worst-case corpus, lossy cross-rate copies sit at mean ~14 / p90
+    ~28 while distinct same-duration clips stay >= 55 — downsampling
+    destroys bands above the canonical Nyquist, so copies whose energy
+    lives there (pure tones; rare in speech) can escape.  Cost: blocks
+    merge across rates, so candidate counts grow by the rate mix —
+    still duration-bounded, never all-pairs."""
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     if dur_tol_ms < 1:
         raise ValueError(f"dur_tol_ms must be >= 1, got {dur_tol_ms}")
     if fp_col is None:
-        fps = with_audio_fingerprint(df, "__fp")
+        fps = with_audio_fingerprint(df, "__fp", canonical_sr=canonical_sr)
     else:
         fps = df.withColumn("__fp", F.col(fp_col))
+    with_sr = canonical_sr is None
     fps = fps.select(id_col, "sr_hz", "dur_ms", "__fp")
-    a = _blocked(fps, id_col, dur_tol_ms, "a")
-    b = _blocked(fps, id_col, dur_tol_ms, "b")
+    a = _blocked(fps, id_col, dur_tol_ms, "a", with_sr=with_sr)
+    b = _blocked(fps, id_col, dur_tol_ms, "b", with_sr=with_sr)
     ham = fp_hamming(F.col("__fp_a"), F.col("__fp_b"))
     return (
         a.join(b, ["__sr", "__bucket"])
@@ -154,16 +174,20 @@ def audio_dedup(
     max_hamming: int = 10,
     dur_tol_ms: int = 25,
     policy: str = "pairs",
+    canonical_sr: int | None = None,
 ) -> DataFrame:
     """Drop audio near-duplicates, keeping one representative per
     duplicate group.  ``policy="pairs"`` drops the higher id of every
     qualifying pair; ``policy="components"`` resolves connected
     components first and keeps exactly the minimum id per cluster
-    (transitive-safe — see near_dup_components)."""
+    (transitive-safe — see near_dup_components).  ``canonical_sr``
+    extends the match to cross-sample-rate copies (see
+    audio_near_dups)."""
     if policy not in ("pairs", "components"):
         raise ValueError(f"unknown policy {policy!r}")
     pairs = audio_near_dups(
-        df, id_col=id_col, max_hamming=max_hamming, dur_tol_ms=dur_tol_ms
+        df, id_col=id_col, max_hamming=max_hamming, dur_tol_ms=dur_tol_ms,
+        canonical_sr=canonical_sr,
     )
     if policy == "components":
         losers = (

@@ -283,3 +283,61 @@ def degraded_clips(
         n, numPartitions=partitions or spark.sparkContext.defaultParallelism
     )
     return rng.mapInPandas(gen, schema=CLIP_SCHEMA)
+
+
+def xrate_dup_clip_row(
+    i: int,
+    every: int = 7,
+    offset: int = 3,
+    copy_sr: int = 8000,
+    gain: float = 0.9,
+    step_s: float = 1.0,
+) -> dict:
+    """Clip row with PLANTED cross-sample-rate near-duplicates: every
+    ``every``-th clip (i %% every == offset, i > 0) is clip i-1's
+    recording linear-RESAMPLED to ``copy_sr`` (the 8 kHz ↔ 16 kHz
+    transcode re-upload class), re-gained, and pcm16-re-encoded — the
+    wall-clock duration (dur_ms) is preserved, the sample rate and
+    sample count change, so the same-sr blocking key of the plain lane
+    can never catch it.  Expected pair set is closed-form:
+    {(clip-(i-1), clip-i) : i %% every == offset} — the gate's SQL
+    oracle rebuilds it."""
+    from jepl_spark.functions.audio_udfs import resample_to
+
+    row = clip_row(i, step_s=step_s)
+    if i > 0 and i % every == offset:
+        src = clip_row(i - 1, step_s=step_s)
+        wave = audio.decode(src["bytes"], src["codec"])
+        wave = resample_to(wave, src["sr_hz"], copy_sr) * gain
+        row["bytes"] = audio.encode(wave.astype(np.float32), "pcm16")
+        row["codec"] = "pcm16"
+        row["sr_hz"] = copy_sr
+        row["dur_ms"] = src["dur_ms"]
+    return row
+
+
+def xrate_dup_clips(
+    spark: SparkSession,
+    n: int,
+    every: int = 7,
+    offset: int = 3,
+    copy_sr: int = 8000,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Distributed clips table with planted CROSS-RATE near-duplicates
+    (xrate_dup_clip_row) — the fixture for the canonical-rate audio
+    near-dup gate."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    xrate_dup_clip_row(int(i), every, offset, copy_sr)
+                    for i in pdf["id"]
+                ]
+            )
+
+    rng = spark.range(
+        n, numPartitions=partitions or spark.sparkContext.defaultParallelism
+    )
+    return rng.mapInPandas(gen, schema=CLIP_SCHEMA)

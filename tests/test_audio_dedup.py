@@ -461,3 +461,69 @@ def test_stream_audio_dedup_rootless_sink_fallback(spark, tmp_path):
     assert got == sorted(f"clip-{i:012d}" for i in range(20) if i % 7 != 3)
     import os as _os
     assert not _os.path.exists(str(tmp_path / "nr-sink" / "_signatures"))
+
+
+def test_xrate_near_dups_matches_plant_formula(spark):
+    """Cross-sample-rate copies (clip i-1 resampled to 8 kHz, regained,
+    re-encoded) are INVISIBLE to the same-sr blocking lane and EXACTLY
+    recovered by the canonical-rate lane: planted distances <= 1,
+    distinct duration-blocked clips >= 43 (measured at n=300)."""
+    from jepl_spark.sources.clips import xrate_dup_clips
+
+    n = 200
+    df = xrate_dup_clips(spark, n)
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in audio_near_dups(df, canonical_sr=8000).collect()
+    )
+    assert got == _expected_pairs(n)
+    # the plain same-sr lane misses every cross-rate pair whose source
+    # was not already at 8 kHz (sr_hz differs -> different block)
+    plain = set(
+        (r["id_a"], r["id_b"]) for r in audio_near_dups(df).collect()
+    )
+    cross = [
+        (a, b) for a, b in _expected_pairs(n)
+        if clip_row(int(a.split("-")[1]))["sr_hz"] != 8000
+    ]
+    assert cross and not (plain & set(cross))
+
+
+def test_xrate_dedup_policy_and_validation(spark):
+    from jepl_spark.sources.clips import xrate_dup_clips
+
+    df = xrate_dup_clips(spark, 100)
+    kept = sorted(
+        r["clip_id"]
+        for r in audio_dedup(df, canonical_sr=8000).collect()
+    )
+    dropped = {f"clip-{i:012d}" for i in range(1, 100) if i % 7 == 3}
+    assert kept == sorted(
+        f"clip-{i:012d}" for i in range(100)
+        if f"clip-{i:012d}" not in dropped
+    )
+    with pytest.raises(ValueError):
+        with_audio_fingerprint(df, canonical_sr=0)
+
+
+def test_xrate_lossy_transcode_recall_stats():
+    """Statistics of the canonical-rate fingerprint on the HARD class:
+    cross-rate + G.711 + regain copies on worst-case tonal content.
+    Threshold 25 keeps >= 0.8 recall while distinct duration-blocked
+    clips never get near it (min 43 at n=300)."""
+    from jepl_spark.functions.audio_udfs import fingerprint_of, resample_to
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    d = []
+    for i in range(0, 120, 2):
+        r = clip_row(i)
+        x = audio.decode(r["bytes"], r["codec"])
+        fp0 = fingerprint_of(resample_to(x, r["sr_hz"], 8000))
+        other = 16000 if r["sr_hz"] != 16000 else 8000
+        y = resample_to(x, r["sr_hz"], other) * 0.9
+        y = audio.decode(audio.encode(y.astype(np.float32), "ulaw"), "ulaw")
+        d.append(ham(fp0, fingerprint_of(resample_to(y, other, 8000))))
+    d = np.array(d)
+    assert (d <= 25).mean() >= 0.8, d
