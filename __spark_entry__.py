@@ -1590,6 +1590,26 @@ def q_audio_xrate_near_dups(spark, sf_dir):
     return audio_near_dups(clips, canonical_sr=8000).select("id_a", "id_b")
 
 
+def q_audio_trim_near_dups(spark, sf_dir):
+    """OFFSET-TOLERANT audio near-duplicate pairs (round-7 lane): 300
+    long (5-8 s) synthetic clips where every i %% 7 == 3 is clip i-1's
+    recording with 0.3-1.5 s cut from the front (odd i) or back (even
+    i), regained, and pcm16-re-encoded — trim changes the duration, so
+    the duration-exact lanes can never catch it.  Head/tail-anchored
+    fixed-window fingerprints (the trimmed side of a copy is
+    bit-identical in time over the surviving anchor window) put
+    planted pairs at Hamming <= 1 and distinct duration-blocked clips
+    at >= 13 (measured at n=300, pinned by tests/test_audio_dedup.py):
+    the default threshold 10 recovers exactly the closed-form plant.
+    Oracle = the formula (audio_fp_near_dups pattern — no SQL twin of
+    the FFT)."""
+    from jepl_spark.operators.audio_dedup import audio_trim_near_dups
+    from jepl_spark.sources.clips import trim_dup_clips
+
+    clips = trim_dup_clips(spark, 300)
+    return audio_trim_near_dups(clips).select("id_a", "id_b")
+
+
 def q_stream_audio_dedup(spark, sf_dir):
     """STREAMING audio near-dedup at ingest (round-6 lane): the
     planted-copy corpus of q_audio_fp_near_dups staged as a 4-file
@@ -3161,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_encoding_docs": q_fix_encoding_docs,
         "audio_fp_near_dups": q_audio_fp_near_dups,
         "audio_xrate_near_dups": q_audio_xrate_near_dups,
+        "audio_trim_near_dups": q_audio_trim_near_dups,
         "stream_audio_dedup": q_stream_audio_dedup,
         "nfc_docs": q_nfc_docs,
         "epoch_mix_docs": q_epoch_mix_docs,
@@ -5489,6 +5510,15 @@ def oracle_sql() -> dict[str, str]:
         # resampled to 8 kHz (planted distance <= 1, distinct >= 43 —
         # the deterministic decision is the contract)
         "audio_xrate_near_dups": """
+            SELECT 'clip-' || lpad(CAST(i - 1 AS VARCHAR), 12, '0') AS id_a,
+                   'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS id_b
+            FROM range(300) t(i)
+            WHERE i % 7 = 3 AND i > 0
+        """,
+        # offset-tolerant (trimmed-copy) near-dup pairs: same plant
+        # formula over the long-clip corpus (planted <= 1, distinct
+        # >= 13 — the deterministic decision is the contract)
+        "audio_trim_near_dups": """
             SELECT 'clip-' || lpad(CAST(i - 1 AS VARCHAR), 12, '0') AS id_a,
                    'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS id_b
             FROM range(300) t(i)

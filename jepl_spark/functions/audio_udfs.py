@@ -624,6 +624,55 @@ def with_audio_fingerprint(
     )
 
 
+_OFFSET_FP_SCHEMA = StructType(
+    [
+        StructField("head", ArrayType(LongType())),
+        StructField("tail", ArrayType(LongType())),
+    ]
+)
+
+
+def with_offset_fingerprints(
+    df: DataFrame,
+    out_col: str = "ofp",
+    canonical_sr: int = 8000,
+    window_s: float = 2.0,
+) -> DataFrame:
+    """OFFSET-TOLERANT fingerprint pair: the 240-bit fingerprint of the
+    clip's FIRST ``window_s`` seconds (``head``) and of its LAST
+    ``window_s`` seconds (``tail``), both at ``canonical_sr``.
+
+    The anchoring is the whole trick: a LEAD-trimmed re-upload keeps
+    its last ``window_s`` seconds bit-identical in time, so its tail
+    fingerprint matches the original's; a TAIL-trimmed copy matches on
+    head.  No landmark detection, no sliding search — two fixed
+    absolute-time windows, 64 bytes per clip back to the JVM.  Limits
+    (documented, inherent): a copy trimmed at BOTH ends matches
+    neither window; clips shorter than ``window_s + trim`` degrade to
+    whole-clip fingerprints (duration-relative framing resumes, offset
+    tolerance lost).  Designed for clips comfortably longer than the
+    window — compose after trim_silence for corpora with silence
+    padding."""
+    if canonical_sr < 1:
+        raise ValueError(f"canonical_sr must be >= 1, got {canonical_sr}")
+    if window_s <= 0:
+        raise ValueError(f"window_s must be positive, got {window_s}")
+    w = int(window_s * canonical_sr)
+
+    def _fp(b: pd.Series, codec: pd.Series, sr: pd.Series) -> pd.DataFrame:
+        heads, tails = [], []
+        for blob, c, s in zip(b, codec, sr):
+            y = resample_to(audio.decode(blob, c), int(s), canonical_sr)
+            heads.append(fingerprint_of(y[:w]))
+            tails.append(fingerprint_of(y[-w:] if y.size > w else y))
+        return pd.DataFrame({"head": heads, "tail": tails})
+
+    udf = F.pandas_udf(_OFFSET_FP_SCHEMA)(_fp)
+    return df.withColumn(
+        out_col, udf(F.col("bytes"), F.col("codec"), F.col("sr_hz"))
+    )
+
+
 def fp_hamming(a: Column, b: Column) -> Column:
     """JVM-side Hamming distance between two array<bigint> fingerprints
     (zip_with + bit_count + aggregate — whole-stage-codegen, no Python),

@@ -341,3 +341,65 @@ def xrate_dup_clips(
         n, numPartitions=partitions or spark.sparkContext.defaultParallelism
     )
     return rng.mapInPandas(gen, schema=CLIP_SCHEMA)
+
+
+def trim_dup_clip_row(
+    i: int,
+    every: int = 7,
+    offset: int = 3,
+    sr: int = 8000,
+    step_s: float = 1.0,
+) -> dict:
+    """LONG clip row (5-8 s — the offset-tolerant lane needs clips
+    longer than its anchor window) with PLANTED lead/tail-TRIMMED
+    near-duplicates: every ``every``-th clip (i %% every == offset,
+    i > 0) is clip i-1's recording with 0.3-1.5 s cut from the FRONT
+    (odd i) or the BACK (even i), regained, and pcm16-re-encoded —
+    duration changes by the trim, so the duration-exact lanes can
+    never catch it.  dur_ms is derived from the surviving sample
+    count.  Expected pair set is closed-form:
+    {(clip-(i-1), clip-i) : i %% every == offset}."""
+    row = clip_row(i, step_s=step_s)
+    dur = 5000 + (i * 137) % 3001
+    row["codec"] = "pcm16"
+    row["sr_hz"] = sr
+    if i > 0 and i % every == offset:
+        src_dur = 5000 + ((i - 1) * 137) % 3001
+        wave = audio.synth_wave(i - 1, sr, src_dur)
+        trim = int((0.3 + (i % 13) * 0.1) * sr)
+        cut = wave[trim:] if i % 2 == 1 else wave[:-trim]
+        row["bytes"] = audio.encode(
+            (cut * 0.9).astype(np.float32), "pcm16"
+        )
+        row["dur_ms"] = cut.size * 1000 // sr
+    else:
+        row["bytes"] = audio.encode(audio.synth_wave(i, sr, dur), "pcm16")
+        row["dur_ms"] = dur
+    return row
+
+
+def trim_dup_clips(
+    spark: SparkSession,
+    n: int,
+    every: int = 7,
+    offset: int = 3,
+    sr: int = 8000,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Distributed long-clip table with planted TRIMMED near-duplicates
+    (trim_dup_clip_row) — the fixture for the offset-tolerant audio
+    near-dup gate."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    trim_dup_clip_row(int(i), every, offset, sr)
+                    for i in pdf["id"]
+                ]
+            )
+
+    rng = spark.range(
+        n, numPartitions=partitions or spark.sparkContext.defaultParallelism
+    )
+    return rng.mapInPandas(gen, schema=CLIP_SCHEMA)

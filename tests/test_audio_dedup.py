@@ -527,3 +527,76 @@ def test_xrate_lossy_transcode_recall_stats():
         d.append(ham(fp0, fingerprint_of(resample_to(y, other, 8000))))
     d = np.array(d)
     assert (d <= 25).mean() >= 0.8, d
+
+
+def test_trim_near_dups_matches_plant_formula(spark):
+    """Lead/tail-trimmed copies (0.3-1.5 s cut, regained, re-encoded)
+    are INVISIBLE to the duration-exact lane and EXACTLY recovered by
+    the offset-tolerant head/tail-anchored lane: planted distances
+    <= 1, distinct duration-blocked clips >= 13 (measured at n=300)."""
+    from jepl_spark.operators.audio_dedup import audio_trim_near_dups
+    from jepl_spark.sources.clips import trim_dup_clips
+
+    n = 150
+    df = trim_dup_clips(spark, n)
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in audio_trim_near_dups(df).collect()
+    )
+    assert got == _expected_pairs(n)
+    # the duration-exact lane misses every trimmed pair (dur differs
+    # by >= 300 ms >> its 25 ms tolerance)
+    plain = set(
+        (r["id_a"], r["id_b"]) for r in audio_near_dups(df).collect()
+    )
+    assert not (plain & set(_expected_pairs(n)))
+
+
+def test_trim_near_dups_mixed_rate_stats():
+    """Cross-rate + trimmed copies on worst-case tonal content: p90
+    distance 3, max 18 — the documented dial range for full recall;
+    same-rate trimmed copies always <= 1."""
+    from jepl_spark.functions.audio_udfs import fingerprint_of, resample_to
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    CANON, W = 8000, int(2.0 * 8000)
+
+    def ht(x, sr):
+        y = resample_to(x, sr, CANON)
+        return (
+            fingerprint_of(y[:W]),
+            fingerprint_of(y[-W:] if y.size > W else y),
+        )
+
+    srs = [8000, 16000, 44100]
+    d = []
+    for i in range(40):
+        sr = srs[i % 3]
+        dur = 5000 + (i * 137) % 3001
+        x = audio.synth_wave(i, sr, dur)
+        h0, t0 = ht(x, sr)
+        trim = int((0.3 + (i % 13) * 0.1) * sr)
+        y = audio.decode(
+            audio.encode((x[trim:] * 0.9).astype(np.float32), "pcm16"),
+            "pcm16",
+        )
+        h1, t1 = ht(y, sr)
+        d.append(min(ham(h0, h1), ham(t0, t1)))
+    d = np.array(d)
+    assert d.max() <= 18 and np.percentile(d, 90) <= 5, d
+
+
+def test_trim_near_dups_validation(spark):
+    from jepl_spark.functions.audio_udfs import with_offset_fingerprints
+    from jepl_spark.operators.audio_dedup import audio_trim_near_dups
+    from jepl_spark.sources.clips import trim_dup_clips
+
+    df = trim_dup_clips(spark, 4)
+    with pytest.raises(ValueError):
+        audio_trim_near_dups(df, max_hamming=-1)
+    with pytest.raises(ValueError):
+        audio_trim_near_dups(df, max_trim_ms=0)
+    with pytest.raises(ValueError):
+        with_offset_fingerprints(df, window_s=0)
