@@ -1569,6 +1569,130 @@ def q_audio_fp_near_dups(spark, sf_dir):
     return audio_near_dups(clips).select("id_a", "id_b")
 
 
+def _prep_fixture_clips(spark):
+    """300 clips for the composed prep gates, every decision
+    closed-form in i: planted clipping (i%11==4, 4x gain), all-silent
+    (i%13==0), frame-aligned lead/tail silence (k0=i%6, k1=i%4 frames
+    of 20 ms), transcripts of i%5 tokens (0 → empty_transcript
+    reject).  The oracle replays admission + voiced-ms + trim + chunk
+    arithmetic from these formulas."""
+    import pandas as pd2
+
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from jepl_spark.sources import audio as A
+
+    schema = StructType([
+        StructField("clip_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("codec", StringType()),
+        StructField("sr_hz", IntegerType()),
+        StructField("transcript", StringType()),
+    ])
+
+    def gen(batches):
+        import numpy as np2
+
+        srs = (8000, 16000, 44100)
+        for pdf in batches:
+            rows = {f.name: [] for f in schema.fields}
+            for i in pdf["id"]:
+                i = int(i)
+                sr = srs[i % 3]
+                dur = 200 + (i * 37) % 1801
+                wave = A.synth_wave(i, sr, dur).copy()
+                if i % 11 == 4:
+                    wave = np2.clip(wave * 4.0, -1.0, 1.0).astype(
+                        np2.float32
+                    )
+                fn = sr * 20 // 1000
+                nf = wave.size // fn
+                k0, k1 = i % 6, i % 4
+                wave[: k0 * fn] = 0.0
+                if k1 > 0:
+                    wave[(nf - k1) * fn :] = 0.0
+                if i % 13 == 0:
+                    wave[:] = 0.0
+                rows["clip_id"].append(f"clip-{i:012d}")
+                rows["bytes"].append(A.pcm16_encode(wave))
+                rows["codec"].append("pcm16")
+                rows["sr_hz"].append(sr)
+                rows["transcript"].append(
+                    " ".join(f"w{t}" for t in range(i % 5))
+                )
+            yield pd2.DataFrame(rows)
+
+    return spark.range(0, 300, numPartitions=4).mapInPandas(
+        gen, schema=schema
+    )
+
+
+_PREP_KW = dict(min_tps=2.0, max_tps=30.0, chunk_ms=250, hop_ms=200,
+                min_tail_ms=100)
+
+
+def _prep_project(out):
+    return out.select(
+        "clip_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start_sample").cast("bigint").alias("start_sample"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("sr_hz").cast("bigint").alias("sr_hz"),
+    )
+
+
+def q_prepare_clips(spark, sf_dir):
+    """The COMPOSED audio prep lane (round-7): quality admission →
+    transcript-rate pair gate → silence trim → chunking, fused into
+    ONE Arrow pass that decodes each clip exactly once (the staged
+    composition decodes four times; bit-for-bit parity with the four
+    standalone stages is pinned by tests/test_audio.py).  The oracle
+    replays every decision and boundary — reject sets, voiced-ms,
+    trim cut, chunk explode — from the fixture's closed-form
+    formulas."""
+    from jepl_spark.functions.audio_udfs import prepare_clips
+
+    return _prep_project(
+        prepare_clips(_prep_fixture_clips(spark), **_PREP_KW)
+    )
+
+
+def q_stream_audio_prep(spark, sf_dir):
+    """The composed prep lane as a LIVE stream (the north rule's
+    production shape — ONE ingest pipeline, not four separate
+    streams): the same fixture staged as a file stream → fused
+    admission→trim→chunk pass (ONE decode per clip) → exactly-once
+    sink.  Statelessness makes the output batching-invariant, so the
+    batch oracle replays the stream exactly."""
+    import tempfile
+
+    from jepl_spark.functions.audio_udfs import prepare_clips
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    work = tempfile.mkdtemp(prefix="entry-sprep-")
+    clips = _prep_fixture_clips(spark)
+    src = f"{work}/src"
+    clips.write.mode("overwrite").parquet(src)
+    prepped = prepare_clips(
+        file_stream(spark, src, clips.schema, max_files_per_trigger=2),
+        **_PREP_KW,
+    )
+    sink = IdempotentParquetSink(f"{work}/sink")
+    q = (
+        prepped.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=600)
+    return _prep_project(sink.read_committed(spark))
+
+
 def q_audio_xrate_near_dups(spark, sf_dir):
     """CROSS-SAMPLE-RATE audio near-duplicate pairs (round-7 lane):
     300 synthetic clips where every i %% 7 == 3 is clip i-1's recording
@@ -3182,6 +3306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_near_dups": q_audio_fp_near_dups,
         "audio_xrate_near_dups": q_audio_xrate_near_dups,
         "audio_trim_near_dups": q_audio_trim_near_dups,
+        "prepare_clips": q_prepare_clips,
+        "stream_audio_prep": q_stream_audio_prep,
         "stream_audio_dedup": q_stream_audio_dedup,
         "nfc_docs": q_nfc_docs,
         "epoch_mix_docs": q_epoch_mix_docs,
@@ -5515,6 +5641,79 @@ def oracle_sql() -> dict[str, str]:
             FROM range(300) t(i)
             WHERE i % 7 = 3 AND i > 0
         """,
+        # composed prep lane: replay admission (clipped/silent plants,
+        # empty transcripts, tokens-per-voiced-second bounds), the
+        # trim cut, and the chunk explode — all closed-form in i; the
+        # rate expression mirrors the Python ntok/(voiced_ms/1000.0)
+        # op-for-op so the IEEE doubles agree at the boundaries
+        "prepare_clips": """
+            WITH c AS (
+              SELECT i,
+                     CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          ELSE 44100 END AS sr,
+                     200 + (i * 37) % 1801 AS dur,
+                     i % 6 AS k0, i % 4 AS k1, i % 5 AS ntok
+              FROM range(300) t(i)
+              WHERE i % 13 <> 0 AND i % 11 <> 4 AND i % 5 <> 0
+            ),
+            p AS (
+              SELECT *, (sr * dur) // 1000 AS n,
+                     (sr * 20) // 1000 AS fn
+              FROM c
+            ),
+            q AS (SELECT *, n // fn AS nf FROM p),
+            v AS (
+              SELECT *,
+                     (nf - CASE WHEN k0 >= 3 THEN k0 ELSE 0 END
+                         - CASE WHEN k1 >= 3 THEN k1 ELSE 0 END) * 20
+                       AS voiced_ms
+              FROM q
+            ),
+            r AS (
+              SELECT * FROM v
+              WHERE ntok / (voiced_ms / 1000.0) >= 2.0
+                AND ntok / (voiced_ms / 1000.0) <= 30.0
+            ),
+            s AS (
+              SELECT i, sr,
+                     (CASE WHEN k1 = 0 THEN n ELSE (nf - k1) * fn END
+                      - k0 * fn) AS nt,
+                     (sr * 250) // 1000 AS chunk_n,
+                     (sr * 200) // 1000 AS hop_n,
+                     (sr * 100) // 1000 AS tail_n
+              FROM r
+            ),
+            f AS (
+              SELECT *,
+                     CASE WHEN nt >= chunk_n
+                          THEN (nt - chunk_n) // hop_n + 1
+                          ELSE 0 END AS fulls
+              FROM s
+            ),
+            fc AS (
+              SELECT i, sr, nt, unnest(range(fulls)) AS idx,
+                     hop_n, chunk_n
+              FROM f
+            ),
+            allc AS (
+              SELECT i, sr, nt, idx AS chunk_idx,
+                     idx * hop_n AS start_sample, chunk_n AS n_samples
+              FROM fc
+              UNION ALL
+              SELECT i, sr, nt, fulls, fulls * hop_n, nt - fulls * hop_n
+              FROM f
+              WHERE fulls * hop_n < nt
+                AND (nt - fulls * hop_n) >= tail_n
+            )
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0')
+                     AS clip_id,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(start_sample AS BIGINT) AS start_sample,
+                   CAST(n_samples AS BIGINT) AS n_samples,
+                   CAST(nt AS BIGINT) AS n_total,
+                   CAST(sr AS BIGINT) AS sr_hz
+            FROM allc
+        """,
         # offset-tolerant (trimmed-copy) near-dup pairs: same plant
         # formula over the long-clip corpus (planted <= 1, distinct
         # >= 13 — the deterministic decision is the contract)
@@ -5957,4 +6156,6 @@ def oracle_sql() -> dict[str, str]:
     # stateless lane: the batch oracle replays the stream verbatim
     out["stream_speech_rate"] = out["speech_rate_admit"]
     out["stream_trim_silence"] = out["trim_silence_clips"]
+    # the composed prep stream is stateless → batch oracle replays it
+    out["stream_audio_prep"] = out["prepare_clips"]
     return out

@@ -1290,6 +1290,166 @@ def speed_perturb_clips(
     return df.mapInPandas(gen, schema=out_schema)
 
 
+def prepare_clips(
+    df: DataFrame,
+    max_clipping_ratio: float = 0.05,
+    max_silence_ratio: float = 0.9,
+    min_tps: float = 1.0,
+    max_tps: float = 8.0,
+    chunk_ms: int = 250,
+    hop_ms: int | None = None,
+    min_tail_ms: int = 0,
+    frame_ms: int = 20,
+    energy_thr: float = 1e-6,
+    min_silence_frames: int = 3,
+    transcript_col: str = "transcript",
+) -> DataFrame:
+    """The COMPOSED ingest→prep lane — quality admission
+    (:func:`admit_clips` semantics) → transcript-rate pair admission
+    (:func:`admit_paired_clips` semantics) → silence trim
+    (:func:`trim_silence_clips` semantics) → fixed-window chunking
+    (:func:`chunk_clips` semantics) — in ONE Arrow pass that decodes
+    each clip exactly ONCE.
+
+    Running the four stages separately decodes every clip four times
+    (each stage is its own Arrow lane); at ingest scale the decode IS
+    the cost, so the production pipeline wants the fused pass.  Fusion
+    is exact, not approximate: every decision and every boundary uses
+    the SAME shared cores as the standalone stages (``_decode_and_rail``
+    arithmetic for quality, ``_silent_frames``/``_qualifying_runs`` for
+    voiced-ms and trim, ``chunk_clips``'s integer boundary math, the
+    ONE JVM tokenizer for ``n_tokens`` — computed as a column BEFORE
+    the pass, so the tokenizer never forks into Python), and the
+    parity test pins composed == staged bit-for-bit including chunk
+    bytes.  The plan receipt: this operator is ONE MapInPandas node;
+    the staged composition is four Python-exec nodes.
+
+    Rejected clips (quality or rate) emit nothing; admitted clips emit
+    their post-trim chunk rows in ``chunk_clips``'s schema (pcm16
+    chunk bytes; ``n_total`` = the TRIMMED sample count, exactly what
+    staged chunking of trimmed bytes reports).  Statelessness makes it
+    batching-invariant: the same callable runs batch and Structured
+    Streaming unchanged (the stream_audio_prep gate drives it through
+    the exactly-once sink)."""
+    if chunk_ms <= 0:
+        raise ValueError(f"chunk_ms must be positive, got {chunk_ms}")
+    hop = chunk_ms if hop_ms is None else hop_ms
+    if hop <= 0:
+        raise ValueError(f"hop_ms must be positive, got {hop}")
+    if min_tail_ms < 0:
+        raise ValueError(f"min_tail_ms must be >= 0, got {min_tail_ms}")
+    if frame_ms <= 0:
+        raise ValueError(f"frame_ms must be positive, got {frame_ms}")
+    if min_silence_frames < 1:
+        raise ValueError(
+            f"min_silence_frames must be >= 1, got {min_silence_frames}"
+        )
+    for col in ("clip_id", "bytes", "codec", "sr_hz", transcript_col):
+        if col not in df.columns:
+            raise ValueError(f"prepare_clips needs column {col!r}")
+    from jepl_spark.operators.text import token_count
+
+    has_ts = "event_time" in df.columns
+    fields = [
+        StructField("clip_id", StringType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("start_sample", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("n_total", LongType()),
+        StructField("sr_hz", IntegerType()),
+        StructField("codec", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("transcript", StringType()),
+    ]
+    if has_ts:
+        fields.append(df.schema["event_time"])
+    out_schema = StructType(fields)
+    prepared = df.withColumn(
+        "__ntok",
+        token_count(F.coalesce(F.col(transcript_col), F.lit("")))
+        .cast("long"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            times = pdf["event_time"] if has_ts else [None] * len(pdf)
+            for cid, blob, c, sr, tr, ntok, et in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["sr_hz"],
+                pdf[transcript_col], pdf["__ntok"], times,
+            ):
+                sr = int(sr)
+                raw = bytes(blob)
+                # THE one decode
+                if c == "wav":
+                    inner, off, plen = _wav_span_checked(raw, sr, cid)
+                    x = audio.decode(raw[off : off + plen], inner)
+                    rail = _codec_rail(inner)
+                else:
+                    x = audio.decode(raw, c)
+                    rail = _codec_rail(c)
+                n = x.size
+                # quality admission (same float64 views as pcm_quality)
+                if n == 0:
+                    continue  # 'empty'
+                ax = np.abs(x.astype(np.float64))
+                if float(np.mean(ax >= 0.999 * rail)) > max_clipping_ratio:
+                    continue  # 'clipped'
+                if float(np.mean(ax < _SILENCE_AMP)) > max_silence_ratio:
+                    continue  # 'silent'
+                # pair-rate admission (same framing as speech_rate)
+                frame_n = sr * frame_ms // 1000
+                silent = _silent_frames(x, frame_n, energy_thr)
+                if silent is None:
+                    voiced_ms = 0
+                else:
+                    gap = sum(
+                        s1 - s0
+                        for s0, s1 in _qualifying_runs(
+                            silent, min_silence_frames
+                        )
+                    )
+                    voiced_ms = (silent.size - gap) * frame_ms
+                ntok = int(ntok)
+                if ntok == 0 or voiced_ms == 0:
+                    continue  # empty_pair / empty_transcript / no_speech
+                rate = ntok / (voiced_ms / 1000.0)
+                if rate > max_tps or rate < min_tps:
+                    continue  # too_fast / too_slow
+                # silence trim (same cut rules as trim_silence_clips)
+                if silent is None:
+                    s0, s1 = 0, n
+                elif silent.all():
+                    s0, s1 = n, n
+                else:
+                    voiced_f = np.flatnonzero(~silent)
+                    f0, f1 = int(voiced_f[0]), int(voiced_f[-1]) + 1
+                    s0 = f0 * frame_n
+                    s1 = n if f1 == silent.size else f1 * frame_n
+                xt = x[s0:s1]
+                nt = xt.size
+                # chunking (same integer math as chunk_clips)
+                chunk_n = sr * chunk_ms // 1000
+                hop_n = sr * hop // 1000
+                tail_n = sr * min_tail_ms // 1000
+                fulls = (nt - chunk_n) // hop_n + 1 if nt >= chunk_n else 0
+                for idx in range(fulls):
+                    s = idx * hop_n
+                    row = (cid, idx, s, chunk_n, nt, sr, "pcm16",
+                           audio.pcm16_encode(xt[s : s + chunk_n]), tr)
+                    rows.append(row + (et,) if has_ts else row)
+                tstart = fulls * hop_n
+                if min_tail_ms > 0 and tstart < nt and (nt - tstart) >= tail_n:
+                    row = (cid, fulls, tstart, nt - tstart, nt, sr, "pcm16",
+                           audio.pcm16_encode(xt[tstart:]), tr)
+                    rows.append(row + (et,) if has_ts else row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return prepared.mapInPandas(gen, schema=out_schema)
+
+
 def align_transcript_to_chunks(
     chunks: DataFrame,
     transcript_col: str = "transcript",

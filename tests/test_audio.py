@@ -972,3 +972,126 @@ def test_admit_paired_rejects_stray_rate_kwargs(spark):
     # no kwargs → the precomputed rate is used as-is
     out = admit_paired_clips(df).collect()[0]
     assert out.reject_reason is None
+
+
+def _prep_corpus(spark, n=90, with_wav=False, with_ts=False):
+    """Mixed corpus for the composed-prep parity tests: planted
+    clipped (i%11==4), all-silent (i%13==0), frame-aligned lead/tail
+    silence (i%6, i%4 frames), transcripts of i%5 tokens."""
+    import numpy as np
+    import pandas as pd
+
+    from jepl_spark.sources import audio as A
+    from jepl_spark.sources.containers import wav_encode
+
+    srs = (8000, 16000, 44100)
+    rows = []
+    for i in range(n):
+        sr = srs[i % 3]
+        dur = 200 + (i * 37) % 1801
+        wave = A.synth_wave(i, sr, dur).copy()
+        if i % 11 == 4:
+            wave = np.clip(wave * 4.0, -1.0, 1.0).astype(np.float32)
+        fn = sr * 20 // 1000
+        nf = wave.size // fn
+        k0, k1 = i % 6, i % 4
+        wave[: k0 * fn] = 0.0
+        if k1 > 0:
+            wave[(nf - k1) * fn:] = 0.0
+        if i % 13 == 0:
+            wave[:] = 0.0
+        if with_wav and i % 5 == 2:
+            blob, codec = wav_encode(wave, sr, "pcm16"), "wav"
+        else:
+            blob, codec = A.encode(wave, "pcm16"), "pcm16"
+        tr = " ".join(f"w{t}" for t in range(i % 5))
+        row = {"clip_id": f"clip-{i:012d}", "bytes": blob,
+               "codec": codec, "sr_hz": sr, "transcript": tr}
+        if with_ts:
+            row["event_time"] = pd.Timestamp("2024-01-01") + \
+                pd.Timedelta(seconds=i)
+        rows.append(row)
+    schema = ("clip_id string, bytes binary, codec string, sr_hz int, "
+              "transcript string")
+    if with_ts:
+        schema += ", event_time timestamp"
+    return spark.createDataFrame(pd.DataFrame(rows), schema)
+
+
+def test_prepare_clips_matches_staged_pipeline(spark):
+    """THE fusion-parity receipt: the one-decode composed operator
+    (prepare_clips) produces bit-for-bit the same chunk rows —
+    including chunk BYTES — as the four standalone stages run in
+    sequence (admit_clips → admit_paired_clips → trim_silence_clips →
+    chunk_clips), on a corpus mixing wav containers, planted clipping,
+    planted silence layouts, and empty transcripts."""
+    from pyspark.sql import functions as F
+
+    from jepl_spark.functions.audio_udfs import (
+        admit_clips,
+        admit_paired_clips,
+        chunk_clips,
+        prepare_clips,
+        trim_silence_clips,
+    )
+
+    df = _prep_corpus(spark, 90, with_wav=True)
+    kw = dict(min_tps=2.0, max_tps=30.0, chunk_ms=250, hop_ms=200,
+              min_tail_ms=100)
+
+    composed = prepare_clips(df, **kw)
+
+    staged = (
+        admit_clips(df)
+        .where(F.col("reject_reason").isNull())
+        .drop("aq", "reject_reason")
+    )
+    staged = (
+        admit_paired_clips(staged, min_tps=2.0, max_tps=30.0)
+        .where(F.col("reject_reason").isNull())
+        .drop("voiced_ms", "n_tokens", "tokens_per_voiced_s",
+              "reject_reason")
+    )
+    staged = trim_silence_clips(staged).drop(
+        "lead_samples", "n_samples_out", "n_total"
+    )
+    staged = chunk_clips(staged, chunk_ms=250, hop_ms=200, min_tail_ms=100)
+
+    def norm(frame):
+        return sorted(
+            (r.clip_id, r.chunk_idx, r.start_sample, r.n_samples,
+             r.n_total, r.sr_hz, r.codec, bytes(r.bytes), r.transcript)
+            for r in frame.collect()
+        )
+
+    got, want = norm(composed), norm(staged)
+    assert len(got) > 50  # the corpus genuinely chunks
+    assert got == want
+
+    # the one-decode plan receipt: composed = ONE Python exec node;
+    # staged = at least three (Spark may co-batch the two scalar
+    # Arrow UDFs into one ArrowEvalPython node, but the two
+    # MapInPandas stages and at least one Arrow stage always stand
+    # apart — each is its own decode of the audio bytes)
+    cp = composed._jdf.queryExecution().executedPlan().toString()
+    sp = staged._jdf.queryExecution().executedPlan().toString()
+    n_py = cp.count("MapInPandas") + cp.count("ArrowEvalPython")
+    n_staged = sp.count("MapInPandas") + sp.count("ArrowEvalPython")
+    assert n_py == 1, cp
+    assert n_staged >= 3, sp
+
+
+def test_prepare_clips_event_time_passthrough_and_validation(spark):
+    import pytest
+
+    from jepl_spark.functions.audio_udfs import prepare_clips
+
+    df = _prep_corpus(spark, 30, with_ts=True)
+    out = prepare_clips(df, min_tps=0.01, max_tps=1000.0)
+    assert "event_time" in out.columns
+    r = out.limit(1).collect()[0]
+    assert r.event_time is not None
+    with pytest.raises(ValueError):
+        prepare_clips(df, chunk_ms=0)
+    with pytest.raises(ValueError):
+        prepare_clips(df.drop("transcript"))
