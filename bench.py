@@ -309,6 +309,39 @@ def batch_queries(spark, sf_dir):
         clips = planted_dup_clips(spark, 2000)
         return _drain(audio_near_dups(clips))
 
+    def audio_xrate_near_dup():
+        # cross-sample-rate near-dup over 2000 clips with planted
+        # resampled copies: canonical-rate fingerprints (decode +
+        # resample + FFT in one Arrow pass), duration-only blocking
+        from jepl_spark.operators.audio_dedup import audio_near_dups
+        from jepl_spark.sources.clips import xrate_dup_clips
+
+        clips = xrate_dup_clips(spark, 2000)
+        return _drain(audio_near_dups(clips, canonical_sr=8000))
+
+    def audio_trim_near_dup():
+        # offset-tolerant near-dup over 800 LONG (5-8 s) clips with
+        # planted lead/tail-trimmed copies: head/tail-anchored window
+        # fingerprints, trim-width duration blocking
+        from jepl_spark.operators.audio_dedup import audio_trim_near_dups
+        from jepl_spark.sources.clips import trim_dup_clips
+
+        clips = trim_dup_clips(spark, 800)
+        return _drain(audio_trim_near_dups(clips))
+
+    def prep_fused():
+        # the fused ingest→prep pass (quality + rate gate + trim +
+        # chunk, ONE decode) over 2000 clips — the production shape
+        # whose staged equivalent pays four decodes
+        from jepl_spark.functions.audio_udfs import prepare_clips
+        from jepl_spark.sources.clips import clips_df
+
+        clips = clips_df(spark, 2000)
+        return _drain(prepare_clips(
+            clips, min_tps=0.1, max_tps=100.0,
+            chunk_ms=250, hop_ms=200, min_tail_ms=100,
+        ))
+
     def decontam():
         # production lane: hashed shingles, broadcast benchmark = the
         # 120-char prefixes of every 97th doc
@@ -556,6 +589,9 @@ def batch_queries(spark, sf_dir):
         "pii_repetition": pii_repetition,
         "audio_chunk": audio_chunk,
         "audio_near_dup": audio_near_dup,
+        "audio_xrate_near_dup": audio_xrate_near_dup,
+        "audio_trim_near_dup": audio_trim_near_dup,
+        "prep_fused": prep_fused,
         "decontam": decontam,
         "pack_sequences": pack_sequences,
         "lm_score": lm_score,
@@ -768,14 +804,19 @@ def run_suite(cores: int, sf_dir: str, with_stream: bool = True) -> dict:
         spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(1).collect()
         qs = batch_queries(spark, sf_dir)
         build_minhash_snapshot(spark, sf_dir, qs)
-        for name, fn in qs.items():
-            # min of two runs: the first call pays plan compilation +
-            # codegen JIT that a long-lived engine pays once ever, and
-            # the sustained-throughput question is about the warm state
-            # (same methodology as the clips_stream lane and the
-            # BASELINE.md "final" figures — VERDICT r2 item 6)
-            best = None
-            for _ in range(2):
+        # min of two PASSES OVER THE WHOLE LANE LIST (VERDICT r6 item
+        # 8), not two back-to-back runs per lane: this box's kernel
+        # stalls come in multi-second storms, so two immediate runs of
+        # one lane can both land inside a storm — separating the
+        # second sample by a full list pass decorrelates it.  Pass 1
+        # also pays each lane's plan compilation + codegen JIT (a
+        # long-lived engine pays that once ever), so the min stays the
+        # warm-state figure the BASELINE tracks; both raw passes are
+        # reported so the driver record carries the storm evidence.
+        passes: list[dict] = []
+        for _ in range(2):
+            results = {}
+            for name, fn in qs.items():
                 # cache hygiene: no run may inherit (or lose memory to)
                 # another's cached/persisted frames — the round-1 ngram
                 # regression was a minhash persist squatting on storage
@@ -789,10 +830,12 @@ def run_suite(cores: int, sf_dir: str, with_stream: bool = True) -> dict:
                 gc.collect()
                 t0 = time.time()
                 fn()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            results[name] = round(best, 3)
-        return {"queries": results, "stream": None}
+                results[name] = round(time.time() - t0, 3)
+            passes.append(results)
+        best = {
+            name: min(p[name] for p in passes) for name in passes[0]
+        }
+        return {"queries": best, "passes": passes, "stream": None}
     finally:
         spark.stop()
 
@@ -885,6 +928,12 @@ def main() -> None:
         "queries": res["queries"],
         "sf": sf,
     }
+    # both raw passes ride along (min is the headline; the raw pair is
+    # the storm evidence — a lane whose two passes disagree 3x was hit
+    # by a kernel-stall burst, not a plan regression)
+    out["queries_pass1"] = res["passes"][0]
+    out["queries_pass2"] = res["passes"][1]
+    out["stream_runs_s"] = [round(r["wall_s"], 3) for r in runs]
     out["parse_statements_per_sec"] = round(parse_per_sec)
     if res["stream"]:
         out["clips_per_sec"] = round(res["stream"]["clips_per_sec"], 1)
