@@ -294,11 +294,22 @@ def stream_audio_near_dedup(
     ts_col: str | None = None,
     horizon_s: int | None = None,
     sig_bucket_ms: int = 1000,
+    canonical_sr: int | None = None,
 ):
     """Streaming audio near-dedup at ingest: each micro-batch's clips
     are fingerprinted, checked against (a) each other and (b) the
     already-ADMITTED corpus in ``sink``, and only novel clips commit —
     the audio twin of ``stream_simhash_near_dedup``.
+
+    ``canonical_sr`` extends the match to CROSS-SAMPLE-RATE copies
+    exactly as in :func:`audio_near_dups`: fingerprints compute at the
+    canonical rate and blocking drops the sr key (duration alone
+    blocks).  The signature side table keeps its (sr_hz, dur_bucket)
+    layout either way — the committed-side prune just skips the sr
+    partition filter, so the read is dur-bucket-pruned only (the rate
+    mix multiplies candidates, not history).  NOTE: signatures written
+    under one ``canonical_sr`` are not comparable to another — pick it
+    once per corpus.
 
     Returns ``(prepared_stream, foreach_batch)``; wire through
     ``writeStream.foreachBatch(foreach_batch)``.  The prepared stream
@@ -352,13 +363,17 @@ def stream_audio_near_dedup(
         raise ValueError(f"sig_bucket_ms must be >= 1, got {sig_bucket_ms}")
     if horizon_s is not None and ts_col is None:
         raise ValueError("horizon_s needs ts_col (the event-time column)")
-    prepared = with_audio_fingerprint(stream, fp_col)
+    prepared = with_audio_fingerprint(
+        stream, fp_col, canonical_sr=canonical_sr
+    )
+    with_sr = canonical_sr is None
     root = getattr(sink, "root", None)
     sig_root = f"{root}/_signatures" if root is not None else None
 
     def _sides(fps: DataFrame, side: str) -> DataFrame:
         return _blocked(
-            fps.withColumn("__fp", F.col(fp_col)), id_col, dur_tol_ms, side
+            fps.withColumn("__fp", F.col(fp_col)), id_col, dur_tol_ms,
+            side, with_sr=with_sr,
         )
 
     def _qualifying(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -383,14 +398,16 @@ def stream_audio_near_dedup(
             if not fs.exists(jpath):
                 return None  # nothing admitted yet
             ad = spark.read.option("basePath", sig_root).parquet(sig_root)
-            return ad.where(
+            cond = (
                 (F.col("ingest_batch") < F.lit(int(batch_id)))
-                & F.col("sr_hz").isin([int(s) for s in srs])
                 & F.col("dur_bucket").between(
                     lo // sig_bucket_ms, hi // sig_bucket_ms
                 )
                 & F.col("dur_ms").between(lo, hi)
-            ).select(*cols)
+            )
+            if with_sr:
+                cond = cond & F.col("sr_hz").isin([int(s) for s in srs])
+            return ad.where(cond).select(*cols)
         try:
             admitted = sink.read_committed(spark)
         except ValueError:

@@ -47,6 +47,12 @@ def main(argv: list[str]) -> int:
                    help="also drop byte-identical clips in "
                         "watermark-bounded state before the near-dup "
                         "stage")
+    p.add_argument("--canonical-sr", type=int, default=None,
+                   help="fingerprint at this canonical sample rate and "
+                        "block on duration alone, so cross-rate "
+                        "transcode re-uploads (8k vs 16k) dedup too; "
+                        "pick once per corpus — signatures at "
+                        "different canonical rates don't compare")
     p.add_argument("--near-dup-horizon-s", type=int, default=None,
                    help="bound the vs-admitted near-dup check to "
                         "signatures within this many seconds before "
@@ -182,6 +188,7 @@ def main(argv: list[str]) -> int:
         stream, sink,
         max_hamming=args.max_hamming,
         dur_tol_ms=args.dur_tol_ms,
+        canonical_sr=args.canonical_sr,
         **(
             {"ts_col": "event_time", "horizon_s": args.near_dup_horizon_s}
             if args.near_dup_horizon_s is not None else {}

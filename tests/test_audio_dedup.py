@@ -600,3 +600,35 @@ def test_trim_near_dups_validation(spark):
         audio_trim_near_dups(df, max_trim_ms=0)
     with pytest.raises(ValueError):
         with_offset_fingerprints(df, window_s=0)
+
+
+def test_stream_audio_dedup_canonical_sr_catches_cross_rate(spark, tmp_path):
+    """With canonical_sr the streaming lane drops a CROSS-RATE copy of
+    already-admitted content (batch 2's 8 kHz re-upload of batch 1's
+    16 kHz original); without it the copy slips through — the same
+    escape class the batch xrate lane closes."""
+    from jepl_spark.functions.audio_udfs import resample_to
+
+    base = clip_row(1)          # i=1 -> sr 16000
+    assert base["sr_hz"] == 16000
+
+    def xcopy(i):
+        c = clip_row(i)
+        wave = resample_to(
+            audio.decode(base["bytes"], base["codec"]), 16000, 8000
+        ) * 0.9
+        c["bytes"] = audio.encode(wave.astype(np.float32), "pcm16")
+        c["codec"], c["sr_hz"] = "pcm16", 8000
+        c["dur_ms"] = base["dur_ms"]
+        return c
+
+    batches = [[base], [xcopy(5), clip_row(6)]]
+    sink = _custom_stream(
+        spark, tmp_path, batches, "xr", canonical_sr=8000
+    )
+    got = sorted(r.clip_id for r in sink.read_committed(spark).collect())
+    assert got == [f"clip-{i:012d}" for i in (1, 6)]
+
+    sink2 = _custom_stream(spark, tmp_path, batches, "xr-off")
+    got2 = sorted(r.clip_id for r in sink2.read_committed(spark).collect())
+    assert got2 == [f"clip-{i:012d}" for i in (1, 5, 6)]

@@ -4,6 +4,7 @@ N× the sf0.1 fixtures to verify the operators' scale shape empirically
 cost) — receipts for the 100 TB design claims in README.md.
 
 Usage: PYTHONPATH=. python tools/scale_smoke.py [n_docs] [n_vectors]
+           [n_clips]
 Prints one JSON line with per-lane wall seconds and output sizes.
 """
 
@@ -78,6 +79,7 @@ def synth_embeddings(spark, n: int, dim: int = 64):
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    n_clips = int(sys.argv[3]) if len(sys.argv) > 3 else 120_000
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
     from pyspark.sql import SparkSession
@@ -451,6 +453,106 @@ def main() -> int:
     shards.unpersist()
     res["shard_export_s"] = round(time.time() - t0, 1)
     assert n_sh_rows == n_meta and bad_bounds == 0, (n_sh_rows, bad_bounds)
+
+    # round-7 lanes: the byte-surgery / one-decode audio editors at
+    # volume (the round-6 gates stop at 300-2,000 clips; the memory
+    # shape in question is a whole encoded clip + decoded PCM per row
+    # in flight through mapInPandas at 32 concurrent tasks).  Session
+    # configs flip to the audio-heavy profile for this section only:
+    # bounded Arrow batches (netty direct memory) and the row-based
+    # parquet reader (the vectorized one builds giant binary column
+    # vectors), then restore.
+    from jepl_spark.functions.audio_udfs import (
+        normalize_gain_clips,
+        prepare_clips,
+        speed_perturb_clips,
+        time_mask_clips,
+        trim_silence_clips,
+    )
+    from jepl_spark.sources.clips import clips_df
+
+    res["n_clips"] = n_clips
+    _saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            "spark.sql.parquet.enableVectorizedReader",
+        )
+    }
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    clips_path = os.path.join(work, "clips")
+    clips_df(spark, n_clips).write.mode("overwrite").parquet(clips_path)
+    clips = spark.read.parquet(clips_path)
+
+    t0 = time.time()
+    trimmed = trim_silence_clips(clips)
+    bad_trim = trimmed.where(
+        (F.col("n_samples_out") > F.col("n_total"))
+        | (F.col("lead_samples") + F.col("n_samples_out")
+           > F.col("n_total"))
+    ).count()
+    res["trim_s"] = round(time.time() - t0, 1)
+    res["trim_clips_per_s"] = round(n_clips / res["trim_s"], 0)
+    assert bad_trim == 0
+
+    t0 = time.time()
+    masked = time_mask_clips(clips, n_masks=2, max_mask_ms=100)
+    bad_mask = masked.where(F.size("masks") != 2).count()
+    res["mask_s"] = round(time.time() - t0, 1)
+    res["mask_clips_per_s"] = round(n_clips / res["mask_s"], 0)
+    assert bad_mask == 0
+
+    t0 = time.time()
+    sped = speed_perturb_clips(clips)
+    n_sp = sped.count()
+    res["speed_s"] = round(time.time() - t0, 1)
+    res["speed_clips_per_s"] = round(n_clips / res["speed_s"], 0)
+    assert n_sp == 3 * n_clips, n_sp
+
+    t0 = time.time()
+    gained = normalize_gain_clips(clips)
+    n_null_gain = gained.where(F.col("gain_db").isNull()).count()
+    res["gain_s"] = round(time.time() - t0, 1)
+    res["gain_clips_per_s"] = round(n_clips / res["gain_s"], 0)
+    assert n_null_gain == 0, n_null_gain  # synth clips are never silent
+
+    # fused prep at the same scale: quality + rate gate + trim + chunk
+    # in ONE decode — output volume ≈ n_clips × windows
+    t0 = time.time()
+    prepped = prepare_clips(
+        clips, min_tps=0.1, max_tps=100.0,
+        chunk_ms=250, hop_ms=200, min_tail_ms=100,
+    )
+    n_chunks = prepped.count()
+    res["prep_fused_s"] = round(time.time() - t0, 1)
+    res["prep_fused_clips_per_s"] = round(n_clips / res["prep_fused_s"], 0)
+    res["prep_fused_chunks"] = int(n_chunks)
+    assert n_chunks > n_clips  # windows multiply admitted clips
+
+    # audio_prep job e2e at the same scale (report-only: per-stage
+    # counts + batch plan, no multi-GB output write)
+    import io
+    from contextlib import redirect_stdout
+
+    from jobs.audio_prep import main as prep_main
+
+    t0 = time.time()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = prep_main([
+            "--input", clips_path, "--report-only",
+            "--trim-silence", "--time-mask", "2",
+            "--batch-size", "16", "--bucket-ms", "500",
+        ])
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    res["audio_prep_job_s"] = round(time.time() - t0, 1)
+    res["audio_prep_stages"] = rep["stages"]
+    assert rc == 0 and rep["stages"]["after_time_mask"] == n_clips
+
+    for k, v in _saved.items():
+        if v is not None:
+            spark.conf.set(k, v)
 
     print(json.dumps(res))
     spark.stop()
