@@ -339,11 +339,14 @@ def stream_audio_near_dedup(
     signature directory is overwritten whole on retry (its name is the
     batch id) BEFORE the sink commit, and reads consider only
     ``ingest_batch < current`` — a half-written directory from a
-    crashed attempt of THIS batch is invisible.  Sinks without a
-    filesystem ``root`` (e.g. a catalog-table sink) fall back to a
-    column-pruned ``read_committed`` scan with a dur_ms row filter —
-    row-group-stats pruning only; at corpus scale prefer a
-    filesystem-rooted sink.
+    crashed attempt of THIS batch is invisible.  Fallback scan: sinks
+    without a filesystem ``root`` (e.g. a catalog-table sink), and any
+    sink whose side table does not cover EVERY committed batch (a
+    legacy sink upgraded mid-stream, an orphaned crash directory —
+    detected by a per-batch directory-count vs ledger-count match),
+    use a column-pruned ``read_committed`` scan with a dur_ms row
+    filter instead — row-group-stats pruning only, never a silent
+    skip; at corpus scale prefer a fresh filesystem-rooted sink.
 
     ``horizon_s`` (requires ``ts_col``) additionally bounds the
     admitted side IN TIME: only signatures with
@@ -395,19 +398,43 @@ def stream_audio_near_dedup(
             from ..fsutil import hadoop_fs
 
             fs, jpath, _ = hadoop_fs(spark, sig_root)
-            if not fs.exists(jpath):
-                return None  # nothing admitted yet
-            ad = spark.read.option("basePath", sig_root).parquet(sig_root)
-            cond = (
-                (F.col("ingest_batch") < F.lit(int(batch_id)))
-                & F.col("dur_bucket").between(
-                    lo // sig_bucket_ms, hi // sig_bucket_ms
+            covered = False
+            if fs.exists(jpath):
+                # coverage check: the side table only prunes when it
+                # has a signature directory for EVERY committed batch —
+                # a LEGACY sink (history from before this table
+                # existed) or an orphaned attempt directory fails the
+                # count match and stays on the conservative scan path
+                # below, so the vs-admitted check never silently skips
+                # committed content.  One listing + the sink's own
+                # ledger count per batch — same cost class as
+                # is_committed.
+                n_dirs = sum(
+                    1
+                    for st in fs.listStatus(jpath)
+                    if st.isDirectory()
+                    and st.getPath().getName().startswith("ingest_batch=")
+                    and int(
+                        st.getPath().getName().split("=", 1)[1]
+                    ) < int(batch_id)
                 )
-                & F.col("dur_ms").between(lo, hi)
-            )
-            if with_sr:
-                cond = cond & F.col("sr_hz").isin([int(s) for s in srs])
-            return ad.where(cond).select(*cols)
+                covered = n_dirs == sink.committed_count(spark)
+            if covered:
+                ad = spark.read.option(
+                    "basePath", sig_root
+                ).parquet(sig_root)
+                cond = (
+                    (F.col("ingest_batch") < F.lit(int(batch_id)))
+                    & F.col("dur_bucket").between(
+                        lo // sig_bucket_ms, hi // sig_bucket_ms
+                    )
+                    & F.col("dur_ms").between(lo, hi)
+                )
+                if with_sr:
+                    cond = cond & F.col("sr_hz").isin(
+                        [int(s) for s in srs]
+                    )
+                return ad.where(cond).select(*cols)
         try:
             admitted = sink.read_committed(spark)
         except ValueError:

@@ -632,3 +632,70 @@ def test_stream_audio_dedup_canonical_sr_catches_cross_rate(spark, tmp_path):
     sink2 = _custom_stream(spark, tmp_path, batches, "xr-off")
     got2 = sorted(r.clip_id for r in sink2.read_committed(spark).collect())
     assert got2 == [f"clip-{i:012d}" for i in (1, 5, 6)]
+
+
+def test_stream_audio_dedup_legacy_sink_falls_back_to_scan(spark, tmp_path):
+    """A sink whose committed history is NOT fully covered by the
+    signature side table (legacy upgrade / orphaned dir) must fall
+    back to the read_committed scan, never silently skip the
+    vs-admitted check: after deleting the _signatures table between
+    two runs, a cross-batch copy still drops."""
+    import shutil
+
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    from streaming_helpers import write_batches
+
+    _, pa_schema = _clip_batches([])
+    sink = IdempotentParquetSink(str(tmp_path / "lg-sink"))
+    src = str(tmp_path / "lg-src")
+    ckpt = str(tmp_path / "lg-ckpt")
+
+    def run(batches_so_far):
+        # ONE stream lineage: same src dir + checkpoint, files appended
+        # (a fresh checkpoint would restart batch ids at 0 and the
+        # sink's exactly-once ledger would rightly skip them)
+        write_batches(src, batches_so_far, pa_schema)
+        prepared, fb = stream_audio_near_dedup(
+            file_stream(spark, src, CLIP_SPARK_SCHEMA,
+                        max_files_per_trigger=1),
+            sink,
+        )
+        q = (
+            prepared.writeStream.outputMode("append")
+            .foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+
+    b0 = [dup_clip_row(2), dup_clip_row(4)]
+    b1 = [dup_clip_row(3), dup_clip_row(8)]   # 3 copies 2 (i%7==3)
+    b2 = [dup_clip_row(10)]                   # 10 copies 9 — absent: admits
+
+    # phase 1: admit clips 2 and 4
+    run([b0])
+    # simulate a legacy sink: history committed, side table gone
+    shutil.rmtree(str(tmp_path / "lg-sink" / "_signatures"))
+    # phase 2 (same lineage, batch id 1): the copy must drop via the
+    # FALLBACK read_committed scan (no side table at all)
+    run([b0, b1])
+    got = sorted(r.clip_id for r in sink.read_committed(spark).collect())
+    assert got == [f"clip-{i:012d}" for i in (2, 4, 8)]
+
+    # phase 3: PARTIAL coverage — batch 1's sig dir now exists, batch
+    # 0's doesn't (1 dir < 2 committed) → still the scan path; clip 3
+    # (copy of batch-0 content) arrives again under a new id via a
+    # crafted row and must still drop
+    import glob as _glob
+
+    assert len(_glob.glob(
+        str(tmp_path / "lg-sink" / "_signatures" / "ingest_batch=*")
+    )) == 1
+    copy_again = dup_clip_row(3)
+    copy_again["clip_id"] = "clip-999999999999"
+    run([b0, b1, [copy_again] + b2])
+    got2 = sorted(r.clip_id for r in sink.read_committed(spark).collect())
+    assert got2 == [f"clip-{i:012d}" for i in (2, 4, 8, 10)]
