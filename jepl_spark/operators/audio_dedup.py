@@ -71,8 +71,82 @@ __all__ = [
     "audio_near_dups",
     "audio_dedup",
     "audio_trim_near_dups",
+    "audio_signature_table",
+    "audio_dedup_against",
     "stream_audio_near_dedup",
 ]
+
+
+def audio_signature_table(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    canonical_sr: int | None = None,
+) -> DataFrame:
+    """The persisted-snapshot side of incremental cross-corpus audio
+    dedup: (id, sr_hz, dur_ms, fp) — 32 bytes of fingerprint per clip,
+    hashed ONCE per corpus commit and parked in parquet, exactly like
+    ``minhash_signature_table``/``simhash_signature_table`` for text.
+    Later deltas band against this table and never re-decode the
+    corpus's audio.  Pass the same ``canonical_sr`` the deltas will
+    use — signatures at different canonical rates don't compare."""
+    return with_audio_fingerprint(
+        df, "fp", canonical_sr=canonical_sr
+    ).select(id_col, "sr_hz", "dur_ms", "fp")
+
+
+def audio_dedup_against(
+    delta: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "clip_id",
+    max_hamming: int = 10,
+    dur_tol_ms: int = 25,
+    canonical_sr: int | None = None,
+) -> DataFrame:
+    """Incremental cross-corpus audio NEAR-dedup (the audio twin of
+    ``dedup_against(policy="minhash")``): drop every ``delta`` clip
+    whose fingerprint sits within ``max_hamming`` of ANY clip in the
+    committed corpus, where the corpus side is the PERSISTED signature
+    table from :func:`audio_signature_table` — the corpus is
+    fingerprinted once per commit, each ingest delta pays only its own
+    decode plus an ids+32-bytes blocking join.  Returns the surviving
+    delta rows unchanged.
+
+    Blocking matches :func:`audio_near_dups`: (sr, duration-bucket)
+    cells via the two-bucket trick, sr dropped when ``canonical_sr``
+    is set (the delta must then be fingerprinted at the SAME canonical
+    rate as the snapshot).  In-delta duplicates are out of scope by
+    contract (run ``audio_dedup`` on the delta first if needed) —
+    identical to the text twin's documented semantics."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if dur_tol_ms < 1:
+        raise ValueError(f"dur_tol_ms must be >= 1, got {dur_tol_ms}")
+    for col in ("sr_hz", "dur_ms", "fp"):
+        if col not in corpus_sigs.columns:
+            raise ValueError(
+                f"corpus_sigs must be audio_signature_table output "
+                f"(missing column {col!r})"
+            )
+    with_sr = canonical_sr is None
+    d_sigs = with_audio_fingerprint(
+        delta, "__fp", canonical_sr=canonical_sr
+    ).select(id_col, "sr_hz", "dur_ms", "__fp")
+    c_sigs = corpus_sigs.select(
+        id_col, "sr_hz", "dur_ms", F.col("fp").alias("__fp")
+    )
+    a = _blocked(c_sigs, id_col, dur_tol_ms, "a", with_sr=with_sr)
+    b = _blocked(d_sigs, id_col, dur_tol_ms, "b", with_sr=with_sr)
+    ham = fp_hamming(F.col("__fp_a"), F.col("__fp_b"))
+    drops = (
+        a.join(b, ["__sr", "__bucket"])
+        .where(
+            F.abs(F.col("__dur_a") - F.col("__dur_b")) <= F.lit(dur_tol_ms)
+        )
+        .where(ham <= max_hamming)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return delta.join(drops, on=id_col, how="left_anti")
 
 
 def _blocked(

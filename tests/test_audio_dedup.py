@@ -699,3 +699,73 @@ def test_stream_audio_dedup_legacy_sink_falls_back_to_scan(spark, tmp_path):
     run([b0, b1, [copy_again] + b2])
     got2 = sorted(r.clip_id for r in sink.read_committed(spark).collect())
     assert got2 == [f"clip-{i:012d}" for i in (2, 4, 8, 10)]
+
+
+def test_audio_dedup_against_snapshot(spark):
+    """Cross-corpus audio delta dedup: delta copies of committed clips
+    drop via the PERSISTED signature table (the corpus's audio is
+    never touched — the snapshot rows carry no bytes at all); fresh
+    delta clips survive; cross-rate copies drop under canonical_sr."""
+    from jepl_spark.functions.audio_udfs import resample_to
+    from jepl_spark.operators.audio_dedup import (
+        audio_dedup_against,
+        audio_signature_table,
+    )
+    from jepl_spark.sources.clips import clips_df
+
+    corpus = clips_df(spark, 60)
+    sigs = audio_signature_table(corpus)
+
+    import pandas as pd
+
+    def regain_copy(i, new_id):
+        src = clip_row(i)
+        wave = audio.decode(src["bytes"], src["codec"]) * 0.9
+        row = clip_row(new_id)
+        row["bytes"] = audio.encode(wave.astype(np.float32), "pcm16")
+        row["codec"], row["sr_hz"] = "pcm16", src["sr_hz"]
+        row["dur_ms"] = src["dur_ms"]
+        return row
+
+    delta = spark.createDataFrame(pd.DataFrame(
+        [regain_copy(i, 1000 + i) for i in range(0, 60, 5)]   # 12 copies
+        + [clip_row(i) for i in range(200, 210)]              # 10 fresh
+    ))
+    kept = sorted(
+        r["clip_id"]
+        for r in audio_dedup_against(delta, sigs).collect()
+    )
+    assert kept == sorted(f"clip-{i:012d}" for i in range(200, 210))
+
+    # canonical_sr: snapshot + delta at one canonical rate catch a
+    # cross-rate copy the plain path misses
+    sigs8 = audio_signature_table(corpus, canonical_sr=8000)
+
+    def xrate_copy(i, new_id):
+        src = clip_row(i)
+        wave = resample_to(
+            audio.decode(src["bytes"], src["codec"]), src["sr_hz"], 8000
+        ) * 0.9
+        row = clip_row(new_id)
+        row["bytes"] = audio.encode(wave.astype(np.float32), "pcm16")
+        row["codec"], row["sr_hz"] = "pcm16", 8000
+        row["dur_ms"] = src["dur_ms"]
+        return row
+
+    xdelta = spark.createDataFrame(pd.DataFrame(
+        [xrate_copy(1, 2001), clip_row(300)]   # clip 1 is 16 kHz
+    ))
+    kept_plain = {r["clip_id"]
+                  for r in audio_dedup_against(xdelta, sigs).collect()}
+    assert "clip-000000002001" in kept_plain  # plain path misses it
+    kept_canon = sorted(
+        r["clip_id"]
+        for r in audio_dedup_against(
+            xdelta, sigs8, canonical_sr=8000, max_hamming=25
+        ).collect()
+    )
+    assert kept_canon == ["clip-000000000300"]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="audio_signature_table"):
+        audio_dedup_against(xdelta, xdelta.select("clip_id", "sr_hz"))

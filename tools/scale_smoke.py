@@ -484,6 +484,10 @@ def main() -> int:
     clips_path = os.path.join(work, "clips")
     clips_df(spark, n_clips).write.mode("overwrite").parquet(clips_path)
     clips = spark.read.parquet(clips_path)
+    # page-cache warmup: pull every audio byte through the reader once
+    # (JVM-only sum, no Python) so the FIRST timed lane doesn't carry
+    # the cold multi-GB read the others then get from cache
+    clips.select(F.sum(F.length("bytes"))).collect()
 
     t0 = time.time()
     trimmed = trim_silence_clips(clips)
