@@ -210,7 +210,14 @@ def audio_near_dups(
     destroys bands above the canonical Nyquist, so copies whose energy
     lives there (pure tones; rare in speech) can escape.  Cost: blocks
     merge across rates, so candidate counts grow by the rate mix —
-    still duration-bounded, never all-pairs."""
+    still duration-bounded, never all-pairs.
+
+    ``fp_col`` + ``canonical_sr`` together: the precomputed column
+    wins for fingerprints (no re-decode), but ``canonical_sr`` STILL
+    switches blocking to duration-only — so ``fp_col`` must have been
+    computed via ``with_audio_fingerprint(canonical_sr=<same rate>)``.
+    Native-rate fingerprints under duration-only blocking compare
+    incomparable signatures and return garbage pairs."""
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     if dur_tol_ms < 1:
@@ -494,7 +501,28 @@ def stream_audio_near_dedup(
                 )
                 covered = n_dirs == sink.committed_count(spark)
             if covered:
-                ad = spark.read.option(
+                # EXPLICIT schema (cols as the prepared stream types
+                # them + the two synthetic partition keys): inference
+                # would read a data-file footer, and a history whose
+                # committed batches were all EMPTY (idle-stream no-data
+                # micro-batches) has none — inference then fails every
+                # retry of the first real batch, wedging the stream
+                from pyspark.sql.types import (
+                    IntegerType,
+                    LongType,
+                    StructField,
+                    StructType,
+                )
+
+                by_name = {f.name: f for f in prepared.schema.fields}
+                sig_schema = StructType(
+                    [by_name[c] for c in cols]
+                    + [
+                        StructField("dur_bucket", IntegerType()),
+                        StructField("ingest_batch", LongType()),
+                    ]
+                )
+                ad = spark.read.schema(sig_schema).option(
                     "basePath", sig_root
                 ).parquet(sig_root)
                 cond = (
@@ -573,7 +601,14 @@ def stream_audio_near_dedup(
                 )
                 drops = drops.unionByName(vs_admitted).distinct()
             survivors = batch.join(drops, on=id_col, how="left_anti")
-            if sig_root is not None:
+            if sig_root is None:
+                sink.write_batch(survivors, batch_id)
+                return
+            # two actions consume survivors below (signature write,
+            # then sink commit) — persist so the in-batch and
+            # vs-admitted blocking joins execute once, not twice
+            survivors = survivors.persist()
+            try:
                 # signatures FIRST, sink commit second: a crash between
                 # the two replays the batch (not yet in the ledger) and
                 # overwrites this directory; after the commit, replays
@@ -590,7 +625,9 @@ def stream_audio_near_dedup(
                     .mode("overwrite")
                     .parquet(f"{sig_root}/ingest_batch={int(batch_id)}")
                 )
-            sink.write_batch(survivors, batch_id)
+                sink.write_batch(survivors, batch_id)
+            finally:
+                survivors.unpersist()
         finally:
             batch.unpersist()
 
