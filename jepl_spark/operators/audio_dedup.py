@@ -74,6 +74,7 @@ __all__ = [
     "audio_signature_table",
     "audio_dedup_against",
     "stream_audio_near_dedup",
+    "stream_audio_trim_near_dedup",
 ]
 
 
@@ -451,8 +452,6 @@ def stream_audio_near_dedup(
         stream, fp_col, canonical_sr=canonical_sr
     )
     with_sr = canonical_sr is None
-    root = getattr(sink, "root", None)
-    sig_root = f"{root}/_signatures" if root is not None else None
 
     def _sides(fps: DataFrame, side: str) -> DataFrame:
         return _blocked(
@@ -470,6 +469,45 @@ def stream_audio_near_dedup(
             )
             .where(ham <= max_hamming)
         )
+
+    sig_cols = [id_col, "sr_hz", "dur_ms", fp_col] + (
+        [ts_col] if ts_col is not None else []
+    )
+    return prepared, _stream_sig_dedup_loop(
+        prepared, sink, id_col, sig_cols, _sides, _qualifying,
+        dur_tol_ms, sig_bucket_ms, "_signatures", ts_col, horizon_s,
+        sr_prune=with_sr,
+    )
+
+
+def _stream_sig_dedup_loop(
+    prepared: DataFrame,
+    sink,
+    id_col: str,
+    sig_cols: list,
+    sides_fn,
+    qualify_fn,
+    tol_ms: int,
+    sig_bucket_ms: int,
+    sig_subdir: str,
+    ts_col: str | None,
+    horizon_s: int | None,
+    sr_prune: bool,
+):
+    """The shared streaming dedup-vs-committed engine: per micro-batch
+    in-batch pair drops + vs-admitted drops against a (sr_hz,
+    dur_bucket)-partitioned signature side table (``sig_subdir`` under
+    the sink root), with the coverage check, explicit-schema read,
+    horizon bound, legacy/rootless fallbacks, and exactly-once write
+    ordering.  ``sides_fn(sigs, side)`` produces a blocked side with
+    ``id_<side>``/``__dur_<side>``/``__sr``/``__bucket`` columns;
+    ``qualify_fn(a, b)`` returns the qualifying candidate pairs.  Both
+    the exact/cross-rate lane and the offset-tolerant lane are
+    configurations of this loop — the protocol (ledger short-circuit,
+    signature-first write, ingest_batch < current reads) is identical
+    by construction."""
+    root = getattr(sink, "root", None)
+    sig_root = f"{root}/{sig_subdir}" if root is not None else None
 
     def _admitted_side(spark, batch_id, cols, lo, hi, srs):
         """Committed signatures overlapping [lo, hi] ms at the batch's
@@ -532,7 +570,7 @@ def stream_audio_near_dedup(
                     )
                     & F.col("dur_ms").between(lo, hi)
                 )
-                if with_sr:
+                if sr_prune:
                     cond = cond & F.col("sr_hz").isin(
                         [int(s) for s in srs]
                     )
@@ -554,14 +592,12 @@ def stream_audio_near_dedup(
             return
         batch = batch_df.persist()
         try:
-            cols = [id_col, "sr_hz", "dur_ms", fp_col] + (
-                [ts_col] if ts_col is not None else []
-            )
+            cols = list(sig_cols)
             sigs = batch.select(*cols)
-            b_side = _sides(sigs, "b")
+            b_side = sides_fn(sigs, "b")
             # in-batch: drop the higher id of every qualifying pair
             drops = (
-                _qualifying(_sides(sigs, "a"), b_side)
+                qualify_fn(sides_fn(sigs, "a"), b_side)
                 .where(F.col("id_a") < F.col("id_b"))
                 .select(F.col("id_b").alias(id_col))
                 .distinct()
@@ -578,8 +614,8 @@ def stream_audio_near_dedup(
             if probe["lo"] is not None:
                 admitted_pruned = _admitted_side(
                     spark, batch_id, cols,
-                    int(probe["lo"]) - dur_tol_ms,
-                    int(probe["hi"]) + dur_tol_ms,
+                    int(probe["lo"]) - tol_ms,
+                    int(probe["hi"]) + tol_ms,
                     probe["srs"],
                 )
             if (
@@ -593,9 +629,9 @@ def stream_audio_near_dedup(
                     - F.expr(f"INTERVAL {int(horizon_s)} SECONDS")
                 )
             if admitted_pruned is not None:
-                ad = _sides(admitted_pruned, "a")
+                ad = sides_fn(admitted_pruned, "a")
                 vs_admitted = (
-                    _qualifying(ad, b_side)
+                    qualify_fn(ad, b_side)
                     .select(F.col("id_b").alias(id_col))
                     .distinct()
                 )
@@ -631,4 +667,83 @@ def stream_audio_near_dedup(
         finally:
             batch.unpersist()
 
-    return prepared, foreach_batch
+    return foreach_batch
+
+
+def stream_audio_trim_near_dedup(
+    stream: DataFrame,
+    sink,
+    id_col: str = "clip_id",
+    max_hamming: int = 10,
+    max_trim_ms: int = 2000,
+    canonical_sr: int = 8000,
+    window_s: float = 2.0,
+    ts_col: str | None = None,
+    horizon_s: int | None = None,
+    sig_bucket_ms: int = 1000,
+):
+    """Streaming OFFSET-TOLERANT audio near-dedup at ingest: the
+    trimmed-re-upload twin of :func:`stream_audio_near_dedup` — a clip
+    with up to ``max_trim_ms`` of lead or tail trim (plus regain /
+    transcode / resample) relative to already-admitted content is
+    dropped before it commits.  Same engine, different signature:
+    head/tail-anchored fixed-window fingerprints at a canonical rate
+    (:func:`with_offset_fingerprints` — thresholds and limits
+    documented on :func:`audio_trim_near_dups`), blocking buckets of
+    ``max_trim_ms`` (a trim changes duration by at most that), no sr
+    key.  The side table lives at ``<sink.root>/_signatures_offset``
+    with fp_head/fp_tail columns — a sink may run BOTH lanes (exact
+    and offset) against the same commit ledger without the tables
+    clashing.  Exactly-once, coverage-checked, horizon-dialed and
+    fallback semantics are the shared loop's (stream_audio_near_dedup
+    docs)."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if max_trim_ms < 1:
+        raise ValueError(f"max_trim_ms must be >= 1, got {max_trim_ms}")
+    if sig_bucket_ms < 1:
+        raise ValueError(f"sig_bucket_ms must be >= 1, got {sig_bucket_ms}")
+    if horizon_s is not None and ts_col is None:
+        raise ValueError("horizon_s needs ts_col (the event-time column)")
+    prepared = (
+        with_offset_fingerprints(
+            stream, "__ofp", canonical_sr=canonical_sr, window_s=window_s
+        )
+        .withColumn("fp_head", F.col("__ofp.head"))
+        .withColumn("fp_tail", F.col("__ofp.tail"))
+        .drop("__ofp")
+    )
+
+    def _sides(fps: DataFrame, side: str) -> DataFrame:
+        b = (F.col("dur_ms") / F.lit(max_trim_ms)).cast("long")
+        return fps.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.lit(0).alias("__sr"),
+            F.col("dur_ms").alias(f"__dur_{side}"),
+            F.col("fp_head").alias(f"__h_{side}"),
+            F.col("fp_tail").alias(f"__t_{side}"),
+            F.explode(F.array(b, b + 1)).alias("__bucket"),
+        )
+
+    def _qualifying(a: DataFrame, b: DataFrame) -> DataFrame:
+        ham = F.least(
+            fp_hamming(F.col("__h_a"), F.col("__h_b")),
+            fp_hamming(F.col("__t_a"), F.col("__t_b")),
+        )
+        return (
+            a.join(b, ["__sr", "__bucket"])
+            .where(
+                F.abs(F.col("__dur_a") - F.col("__dur_b"))
+                <= F.lit(max_trim_ms)
+            )
+            .where(ham <= max_hamming)
+        )
+
+    sig_cols = [id_col, "sr_hz", "dur_ms", "fp_head", "fp_tail"] + (
+        [ts_col] if ts_col is not None else []
+    )
+    return prepared, _stream_sig_dedup_loop(
+        prepared, sink, id_col, sig_cols, _sides, _qualifying,
+        max_trim_ms, sig_bucket_ms, "_signatures_offset", ts_col,
+        horizon_s, sr_prune=False,
+    )

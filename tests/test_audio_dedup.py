@@ -769,3 +769,72 @@ def test_audio_dedup_against_snapshot(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="audio_signature_table"):
         audio_dedup_against(xdelta, xdelta.select("clip_id", "sr_hz"))
+
+
+def test_stream_audio_trim_near_dedup(spark, tmp_path):
+    """Streaming offset-tolerant dedup: a lead-trimmed re-upload of
+    batch-1 content drops in batch 2 (vs-admitted, via the
+    _signatures_offset side table); an in-batch trimmed pair drops its
+    higher id; fresh long clips admit; a rerun is idempotent."""
+    import os
+
+    from jepl_spark.operators.audio_dedup import (
+        stream_audio_trim_near_dedup,
+    )
+    from jepl_spark.sources.clips import trim_dup_clip_row
+    from jepl_spark.streaming.engine import file_stream, run_to_completion
+    from jepl_spark.streaming.sink import IdempotentParquetSink
+
+    from streaming_helpers import write_batches
+
+    _, pa_schema = _clip_batches([])
+
+    def trimmed_copy(src_i, new_i, trim_s=0.8):
+        src = trim_dup_clip_row(src_i)     # a long original (5-8 s)
+        wave = audio.decode(src["bytes"], src["codec"])
+        trim = int(trim_s * src["sr_hz"])
+        cut = (wave[trim:] * 0.9).astype(np.float32)
+        row = trim_dup_clip_row(new_i)
+        row["bytes"] = audio.encode(cut, "pcm16")
+        row["dur_ms"] = cut.size * 1000 // src["sr_hz"]
+        row["sr_hz"] = src["sr_hz"]
+        return row
+
+    originals = [trim_dup_clip_row(i) for i in (0, 1, 2)]
+    b1 = originals
+    # batch 2: a trimmed copy of original 1, an in-batch trimmed pair
+    # (20 and its copy 21), and a fresh clip
+    b2 = [
+        trimmed_copy(1, 50),
+        trim_dup_clip_row(20), trimmed_copy(20, 21),
+        trim_dup_clip_row(30),
+    ]
+    src = str(tmp_path / "st-src")
+    write_batches(src, [b1, b2], pa_schema)
+    sink = IdempotentParquetSink(str(tmp_path / "st-sink"))
+    prepared, fb = stream_audio_trim_near_dedup(
+        file_stream(spark, src, CLIP_SPARK_SCHEMA, max_files_per_trigger=1),
+        sink,
+    )
+
+    def run():
+        q = (
+            prepared.writeStream.outputMode("append")
+            .foreachBatch(fb)
+            .option("checkpointLocation", str(tmp_path / "st-ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+
+    run()
+    got = sorted(r.clip_id for r in sink.read_committed(spark).collect())
+    assert got == [f"clip-{i:012d}" for i in (0, 1, 2, 20, 30)]
+    assert os.path.isdir(str(tmp_path / "st-sink" / "_signatures_offset"))
+
+    n = sink.committed_count(spark)
+    run()  # rerun: ledger short-circuits, nothing changes
+    assert sink.committed_count(spark) == n
+    assert sorted(
+        r.clip_id for r in sink.read_committed(spark).collect()
+    ) == got
