@@ -329,6 +329,36 @@ def batch_queries(spark, sf_dir):
         clips = trim_dup_clips(spark, 800)
         return _drain(audio_trim_near_dups(clips))
 
+    def audio_against():
+        # cross-corpus audio delta dedup: a 220-clip delta (20 regain
+        # copies + 200 fresh) vs a PRE-BUILT 2000-clip signature
+        # snapshot (built once at suite setup, untimed — the
+        # production shape is snapshot-per-corpus-commit,
+        # delta-per-ingest, so this lane reports the recurring
+        # delta-decode + blocked anti-join cost only)
+        import pandas as pd
+
+        from jepl_spark.operators.audio_dedup import audio_dedup_against
+        from jepl_spark.sources import audio as AA
+        from jepl_spark.sources.clips import clip_row
+
+        snap = spark.read.parquet(audio_against.snap_dir)
+
+        def regain(i, new_id):
+            src = clip_row(i)
+            wave = AA.decode(src["bytes"], src["codec"]) * 0.9
+            row = clip_row(new_id)
+            row["bytes"] = AA.encode(wave.astype("float32"), "pcm16")
+            row["codec"], row["sr_hz"] = "pcm16", src["sr_hz"]
+            row["dur_ms"] = src["dur_ms"]
+            return row
+
+        delta = spark.createDataFrame(pd.DataFrame(
+            [regain(i, 100_000 + i) for i in range(0, 2000, 100)]
+            + [clip_row(i) for i in range(10_000, 10_200)]
+        ))
+        return _drain(audio_dedup_against(delta, snap))
+
     def prep_fused():
         # the fused ingest→prep pass (quality + rate gate + trim +
         # chunk, ONE decode) over 2000 clips — the production shape
@@ -591,6 +621,7 @@ def batch_queries(spark, sf_dir):
         "audio_near_dup": audio_near_dup,
         "audio_xrate_near_dup": audio_xrate_near_dup,
         "audio_trim_near_dup": audio_trim_near_dup,
+        "audio_against": audio_against,
         "prep_fused": prep_fused,
         "decontam": decontam,
         "pack_sequences": pack_sequences,
@@ -621,10 +652,13 @@ def batch_queries(spark, sf_dir):
 
 
 def build_minhash_snapshot(spark, sf_dir, lanes) -> None:
-    """Materialize the minhash_against snapshot parquet OUTSIDE the
-    timed region (same contract as clips generation: one-off setup
-    cost excluded, recurring cost measured)."""
+    """Materialize the minhash_against + audio_against snapshot
+    parquets OUTSIDE the timed region (same contract as clips
+    generation: one-off setup cost excluded, recurring cost
+    measured)."""
     from jepl_spark.operators import dedup as D
+    from jepl_spark.operators.audio_dedup import audio_signature_table
+    from jepl_spark.sources.clips import clips_df
     from jepl_spark.sources.tables import load_table
 
     d = tempfile.mkdtemp(prefix="jepl-bench-minhash-snap-")
@@ -633,6 +667,12 @@ def build_minhash_snapshot(spark, sf_dir, lanes) -> None:
     ).write.mode("overwrite").parquet(d)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     lanes["minhash_against"].snap_dir = d
+    a = tempfile.mkdtemp(prefix="jepl-bench-audio-snap-")
+    audio_signature_table(clips_df(spark, 2000)).write.mode(
+        "overwrite"
+    ).parquet(a)
+    atexit.register(shutil.rmtree, a, ignore_errors=True)
+    lanes["audio_against"].snap_dir = a
 
 
 def clips_stream_bench(spark, n_clips: int, workdir: str) -> dict:

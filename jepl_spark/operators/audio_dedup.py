@@ -320,9 +320,16 @@ def audio_trim_near_dups(
     The default 10 takes every same-rate and ~90%% of cross-rate
     trimmed copies with zero false pairs on the measured corpus; raise
     toward 18 for full cross-rate-trim recall at a measured precision
-    risk.  Limits: copies trimmed at BOTH ends are out of scope
-    (staged — needs sliding sub-fingerprint search); clips shorter
-    than ``window_s`` + trim lose the anchoring (window = whole clip)."""
+    risk.  Limits: copies trimmed at BOTH ends are out of scope —
+    and measurably NOT reachable by a sliding-grid shortcut: the
+    duration-relative fingerprint has zero shift tolerance (a 25 ms
+    window misalignment already scores mean ~115 bits ≈ random, so
+    coarse window grids can never land close enough on an arbitrary
+    trim).  Closing that class needs Haitsma-Kalker-style DENSE
+    sub-fingerprints (~10 ms hop) with an inverted-index lookup — a
+    different storage/cost class, deliberately staged out.  Clips
+    shorter than ``window_s`` + trim lose the anchoring (window =
+    whole clip)."""
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     if max_trim_ms < 1:
