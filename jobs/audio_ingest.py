@@ -47,6 +47,17 @@ def main(argv: list[str]) -> int:
                    help="also drop byte-identical clips in "
                         "watermark-bounded state before the near-dup "
                         "stage")
+    p.add_argument("--near-dup-match", choices=("exact", "offset"),
+                   default="exact",
+                   help="'exact' = same-duration regain/transcode "
+                        "copies (the default blocked-fingerprint "
+                        "lane); 'offset' = additionally catch clips "
+                        "with up to --max-trim-ms of lead/tail trim "
+                        "via head/tail-anchored window fingerprints "
+                        "(its own _signatures_offset side table)")
+    p.add_argument("--max-trim-ms", type=int, default=2000,
+                   help="offset match: maximum lead/tail trim to "
+                        "tolerate (also the duration blocking width)")
     p.add_argument("--canonical-sr", type=int, default=None,
                    help="fingerprint at this canonical sample rate and "
                         "block on duration alone, so cross-rate "
@@ -95,7 +106,10 @@ def main(argv: list[str]) -> int:
     spark = SparkSession.builder.appName("jepl-audio-ingest").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    from jepl_spark.operators.audio_dedup import stream_audio_near_dedup
+    from jepl_spark.operators.audio_dedup import (
+        stream_audio_near_dedup,
+        stream_audio_trim_near_dedup,
+    )
     from jepl_spark.sources.clips import clips_df, planted_dup_clips
     from jepl_spark.streaming.engine import file_stream, run_to_completion
     from jepl_spark.streaming.listener import MetricsListener
@@ -184,16 +198,27 @@ def main(argv: list[str]) -> int:
     )
     sink = sink_cls(args.sink)
     t0 = time.time()
-    prepared, fb = stream_audio_near_dedup(
-        stream, sink,
-        max_hamming=args.max_hamming,
-        dur_tol_ms=args.dur_tol_ms,
-        canonical_sr=args.canonical_sr,
-        **(
-            {"ts_col": "event_time", "horizon_s": args.near_dup_horizon_s}
-            if args.near_dup_horizon_s is not None else {}
-        ),
+    horizon_kw = (
+        {"ts_col": "event_time", "horizon_s": args.near_dup_horizon_s}
+        if args.near_dup_horizon_s is not None else {}
     )
+    if args.near_dup_match == "offset":
+        prepared, fb = stream_audio_trim_near_dedup(
+            stream, sink,
+            max_hamming=args.max_hamming,
+            max_trim_ms=args.max_trim_ms,
+            **({"canonical_sr": args.canonical_sr}
+               if args.canonical_sr is not None else {}),
+            **horizon_kw,
+        )
+    else:
+        prepared, fb = stream_audio_near_dedup(
+            stream, sink,
+            max_hamming=args.max_hamming,
+            dur_tol_ms=args.dur_tol_ms,
+            canonical_sr=args.canonical_sr,
+            **horizon_kw,
+        )
     q = (
         prepared.writeStream.outputMode("append")
         .foreachBatch(fb)

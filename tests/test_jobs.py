@@ -931,3 +931,33 @@ def test_audio_prep_trim_refreshes_dur_ms(spark, tmp_path, capsys):
     plan = spark.read.parquet(out + "_batches")
     for r in plan.select("dur_ms").collect():
         assert r.dur_ms <= 520, r.dur_ms
+
+def test_audio_ingest_offset_match(spark, tmp_path, capsys):
+    """--near-dup-match offset routes ingest through the streaming
+    trim-tolerant lane: planted lead/tail-trimmed copies (which the
+    exact lane cannot see — duration changed) drop at ingest; exactly
+    the originals commit."""
+    import json as _json
+
+    from jepl_spark.sources.clips import trim_dup_clips
+    from jobs.audio_ingest import main
+
+    inp = str(tmp_path / "clips")
+    trim_dup_clips(spark, 40).write.parquet(inp)
+    sink = str(tmp_path / "sink")
+    rc = main([
+        "--audio-path", inp, "--sink", sink,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--near-dup-match", "offset",
+    ])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = sorted(
+        f"clip-{i:012d}" for i in range(40) if not (i % 7 == 3 and i > 0)
+    )
+    got = sorted(
+        r.clip_id
+        for r in spark.read.parquet(sink + "/data").collect()
+    )
+    assert got == want
+    assert rep["admitted_clips"] == len(want)
