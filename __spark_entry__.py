@@ -1772,29 +1772,21 @@ def q_audio_dedup_against(spark, sf_dir):
     return audio_dedup_against(delta, sigs).select("clip_id")
 
 
-def q_stream_audio_trim_dedup(spark, sf_dir):
-    """STREAMING offset-tolerant audio near-dedup (round-7 lane): the
-    trimmed-copy corpus of q_audio_trim_near_dups staged as a 4-file
-    id-ranged stream → head/tail-anchored fingerprint check against
-    the batch and the ADMITTED corpus (the _signatures_offset side
-    table) → exactly-once sink.  Ranges of 60 never split a planted
-    pair and every copy arrives with or after its original, so
-    exactly the originals survive — the same closed-form contract as
-    stream_audio_dedup, over the trim-escape class that lane cannot
-    see."""
+def _run_stream_dedup_gate(spark, clips, work, dedup_fn):
+    """Shared harness for the streaming audio-dedup gates: stage
+    ``clips`` as 4 id-ranged parquet files (seq ranges of 60 — chosen
+    so no planted pair splits across files) with strictly increasing
+    mtimes, run ``dedup_fn(stream, sink)`` to completion one file per
+    micro-batch, and return the committed clip_ids.  Every copy (id i,
+    original id i-1) therefore arrives with or after its original, so
+    the admitted set is the closed-form original set, not an
+    arrival-order artifact."""
     import os as _os
-    import tempfile
     import time as _time
 
-    from jepl_spark.operators.audio_dedup import (
-        stream_audio_trim_near_dedup,
-    )
-    from jepl_spark.sources.clips import trim_dup_clips
     from jepl_spark.streaming.engine import file_stream, run_to_completion
     from jepl_spark.streaming.sink import IdempotentParquetSink
 
-    work = tempfile.mkdtemp(prefix="entry-trimdedup-")
-    clips = trim_dup_clips(spark, 240)
     src = f"{work}/src"
     _os.makedirs(src, exist_ok=True)
     t0 = _time.time() - 60
@@ -1809,7 +1801,7 @@ def q_stream_audio_trim_dedup(spark, sf_dir):
         _os.rename(f"{pdir}/{pq_file}", dst)
         _os.utime(dst, (t0 + k, t0 + k))
     sink = IdempotentParquetSink(f"{work}/sink")
-    prepared, fb = stream_audio_trim_near_dedup(
+    prepared, fb = dedup_fn(
         file_stream(spark, src, clips.schema, max_files_per_trigger=1),
         sink,
     )
@@ -1822,6 +1814,30 @@ def q_stream_audio_trim_dedup(spark, sf_dir):
     )
     run_to_completion(q, timeout_s=600)
     return sink.read_committed(spark).select("clip_id")
+
+
+def q_stream_audio_trim_dedup(spark, sf_dir):
+    """STREAMING offset-tolerant audio near-dedup (round-7 lane): the
+    trimmed-copy corpus of q_audio_trim_near_dups staged as a 4-file
+    id-ranged stream → head/tail-anchored fingerprint check against
+    the batch and the ADMITTED corpus (the _signatures_offset side
+    table) → exactly-once sink.  Ranges of 60 never split a planted
+    pair and every copy arrives with or after its original, so
+    exactly the originals survive — the same closed-form contract as
+    stream_audio_dedup, over the trim-escape class that lane cannot
+    see."""
+    import tempfile
+
+    from jepl_spark.operators.audio_dedup import (
+        stream_audio_trim_near_dedup,
+    )
+    from jepl_spark.sources.clips import trim_dup_clips
+
+    work = tempfile.mkdtemp(prefix="entry-trimdedup-")
+    return _run_stream_dedup_gate(
+        spark, trim_dup_clips(spark, 240), work,
+        stream_audio_trim_near_dedup,
+    )
 
 
 def q_stream_audio_dedup(spark, sf_dir):
@@ -1837,46 +1853,12 @@ def q_stream_audio_dedup(spark, sf_dir):
 
     from jepl_spark.operators.audio_dedup import stream_audio_near_dedup
     from jepl_spark.sources.clips import planted_dup_clips
-    from jepl_spark.streaming.engine import file_stream, run_to_completion
-    from jepl_spark.streaming.sink import IdempotentParquetSink
 
     work = tempfile.mkdtemp(prefix="entry-audiodedup-")
-    clips = planted_dup_clips(spark, 240)
-    src = f"{work}/src"
-    # id-ranged batch files with increasing mtimes: every copy (id i)
-    # arrives with or after its original (id i-1) — ranges of 60 never
-    # split a planted pair (no i % 7 == 3 at a multiple of 60) — so the
-    # admitted set is the closed-form original set, not an
-    # arrival-order artifact
-    import os as _os
-    import time as _time
-
-    _os.makedirs(src, exist_ok=True)
-    t0 = _time.time() - 60
-    for k in range(4):
-        part = clips.where(
-            (F.col("seq") >= k * 60) & (F.col("seq") < (k + 1) * 60)
-        )
-        pdir = f"{work}/part{k}"
-        part.coalesce(1).write.mode("overwrite").parquet(pdir)
-        pq_file = [f for f in _os.listdir(pdir) if f.endswith(".parquet")][0]
-        dst = f"{src}/{k:05d}.parquet"
-        _os.rename(f"{pdir}/{pq_file}", dst)
-        _os.utime(dst, (t0 + k, t0 + k))
-    sink = IdempotentParquetSink(f"{work}/sink")
-    prepared, fb = stream_audio_near_dedup(
-        file_stream(spark, src, clips.schema, max_files_per_trigger=1),
-        sink,
+    return _run_stream_dedup_gate(
+        spark, planted_dup_clips(spark, 240), work,
+        stream_audio_near_dedup,
     )
-    q = (
-        prepared.writeStream.outputMode("append")
-        .foreachBatch(fb)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    run_to_completion(q, timeout_s=600)
-    return sink.read_committed(spark).select("clip_id")
 
 
 def q_strip_boilerplate_docs(spark, sf_dir):

@@ -589,6 +589,20 @@ def _stream_sig_dedup_loop(
             # real read failure must fail the batch so Spark retries
             # instead of permanently admitting dups
             return None
+        missing = [c for c in cols if c not in admitted.columns]
+        if missing:
+            # committed history written by a DIFFERENT dedup lane (or
+            # before any signature lane existed) carries the wrong
+            # fingerprint columns — fail the batch with an actionable
+            # error instead of an unresolved-column exception; a sink's
+            # history must be written by ONE lane end to end
+            raise ValueError(
+                f"committed rows under {root!r} lack signature "
+                f"column(s) {missing}: the vs-admitted fallback scan "
+                f"needs history written by this dedup lane — use a "
+                f"fresh sink when switching lanes (the {sig_subdir} "
+                f"side table cannot cover the foreign history either)"
+            )
         return admitted.select(*cols).where(
             F.col("dur_ms").between(lo, hi)
         )
@@ -699,11 +713,16 @@ def stream_audio_trim_near_dedup(
     documented on :func:`audio_trim_near_dups`), blocking buckets of
     ``max_trim_ms`` (a trim changes duration by at most that), no sr
     key.  The side table lives at ``<sink.root>/_signatures_offset``
-    with fp_head/fp_tail columns — a sink may run BOTH lanes (exact
-    and offset) against the same commit ledger without the tables
-    clashing.  Exactly-once, coverage-checked, horizon-dialed and
-    fallback semantics are the shared loop's (stream_audio_near_dedup
-    docs)."""
+    with fp_head/fp_tail columns, so it never collides with the exact
+    lane's ``_signatures`` under the same root — but a given sink's
+    HISTORY must be written by one lane end to end: the commit ledger
+    is shared (a second lane's foreach_batch short-circuits at
+    is_committed), committed rows carry only the writing lane's
+    fingerprint columns, and the vs-admitted fallback fails fast with
+    an actionable error on history written by the other lane.  To
+    switch lanes, start a fresh sink.  Exactly-once, coverage-checked,
+    horizon-dialed and fallback semantics are otherwise the shared
+    loop's (stream_audio_near_dedup docs)."""
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     if max_trim_ms < 1:

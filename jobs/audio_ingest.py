@@ -7,6 +7,7 @@ jobs (clips_pipeline, serving) read.
     spark-submit --py-files jepl_spark.zip jobs/audio_ingest.py \\
         --audio-path <dir> --sink <dir> --checkpoint <dir> \\
         [--max-hamming 10] [--dur-tol-ms 25] \\
+        [--near-dup-match exact|offset] [--max-trim-ms 2000] \\
         [--exact-dedup-watermark "1 hour"]  # drop byte-identical first
         [--max-clipping-ratio 0.05] [--max-silence-ratio 0.9] \\
         [--min-tps 1.0 --max-tps 8.0]  # transcript-rate pair admission
@@ -42,7 +43,9 @@ def main(argv: list[str]) -> int:
     p.add_argument("--sink", required=True)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--max-hamming", type=int, default=10)
-    p.add_argument("--dur-tol-ms", type=int, default=25)
+    p.add_argument("--dur-tol-ms", type=int, default=None,
+                   help="exact match only: duration blocking tolerance "
+                        "in ms (default 25)")
     p.add_argument("--exact-dedup-watermark", default=None,
                    help="also drop byte-identical clips in "
                         "watermark-bounded state before the near-dup "
@@ -55,9 +58,10 @@ def main(argv: list[str]) -> int:
                         "with up to --max-trim-ms of lead/tail trim "
                         "via head/tail-anchored window fingerprints "
                         "(its own _signatures_offset side table)")
-    p.add_argument("--max-trim-ms", type=int, default=2000,
-                   help="offset match: maximum lead/tail trim to "
-                        "tolerate (also the duration blocking width)")
+    p.add_argument("--max-trim-ms", type=int, default=None,
+                   help="offset match only: maximum lead/tail trim to "
+                        "tolerate, also the duration blocking width "
+                        "(default 2000)")
     p.add_argument("--canonical-sr", type=int, default=None,
                    help="fingerprint at this canonical sample rate and "
                         "block on duration alone, so cross-rate "
@@ -100,6 +104,14 @@ def main(argv: list[str]) -> int:
     args = p.parse_args(argv)
     if (args.min_tps is None) != (args.max_tps is None):
         p.error("--min-tps and --max-tps must be given together")
+    # each near-dup lane has its own tolerance knob — reject the other
+    # lane's knob instead of silently ignoring it
+    if args.near_dup_match == "offset" and args.dur_tol_ms is not None:
+        p.error("--dur-tol-ms applies to --near-dup-match exact; "
+                "the offset lane's tolerance is --max-trim-ms")
+    if args.near_dup_match == "exact" and args.max_trim_ms is not None:
+        p.error("--max-trim-ms applies to --near-dup-match offset; "
+                "the exact lane's tolerance is --dur-tol-ms")
 
     from pyspark.sql import SparkSession
 
@@ -206,7 +218,8 @@ def main(argv: list[str]) -> int:
         prepared, fb = stream_audio_trim_near_dedup(
             stream, sink,
             max_hamming=args.max_hamming,
-            max_trim_ms=args.max_trim_ms,
+            max_trim_ms=(args.max_trim_ms
+                         if args.max_trim_ms is not None else 2000),
             **({"canonical_sr": args.canonical_sr}
                if args.canonical_sr is not None else {}),
             **horizon_kw,
@@ -215,7 +228,8 @@ def main(argv: list[str]) -> int:
         prepared, fb = stream_audio_near_dedup(
             stream, sink,
             max_hamming=args.max_hamming,
-            dur_tol_ms=args.dur_tol_ms,
+            dur_tol_ms=(args.dur_tol_ms
+                        if args.dur_tol_ms is not None else 25),
             canonical_sr=args.canonical_sr,
             **horizon_kw,
         )

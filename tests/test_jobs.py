@@ -932,6 +932,7 @@ def test_audio_prep_trim_refreshes_dur_ms(spark, tmp_path, capsys):
     for r in plan.select("dur_ms").collect():
         assert r.dur_ms <= 520, r.dur_ms
 
+
 def test_audio_ingest_offset_match(spark, tmp_path, capsys):
     """--near-dup-match offset routes ingest through the streaming
     trim-tolerant lane: planted lead/tail-trimmed copies (which the
