@@ -325,9 +325,15 @@ def audio_trim_near_dups(
     duration-relative fingerprint has zero shift tolerance (a 25 ms
     window misalignment already scores mean ~115 bits ≈ random, so
     coarse window grids can never land close enough on an arbitrary
-    trim).  Closing that class needs Haitsma-Kalker-style DENSE
-    sub-fingerprints (~10 ms hop) with an inverted-index lookup — a
-    different storage/cost class, deliberately staged out.  Clips
+    trim).  Dense Haitsma-Kalker sub-fingerprints (371 ms windows at
+    4-16 ms hops, the published geometry) were ALSO prototyped and
+    measured unusable on this corpus: copy-vs-original bit error rate
+    0.39-0.42 against distinct-clip 0.50 — the fixture's stationary
+    tones make the frame-to-frame band-energy derivatives near zero,
+    so the sign bits are numerical noise (real speech/music has the
+    transient structure the method needs).  No deterministic gate can
+    be built on that margin here; the class is deliberately staged
+    out with these receipts.  Clips
     shorter than ``window_s`` + trim lose the anchoring (window =
     whole clip)."""
     if max_hamming < 0:

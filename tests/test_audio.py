@@ -1095,3 +1095,96 @@ def test_prepare_clips_event_time_passthrough_and_validation(spark):
         prepare_clips(df, chunk_ms=0)
     with pytest.raises(ValueError):
         prepare_clips(df.drop("transcript"))
+
+
+def test_prepare_clips_parity_random_sweep(spark):
+    """Randomized fusion-parity sweep: 6 corpora with random silence
+    layouts, gains, codecs, container wrapping, transcript lengths,
+    and stage parameters — the fused pass must equal the staged
+    pipeline bit-for-bit on every one (seeded; deterministic)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from jepl_spark.functions.audio_udfs import (
+        admit_clips,
+        admit_paired_clips,
+        chunk_clips,
+        prepare_clips,
+        trim_silence_clips,
+    )
+    from jepl_spark.sources import audio as A
+    from jepl_spark.sources.containers import wav_encode
+
+    rng = np.random.default_rng(42)
+    srs = (8000, 16000, 44100)
+    for sweep in range(6):
+        rows = []
+        for i in range(25):
+            sr = srs[int(rng.integers(3))]
+            dur = int(rng.integers(150, 2200))
+            n = sr * dur // 1000
+            w = (rng.uniform(0.05, 0.9)
+                 * np.sin(np.arange(n) / rng.uniform(2, 30))
+                 ).astype(np.float32)
+            # random zero spans anywhere (not frame-aligned)
+            for _ in range(int(rng.integers(0, 4))):
+                a = int(rng.integers(0, max(1, n)))
+                b = min(n, a + int(rng.integers(0, n // 2 + 1)))
+                w[a:b] = 0.0
+            if rng.random() < 0.1:
+                w *= 4.0
+                np.clip(w, -1.0, 1.0, out=w)
+            if rng.random() < 0.3:
+                blob, codec = wav_encode(w, sr, "ulaw"), "wav"
+            else:
+                c = ("pcm16", "ulaw", "alaw")[int(rng.integers(3))]
+                blob, codec = A.encode(w, c), c
+            tr = " ".join(
+                f"t{j}" for j in range(int(rng.integers(0, 9)))
+            )
+            rows.append({"clip_id": f"c{sweep}-{i:03d}", "bytes": blob,
+                         "codec": codec, "sr_hz": sr, "transcript": tr})
+        df = spark.createDataFrame(pd.DataFrame(rows),
+                                   "clip_id string, bytes binary, "
+                                   "codec string, sr_hz int, "
+                                   "transcript string")
+        kw = dict(
+            min_tps=float(rng.uniform(0.1, 2.0)),
+            max_tps=float(rng.uniform(20.0, 200.0)),
+            chunk_ms=int(rng.integers(120, 400)),
+            hop_ms=int(rng.integers(100, 400)),
+            min_tail_ms=int(rng.choice([0, 50, 120])),
+            frame_ms=int(rng.choice([10, 20, 25])),
+        )
+        composed = prepare_clips(df, **kw)
+        staged = (
+            admit_clips(df)
+            .where(F.col("reject_reason").isNull())
+            .drop("aq", "reject_reason")
+        )
+        staged = (
+            admit_paired_clips(
+                staged, min_tps=kw["min_tps"], max_tps=kw["max_tps"],
+                frame_ms=kw["frame_ms"],
+            )
+            .where(F.col("reject_reason").isNull())
+            .drop("voiced_ms", "n_tokens", "tokens_per_voiced_s",
+                  "reject_reason")
+        )
+        staged = trim_silence_clips(staged, frame_ms=kw["frame_ms"]).drop(
+            "lead_samples", "n_samples_out", "n_total"
+        )
+        staged = chunk_clips(staged, chunk_ms=kw["chunk_ms"],
+                             hop_ms=kw["hop_ms"],
+                             min_tail_ms=kw["min_tail_ms"])
+
+        def norm(frame):
+            return sorted(
+                (r.clip_id, r.chunk_idx, r.start_sample, r.n_samples,
+                 r.n_total, r.sr_hz, bytes(r.bytes))
+                for r in frame.collect()
+            )
+
+        assert norm(composed) == norm(staged), (sweep, kw)
