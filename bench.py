@@ -359,6 +359,15 @@ def batch_queries(spark, sf_dir):
         ))
         return _drain(audio_dedup_against(delta, snap))
 
+    def pack_clips_lane():
+        # whole-clip pack materialization over 2000 clips: metadata
+        # plan (one ids+longs exchange) + the ONE audio-byte shuffle
+        # in the repo (bytes must co-locate to build the example)
+        from jepl_spark.operators.batching import pack_clips
+        from jepl_spark.sources.clips import clips_df
+
+        return _drain(pack_clips(clips_df(spark, 2000), budget_ms=5000))
+
     def prep_fused():
         # the fused ingest→prep pass (quality + rate gate + trim +
         # chunk, ONE decode) over 2000 clips — the production shape
@@ -622,6 +631,7 @@ def batch_queries(spark, sf_dir):
         "audio_xrate_near_dup": audio_xrate_near_dup,
         "audio_trim_near_dup": audio_trim_near_dup,
         "audio_against": audio_against,
+        "pack_clips": pack_clips_lane,
         "prep_fused": prep_fused,
         "decontam": decontam,
         "pack_sequences": pack_sequences,

