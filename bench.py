@@ -359,6 +359,16 @@ def batch_queries(spark, sf_dir):
         ))
         return _drain(audio_dedup_against(delta, snap))
 
+    def cmvn():
+        # per-group vector standardization over the embeddings table:
+        # one (group, dim) partial-agg exchange + broadcast stats +
+        # nested zip_with — vectors never shuffle
+        from jepl_spark.operators.similarity import standardize_vectors
+
+        emb = load_table(spark, sf_dir, "embeddings").withColumn(
+            "grp", F.pmod(F.col("vec_id"), F.lit(16)))
+        return _drain(standardize_vectors(emb, group_by="grp"))
+
     def pack_clips_lane():
         # whole-clip pack materialization over 2000 clips: metadata
         # plan (one ids+longs exchange) + the ONE audio-byte shuffle
@@ -631,6 +641,7 @@ def batch_queries(spark, sf_dir):
         "audio_xrate_near_dup": audio_xrate_near_dup,
         "audio_trim_near_dup": audio_trim_near_dup,
         "audio_against": audio_against,
+        "cmvn": cmvn,
         "pack_clips": pack_clips_lane,
         "prep_fused": prep_fused,
         "decontam": decontam,

@@ -779,3 +779,71 @@ def stream_topk_serving(
         sink.write_batch(out, batch_id)
 
     return fb
+
+
+# ---------------------------------------------------------------------------
+# per-group feature standardization (CMVN)
+
+
+def standardize_vectors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_by: str | None = None,
+    out_col: str | None = None,
+    eps: float = 1e-8,
+) -> DataFrame:
+    """Elementwise mean/variance standardization of fixed-dim vector
+    columns, per ``group_by`` group or corpus-global — CMVN (cepstral
+    mean-variance normalization) when the vectors are acoustic
+    features, plain feature standardization for embeddings:
+
+      ``out[i] = (x[i] - mean_g[i]) / sqrt(var_pop_g[i] + eps)``
+
+    Adds ``out_col`` (default ``<vec_col>_norm``); NULL vectors pass
+    through NULL.  Assumes fixed dimension within a group (the
+    contract of every vector producer in this package) — a
+    shorter-than-group vector standardizes its prefix and NULL-pads
+    the tail, visibly.
+
+    Scale shape: ONE posexplode → (group, dim) partial-aggregated
+    exchange for the statistics (output rows = groups × dim — tiny),
+    the per-group mean/sd ARRAYS rebuild from that, broadcast-join
+    back on the group, and the normalization itself is nested
+    ``zip_with`` — whole-stage codegen, the vectors themselves never
+    shuffle."""
+    if vec_col not in df.columns:
+        raise ValueError(f"standardize_vectors needs column {vec_col!r}")
+    if group_by is not None and group_by not in df.columns:
+        raise ValueError(f"unknown group_by column {group_by!r}")
+    out_col = out_col or f"{vec_col}_norm"
+    gexpr = F.col(group_by) if group_by is not None else F.lit(0)
+    stats = (
+        df.select(gexpr.alias("__g"), F.posexplode(vec_col).alias("__p", "__v"))
+        .groupBy("__g", "__p")
+        .agg(
+            F.avg("__v").alias("__mu"),
+            F.var_pop("__v").alias("__var"),
+        )
+        .groupBy("__g")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__mu"))),
+                lambda s: s["__mu"],
+            ).alias("__mu_arr"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__var"))),
+                lambda s: F.sqrt(s["__var"] + F.lit(float(eps))),
+            ).alias("__sd_arr"),
+        )
+    )
+    joined = df.withColumn("__g", gexpr).join(
+        F.broadcast(stats), on="__g", how="left"
+    )
+    norm = F.zip_with(
+        F.zip_with(F.col(vec_col), F.col("__mu_arr"), lambda a, b: a - b),
+        F.col("__sd_arr"),
+        lambda d, s: d / s,
+    )
+    return joined.withColumn(out_col, norm).drop(
+        "__g", "__mu_arr", "__sd_arr"
+    )

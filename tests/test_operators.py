@@ -1577,3 +1577,44 @@ def test_nfc_normalize_idempotent_and_duckdb_parity(spark):
         assert r["n"] == con.execute(
             "select nfc_normalize(?)", [t]
         ).fetchone()[0]
+
+
+def test_standardize_vectors_known_answer(spark):
+    """CMVN math vs numpy on a tiny grouped corpus: per-group per-dim
+    population statistics, global mode, NULL passthrough, validation."""
+    import numpy as np
+    import pytest
+
+    from jepl_spark.operators.similarity import standardize_vectors
+
+    rows = [
+        ("a", 0, [1.0, 10.0]),
+        ("a", 1, [3.0, 30.0]),
+        ("b", 2, [5.0, 5.0]),
+        ("b", 3, [5.0, 7.0]),
+        ("b", 4, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, id int, embedding array<double>")
+    got = {r.id: r.embedding_norm
+           for r in standardize_vectors(df, group_by="grp").collect()}
+    # group a: mean [2,20], var_pop [1,100]
+    assert np.allclose(got[0], [(1-2)/np.sqrt(1+1e-8),
+                                (10-20)/np.sqrt(100+1e-8)])
+    assert np.allclose(got[1], [1/np.sqrt(1+1e-8), 10/np.sqrt(100+1e-8)])
+    # group b dim0: var 0 -> (x-mu)/sqrt(eps) = 0 exactly
+    assert got[2][0] == 0.0 and got[3][0] == 0.0
+    assert got[4] is None
+
+    # global mode: one statistic across groups
+    g = {r.id: r.embedding_norm
+         for r in standardize_vectors(df).collect()}
+    xs = np.array([r[2] for r in rows[:4]])
+    mu, sd = xs.mean(0), np.sqrt(xs.var(0) + 1e-8)
+    for i in range(4):
+        assert np.allclose(g[i], (xs[i] - mu) / sd)
+
+    with pytest.raises(ValueError):
+        standardize_vectors(df, vec_col="nope")
+    with pytest.raises(ValueError):
+        standardize_vectors(df, group_by="nope")
