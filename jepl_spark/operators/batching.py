@@ -324,3 +324,38 @@ def pack_clips(
     return planned.groupBy(
         "sr_hz", "codec", "group", "pack_idx"
     ).applyInPandas(build, schema=out_schema)
+
+
+def unpack_clips(packs: DataFrame) -> DataFrame:
+    """Inverse of :func:`pack_clips`: re-emit one row per packed clip
+    by PURE-JVM byte slicing of the pack payload at the byte-true
+    manifest offsets — no Python, no decode, whole-stage codegen.
+    Output: (clip_id, sr_hz, codec, bytes, n_samples, dur_ms) with
+    ``bytes`` BIT-IDENTICAL to what went in (same-codec fixed-bytes
+    slicing is exact; the roundtrip gate pins it).  The dataloader
+    shape: a trainer that consumed packs can always recover the
+    constituent examples without touching audio codecs."""
+    for col in ("codec", "sr_hz", "bytes", "manifest"):
+        if col not in packs.columns:
+            raise ValueError(
+                f"unpack_clips needs pack_clips output (missing {col!r})"
+            )
+    bps = F.when(F.col("codec") == "pcm16", F.lit(2)).otherwise(F.lit(1))
+    m = F.explode("manifest").alias("m")
+    return (
+        packs.select("sr_hz", "codec", "bytes", m)
+        .withColumn("__bps", bps)
+        .select(
+            F.col("m.clip_id").alias("clip_id"),
+            "sr_hz",
+            "codec",
+            F.expr(
+                "substring(bytes, "
+                "cast(m.offset_samples * __bps + 1 as int), "
+                "cast(m.n_samples * __bps as int))"
+            ).alias("bytes"),
+            F.col("m.n_samples").alias("n_samples"),
+            F.expr("m.n_samples * 1000 div sr_hz").cast("int")
+            .alias("dur_ms"),
+        )
+    )

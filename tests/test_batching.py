@@ -229,3 +229,39 @@ def test_pack_clips_validation(spark):
     with pytest.raises(Exception) as ei:
         pack_clips(wav, budget_ms=1000).collect()
     assert "raw codecs only" in str(ei.value)
+
+
+def test_unpack_clips_roundtrip_identity(spark):
+    """unpack(pack(clips)) returns every clip's bytes BIT-IDENTICAL
+    (pure-JVM slicing), with exact sample counts and refreshed
+    dur_ms; the plan contains no Python exec nodes."""
+    from pyspark.sql import functions as F
+
+    from jepl_spark.operators.batching import pack_clips, unpack_clips
+    from jepl_spark.sources.clips import clips_df
+
+    clips = clips_df(spark, 80)
+    packs = pack_clips(clips, budget_ms=4000, groups=4)
+    back = unpack_clips(packs)
+    both = back.alias("b").join(
+        clips.select(
+            "clip_id", F.col("bytes").alias("orig"), "sr_hz", "codec"
+        ).alias("o"),
+        on="clip_id",
+    )
+    n_total = both.count()
+    assert n_total == 80
+    mismatch = both.where(
+        (F.md5("b.bytes") != F.md5("o.orig"))
+        | (F.col("b.sr_hz") != F.col("o.sr_hz"))
+        | (F.col("b.codec") != F.col("o.codec"))
+    ).count()
+    assert mismatch == 0
+    # JVM-only plan (the unpack itself adds no Python nodes)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        unpack_clips(packs.drop("manifest"))
