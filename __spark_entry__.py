@@ -1866,6 +1866,52 @@ def q_cmvn_embeddings(spark, sf_dir):
     )
 
 
+def q_transcript_wer_docs(spark, sf_dir):
+    """Token-level transcript agreement / WER admission (round-7
+    lane — the QA gate for (reference transcript, ASR draft) pairs):
+    every document paired with a deterministically corrupted draft —
+    1-based token position p: every 7th token reversed
+    (substitutions), every 3rd dropped (deletions), two tokens
+    appended when doc_id%5==0 (insertions) — then ``transcript_wer``
+    computes the token-level Levenshtein distance (numpy DP in one
+    stateless Arrow pass; ``F.levenshtein`` is char-level, no JVM
+    builtin expresses token-level DP) and the max_wer admission
+    verdict.  The oracle rebuilds the same draft with DuckDB list
+    lambdas and computes the SAME distance through an independent
+    engine: each distinct token of a pair maps to one ASCII byte
+    (per-pair vocab ≤ 62 << 127 on the documents table — DuckDB's
+    ``levenshtein`` is byte-level, measured) so byte-level
+    levenshtein on the encoded strings IS token-level distance.
+    Substitution, deletion, insertion, the greatest(n_ref,1)
+    denominator, and the reject CASE are each exercised across the
+    corpus."""
+    from jepl_spark.operators.text import _tokens, transcript_wer
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref_t = _tokens(F.col("text"))
+    mod = F.transform(
+        ref_t,
+        lambda t, i: F.when(((i + 1) % 7) == 0, F.reverse(t)).otherwise(t),
+    )
+    kept = F.filter(mod, lambda t, i: ((i + 1) % 3) != 0)
+    hyp_arr = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(kept, F.array(F.lit("zz"), F.lit("qq"))),
+    ).otherwise(kept)
+    pairs = docs.select(
+        "doc_id", "text", F.concat_ws(" ", hyp_arr).alias("hyp")
+    )
+    out = transcript_wer(pairs, ref_col="text", hyp_col="hyp", max_wer=0.45)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_ref_tokens",
+        "n_hyp_tokens",
+        "edit_dist",
+        _r(F.col("wer"), 9).alias("wer"),
+        "reject_reason",
+    )
+
+
 def q_pack_clips_manifest(spark, sf_dir):
     """Whole-clip training-example packing (round-7 lane — the audio
     twin of pack_sequences with the never-split shard rule): 500
@@ -3463,6 +3509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_clips_manifest": q_pack_clips_manifest,
         "cmvn_embeddings": q_cmvn_embeddings,
         "pack_roundtrip_clips": q_pack_roundtrip_clips,
+        "transcript_wer_docs": q_transcript_wer_docs,
         # block 1: the 21 longest-stale veterans — substring_dedup_docs
         # (never driver-attested; was just past the r6 fold) and the 20
         # names last attested in round 4, including the two rows-only-
@@ -3502,7 +3549,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_domain_cap": q_stream_domain_cap,
         "stream_windowed_topk": q_stream_windowed_topk,
         "stream_outer_join_missing": q_stream_outer_join_missing,
-        "near_dup_components": q_near_dup_components,
+        # near_dup_components ceded its block-2 slot to the round-7
+        # transcript_wer_docs lane (never-attested-first rule); it is
+        # r5-driver-attested, judge-rerun-green in r6, and re-checked
+        # locally each round — it sits just past the fold below.
         # block 3: the 9 jepl_* language anchors (always in-window)
         "jepl_sum_filter": q_jepl_sum_filter,
         "jepl_five_aggs_group": q_jepl_five_aggs_group,
@@ -3521,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to the new cross-corpus audio lane; its machinery stays
         # attested in-window via stream_decontam_rule), then the r6
         # window.
+        "near_dup_components": q_near_dup_components,
         "decontaminate_docs": q_decontaminate_docs,
         # image_jpeg_roundtrip ceded its window slot to the pack
         # roundtrip lane: r5-driver-attested, r6-judge-rerun green,
@@ -5895,6 +5946,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, e.dim,
                    round((e.v - s.mu) / sqrt(s.vr + 1e-8), 6) AS nv
             FROM e JOIN s USING (g, dim)
+        """,
+        # token-level WER: the corrupted draft is rebuilt with DuckDB
+        # list lambdas (1-based index), then the distance is computed
+        # through an INDEPENDENT engine — each distinct token of a
+        # pair maps to one ASCII byte (vocab ≤ 62 per doc, measured;
+        # DuckDB levenshtein is BYTE-level) so byte levenshtein on the
+        # encoded strings equals token-level edit distance.
+        "transcript_wer_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split_regex(trim(text), '\\s+')
+                     END AS ra
+              FROM documents
+            ), h AS (
+              SELECT doc_id, ra,
+                     list_filter(
+                       list_transform(ra, (tk, i) ->
+                         CASE WHEN i % 7 = 0 THEN reverse(tk)
+                              ELSE tk END),
+                       (tk, i) -> i % 3 <> 0) AS kept
+              FROM t
+            ), p AS (
+              SELECT doc_id, ra,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN list_concat(kept, ['zz', 'qq'])
+                          ELSE kept END AS ha
+              FROM h
+            ), e AS (
+              SELECT doc_id, ra, ha,
+                     list_distinct(list_concat(ra, ha)) AS vocab
+              FROM p
+            ), d AS (
+              SELECT doc_id,
+                     len(ra) AS n_ref, len(ha) AS n_hyp,
+                     levenshtein(
+                       coalesce(array_to_string(list_transform(ra,
+                         tk -> chr(32 + list_position(vocab, tk))), ''), ''),
+                       coalesce(array_to_string(list_transform(ha,
+                         tk -> chr(32 + list_position(vocab, tk))), ''), '')
+                     ) AS dist
+              FROM e
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_ref AS BIGINT) AS n_ref_tokens,
+                   CAST(n_hyp AS BIGINT) AS n_hyp_tokens,
+                   CAST(dist AS BIGINT) AS edit_dist,
+                   round(dist / greatest(n_ref, 1), 9) AS wer,
+                   CASE WHEN dist / greatest(n_ref, 1) > 0.45
+                        THEN 'high_wer' END AS reject_reason
+            FROM d
         """,
         # whole-clip packing: replay hash groups, family windows, the
         # duration cumsum (assignment) and the sample cumsum (offsets)

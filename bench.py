@@ -391,6 +391,23 @@ def batch_queries(spark, sf_dir):
             chunk_ms=250, hop_ms=200, min_tail_ms=100,
         ))
 
+    def transcript_wer_lane():
+        # token-level transcript agreement over documents paired with
+        # a deterministically corrupted draft: JVM tokenization + ONE
+        # stateless Arrow DP pass, no shuffle
+        from jepl_spark.operators.text import _tokens, transcript_wer
+
+        docs = load_table(spark, sf_dir, "documents")
+        ref_t = _tokens(F.col("text"))
+        kept = F.filter(
+            F.transform(ref_t, lambda t, i: F.when(
+                ((i + 1) % 7) == 0, F.reverse(t)).otherwise(t)),
+            lambda t, i: ((i + 1) % 3) != 0,
+        )
+        pairs = docs.select(
+            "doc_id", "text", F.concat_ws(" ", kept).alias("hyp"))
+        return _drain(transcript_wer(pairs, max_wer=0.45))
+
     def decontam():
         # production lane: hashed shingles, broadcast benchmark = the
         # 120-char prefixes of every 97th doc
@@ -644,6 +661,7 @@ def batch_queries(spark, sf_dir):
         "cmvn": cmvn,
         "pack_clips": pack_clips_lane,
         "prep_fused": prep_fused,
+        "transcript_wer": transcript_wer_lane,
         "decontam": decontam,
         "pack_sequences": pack_sequences,
         "lm_score": lm_score,

@@ -969,3 +969,101 @@ def lm_score(
             "avg_logp",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Transcript agreement (token-level edit distance / WER)
+
+
+def _token_levenshtein_udf():
+    """Arrow-batched token-level Levenshtein distance over two
+    ``array<string>`` columns.  A 2D DP has no JVM builtin
+    (``F.levenshtein`` is char-level), so this is the honest Pandas-UDF
+    case; the inner loop is numpy-vectorized over the column axis —
+    the sequential insertion term ``cur[j-1]+1`` folds into
+    ``minimum.accumulate(c - idx) + idx`` (min over k<=j of c[k]+(j-k)),
+    so per row the DP runs len(ref) small vector ops, not len*len
+    Python steps.  NULL on either side -> NULL."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _dist(a, b) -> int:
+        vocab: dict = {}
+        ai = [vocab.setdefault(t, len(vocab)) for t in a]
+        bi = np.fromiter(
+            (vocab.setdefault(t, len(vocab)) for t in b),
+            dtype=np.int64, count=len(b),
+        )
+        n, m = len(ai), len(bi)
+        if n == 0 or m == 0:
+            return n + m
+        idx = np.arange(m + 1, dtype=np.int64)
+        prev = idx.copy()
+        c = np.empty(m + 1, dtype=np.int64)
+        for i in range(n):
+            c[0] = i + 1
+            np.minimum(prev[1:] + 1, prev[:-1] + (bi != ai[i]), out=c[1:])
+            c = np.minimum(c, np.minimum.accumulate(c - idx) + idx)
+            prev, c = c, prev
+        return int(prev[m])
+
+    def _batch(ra, rb):
+        out = [
+            None if a is None or b is None else _dist(list(a), list(b))
+            for a, b in zip(ra, rb)
+        ]
+        return pd.Series(out, dtype="object")
+
+    return pandas_udf(_batch, "long")
+
+
+def transcript_wer(
+    df: DataFrame,
+    ref_col: str = "text",
+    hyp_col: str = "hyp",
+    max_wer: float | None = None,
+) -> DataFrame:
+    """Token-level transcript agreement — the QA gate for paired
+    (reference transcript, ASR/model draft) rows in a speech-training
+    pipeline: tokenize both sides (shared whitespace semantics),
+    compute the token-level Levenshtein distance, and
+
+        ``wer = edit_dist / greatest(n_ref_tokens, 1)``
+
+    (the standard word-error-rate denominator, guarded so an empty
+    reference yields ``n_hyp_tokens`` per extra token instead of a
+    division error).  Adds ``n_ref_tokens``, ``n_hyp_tokens``,
+    ``edit_dist``, ``wer``; with ``max_wer`` set, also
+    ``reject_reason`` (``'high_wer'`` / NULL) in the admission style of
+    ``admit_paired_clips``.  NULL on either text column propagates NULL
+    distance/wer and never rejects.
+
+    Scale shape: tokenization and the rate arithmetic are JVM
+    projections; the DP is one stateless Arrow pass over the two token
+    arrays — no shuffle, linear in input splits, batching-invariant."""
+    for c in (ref_col, hyp_col):
+        if c not in df.columns:
+            raise ValueError(f"transcript_wer needs column {c!r}")
+    for c in ("n_ref_tokens", "n_hyp_tokens", "edit_dist", "wer"):
+        if c in df.columns:
+            raise ValueError(f"transcript_wer would overwrite column {c!r}")
+    ref_t = _tokens(F.col(ref_col))
+    hyp_t = _tokens(F.col(hyp_col))
+    dist = _token_levenshtein_udf()(ref_t, hyp_t)
+    out = df.select(
+        "*",
+        F.size(ref_t).cast("long").alias("n_ref_tokens"),
+        F.size(hyp_t).cast("long").alias("n_hyp_tokens"),
+        dist.alias("edit_dist"),
+    ).withColumn(
+        "wer",
+        F.col("edit_dist") / F.greatest(F.col("n_ref_tokens"), F.lit(1)),
+    )
+    if max_wer is not None:
+        out = out.withColumn(
+            "reject_reason",
+            F.when(F.col("wer") > float(max_wer), F.lit("high_wer")),
+        )
+    return out
