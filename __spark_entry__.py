@@ -1912,6 +1912,35 @@ def q_transcript_wer_docs(spark, sf_dir):
     )
 
 
+def q_logmel_frames(spark, sf_dir):
+    """Per-frame log-mel filterbank extraction (round-7 lane — the
+    standard ASR training input: 25 ms Hann / 10 ms hop / HTK mel
+    scale, one row per frame, ONE decode+FFT Arrow pass, no shuffle):
+    300 formula clips → logmel_clips(n_mels=24) → per-clip framing
+    receipt.  The oracle replays the framing contract closed-form —
+    n = sr·dur div 1000, win = sr div 40, hop = sr div 100,
+    n_frames = 1 + (n−win) div hop — plus index contiguity
+    (min 0, max n−1, distinct = count) and the fixed feature
+    dimension.  Feature VALUES have no SQL twin (FFT); they are pinned
+    by tests/test_logmel.py: pure tones land in the closed-form mel
+    bin, cross-rate bin alignment under pinned fmax, Spark output
+    equals the numpy core bit-close, and inline CMVN equals
+    standardize_vectors(group_by=clip_id)."""
+    from jepl_spark.functions.audio_udfs import logmel_clips
+    from jepl_spark.sources.clips import clips_df
+
+    out = logmel_clips(clips_df(spark, 300), n_mels=24)
+    return out.groupBy("clip_id").agg(
+        F.first("sr_hz").cast("bigint").alias("sr_hz"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.min("frame_idx").cast("bigint").alias("min_idx"),
+        F.max("frame_idx").cast("bigint").alias("max_idx"),
+        F.countDistinct("frame_idx").cast("bigint").alias("n_idx"),
+        F.min(F.size("feat")).cast("bigint").alias("dim_min"),
+        F.max(F.size("feat")).cast("bigint").alias("dim_max"),
+    )
+
+
 def q_pack_clips_manifest(spark, sf_dir):
     """Whole-clip training-example packing (round-7 lane — the audio
     twin of pack_sequences with the never-split shard rule): 500
@@ -3510,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cmvn_embeddings": q_cmvn_embeddings,
         "pack_roundtrip_clips": q_pack_roundtrip_clips,
         "transcript_wer_docs": q_transcript_wer_docs,
+        "logmel_frames_clips": q_logmel_frames,
         # block 1: the 21 longest-stale veterans — substring_dedup_docs
         # (never driver-attested; was just past the r6 fold) and the 20
         # names last attested in round 4, including the two rows-only-
@@ -3548,7 +3578,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ann_serving": q_stream_ann_serving,
         "stream_domain_cap": q_stream_domain_cap,
         "stream_windowed_topk": q_stream_windowed_topk,
-        "stream_outer_join_missing": q_stream_outer_join_missing,
+        # stream_outer_join_missing ceded its block-2 slot to the
+        # round-7 logmel_frames_clips lane (never-attested-first rule);
+        # it is r5-driver-attested, judge-rerun-green in r6, its join
+        # machinery stays in-window via stream_join_windowed, and it
+        # sits just past the fold below.
         # near_dup_components ceded its block-2 slot to the round-7
         # transcript_wer_docs lane (never-attested-first rule); it is
         # r5-driver-attested, judge-rerun-green in r6, and re-checked
@@ -3572,6 +3606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # attested in-window via stream_decontam_rule), then the r6
         # window.
         "near_dup_components": q_near_dup_components,
+        "stream_outer_join_missing": q_stream_outer_join_missing,
         "decontaminate_docs": q_decontaminate_docs,
         # image_jpeg_roundtrip ceded its window slot to the pack
         # roundtrip lane: r5-driver-attested, r6-judge-rerun green,
@@ -5997,6 +6032,34 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN dist / greatest(n_ref, 1) > 0.45
                         THEN 'high_wer' END AS reject_reason
             FROM d
+        """,
+        # per-frame log-mel extraction: the framing contract replayed
+        # closed-form from the clip formulas (sr cycle, duration
+        # formula, 25 ms window = sr//40 samples, 10 ms hop = sr//100);
+        # feature values are FFT output — pinned by tests/test_logmel.py
+        "logmel_frames_clips": """
+            WITH c AS (
+              SELECT i,
+                     CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          ELSE 44100 END AS sr,
+                     200 + (i * 37) % 1801 AS dur
+              FROM range(300) t(i)
+            ), f AS (
+              SELECT i, sr,
+                     1 + ((sr * dur) // 1000 - sr // 40) // (sr // 100)
+                       AS nf
+              FROM c
+            )
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0')
+                     AS clip_id,
+                   CAST(sr AS BIGINT) AS sr_hz,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST(0 AS BIGINT) AS min_idx,
+                   CAST(nf - 1 AS BIGINT) AS max_idx,
+                   CAST(nf AS BIGINT) AS n_idx,
+                   CAST(24 AS BIGINT) AS dim_min,
+                   CAST(24 AS BIGINT) AS dim_max
+            FROM f
         """,
         # whole-clip packing: replay hash groups, family windows, the
         # duration cumsum (assignment) and the sample cumsum (offsets)

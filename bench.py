@@ -391,6 +391,16 @@ def batch_queries(spark, sf_dir):
             chunk_ms=250, hop_ms=200, min_tail_ms=100,
         ))
 
+    def logmel():
+        # per-frame log-mel fbank + inline per-utterance CMVN over
+        # 2000 clips: ONE decode+FFT Arrow pass, zero shuffle (the
+        # CMVN happens inside the same pass)
+        from jepl_spark.functions.audio_udfs import logmel_clips
+        from jepl_spark.sources.clips import clips_df
+
+        return _drain(logmel_clips(clips_df(spark, 2000), n_mels=40,
+                                   cmvn=True))
+
     def transcript_wer_lane():
         # token-level transcript agreement over documents paired with
         # a deterministically corrupted draft: JVM tokenization + ONE
@@ -661,6 +671,7 @@ def batch_queries(spark, sf_dir):
         "cmvn": cmvn,
         "pack_clips": pack_clips_lane,
         "prep_fused": prep_fused,
+        "logmel_cmvn": logmel,
         "transcript_wer": transcript_wer_lane,
         "decontam": decontam,
         "pack_sequences": pack_sequences,

@@ -310,6 +310,164 @@ def with_spectral_features(df: DataFrame, out_col: str = "features") -> DataFram
     return df.withColumn(out_col, spectral_features(F.col("bytes"), F.col("codec")))
 
 
+# --- per-frame log-mel filterbank features (ASR training input) ----------
+#
+# Distinct from the pooled _log_bands features above: those group rfft
+# BINS on a log-spaced bin grid (sr-agnostic, so the same band index
+# covers different frequencies at 8 kHz vs 44.1 kHz) and pool to one
+# vector per clip.  logmel_clips is the training-input shape — an
+# sr-AWARE HTK mel filterbank (filters placed in Hz, so features are
+# frequency-comparable across sample rates when fmax is pinned),
+# ms-based framing shared with the VAD/trim lanes, one row per frame.
+
+_MEL_FB_CACHE: dict = {}
+
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(
+    sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float
+) -> "np.ndarray":
+    """(n_mels × rfft-bins) triangular HTK-mel filterbank, cached per
+    (sr, n_fft, n_mels, fmin, fmax) — one table per distinct sample
+    rate in the corpus, built once per python worker."""
+    key = (sr, n_fft, n_mels, fmin, fmax)
+    fb = _MEL_FB_CACHE.get(key)
+    if fb is None:
+        pts = _mel_to_hz(
+            np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
+        )
+        freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
+        lo, ce, hi = pts[:-2, None], pts[1:-1, None], pts[2:, None]
+        up = (freqs[None, :] - lo) / np.maximum(ce - lo, 1e-12)
+        down = (hi - freqs[None, :]) / np.maximum(hi - ce, 1e-12)
+        fb = np.maximum(0.0, np.minimum(up, down))
+        _MEL_FB_CACHE[key] = fb
+    return fb
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
+_LOGMEL_EPS = 1e-10
+
+
+def logmel_frames(
+    x: "np.ndarray", sr: int, n_mels: int, win_ms: int, hop_ms: int,
+    fmin: float, fmax: float,
+) -> "np.ndarray":
+    """(n_frames × n_mels) float64 log-mel matrix; 0 rows when the clip
+    is shorter than one window (no padding — short clips are visible,
+    the contract chunk_clips uses)."""
+    win_n = sr * win_ms // 1000
+    hop_n = sr * hop_ms // 1000
+    if x.size < win_n:
+        return np.zeros((0, n_mels), dtype=np.float64)
+    n_frames = 1 + (x.size - win_n) // hop_n
+    n_fft = _next_pow2(win_n)
+    idx = np.arange(win_n)[None, :] + hop_n * np.arange(n_frames)[:, None]
+    frames = x[idx].astype(np.float64) * np.hanning(win_n)
+    power = np.abs(np.fft.rfft(frames, n=n_fft, axis=1)) ** 2
+    fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+    return np.log(power @ fb.T + _LOGMEL_EPS)
+
+
+def logmel_clips(
+    df: DataFrame,
+    n_mels: int = 40,
+    win_ms: int = 25,
+    hop_ms: int = 10,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    cmvn: bool = False,
+) -> DataFrame:
+    """Per-frame log-mel filterbank features — the standard ASR
+    training input (e.g. Kaldi/ESPnet fbank: 25 ms Hann window, 10 ms
+    hop, HTK mel scale 2595·log10(1+f/700)).  One row per frame:
+    (clip_id, sr_hz, frame_idx, feat array<float> of n_mels).
+
+    ``fmax=None`` uses each row's Nyquist (sr/2) — fine for a
+    single-rate corpus; for MIXED sample rates pin ``fmax`` (or
+    resample to a canonical rate first, ``resample_pcm``) so mel bin
+    k means the same frequency band on every row.  An explicit
+    ``fmax`` above a row's Nyquist raises (the filters would be
+    silently empty).
+
+    ``cmvn=True`` applies per-utterance mean/variance normalization
+    (mean 0 / unit variance over the clip's frames, var_pop + 1e-8 —
+    the exact ``standardize_vectors(group_by=clip_id)`` semantics)
+    INSIDE the same Arrow pass: zero shuffle, vs. the generic
+    operator's one (group, dim) exchange.  tests pin the two paths
+    equal.
+
+    Scale shape: ONE decode+FFT pass per clip (mapInPandas, Arrow
+    batches), filterbank tables cached per (sr, n_fft) per worker, no
+    shuffle; the frames-per-clip fan-out (~100 rows/s of audio) is the
+    representation, not overhead — downstream packing/CMVN operate on
+    these rows.  Clips shorter than one window emit zero rows."""
+    for c in ("clip_id", "bytes", "codec", "sr_hz"):
+        if c not in df.columns:
+            raise ValueError(f"logmel_clips needs column {c!r}")
+    if not (0 < win_ms and 0 < hop_ms <= win_ms):
+        raise ValueError("need 0 < hop_ms <= win_ms")
+    if n_mels < 2:
+        raise ValueError("n_mels must be >= 2")
+
+    id_type = df.schema["clip_id"].dataType.simpleString()
+    out_schema = (
+        f"clip_id {id_type}, sr_hz int, frame_idx int, "
+        "feat array<float>"
+    )
+    fmax_arg = None if fmax is None else float(fmax)
+    fmin_arg, nm, wm, hm = float(fmin), int(n_mels), int(win_ms), int(hop_ms)
+    do_cmvn = bool(cmvn)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, srs_out, idxs, feats = [], [], [], []
+            for cid, blob, c, sr in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
+            ):
+                sr = int(sr)
+                fx = sr / 2.0 if fmax_arg is None else fmax_arg
+                if fx > sr / 2.0:
+                    raise ValueError(
+                        f"fmax {fx} above Nyquist {sr / 2.0} for {cid!r}"
+                    )
+                m = logmel_frames(
+                    audio.decode(blob, c), sr, nm, wm, hm, fmin_arg, fx
+                )
+                if m.shape[0] == 0:
+                    continue
+                if do_cmvn:
+                    # normalize the float32 values that WOULD be
+                    # emitted, so the result is numerically the same
+                    # frame set standardize_vectors(group_by=clip_id)
+                    # produces downstream
+                    m = m.astype(np.float32).astype(np.float64)
+                    mu = m.mean(axis=0)
+                    sd = np.sqrt(m.var(axis=0) + 1e-8)
+                    m = (m - mu) / sd
+                m32 = m.astype(np.float32)
+                ids.extend([cid] * m32.shape[0])
+                srs_out.extend([sr] * m32.shape[0])
+                idxs.extend(range(m32.shape[0]))
+                feats.extend(list(m32))
+            yield pd.DataFrame(
+                {"clip_id": ids, "sr_hz": srs_out, "frame_idx": idxs,
+                 "feat": feats}
+            )
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 # The image / video-frame lane lives in functions/multimodal.py:
 # deterministic RAWv1 fake codec, decode + stats, resize, frame
 # sampling — real plumbing, tested, with real codec formats raising
