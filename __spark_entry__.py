@@ -1941,6 +1941,40 @@ def q_logmel_frames(spark, sf_dir):
     )
 
 
+def q_delta_features(spark, sf_dir):
+    """Regression delta features Δ/ΔΔ over per-frame vector rows
+    (round-7 lane — the HTK/Kaldi fbank companions, the natural
+    consumer of logmel_clips): the embeddings table reshaped into 20
+    clips × 25 frames, ``add_deltas(K=2, order=2)``, exploded to
+    (vec_id, dim, δ, δδ).  Spark: ONE exchange (the clip window sort),
+    clamped neighbors via a lead/lag coalesce chain, zip_with
+    arithmetic — pure JVM.  The oracle mirrors the clamping and the
+    exact IEEE op order (((l1-g1)·1 + (l2-g2)·2) / 10) with DuckDB
+    window functions over DOUBLE lists; round(6) absorbs nothing —
+    the arithmetic is op-for-op identical — but matches the cmvn
+    lane's convention."""
+    from jepl_spark.operators.similarity import add_deltas
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") / 25).cast("long").alias("clip"),
+        F.pmod(F.col("vec_id"), F.lit(25)).cast("int").alias("t"),
+        F.col("embedding").cast("array<double>").alias("feat"),
+    )
+    out = add_deltas(emb, id_col="clip", idx_col="t", K=2, order=2)
+    return out.select(
+        "vec_id",
+        F.posexplode(F.arrays_zip("delta", "delta2")).alias("dim", "z"),
+    ).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("dim").cast("bigint").alias("dim"),
+        # + 0.0 folds IEEE -0.0 to +0.0 (both engines), keeping the
+        # stringified ledger compare sign-stable at exact zeros
+        (_r(F.col("z.delta"), 6) + F.lit(0.0)).alias("d1"),
+        (_r(F.col("z.delta2"), 6) + F.lit(0.0)).alias("d2"),
+    )
+
+
 def q_pack_clips_manifest(spark, sf_dir):
     """Whole-clip training-example packing (round-7 lane — the audio
     twin of pack_sequences with the never-split shard rule): 500
@@ -3540,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_roundtrip_clips": q_pack_roundtrip_clips,
         "transcript_wer_docs": q_transcript_wer_docs,
         "logmel_frames_clips": q_logmel_frames,
+        "delta_features_embeddings": q_delta_features,
         # block 1: the 21 longest-stale veterans — substring_dedup_docs
         # (never driver-attested; was just past the r6 fold) and the 20
         # names last attested in round 4, including the two rows-only-
@@ -3577,7 +3612,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decontam_rule": q_stream_decontam_rule,
         "stream_ann_serving": q_stream_ann_serving,
         "stream_domain_cap": q_stream_domain_cap,
-        "stream_windowed_topk": q_stream_windowed_topk,
+        # stream_windowed_topk ceded its block-2 slot to the round-7
+        # delta_features_embeddings lane (never-attested-first rule):
+        # r5-driver-attested, its r6-fixed salted rank core is the
+        # SAME grouped_topk path the in-registry batch top-k gate
+        # exercises, and the 10^6-key skew smoke pins it each round.
         # stream_outer_join_missing ceded its block-2 slot to the
         # round-7 logmel_frames_clips lane (never-attested-first rule);
         # it is r5-driver-attested, judge-rerun-green in r6, its join
@@ -3606,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # attested in-window via stream_decontam_rule), then the r6
         # window.
         "near_dup_components": q_near_dup_components,
+        "stream_windowed_topk": q_stream_windowed_topk,
         "stream_outer_join_missing": q_stream_outer_join_missing,
         "decontaminate_docs": q_decontaminate_docs,
         # image_jpeg_roundtrip ceded its window slot to the pack
@@ -6032,6 +6072,54 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN dist / greatest(n_ref, 1) > 0.45
                         THEN 'high_wer' END AS reject_reason
             FROM d
+        """,
+        # regression deltas: DuckDB window functions over DOUBLE lists
+        # mirror the lead/lag coalesce clamping and the exact IEEE op
+        # order ((l1-g1)*1 + (l2-g2)*2) / 10, first for δ then again
+        # for δδ; 1-based list indexing pairs with the 1-based lambda i
+        "delta_features_embeddings": """
+            WITH f AS (
+              SELECT vec_id, vec_id // 25 AS clip, vec_id % 25 AS t,
+                     CAST(embedding AS DOUBLE[]) AS feat
+              FROM embeddings
+            ), w1 AS (
+              SELECT vec_id, clip, t, feat,
+                coalesce(lead(feat, 1) OVER win, feat) AS l1,
+                coalesce(lag(feat, 1)  OVER win, feat) AS g1,
+                coalesce(lead(feat, 2) OVER win,
+                         lead(feat, 1) OVER win, feat) AS l2,
+                coalesce(lag(feat, 2)  OVER win,
+                         lag(feat, 1)  OVER win, feat) AS g2
+              FROM f
+              WINDOW win AS (PARTITION BY clip ORDER BY t)
+            ), d1 AS (
+              SELECT vec_id, clip, t,
+                list_transform(feat, (x, i) ->
+                  ((l1[i] - g1[i]) * 1.0 + (l2[i] - g2[i]) * 2.0)
+                    / 10.0) AS delta
+              FROM w1
+            ), w2 AS (
+              SELECT vec_id, delta,
+                coalesce(lead(delta, 1) OVER win, delta) AS l1,
+                coalesce(lag(delta, 1)  OVER win, delta) AS g1,
+                coalesce(lead(delta, 2) OVER win,
+                         lead(delta, 1) OVER win, delta) AS l2,
+                coalesce(lag(delta, 2)  OVER win,
+                         lag(delta, 1)  OVER win, delta) AS g2
+              FROM d1
+              WINDOW win AS (PARTITION BY clip ORDER BY t)
+            ), d2 AS (
+              SELECT vec_id, delta,
+                list_transform(delta, (x, i) ->
+                  ((l1[i] - g1[i]) * 1.0 + (l2[i] - g2[i]) * 2.0)
+                    / 10.0) AS delta2
+              FROM w2
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(r.p AS BIGINT) AS dim,
+                   round(delta[CAST(r.p AS INT) + 1], 6) + 0.0 AS d1,
+                   round(delta2[CAST(r.p AS INT) + 1], 6) + 0.0 AS d2
+            FROM d2, range(64) r(p)
         """,
         # per-frame log-mel extraction: the framing contract replayed
         # closed-form from the clip formulas (sr cycle, duration

@@ -392,14 +392,17 @@ def batch_queries(spark, sf_dir):
         ))
 
     def logmel():
-        # per-frame log-mel fbank + inline per-utterance CMVN over
-        # 2000 clips: ONE decode+FFT Arrow pass, zero shuffle (the
-        # CMVN happens inside the same pass)
+        # the full fbank featurization pipeline over 2000 clips:
+        # per-frame log-mel + inline per-utterance CMVN (ONE
+        # decode+FFT Arrow pass, zero shuffle) → Δ/ΔΔ regression
+        # deltas (one clip-window exchange, pure JVM)
         from jepl_spark.functions.audio_udfs import logmel_clips
+        from jepl_spark.operators.similarity import add_deltas
         from jepl_spark.sources.clips import clips_df
 
-        return _drain(logmel_clips(clips_df(spark, 2000), n_mels=40,
-                                   cmvn=True))
+        frames = logmel_clips(clips_df(spark, 2000), n_mels=40,
+                              cmvn=True)
+        return _drain(add_deltas(frames))
 
     def transcript_wer_lane():
         # token-level transcript agreement over documents paired with

@@ -847,3 +847,63 @@ def standardize_vectors(
     return joined.withColumn(out_col, norm).drop(
         "__g", "__mu_arr", "__sd_arr"
     )
+
+
+def add_deltas(
+    df: DataFrame,
+    feat_col: str = "feat",
+    id_col: str = "clip_id",
+    idx_col: str = "frame_idx",
+    K: int = 2,
+    order: int = 2,
+) -> DataFrame:
+    """Regression delta features over per-frame vector rows — the
+    standard fbank/MFCC companions (HTK/Kaldi 'delta' recipe):
+
+      ``d_t[i] = sum_{k=1..K} k * (c_{t+k}[i] - c_{t-k}[i]) / (2 * sum k^2)``
+
+    with edge REPLICATION (t±k clamped to the clip's frame range, the
+    HTK convention).  Adds ``delta`` (order>=1) and ``delta2`` (the
+    same regression applied to delta, order>=2) array columns next to
+    ``feat_col`` — the natural consumer of ``logmel_clips`` output.
+
+    Scale shape: ONE exchange on ``id_col`` (the window sort); both
+    delta orders run as window stages over the SAME partitioning, so
+    the second order adds no shuffle.  The element arithmetic is
+    zip_with/transform — pure JVM, whole-stage-codegen'd.  Clamped
+    neighbors come from a coalesce chain over lead/lag (k, k-1, .., 0),
+    not from materializing per-clip frame matrices, so frames never
+    collect."""
+    from pyspark.sql.window import Window
+
+    for c in (feat_col, id_col, idx_col):
+        if c not in df.columns:
+            raise ValueError(f"add_deltas needs column {c!r}")
+    if K < 1 or order < 1 or order > 2:
+        raise ValueError("need K >= 1 and order in (1, 2)")
+    w = Window.partitionBy(id_col).orderBy(idx_col)
+    denom = float(2 * sum(k * k for k in range(1, K + 1)))
+
+    def regression(col: Column) -> Column:
+        def clamped(fn, k):
+            # coalesce(fn(c, k), fn(c, k-1), ..., c): edge replication
+            return F.coalesce(
+                *[fn(col, j).over(w) for j in range(k, 0, -1)], col
+            )
+
+        acc = None
+        for k in range(1, K + 1):
+            term = F.zip_with(
+                clamped(F.lead, k),
+                clamped(F.lag, k),
+                (lambda kk: lambda a, b: (a - b) * float(kk))(k),
+            )
+            acc = term if acc is None else F.zip_with(
+                acc, term, lambda p, q: p + q
+            )
+        return F.transform(acc, lambda x: x / F.lit(denom))
+
+    out = df.withColumn("delta", regression(F.col(feat_col)))
+    if order >= 2:
+        out = out.withColumn("delta2", regression(F.col("delta")))
+    return out
