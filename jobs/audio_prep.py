@@ -12,6 +12,8 @@ it) and the trainer — the audio analogue of jobs/corpus_pipeline.py.
         [--speed-perturb]                  # 0.9/1.0/1.1 sp explode
         [--batch-size 16 --bucket-ms 500]  # duration-bucketed batches
         [--shard-bytes N]                  # sized-shard export manifest
+        [--logmel 40 [--logmel-fmax HZ] [--logmel-cmvn]
+         [--logmel-deltas]]                # per-frame fbank features
         [--report-only]
 
 Stage order is the one that minimizes bytes through the pipe:
@@ -71,6 +73,20 @@ def main(argv: list[str]) -> int:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--bucket-ms", type=int, default=500)
     p.add_argument("--shard-bytes", type=int, default=None)
+    p.add_argument("--logmel", type=int, default=None,
+                   help="write per-frame log-mel fbank features of "
+                        "this many mel bins to <output>_features "
+                        "(extracted AFTER all audio-domain stages, so "
+                        "trims/gain/masks/perturbation are reflected)")
+    p.add_argument("--logmel-fmax", type=float, default=None,
+                   help="pin the mel range's upper edge in Hz — "
+                        "REQUIRED for mixed-sample-rate corpora so "
+                        "mel bin k means the same band on every row")
+    p.add_argument("--logmel-cmvn", action="store_true",
+                   help="per-utterance mean/variance normalization "
+                        "inside the extraction pass (zero shuffle)")
+    p.add_argument("--logmel-deltas", action="store_true",
+                   help="append Δ/ΔΔ regression delta columns")
     p.add_argument("--pack-ms", type=int, default=None,
                    help="materialize ~this-long training examples: "
                         "whole clips byte-concatenated per (sr, codec) "
@@ -83,11 +99,16 @@ def main(argv: list[str]) -> int:
         p.error("--min-tps and --max-tps must be given together")
     if args.output is None and not args.report_only:
         p.error("--output is required unless --report-only")
+    if args.logmel is None and (
+        args.logmel_fmax is not None or args.logmel_cmvn
+        or args.logmel_deltas
+    ):
+        p.error("--logmel-fmax/--logmel-cmvn/--logmel-deltas need --logmel")
     if args.id_col != "clip_id" and (
         args.trim_silence or args.normalize_dbfs is not None
         or args.min_tps is not None or args.chunk_ms is not None
         or args.time_mask is not None or args.speed_perturb
-        or args.pack_ms is not None
+        or args.pack_ms is not None or args.logmel is not None
     ):
         p.error("--id-col other than clip_id is only supported for the "
                 "batch/shard planning stages: the audio operators key "
@@ -223,6 +244,36 @@ def main(argv: list[str]) -> int:
                                seed=args.mask_seed),
             "after_time_mask",
         )
+
+    if args.logmel is not None:
+        # featurize AFTER every audio-domain stage so the features
+        # reflect exactly the audio a trainer would consume (trims,
+        # gain, perturbation, masks); runs off the same persisted
+        # frame, so decodes are not repeated for earlier stage counts
+        if args.logmel_fmax is None:
+            n_rates = df.select("sr_hz").distinct().count()
+            if n_rates > 1:
+                p.error(
+                    "--logmel on a mixed-sample-rate corpus needs "
+                    "--logmel-fmax (or resample first): without a "
+                    "pinned upper edge, mel bin k covers different "
+                    "frequencies at different rates"
+                )
+        feats = AU.logmel_clips(
+            df.select(args.id_col, "bytes", "codec", "sr_hz"),
+            n_mels=args.logmel, fmax=args.logmel_fmax,
+            cmvn=args.logmel_cmvn,
+        )
+        if args.logmel_deltas:
+            from jepl_spark.operators.similarity import add_deltas
+
+            feats = add_deltas(feats)
+        if not args.report_only:
+            feats.write.mode("overwrite").parquet(
+                args.output + "_features"
+            )
+            feats = spark.read.parquet(args.output + "_features")
+        stages["feature_frames"] = feats.count()
 
     if args.batch_size is not None:
         from jepl_spark.operators.batching import (

@@ -987,3 +987,68 @@ def test_audio_prep_pack_stage(spark, tmp_path, capsys):
         F.explode("manifest").alias("m")
     ).select("m.clip_id").distinct().count()
     assert n_manifest == 40
+
+
+def test_audio_prep_logmel_stage(spark, tmp_path, capsys):
+    """--logmel writes per-frame fbank features of the FINAL audio:
+    frame counts match the framing formula on the post-trim waveforms,
+    delta columns appear with --logmel-deltas, and a mixed-sample-rate
+    corpus without --logmel-fmax fails fast (bin comparability)."""
+    import json as _json
+
+    import numpy as np
+    import pytest as _pt
+
+    from jepl_spark.functions.audio_udfs import logmel_frames
+    from jepl_spark.sources import audio as AU
+    from jobs.audio_prep import main
+
+    sr = 8000
+    rows = []
+    for i in range(8):
+        n = sr * (600 + 40 * i) // 1000
+        w = (0.4 * np.sin(np.arange(n) / 5.0) + 0.1).astype(np.float32)
+        w[: sr // 5] = 0.0  # 200 ms lead silence -> trim changes framing
+        rows.append((f"clip-{i:04d}", AU.encode(w, "pcm16"), "pcm16", sr))
+    schema = "clip_id string, bytes binary, codec string, sr_hz int"
+    inp = str(tmp_path / "clips")
+    spark.createDataFrame(rows, schema).write.parquet(inp)
+
+    out = str(tmp_path / "prep")
+    rc = main([
+        "--input", inp, "--output", out,
+        "--trim-silence",
+        "--logmel", "8", "--logmel-cmvn", "--logmel-deltas",
+    ])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    feats = spark.read.parquet(out + "_features")
+    assert {"clip_id", "sr_hz", "frame_idx", "feat", "delta",
+            "delta2"} <= set(feats.columns)
+    assert rep["stages"]["feature_frames"] == feats.count()
+
+    # frame counts must reflect the TRIMMED audio, not the input
+    written = {r["clip_id"]: r for r in
+               spark.read.parquet(out).collect()}
+    got = {r[0]: r[1] for r in feats.groupBy("clip_id").count().collect()}
+    for cid, row in written.items():
+        x = AU.decode(bytes(row["bytes"]), row["codec"])
+        exp = logmel_frames(x, row["sr_hz"], 8, 25, 10, 0.0,
+                            row["sr_hz"] / 2.0).shape[0]
+        assert got[cid] == exp, (cid, got[cid], exp)
+
+    # mixed-rate corpus without --logmel-fmax fails fast
+    mixed = str(tmp_path / "mixed")
+    spark.createDataFrame(
+        rows[:2] + [("clip-16k", AU.encode(
+            np.zeros(16000, dtype=np.float32) + 0.1, "pcm16"),
+            "pcm16", 16000)],
+        schema,
+    ).write.parquet(mixed)
+    with _pt.raises(SystemExit):
+        main(["--input", mixed, "--output", str(tmp_path / "p2"),
+              "--logmel", "8"])
+    # ...and succeeds with a pinned fmax
+    rc = main(["--input", mixed, "--output", str(tmp_path / "p3"),
+               "--logmel", "8", "--logmel-fmax", "4000"])
+    assert rc == 0
