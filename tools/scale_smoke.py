@@ -534,6 +534,24 @@ def main() -> int:
     res["prep_fused_chunks"] = int(n_chunks)
     assert n_chunks > n_clips  # windows multiply admitted clips
 
+    # full fbank featurization at the same scale: per-frame log-mel +
+    # inline CMVN (one decode+FFT pass) → Δ/ΔΔ (one window exchange);
+    # the output fan-out (~100 frame rows per second of audio, each a
+    # 40-float array) is the memory shape under test — pinned fmax
+    # because the corpus mixes 8k/16k/44.1k
+    t0 = time.time()
+    from jepl_spark.functions.audio_udfs import logmel_clips
+    from jepl_spark.operators.similarity import add_deltas
+
+    feat_frames = add_deltas(
+        logmel_clips(clips, n_mels=40, fmax=4000.0, cmvn=True)
+    )
+    n_frames = feat_frames.count()
+    res["logmel_s"] = round(time.time() - t0, 1)
+    res["logmel_clips_per_s"] = round(n_clips / res["logmel_s"], 0)
+    res["logmel_frames"] = int(n_frames)
+    assert n_frames > 50 * n_clips  # ≥0.5 s of audio per clip at 10 ms hop
+
     # audio_prep job e2e at the same scale (report-only: per-stage
     # counts + batch plan, no multi-GB output write)
     import io
