@@ -4102,6 +4102,35 @@ def _fix_chain_sql(expr: str) -> str:
     return T2.fix_encoding_sql(expr)
 
 
+# ONE framing-replay SQL shared by the batch (logmel_frames_clips)
+# and streaming (stream_logmel) fbank gates: the op is stateless, so
+# batch == stream, and a future framing change edits ONE spec.
+_LOGMEL_FRAMES_ORACLE = """
+            WITH c AS (
+              SELECT i,
+                     CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          ELSE 44100 END AS sr,
+                     200 + (i * 37) % 1801 AS dur
+              FROM range(300) t(i)
+            ), f AS (
+              SELECT i, sr,
+                     1 + ((sr * dur) // 1000 - sr // 40) // (sr // 100)
+                       AS nf
+              FROM c
+            )
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0')
+                     AS clip_id,
+                   CAST(sr AS BIGINT) AS sr_hz,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST(0 AS BIGINT) AS min_idx,
+                   CAST(nf - 1 AS BIGINT) AS max_idx,
+                   CAST(nf AS BIGINT) AS n_idx,
+                   CAST(24 AS BIGINT) AS dim_min,
+                   CAST(24 AS BIGINT) AS dim_max
+            FROM f
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
         "jepl_sum_filter": """
@@ -6106,6 +6135,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, ra, ha,
                      list_distinct(list_concat(ra, ha)) AS vocab
               FROM p
+              -- the byte-encoding trick is only token-level distance
+              -- while every code point stays single-byte UTF-8
+              -- (chr(33..127)): fail LOUDLY if the fixture ever grows
+              -- past 95 distinct tokens per pair instead of silently
+              -- double-counting multi-byte edits
+              WHERE CASE WHEN len(list_distinct(list_concat(ra, ha))) > 95
+                         THEN error('transcript_wer oracle: per-pair vocab '
+                                    || 'exceeds the single-byte encoding '
+                                    || 'bound (95)')
+                         ELSE TRUE END
             ), d AS (
               SELECT doc_id,
                      len(ra) AS n_ref, len(ha) AS n_hyp,
@@ -6180,54 +6219,8 @@ def oracle_sql() -> dict[str, str]:
         # feature values are FFT output — pinned by tests/test_logmel.py
         # the streaming twin shares the identical closed-form
         # framing replay (stateless op => batch == stream)
-        "stream_logmel": """
-            WITH c AS (
-              SELECT i,
-                     CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                          ELSE 44100 END AS sr,
-                     200 + (i * 37) % 1801 AS dur
-              FROM range(300) t(i)
-            ), f AS (
-              SELECT i, sr,
-                     1 + ((sr * dur) // 1000 - sr // 40) // (sr // 100)
-                       AS nf
-              FROM c
-            )
-            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0')
-                     AS clip_id,
-                   CAST(sr AS BIGINT) AS sr_hz,
-                   CAST(nf AS BIGINT) AS n_frames,
-                   CAST(0 AS BIGINT) AS min_idx,
-                   CAST(nf - 1 AS BIGINT) AS max_idx,
-                   CAST(nf AS BIGINT) AS n_idx,
-                   CAST(24 AS BIGINT) AS dim_min,
-                   CAST(24 AS BIGINT) AS dim_max
-            FROM f
-        """,
-        "logmel_frames_clips": """
-            WITH c AS (
-              SELECT i,
-                     CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                          ELSE 44100 END AS sr,
-                     200 + (i * 37) % 1801 AS dur
-              FROM range(300) t(i)
-            ), f AS (
-              SELECT i, sr,
-                     1 + ((sr * dur) // 1000 - sr // 40) // (sr // 100)
-                       AS nf
-              FROM c
-            )
-            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0')
-                     AS clip_id,
-                   CAST(sr AS BIGINT) AS sr_hz,
-                   CAST(nf AS BIGINT) AS n_frames,
-                   CAST(0 AS BIGINT) AS min_idx,
-                   CAST(nf - 1 AS BIGINT) AS max_idx,
-                   CAST(nf AS BIGINT) AS n_idx,
-                   CAST(24 AS BIGINT) AS dim_min,
-                   CAST(24 AS BIGINT) AS dim_max
-            FROM f
-        """,
+        "stream_logmel": _LOGMEL_FRAMES_ORACLE,
+        "logmel_frames_clips": _LOGMEL_FRAMES_ORACLE,
         # whole-clip packing: replay hash groups, family windows, the
         # duration cumsum (assignment) and the sample cumsum (offsets)
         "pack_clips_manifest": """

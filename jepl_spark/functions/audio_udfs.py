@@ -429,9 +429,24 @@ def logmel_clips(
     fmin_arg, nm, wm, hm = float(fmin), int(n_mels), int(win_ms), int(hop_ms)
     do_cmvn = bool(cmvn)
 
+    # flush the frame fan-out every ~this many output rows: an input
+    # Arrow batch multiplies ~100x into frame rows, so buffering a
+    # whole input batch before yielding would hold the entire blow-up
+    # in Python lists (hundreds of MB at default batch sizes)
+    flush_rows = 50_000
+
     def gen(batches):
+        ids, srs_out, idxs, feats = [], [], [], []
+
+        def flush():
+            out = pd.DataFrame(
+                {"clip_id": ids, "sr_hz": srs_out, "frame_idx": idxs,
+                 "feat": feats}
+            )
+            ids.clear(); srs_out.clear(); idxs.clear(); feats.clear()
+            return out
+
         for pdf in batches:
-            ids, srs_out, idxs, feats = [], [], [], []
             for cid, blob, c, sr in zip(
                 pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
             ):
@@ -460,10 +475,10 @@ def logmel_clips(
                 srs_out.extend([sr] * m32.shape[0])
                 idxs.extend(range(m32.shape[0]))
                 feats.extend(list(m32))
-            yield pd.DataFrame(
-                {"clip_id": ids, "sr_hz": srs_out, "frame_idx": idxs,
-                 "feat": feats}
-            )
+                if len(ids) >= flush_rows:
+                    yield flush()
+            if ids:
+                yield flush()
 
     return df.mapInPandas(gen, schema=out_schema)
 

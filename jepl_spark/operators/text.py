@@ -1046,7 +1046,13 @@ def transcript_wer(
     for c in (ref_col, hyp_col):
         if c not in df.columns:
             raise ValueError(f"transcript_wer needs column {c!r}")
-    for c in ("n_ref_tokens", "n_hyp_tokens", "edit_dist", "wer"):
+    guarded = ["n_ref_tokens", "n_hyp_tokens", "edit_dist", "wer"]
+    if max_wer is not None:
+        # chaining after another admission gate must not silently
+        # clobber its verdict — rejecting rows re-admitted here would
+        # be invisible downstream
+        guarded.append("reject_reason")
+    for c in guarded:
         if c in df.columns:
             raise ValueError(f"transcript_wer would overwrite column {c!r}")
     ref_t = _tokens(F.col(ref_col))

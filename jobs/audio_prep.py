@@ -251,7 +251,9 @@ def main(argv: list[str]) -> int:
         # gain, perturbation, masks); runs off the same persisted
         # frame, so decodes are not repeated for earlier stage counts
         if args.logmel_fmax is None:
-            n_rates = df.select("sr_hz").distinct().count()
+            # early-out probe: "is there more than one rate", not a
+            # full distinct count of the corpus
+            n_rates = len(df.select("sr_hz").distinct().head(2))
             if n_rates > 1:
                 p.error(
                     "--logmel on a mixed-sample-rate corpus needs "

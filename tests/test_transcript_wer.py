@@ -102,3 +102,11 @@ def test_column_guards(spark):
         transcript_wer(df, ref_col="missing")
     with pytest.raises(ValueError, match="overwrite"):
         transcript_wer(df.withColumn("wer", F.lit(1.0)))
+    # chaining after another admission gate: max_wer must not clobber
+    # an existing verdict column...
+    gated = df.withColumn("reject_reason", F.lit("low_rate"))
+    with pytest.raises(ValueError, match="reject_reason"):
+        transcript_wer(gated, max_wer=0.5)
+    # ...but without max_wer the column is left untouched
+    out = transcript_wer(gated).collect()[0]
+    assert out["reject_reason"] == "low_rate"
