@@ -94,6 +94,52 @@ def duration_batches(
     )
 
 
+
+def _start_offsets(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    groups: int,
+    seed: str,
+    partition_cols: tuple = (),
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """The shared never-split planner prologue of :func:`assign_shards`
+    and :func:`pack_clips` (ONE definition — the 'same deterministic
+    recipe' cross-references stay true by construction): project
+    (id, __sz, __h), drop NULL ids / non-positive sizes, md5-hash
+    group, and the running start offset in the group's deterministic
+    (hash, id, size) order, partitioned by ``partition_cols + group``.
+    Returns (partition_cols..., carry_cols..., id, group, __sz, __h,
+    __start).  ``carry_cols`` ride the projection — and therefore the
+    ONE window exchange — untouched: pack_clips carries the audio
+    bytes here so its per-pack groupBy (a refinement of the window
+    keys) reuses this exchange instead of shuffling bytes twice."""
+    from pyspark.sql.window import Window
+
+    from jepl_spark.operators.sampling import _sample_hash
+
+    base = (
+        df.select(
+            *partition_cols,
+            *carry_cols,
+            F.col(id_col),
+            F.col(size_col).cast("long").alias("__sz"),
+            _sample_hash(F.col(id_col), seed).alias("__h"),
+        )
+        .where(F.col("__h").isNotNull() & (F.col("__sz") > 0))
+        .withColumn("group", F.pmod(F.col("__h"), F.lit(groups)))
+    )
+    w = (
+        Window.partitionBy(*partition_cols, "group")
+        .orderBy("__h", id_col, "__sz")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.withColumn(
+        "__start", F.sum("__sz").over(w) - F.col("__sz")
+    )
+
+
 def assign_shards(
     df: DataFrame,
     shard_bytes: int,
@@ -135,34 +181,12 @@ def assign_shards(
         raise ValueError(f"shard_bytes must be positive, got {shard_bytes}")
     if groups <= 0:
         raise ValueError(f"groups must be positive, got {groups}")
-    from pyspark.sql.window import Window
-
-    from jepl_spark.operators.sampling import _sample_hash
-
-    base = (
-        df.select(
-            F.col(id_col),
-            F.col(size_col).cast("long").alias("__sz"),
-            _sample_hash(F.col(id_col), seed).alias("__h"),
-        )
-        .where(F.col("__h").isNotNull() & (F.col("__sz") > 0))
-        .withColumn("group", F.pmod(F.col("__h"), F.lit(groups)))
-    )
-    w = (
-        Window.partitionBy("group")
-        .orderBy("__h", id_col, "__sz")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    start = (F.sum("__sz").over(w) - F.col("__sz")).alias("__start")
-    return (
-        base.withColumn("__start", start)
-        .select(
-            F.col(id_col),
-            "group",
-            F.expr(f"__start div {int(shard_bytes)}").alias("shard_idx"),
-            F.col("__start").alias("group_offset"),
-            F.col("__sz").alias(size_col),
-        )
+    return _start_offsets(df, id_col, size_col, groups, seed).select(
+        F.col(id_col),
+        "group",
+        F.expr(f"__start div {int(shard_bytes)}").alias("shard_idx"),
+        F.col("__start").alias("group_offset"),
+        F.col("__sz").alias(size_col),
     )
 
 
@@ -199,6 +223,7 @@ def pack_clips(
     id_col: str = "clip_id",
     groups: int = 64,
     seed: str = "pack",
+    plan_only: bool = False,
 ) -> DataFrame:
     """Pack WHOLE clips into ~``budget_ms`` training examples — the
     audio twin of ``text.pack_sequences`` with the never-split rule of
@@ -229,7 +254,10 @@ def pack_clips(
     materialization is THE one place audio bytes shuffle — inherent
     to physically building the example (bytes must co-locate), each
     task holds exactly one pack (≈ budget_ms of audio), and
-    parallelism = number of packs."""
+    parallelism = number of packs.  ``plan_only=True`` returns the
+    per-clip assignment frame (id, sr_hz, codec, group, pack_idx —
+    ids+longs, no byte exchange) for reporting/auditing without
+    materializing a single pack."""
     if budget_ms <= 0:
         raise ValueError(f"budget_ms must be positive, got {budget_ms}")
     if groups <= 0:
@@ -247,32 +275,16 @@ def pack_clips(
         StructField,
         StructType,
     )
-    from pyspark.sql.window import Window
-
-    from jepl_spark.operators.sampling import _sample_hash
-
-    base = (
-        clips.select(
-            F.col(id_col),
-            "bytes",
-            "codec",
-            "sr_hz",
-            F.col("dur_ms").cast("long").alias("__dur"),
-            _sample_hash(F.col(id_col), seed).alias("__h"),
-        )
-        .where(F.col("__h").isNotNull() & (F.col("__dur") > 0))
-        .withColumn("group", F.pmod(F.col("__h"), F.lit(groups)))
-    )
-    w = (
-        Window.partitionBy("sr_hz", "codec", "group")
-        .orderBy("__h", id_col, "__dur")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    planned = base.withColumn(
-        "__start", F.sum("__dur").over(w) - F.col("__dur")
+    planned = _start_offsets(
+        clips, id_col, "dur_ms", groups, seed,
+        partition_cols=("sr_hz", "codec"), carry_cols=("bytes",),
     ).withColumn(
         "pack_idx", F.expr(f"__start div {int(budget_ms)}")
     )
+    if plan_only:
+        return planned.select(
+            id_col, "sr_hz", "codec", "group", "pack_idx"
+        )
 
     out_schema = StructType([
         StructField("sr_hz", IntegerType()),
@@ -293,7 +305,7 @@ def pack_clips(
     ])
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__h", id_col, "__dur"])
+        pdf = pdf.sort_values(["__h", id_col, "__sz"])
         codec = str(pdf["codec"].iloc[0])
         bps = _BYTES_PER_SAMPLE.get(codec)
         if bps is None:
@@ -305,6 +317,16 @@ def pack_clips(
         payloads = [bytes(b) for b in pdf["bytes"]]
         manifest, off = [], 0
         for cid, b in zip(pdf[id_col], payloads):
+            if len(b) % bps:
+                # a byte-length that is not a whole number of samples
+                # would silently desync every LATER clip's manifest
+                # offset from the blob (cursor in samples, blob in
+                # bytes) — fail on the corrupt clip instead
+                raise ValueError(
+                    f"pack_clips: clip {cid!r} has {len(b)} bytes, not "
+                    f"a multiple of {bps} bytes/sample for {codec!r} — "
+                    f"corrupt or mislabeled payload"
+                )
             n = len(b) // bps
             manifest.append(
                 {"clip_id": cid, "offset_samples": off, "n_samples": n}
@@ -340,7 +362,18 @@ def unpack_clips(packs: DataFrame) -> DataFrame:
             raise ValueError(
                 f"unpack_clips needs pack_clips output (missing {col!r})"
             )
-    bps = F.when(F.col("codec") == "pcm16", F.lit(2)).otherwise(F.lit(1))
+    # derive bytes/sample from the SAME table pack_clips packs with —
+    # a codec pack_clips doesn't know cannot appear in its output, so
+    # anything else here is a hand-built frame: raise, don't guess
+    bps = None
+    for c, b in _BYTES_PER_SAMPLE.items():
+        cond = F.when(F.col("codec") == c, F.lit(b))
+        bps = cond if bps is None else bps.when(F.col("codec") == c, F.lit(b))
+    bps = bps.otherwise(
+        F.raise_error(
+            F.concat(F.lit("unpack_clips: unknown codec "), F.col("codec"))
+        ).cast("int")
+    )
     m = F.explode("manifest").alias("m")
     return (
         packs.select("sr_hz", "codec", "bytes", m)

@@ -800,7 +800,9 @@ def standardize_vectors(
       ``out[i] = (x[i] - mean_g[i]) / sqrt(var_pop_g[i] + eps)``
 
     Adds ``out_col`` (default ``<vec_col>_norm``); NULL vectors pass
-    through NULL.  Assumes fixed dimension within a group (the
+    through NULL.  Rows whose ``group_by`` value is NULL form their
+    own group and standardize against it (null-safe join), like any
+    other key.  Assumes fixed dimension within a group (the
     contract of every vector producer in this package) — a
     shorter-than-group vector standardizes its prefix and NULL-pads
     the tail, visibly.
@@ -836,9 +838,15 @@ def standardize_vectors(
             ).alias("__sd_arr"),
         )
     )
+    # eqNullSafe: groupBy keeps a NULL-group key and its rows must get
+    # THAT group's stats back — an equi-join would never match NULL
+    # and silently emit NULL normalized vectors for valid input
+    stats = stats.withColumnRenamed("__g", "__g2")
     joined = df.withColumn("__g", gexpr).join(
-        F.broadcast(stats), on="__g", how="left"
-    )
+        F.broadcast(stats),
+        on=F.col("__g").eqNullSafe(F.col("__g2")),
+        how="left",
+    ).drop("__g2")
     norm = F.zip_with(
         F.zip_with(F.col(vec_col), F.col("__mu_arr"), lambda a, b: a - b),
         F.col("__sd_arr"),
@@ -847,6 +855,7 @@ def standardize_vectors(
     return joined.withColumn(out_col, norm).drop(
         "__g", "__mu_arr", "__sd_arr"
     )
+
 
 
 def add_deltas(

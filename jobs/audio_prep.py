@@ -14,6 +14,7 @@ it) and the trainer — the audio analogue of jobs/corpus_pipeline.py.
         [--shard-bytes N]                  # sized-shard export manifest
         [--logmel 40 [--logmel-fmax HZ] [--logmel-cmvn]
          [--logmel-deltas]]                # per-frame fbank features
+        [--pack-ms N]                      # whole-clip example packs
         [--report-only]
 
 Stage order is the one that minimizes bytes through the pipe:
@@ -32,12 +33,19 @@ Stage order is the one that minimizes bytes through the pipe:
                    (seed-parameterized: per-epoch masks without
                    materializing copies is the trainer's call — this
                    job materializes when asked)
-  6. batch plan  — duration-bucketed fixed-size batches (padding
-                   report in the JSON line) and/or a sized-shard
-                   export manifest written next to the output
+  6. features    — per-frame fbank extraction (--logmel) AFTER every
+                   audio-domain stage, so the features reflect the
+                   exact audio a trainer consumes
+  7. batch plan  — duration-bucketed fixed-size batches (padding
+                   report in the JSON line), a sized-shard export
+                   manifest, and/or whole-clip packs (--pack-ms)
+                   written next to the output
 
-Every stage is a stateless Arrow pass or an ids+longs shuffle; audio
-bytes never shuffle (chunking emits them map-side, batching/sharding
+Every stage is a stateless Arrow pass or an ids+longs shuffle, with
+ONE exception: --pack-ms materializes byte-concatenated training
+examples, which is inherently an audio-byte exchange (bytes must
+co-locate to build the pack) — every other stage keeps audio bytes
+out of shuffles (chunking emits them map-side, batching/sharding
 plan over metadata only).  One JSON report line at exit carries
 per-stage row counts and the padding summary.
 """
@@ -320,11 +328,21 @@ def main(argv: list[str]) -> int:
     if args.pack_ms is not None:
         from jepl_spark.operators.batching import pack_clips
 
-        packs = pack_clips(df, budget_ms=args.pack_ms)
-        if not args.report_only:
+        if args.report_only:
+            # the pack COUNT is a property of the metadata-only plan —
+            # never pay the audio-byte exchange + payload concat just
+            # to throw the packs away
+            stages["packs"] = (
+                pack_clips(df, budget_ms=args.pack_ms, plan_only=True)
+                .select("sr_hz", "codec", "group", "pack_idx")
+                .distinct().count()
+            )
+        else:
+            packs = pack_clips(df, budget_ms=args.pack_ms)
             packs.write.mode("overwrite").parquet(args.output + "_packs")
-            packs = spark.read.parquet(args.output + "_packs")
-        stages["packs"] = packs.count()
+            stages["packs"] = spark.read.parquet(
+                args.output + "_packs"
+            ).count()
 
     if not args.report_only:
         df.write.mode("overwrite").parquet(args.output)

@@ -195,15 +195,24 @@ def test_pack_clips_byte_true_and_deterministic(spark):
     )
     assert key(packs) == key(packs2)
 
-    # never-split rule: every non-final pack of a family STARTED
-    # before its budget boundary (overflow by at most one clip)
+    # start-offset rule (the documented never-split property, checked
+    # against an independent reconstruction): walking each family's
+    # packs in pack_idx order, the running duration cumsum puts every
+    # clip's START in exactly the pack it was assigned —
+    # pack_idx == start div budget_ms (a pack overflows by at most
+    # one clip; indices may legitimately skip if a clip spans >1
+    # budget, so contiguity is NOT the invariant)
     from collections import defaultdict
     fam = defaultdict(list)
     for p in packs:
         fam[(p.sr_hz, p.codec, p.group)].append(p)
-    for ps in fam.values():
-        idxs = sorted(p.pack_idx for p in ps)
-        assert idxs == list(range(len(idxs)))  # contiguous per family
+    for (sr, _codec, _g), ps in fam.items():
+        start = 0
+        for p in sorted(ps, key=lambda p: p.pack_idx):
+            for m in p.manifest:
+                src = clip_row(int(m.clip_id.split("-")[1]))
+                assert start // 5000 == p.pack_idx, (m.clip_id, start)
+                start += src["dur_ms"]
 
 
 def test_pack_clips_validation(spark):
@@ -229,6 +238,40 @@ def test_pack_clips_validation(spark):
     with pytest.raises(Exception) as ei:
         pack_clips(wav, budget_ms=1000).collect()
     assert "raw codecs only" in str(ei.value)
+
+    # a pcm16 payload with an odd byte length would silently desync
+    # every later clip's manifest offset — it must raise instead
+    odd = spark.createDataFrame(
+        [("o", b"\x00\x01\x02\x03\x04", "pcm16", 8000, 100)],
+        "clip_id string, bytes binary, codec string, sr_hz int, "
+        "dur_ms int")
+    with pytest.raises(Exception) as ei:
+        pack_clips(odd, budget_ms=1000).collect()
+    assert "multiple of" in str(ei.value)
+
+    # plan_only: the assignment frame, no byte materialization
+    plan = pack_clips(clips, budget_ms=1000, plan_only=True)
+    assert set(plan.columns) == {"clip_id", "sr_hz", "codec", "group",
+                                 "pack_idx"}
+    full = pack_clips(clips, budget_ms=1000).collect()
+    assert plan.select("sr_hz", "codec", "group", "pack_idx") \
+        .distinct().count() == len(full)
+
+
+def test_unpack_clips_unknown_codec_raises(spark):
+    import pytest
+
+    from jepl_spark.operators.batching import unpack_clips
+
+    fake = spark.createDataFrame(
+        [(8000, "opus", b"\x00\x01",
+          [{"clip_id": "c", "offset_samples": 0, "n_samples": 2}])],
+        "sr_hz int, codec string, bytes binary, "
+        "manifest array<struct<clip_id:string,offset_samples:bigint,"
+        "n_samples:bigint>>")
+    with pytest.raises(Exception) as ei:
+        unpack_clips(fake).collect()
+    assert "unknown codec" in str(ei.value)
 
 
 def test_unpack_clips_roundtrip_identity(spark):

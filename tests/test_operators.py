@@ -1618,3 +1618,17 @@ def test_standardize_vectors_known_answer(spark):
         standardize_vectors(df, vec_col="nope")
     with pytest.raises(ValueError):
         standardize_vectors(df, group_by="nope")
+
+    # NULL group keys form their own group (null-safe join) — the
+    # vectors standardize against the NULL group's stats instead of
+    # silently coming back NULL
+    ndf = spark.createDataFrame(
+        [(None, 0, [5.0, 5.0]), (None, 1, [7.0, 9.0]),
+         ("a", 2, [1.0, 2.0])],
+        "grp string, id int, embedding array<double>")
+    ng = {r.id: r.embedding_norm
+          for r in standardize_vectors(ndf, group_by="grp").collect()}
+    # NULL group: mean [6,7], var_pop [1,4]
+    assert np.allclose(ng[0], [-1 / np.sqrt(1 + 1e-8),
+                               -2 / np.sqrt(4 + 1e-8)])
+    assert ng[2] is not None
