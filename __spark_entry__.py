@@ -2021,6 +2021,39 @@ def q_stream_logmel(spark, sf_dir):
     )
 
 
+def q_resample_canonical_clips(spark, sf_dir):
+    """Clip-level canonical-rate resampling (round-7 lane — the
+    canonicalization stage of a mixed-rate prep pipeline: downstream
+    fingerprints compare across original rates and logmel needs no
+    pinned fmax): 300 formula clips → resample_clips(16000).  The
+    oracle replays the shared round(n·r) output-length core (the
+    audio_resample contract) and the no-op rule; ``matches`` is the
+    Spark-computed md5 bit-identity of every already-16k row against
+    its input bytes — TRUE by the identity contract, NULL (no claim)
+    for resampled rows."""
+    from jepl_spark.functions.audio_udfs import resample_clips
+    from jepl_spark.sources.clips import clips_df
+
+    clips = clips_df(spark, 300).select(
+        "clip_id", "bytes", "codec", "sr_hz"
+    )
+    orig = clips.select(
+        "clip_id",
+        F.col("sr_hz").alias("sr_in"),
+        F.md5("bytes").alias("md5_in"),
+    )
+    out = resample_clips(clips, target_sr=16000)
+    return out.join(orig, "clip_id").select(
+        "clip_id",
+        F.col("sr_in").cast("bigint").alias("sr_in"),
+        F.col("sr_hz").cast("bigint").alias("sr_hz"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.when(
+            F.col("sr_in") == 16000, F.md5("bytes") == F.col("md5_in")
+        ).alias("matches"),
+    )
+
+
 def q_pack_clips_manifest(spark, sf_dir):
     """Whole-clip training-example packing (round-7 lane — the audio
     twin of pack_sequences with the never-split shard rule): 500
@@ -3697,6 +3730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # closed-form oracle, is checked by tools/check_entry.py at
         # HEAD, and leads the r8 window.
         "stream_logmel": q_stream_logmel,
+        "resample_canonical_clips": q_resample_canonical_clips,
         "near_dup_components": q_near_dup_components,
         "stream_windowed_topk": q_stream_windowed_topk,
         "stream_outer_join_missing": q_stream_outer_join_missing,
@@ -6220,6 +6254,28 @@ def oracle_sql() -> dict[str, str]:
         # the streaming twin shares the identical closed-form
         # framing replay (stateless op => batch == stream)
         "stream_logmel": _LOGMEL_FRAMES_ORACLE,
+        # clip-level canonical-rate resampling: the audio_resample
+        # round(n*r) length contract + the no-op identity flag
+        "resample_canonical_clips": """
+            SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0')
+                     AS clip_id,
+                   CAST(sr AS BIGINT) AS sr_in,
+                   CAST(16000 AS BIGINT) AS sr_hz,
+                   CAST(CASE WHEN sr = 16000 THEN n
+                        ELSE greatest(1, CAST(round(n * 16000.0 / sr)
+                                              AS BIGINT)) END
+                        AS BIGINT) AS n_samples,
+                   CASE WHEN sr = 16000 THEN TRUE END AS matches
+            FROM (
+              SELECT i,
+                     CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          ELSE 44100 END AS sr,
+                     (CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                           ELSE 44100 END * (200 + (i * 37) % 1801))
+                       // 1000 AS n
+              FROM range(300) t(i)
+            )
+        """,
         "logmel_frames_clips": _LOGMEL_FRAMES_ORACLE,
         # whole-clip packing: replay hash groups, family windows, the
         # duration cumsum (assignment) and the sample cumsum (offsets)

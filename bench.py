@@ -391,6 +391,16 @@ def batch_queries(spark, sf_dir):
             chunk_ms=250, hop_ms=200, min_tail_ms=100,
         ))
 
+    def resample_canon():
+        # canonical-rate clip resampling over 2000 mixed-rate clips:
+        # one decode + interp + encode per non-canonical clip, the
+        # 16 kHz third passes bit-identical (no decode)
+        from jepl_spark.functions.audio_udfs import resample_clips
+        from jepl_spark.sources.clips import clips_df
+
+        return _drain(resample_clips(clips_df(spark, 2000),
+                                     target_sr=16000))
+
     def logmel():
         # the full fbank featurization pipeline over 2000 clips:
         # per-frame log-mel + inline per-utterance CMVN (ONE
@@ -674,6 +684,7 @@ def batch_queries(spark, sf_dir):
         "cmvn": cmvn,
         "pack_clips": pack_clips_lane,
         "prep_fused": prep_fused,
+        "resample_canon": resample_canon,
         "logmel_cmvn": logmel,
         "transcript_wer": transcript_wer_lane,
         "decontam": decontam,

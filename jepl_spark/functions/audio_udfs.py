@@ -310,6 +310,84 @@ def with_spectral_features(df: DataFrame, out_col: str = "features") -> DataFram
     return df.withColumn(out_col, spectral_features(F.col("bytes"), F.col("codec")))
 
 
+def resample_clips(df: DataFrame, target_sr: int) -> DataFrame:
+    """Clip-LEVEL resampling to a canonical rate: decode → linear
+    resample (``resample_to``, the one shared core) → re-encode with
+    the row's own codec, updating ``sr_hz`` (and ``dur_ms`` when
+    present, recomputed from the output length) and adding
+    ``n_samples``.  Rows already at ``target_sr`` pass their bytes
+    BIT-IDENTICAL — no decode/re-encode drift on the no-op path (the
+    speed_perturb identity rule).  WAV rows validate the header rate
+    against the column, resample the inner payload, and rebuild the
+    container at the target rate with the inner codec preserved.
+
+    This is the canonicalization stage of a mixed-rate corpus prep
+    pipeline: downstream fingerprints compare across original rates
+    and ``logmel_clips`` needs no pinned fmax once rates are uniform.
+    (``resample_pcm`` is the lighter sibling that ADDS a float PCM
+    column for feature stages; this one rewrites the clip row.)
+
+    Scale shape: one stateless Arrow pass, no shuffle, one decode +
+    one interpolation + one encode per non-canonical clip."""
+    for c in ("clip_id", "bytes", "codec", "sr_hz"):
+        if c not in df.columns:
+            raise ValueError(f"resample_clips needs column {c!r}")
+    if target_sr <= 0:
+        raise ValueError(f"target_sr must be positive, got {target_sr}")
+    tgt = int(target_sr)
+    has_dur = "dur_ms" in df.columns
+
+    fields = []
+    for f in df.schema.fields:
+        fields.append(StructField(f.name, f.dataType))
+    out_schema = StructType(fields + [StructField("n_samples", LongType())])
+
+    def gen(batches):
+        from jepl_spark.sources.containers import wav_wrap
+
+        for pdf in batches:
+            out = pdf.copy()
+            n_col = []
+            for ridx, (cid, blob, c, sr) in enumerate(zip(
+                pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
+            )):
+                sr = int(sr)
+                raw = bytes(blob)
+                if sr == tgt:
+                    # bit-identical no-op path (wav still validates
+                    # the header rate against the column)
+                    if c == "wav":
+                        inner, off, plen = _wav_span_checked(raw, sr, cid)
+                        n_col.append(plen // len(_zero_code(inner)))
+                    else:
+                        n_col.append(len(raw) // len(_zero_code(c)))
+                    continue
+                if c == "wav":
+                    inner, off, plen = _wav_span_checked(raw, sr, cid)
+                    x = audio.decode(raw[off:off + plen], inner)
+                    y = resample_to(x, sr, tgt)
+                    out.iat[ridx, out.columns.get_loc("bytes")] = wav_wrap(
+                        bytes(audio.encode(y, inner)), tgt, inner
+                    )
+                else:
+                    x = audio.decode(raw, c)
+                    y = resample_to(x, sr, tgt)
+                    out.iat[ridx, out.columns.get_loc("bytes")] = bytes(
+                        audio.encode(y, c)
+                    )
+                out.iat[ridx, out.columns.get_loc("sr_hz")] = tgt
+                n_col.append(int(y.size))
+            out["n_samples"] = n_col
+            if has_dur:
+                out["dur_ms"] = [
+                    int(n * 1000 // s) for n, s in
+                    zip(out["n_samples"], out["sr_hz"])
+                ]
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 # --- per-frame log-mel filterbank features (ASR training input) ----------
 #
 # Distinct from the pooled _log_bands features above: those group rfft

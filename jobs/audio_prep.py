@@ -5,6 +5,7 @@ it) and the trainer — the audio analogue of jobs/corpus_pipeline.py.
     spark-submit --master <cluster> --py-files jepl_spark.zip \\
         jobs/audio_prep.py \\
         --input <clips.parquet> --output <dir> \\
+        [--resample 16000]                 # canonical-rate FIRST
         [--trim-silence] [--normalize-dbfs -20.0] \\
         [--min-tps 1.0 --max-tps 8.0]      # transcript-rate admission
         [--chunk-ms 250 --hop-ms 200 --min-tail-ms 100]  # + alignment
@@ -19,7 +20,12 @@ it) and the trainer — the audio analogue of jobs/corpus_pipeline.py.
 
 Stage order is the one that minimizes bytes through the pipe:
 
-  1. trim        — silence cut FIRST: every later decode pays only for
+  0. resample    — canonical rate FIRST (--resample): one decode +
+                   interpolation per non-canonical clip; rows already
+                   at the target pass bit-identical, downstream
+                   fingerprints compare across original rates, and
+                   --logmel needs no pinned fmax
+  1. trim        — silence cut: every later decode pays only for
                    speech (byte surgery, survivors bit-identical)
   2. normalize   — RMS gain to target dBFS (peak-capped)
   3. pair gate   — transcript↔voiced-duration rate admission: broken
@@ -64,6 +70,10 @@ def main(argv: list[str]) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--output", default=None)
     p.add_argument("--id-col", default="clip_id")
+    p.add_argument("--resample", type=int, default=None,
+                   help="resample every clip to this canonical rate "
+                        "(first stage; same-rate rows pass "
+                        "bit-identical)")
     p.add_argument("--trim-silence", action="store_true")
     p.add_argument("--trim-frame-ms", type=int, default=20)
     p.add_argument("--normalize-dbfs", type=float, default=None)
@@ -117,6 +127,7 @@ def main(argv: list[str]) -> int:
         or args.min_tps is not None or args.chunk_ms is not None
         or args.time_mask is not None or args.speed_perturb
         or args.pack_ms is not None or args.logmel is not None
+        or args.resample is not None
     ):
         p.error("--id-col other than clip_id is only supported for the "
                 "batch/shard planning stages: the audio operators key "
@@ -153,6 +164,13 @@ def main(argv: list[str]) -> int:
         p.error("--batch-size needs a dur_ms column on the input (or a "
                 "--chunk-ms / --speed-perturb stage that derives it)")
     stages["input"] = df.count()
+
+    if args.resample is not None:
+        df = checkpoint_stage(
+            AU.resample_clips(df, target_sr=args.resample)
+            .drop("n_samples"),
+            "after_resample",
+        )
 
     if args.trim_silence:
         trimmed = AU.trim_silence_clips(

@@ -1188,3 +1188,62 @@ def test_prepare_clips_parity_random_sweep(spark):
             )
 
         assert norm(composed) == norm(staged), (sweep, kw)
+
+
+def test_resample_clips_roundtrip_and_identity(spark):
+    """Clip-level canonical-rate resampling: output lengths follow the
+    shared round(n·r) core, same-rate rows pass bit-identical (incl.
+    WAV), WAV rows rebuild at the target rate with the inner codec
+    preserved, dur_ms recomputes, and header/column rate mismatches
+    raise."""
+    import numpy as np
+    import pytest
+
+    from jepl_spark.functions.audio_udfs import resample_clips, resample_to
+    from jepl_spark.sources import audio as AU
+    from jepl_spark.sources.containers import wav_encode, wav_payload_span
+
+    rows = []
+    for i, sr in enumerate((8000, 16000, 44100)):
+        n = sr * (400 + 100 * i) // 1000
+        w = (0.3 * np.sin(np.arange(n) / (3.0 + i))).astype(np.float32)
+        rows.append((f"c{i}", AU.encode(w, "pcm16"), "pcm16", sr,
+                     n * 1000 // sr))
+    # a wav row at 8 kHz with ulaw inside
+    wn = 8000 * 300 // 1000
+    ww = (0.2 * np.sin(np.arange(wn) / 4.0)).astype(np.float32)
+    rows.append(("cw", wav_encode(ww, 8000, codec="ulaw"), "wav", 8000, 300))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int, "
+        "dur_ms int")
+    out = {r["clip_id"]: r for r in resample_clips(df, 16000).collect()}
+
+    for i, sr in enumerate((8000, 16000, 44100)):
+        r = out[f"c{i}"]
+        src_bytes, n_in = rows[i][1], len(rows[i][1]) // 2
+        assert r["sr_hz"] == 16000
+        if sr == 16000:
+            assert bytes(r["bytes"]) == bytes(src_bytes)  # bit-identical
+            assert r["n_samples"] == n_in
+        else:
+            exp = resample_to(AU.decode(src_bytes, "pcm16"), sr, 16000)
+            assert r["n_samples"] == exp.size
+            got = AU.decode(bytes(r["bytes"]), "pcm16")
+            np.testing.assert_allclose(got, AU.decode(
+                AU.encode(exp, "pcm16"), "pcm16"), atol=1e-6)
+        assert r["dur_ms"] == r["n_samples"] * 1000 // 16000
+
+    rw = out["cw"]
+    inner, hdr_sr, off, plen = wav_payload_span(bytes(rw["bytes"]))
+    assert (inner, hdr_sr) == ("ulaw", 16000)
+    assert rw["n_samples"] == plen  # ulaw: 1 byte/sample
+    assert rw["codec"] == "wav" and rw["sr_hz"] == 16000
+
+    # header/column mismatch raises
+    bad = spark.createDataFrame(
+        [("b", wav_encode(ww, 8000, codec="ulaw"), "wav", 44100, 300)],
+        "clip_id string, bytes binary, codec string, sr_hz int, dur_ms int")
+    with pytest.raises(Exception, match="inconsistent rates"):
+        resample_clips(bad, 16000).collect()
+    with pytest.raises(ValueError, match="positive"):
+        resample_clips(df, 0)

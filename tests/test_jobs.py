@@ -1052,3 +1052,22 @@ def test_audio_prep_logmel_stage(spark, tmp_path, capsys):
     rc = main(["--input", mixed, "--output", str(tmp_path / "p3"),
                "--logmel", "8", "--logmel-fmax", "4000"])
     assert rc == 0
+    # --resample canonicalizes the rate FIRST, so --logmel then needs
+    # no fmax; the written clips are all at the target rate and the
+    # same-rate rows passed bit-identical
+    out4 = str(tmp_path / "p4")
+    rc = main(["--input", mixed, "--output", out4,
+               "--resample", "16000", "--logmel", "8"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stages"]["after_resample"] == 3
+    written = {r["clip_id"]: r for r in spark.read.parquet(out4).collect()}
+    assert {r["sr_hz"] for r in written.values()} == {16000}
+    # the already-16k row passed BIT-IDENTICAL
+    b16 = AU.encode(np.zeros(16000, dtype=np.float32) + 0.1, "pcm16")
+    assert bytes(written["clip-16k"]["bytes"]) == bytes(b16)
+    for cid, b, _, _ in rows[:2]:
+        # these were 8 kHz rows -> resampled, lengths double (±1)
+        n_in = len(b) // 2
+        n_out = len(bytes(written[cid]["bytes"])) // 2
+        assert abs(n_out - 2 * n_in) <= 1, (cid, n_in, n_out)
