@@ -2054,6 +2054,45 @@ def q_resample_canonical_clips(spark, sf_dir):
     )
 
 
+def q_freq_mask_embeddings(spark, sf_dir):
+    """SpecAugment frequency masking over per-frame vectors (round-7
+    lane — the feature-domain half pairing time_mask_clips' waveform
+    half): the embeddings table reshaped into 20 clips × 25 frames,
+    freq_mask_frames(n_masks=2, max_mel_bins=10).  Pure JVM: the mask
+    plan is the package md5 recipe derived per CLIP inside each row's
+    projection (no join, no Python), bands overwrite in a transform
+    CASE.  The oracle replays the 60-bit hash plan, the start/length
+    modular arithmetic, and the element CASE bit-for-bit; every frame
+    of a clip carries the identical plan by construction."""
+    from jepl_spark.functions.audio_udfs import freq_mask_frames
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") / 25).cast("long").cast("string").alias("clip"),
+        F.col("embedding").cast("array<double>").alias("feat"),
+    )
+    out = freq_mask_frames(
+        emb, n_masks=2, max_mel_bins=10, seed="ep0", mask_value=0.0,
+        id_col="clip",
+    )
+    return out.select(
+        "vec_id",
+        F.col("freq_masks")[0]["start_bin"].alias("m0_start"),
+        F.col("freq_masks")[0]["len_bins"].alias("m0_len"),
+        F.col("freq_masks")[1]["start_bin"].alias("m1_start"),
+        F.col("freq_masks")[1]["len_bins"].alias("m1_len"),
+        F.posexplode("feat").alias("dim", "v"),
+    ).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("dim").cast("bigint").alias("dim"),
+        (_r(F.col("v"), 6) + F.lit(0.0)).alias("v"),
+        F.col("m0_start").cast("bigint").alias("m0_start"),
+        F.col("m0_len").cast("bigint").alias("m0_len"),
+        F.col("m1_start").cast("bigint").alias("m1_start"),
+        F.col("m1_len").cast("bigint").alias("m1_len"),
+    )
+
+
 def q_pack_clips_manifest(spark, sf_dir):
     """Whole-clip training-example packing (round-7 lane — the audio
     twin of pack_sequences with the never-split shard rule): 500
@@ -3731,6 +3770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HEAD, and leads the r8 window.
         "stream_logmel": q_stream_logmel,
         "resample_canonical_clips": q_resample_canonical_clips,
+        "freq_mask_embeddings": q_freq_mask_embeddings,
         "near_dup_components": q_near_dup_components,
         "stream_windowed_topk": q_stream_windowed_topk,
         "stream_outer_join_missing": q_stream_outer_join_missing,
@@ -6256,6 +6296,46 @@ def oracle_sql() -> dict[str, str]:
         "stream_logmel": _LOGMEL_FRAMES_ORACLE,
         # clip-level canonical-rate resampling: the audio_resample
         # round(n*r) length contract + the no-op identity flag
+        # SpecAugment frequency masking: the 60-bit md5 plan, the
+        # modular start/length arithmetic, and the element CASE all
+        # replay in SQL (h = ('0x'||substr(md5(key),1,15))::BIGINT,
+        # the _sample_hash contract)
+        "freq_mask_embeddings": """
+            WITH f AS (
+              SELECT vec_id,
+                     CAST(vec_id // 25 AS VARCHAR) AS clip,
+                     CAST(embedding AS DOUBLE[]) AS feat
+              FROM embeddings
+            ), plan AS (
+              SELECT vec_id, feat,
+                1 + CAST(('0x' || substr(md5('ep0:' || clip || ':0:F'),
+                                         1, 15)) AS BIGINT) % 10 AS l0,
+                1 + CAST(('0x' || substr(md5('ep0:' || clip || ':1:F'),
+                                         1, 15)) AS BIGINT) % 10 AS l1,
+                CAST(('0x' || substr(md5('ep0:' || clip || ':0:P'),
+                                     1, 15)) AS BIGINT) AS h0p,
+                CAST(('0x' || substr(md5('ep0:' || clip || ':1:P'),
+                                     1, 15)) AS BIGINT) AS h1p
+              FROM f
+            ), spans AS (
+              SELECT vec_id, feat, l0, l1,
+                     h0p % greatest(64 - l0 + 1, 1) AS s0,
+                     h1p % greatest(64 - l1 + 1, 1) AS s1
+              FROM plan
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(r.p AS BIGINT) AS dim,
+                   CASE WHEN (r.p >= s0 AND r.p < s0 + l0)
+                          OR (r.p >= s1 AND r.p < s1 + l1)
+                        THEN 0.0
+                        ELSE round(feat[CAST(r.p AS INT) + 1], 6) + 0.0
+                   END AS v,
+                   CAST(s0 AS BIGINT) AS m0_start,
+                   CAST(l0 AS BIGINT) AS m0_len,
+                   CAST(s1 AS BIGINT) AS m1_start,
+                   CAST(l1 AS BIGINT) AS m1_len
+            FROM spans, range(64) r(p)
+        """,
         "resample_canonical_clips": """
             SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0')
                      AS clip_id,

@@ -1768,3 +1768,85 @@ def align_transcript_to_chunks(
         )
     )
     return out.drop("__toks", "__ntok")
+
+
+def freq_mask_frames(
+    df: DataFrame,
+    n_masks: int = 2,
+    max_mel_bins: int = 8,
+    seed: str = "fmask",
+    mask_value: float = 0.0,
+    feat_col: str = "feat",
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """SpecAugment FREQUENCY masking (Park et al. 2019's other half —
+    ``time_mask_clips`` covers the time axis in the waveform domain;
+    frequency masks only exist in the feature domain): overwrite
+    ``n_masks`` mel-bin bands of at most ``max_mel_bins`` with
+    ``mask_value`` (default 0.0 — the per-utterance mean after CMVN)
+    on every frame of a clip.
+
+    The mask plan is the package's deterministic md5 recipe, derived
+    per CLIP (every frame of a clip masks the same bands, per the
+    paper), so it is a pure function of (seed, clip_id) — no join, no
+    state, each frame row computes its own plan:
+
+      ``len_bins  = 1 + h(seed:id:k:F) mod max_mel_bins``
+      ``start_bin = h(seed:id:k:P) mod max(1, n_mels - len_bins + 1)``
+
+    A band longer than the vector clips at the end (only possible when
+    ``max_mel_bins`` > n_mels), matching time_mask's end-clip rule.
+    Adds ``freq_masks`` (array of (mask_idx, start_bin, len_bins)) and
+    rewrites ``feat_col`` in place; a NULL id or NULL vector passes
+    through unmasked/NULL.  Change ``seed`` per epoch for fresh masks
+    without materializing copies.
+
+    Scale shape: pure whole-stage-codegen JVM expressions appended to
+    the frame projection — no Python, no shuffle; composes with
+    ``logmel_clips`` output directly and the SQL oracle replays the
+    plan and the CASE bit-for-bit."""
+    from jepl_spark.operators.sampling import _sample_hash
+
+    for c in (feat_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"freq_mask_frames needs column {c!r}")
+    if "freq_masks" in df.columns:
+        raise ValueError("freq_mask_frames would overwrite 'freq_masks'")
+    if n_masks < 1:
+        raise ValueError(f"n_masks must be >= 1, got {n_masks}")
+    if max_mel_bins < 1:
+        raise ValueError(f"max_mel_bins must be >= 1, got {max_mel_bins}")
+
+    cid = F.col(id_col).cast("string")
+    nb = F.size(F.col(feat_col))
+    spans = []
+    for k in range(int(n_masks)):
+        ln = F.lit(1) + F.pmod(
+            _sample_hash(F.concat(cid, F.lit(f":{k}:F")), seed),
+            F.lit(int(max_mel_bins)),
+        )
+        st = F.pmod(
+            _sample_hash(F.concat(cid, F.lit(f":{k}:P")), seed),
+            F.greatest(nb.cast("long") - ln + 1, F.lit(1).cast("long")),
+        )
+        spans.append((k, st, ln))
+
+    masks_col = F.array(*[
+        F.struct(
+            F.lit(k).alias("mask_idx"),
+            st.alias("start_bin"),
+            ln.alias("len_bins"),
+        )
+        for k, st, ln in spans
+    ])
+
+    def masked_elem(x, i):
+        cond = None
+        for _, st, ln in spans:
+            this = (i.cast("long") >= st) & (i.cast("long") < st + ln)
+            cond = this if cond is None else (cond | this)
+        return F.when(cond, F.lit(float(mask_value))).otherwise(x)
+
+    return df.withColumn("freq_masks", masks_col).withColumn(
+        feat_col, F.transform(F.col(feat_col), masked_elem)
+    )

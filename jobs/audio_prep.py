@@ -105,6 +105,12 @@ def main(argv: list[str]) -> int:
                         "inside the extraction pass (zero shuffle)")
     p.add_argument("--logmel-deltas", action="store_true",
                    help="append Δ/ΔΔ regression delta columns")
+    p.add_argument("--freq-mask", type=int, default=None,
+                   help="SpecAugment frequency masks per clip, applied "
+                        "to the --logmel features (after CMVN, before "
+                        "deltas); draws from --mask-seed")
+    p.add_argument("--freq-mask-bins", type=int, default=8,
+                   help="max mel bins per frequency mask")
     p.add_argument("--pack-ms", type=int, default=None,
                    help="materialize ~this-long training examples: "
                         "whole clips byte-concatenated per (sr, codec) "
@@ -119,9 +125,10 @@ def main(argv: list[str]) -> int:
         p.error("--output is required unless --report-only")
     if args.logmel is None and (
         args.logmel_fmax is not None or args.logmel_cmvn
-        or args.logmel_deltas
+        or args.logmel_deltas or args.freq_mask is not None
     ):
-        p.error("--logmel-fmax/--logmel-cmvn/--logmel-deltas need --logmel")
+        p.error("--logmel-fmax/--logmel-cmvn/--logmel-deltas/--freq-mask "
+                "need --logmel")
     if args.id_col != "clip_id" and (
         args.trim_silence or args.normalize_dbfs is not None
         or args.min_tps is not None or args.chunk_ms is not None
@@ -292,6 +299,14 @@ def main(argv: list[str]) -> int:
             n_mels=args.logmel, fmax=args.logmel_fmax,
             cmvn=args.logmel_cmvn,
         )
+        if args.freq_mask is not None:
+            # mask the base mel bands BEFORE deltas so the delta
+            # channels are computed over the masked features (the
+            # SpecAugment shape); per-epoch seeds draw fresh bands
+            feats = AU.freq_mask_frames(
+                feats, n_masks=args.freq_mask,
+                max_mel_bins=args.freq_mask_bins, seed=args.mask_seed,
+            )
         if args.logmel_deltas:
             from jepl_spark.operators.similarity import add_deltas
 

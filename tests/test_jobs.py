@@ -1057,8 +1057,22 @@ def test_audio_prep_logmel_stage(spark, tmp_path, capsys):
     # same-rate rows passed bit-identical
     out4 = str(tmp_path / "p4")
     rc = main(["--input", mixed, "--output", out4,
-               "--resample", "16000", "--logmel", "8"])
+               "--resample", "16000", "--logmel", "8",
+               "--freq-mask", "1", "--freq-mask-bins", "3",
+               "--mask-seed", "ep0"])
     assert rc == 0
+    # the freq-masked bands are zero on every frame of a clip
+    import hashlib as _hl
+
+    f4 = spark.read.parquet(out4 + "_features")
+    one = f4.where(f4.clip_id == "clip-0000").collect()
+    assert one and "freq_masks" in f4.columns
+    h = int(_hl.md5(b"ep0:clip-0000:0:F").hexdigest()[:15], 16)
+    ln = 1 + h % 3
+    st = int(_hl.md5(b"ep0:clip-0000:0:P").hexdigest()[:15], 16) \
+        % max(1, 8 - ln + 1)
+    for r in one:
+        assert all(v == 0.0 for v in r["feat"][st:st + ln])
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["stages"]["after_resample"] == 3
     written = {r["clip_id"]: r for r in spark.read.parquet(out4).collect()}
