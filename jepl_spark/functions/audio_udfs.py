@@ -332,15 +332,16 @@ def resample_clips(df: DataFrame, target_sr: int) -> DataFrame:
     for c in ("clip_id", "bytes", "codec", "sr_hz"):
         if c not in df.columns:
             raise ValueError(f"resample_clips needs column {c!r}")
+    if "n_samples" in df.columns:
+        raise ValueError("resample_clips would overwrite column 'n_samples'")
     if target_sr <= 0:
         raise ValueError(f"target_sr must be positive, got {target_sr}")
     tgt = int(target_sr)
     has_dur = "dur_ms" in df.columns
 
-    fields = []
-    for f in df.schema.fields:
-        fields.append(StructField(f.name, f.dataType))
-    out_schema = StructType(fields + [StructField("n_samples", LongType())])
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("n_samples", LongType())]
+    )
 
     def gen(batches):
         from jepl_spark.sources.containers import wav_wrap
@@ -379,9 +380,14 @@ def resample_clips(df: DataFrame, target_sr: int) -> DataFrame:
                 n_col.append(int(y.size))
             out["n_samples"] = n_col
             if has_dur:
+                # recompute ONLY for resampled rows: the no-op path
+                # promises bit-identical bytes AND untouched metadata
+                # (floor(n*1000/sr) could silently decrement dur_ms
+                # on rows the operator never changed)
                 out["dur_ms"] = [
-                    int(n * 1000 // s) for n, s in
-                    zip(out["n_samples"], out["sr_hz"])
+                    d if int(s0) == tgt else int(n * 1000 // tgt)
+                    for d, s0, n in
+                    zip(pdf["dur_ms"], pdf["sr_hz"], n_col)
                 ]
             yield out
 
@@ -1801,10 +1807,16 @@ def freq_mask_frames(
     through unmasked/NULL.  Change ``seed`` per epoch for fresh masks
     without materializing copies.
 
-    Scale shape: pure whole-stage-codegen JVM expressions appended to
-    the frame projection — no Python, no shuffle; composes with
-    ``logmel_clips`` output directly and the SQL oracle replays the
-    plan and the CASE bit-for-bit."""
+    Scale shape: pure JVM expressions, no Python, no shuffle; composes
+    with ``logmel_clips`` output directly and the SQL oracle replays
+    the plan and the CASE bit-for-bit.  The plan array materializes in
+    its OWN projection and the masking lambda references it through
+    ``F.exists`` on the column attribute: embedding the md5 span trees
+    in the lambda body would re-evaluate them once per ARRAY ELEMENT
+    (higher-order lambdas get no loop-invariant hoisting — measured
+    23.0 s vs 1.66 s for 300k × 80-dim rows, a 14× difference;
+    CollapseProject keeps the barrier because the non-cheap plan
+    column is consumed twice)."""
     from jepl_spark.operators.sampling import _sample_hash
 
     for c in (feat_col, id_col):
@@ -1819,7 +1831,7 @@ def freq_mask_frames(
 
     cid = F.col(id_col).cast("string")
     nb = F.size(F.col(feat_col))
-    spans = []
+    structs = []
     for k in range(int(n_masks)):
         ln = F.lit(1) + F.pmod(
             _sample_hash(F.concat(cid, F.lit(f":{k}:F")), seed),
@@ -1829,24 +1841,23 @@ def freq_mask_frames(
             _sample_hash(F.concat(cid, F.lit(f":{k}:P")), seed),
             F.greatest(nb.cast("long") - ln + 1, F.lit(1).cast("long")),
         )
-        spans.append((k, st, ln))
-
-    masks_col = F.array(*[
-        F.struct(
+        structs.append(F.struct(
             F.lit(k).alias("mask_idx"),
             st.alias("start_bin"),
             ln.alias("len_bins"),
-        )
-        for k, st, ln in spans
-    ])
+        ))
+
+    with_masks = df.withColumn("freq_masks", F.array(*structs))
+    mv = F.lit(float(mask_value))
 
     def masked_elem(x, i):
-        cond = None
-        for _, st, ln in spans:
-            this = (i.cast("long") >= st) & (i.cast("long") < st + ln)
-            cond = this if cond is None else (cond | this)
-        return F.when(cond, F.lit(float(mask_value))).otherwise(x)
+        hit = F.exists(
+            F.col("freq_masks"),
+            lambda m: (i.cast("long") >= m["start_bin"])
+            & (i.cast("long") < m["start_bin"] + m["len_bins"]),
+        )
+        return F.when(hit, mv).otherwise(x)
 
-    return df.withColumn("freq_masks", masks_col).withColumn(
+    return with_masks.withColumn(
         feat_col, F.transform(F.col(feat_col), masked_elem)
     )

@@ -1239,6 +1239,13 @@ def test_resample_clips_roundtrip_and_identity(spark):
     assert rw["n_samples"] == plen  # ulaw: 1 byte/sample
     assert rw["codec"] == "wav" and rw["sr_hz"] == 16000
 
+    # the no-op path leaves dur_ms METADATA untouched too (a floor
+    # recompute could silently decrement it on unchanged rows)
+    odd = spark.createDataFrame(
+        [("o", rows[1][1], "pcm16", 16000, 501)],
+        "clip_id string, bytes binary, codec string, sr_hz int, dur_ms int")
+    assert resample_clips(odd, 16000).collect()[0]["dur_ms"] == 501
+
     # header/column mismatch raises
     bad = spark.createDataFrame(
         [("b", wav_encode(ww, 8000, codec="ulaw"), "wav", 44100, 300)],
@@ -1247,3 +1254,5 @@ def test_resample_clips_roundtrip_and_identity(spark):
         resample_clips(bad, 16000).collect()
     with pytest.raises(ValueError, match="positive"):
         resample_clips(df, 0)
+    with pytest.raises(ValueError, match="n_samples"):
+        resample_clips(df.withColumn("n_samples", df.sr_hz), 16000)
