@@ -1019,11 +1019,25 @@ def _token_levenshtein_udf():
     return pandas_udf(_batch, "long")
 
 
+def normalize_transcript(text: Column) -> Column:
+    """Standard WER text normalization (the Kaldi/NIST-style fold
+    applied before scoring so casing and punctuation do not count as
+    word errors): lowercase, strip everything but letters, digits,
+    whitespace, and word-internal apostrophes, then trim.  Pure JVM
+    regexp chain in the Java∩RE2 common dialect (the scrub_pii
+    contract), so a SQL twin replays it with
+    ``lower`` + ``regexp_replace(..., 'g')``."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s']", " ")
+    return F.trim(t)
+
+
 def transcript_wer(
     df: DataFrame,
     ref_col: str = "text",
     hyp_col: str = "hyp",
     max_wer: float | None = None,
+    normalize: bool = False,
 ) -> DataFrame:
     """Token-level transcript agreement — the QA gate for paired
     (reference transcript, ASR/model draft) rows in a speech-training
@@ -1055,8 +1069,15 @@ def transcript_wer(
     for c in guarded:
         if c in df.columns:
             raise ValueError(f"transcript_wer would overwrite column {c!r}")
-    ref_t = _tokens(F.col(ref_col))
-    hyp_t = _tokens(F.col(hyp_col))
+    ref_text, hyp_text = F.col(ref_col), F.col(hyp_col)
+    if normalize:
+        # fold case/punctuation BEFORE tokenizing, the standard WER
+        # scoring convention — "Hello, world!" vs "hello world" is
+        # zero errors
+        ref_text = normalize_transcript(ref_text)
+        hyp_text = normalize_transcript(hyp_text)
+    ref_t = _tokens(ref_text)
+    hyp_t = _tokens(hyp_text)
     dist = _token_levenshtein_udf()(ref_t, hyp_t)
     out = df.select(
         "*",

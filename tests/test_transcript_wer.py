@@ -110,3 +110,29 @@ def test_column_guards(spark):
     # ...but without max_wer the column is left untouched
     out = transcript_wer(gated).collect()[0]
     assert out["reject_reason"] == "low_rate"
+
+
+def test_normalize_transcript(spark):
+    from jepl_spark.operators.text import normalize_transcript
+
+    rows = [
+        (0, "Hello, World!", "hello world"),
+        (1, "It's 9 AM.", "it's 9 am"),
+        (2, "a--b  c", "a b c"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, hyp string")
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_transcript(F.col("text")).alias("n")).collect()}
+    exp = {0: "hello  world", 1: "it's 9 am", 2: "a  b  c"}
+    for i, e in exp.items():
+        # tokenization collapses runs, so compare token streams
+        assert got[i].split() == e.split(), (i, got[i])
+
+    # normalize=True: case/punctuation differences are zero errors
+    out = {r["id"]: r
+           for r in transcript_wer(df, normalize=True).collect()}
+    for i in range(3):
+        assert out[i]["edit_dist"] == 0 and out[i]["wer"] == 0.0, out[i]
+    # ...and without normalize the same pairs score errors
+    raw = {r["id"]: r["edit_dist"] for r in transcript_wer(df).collect()}
+    assert raw[0] > 0 and raw[2] > 0
