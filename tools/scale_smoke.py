@@ -540,12 +540,13 @@ def main() -> int:
     # 40-float array) is the memory shape under test — pinned fmax
     # because the corpus mixes 8k/16k/44.1k
     t0 = time.time()
-    from jepl_spark.functions.audio_udfs import logmel_clips
+    from jepl_spark.functions.audio_udfs import freq_mask_frames, logmel_clips
     from jepl_spark.operators.similarity import add_deltas
 
-    feat_frames = add_deltas(
-        logmel_clips(clips, n_mels=40, fmax=4000.0, cmvn=True)
-    )
+    feat_frames = add_deltas(freq_mask_frames(
+        logmel_clips(clips, n_mels=40, fmax=4000.0, cmvn=True),
+        n_masks=2, max_mel_bins=8,
+    ))
     n_frames = feat_frames.count()
     res["logmel_s"] = round(time.time() - t0, 1)
     res["logmel_clips_per_s"] = round(n_clips / res["logmel_s"], 0)
