@@ -353,6 +353,162 @@ def stream_exact_dedup(
 
 
 # -- shingling ---------------------------------------------------------------
+#
+# numpy twin of Spark's XxHash64 on BIGINT inputs (validated bit-exact
+# against `xxhash64(a)` and the chained-seed `xxhash64(a, b)` form):
+# the shingle/window chain combines are k−1 levels of
+# xxhash64(prefix_hash, token_hash), which as interpreted higher-order
+# array lambdas cost ~0.8 µs/element — the dominant term of every
+# shingle-hashing lane (measured 17.7 s for n=8 over 50k docs at
+# sf1.0).  The hybrid keeps tokenization + per-token STRING hashing on
+# the JVM (one cheap pass) and runs the chain levels vectorized over
+# the whole Arrow batch (guide §4.2), where the same math is ~12 C
+# ops/element: n=8 shingling drops to ~4 s.  Values are identical, so
+# every downstream consumer (df counts, banding, oracles) is unchanged.
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _np_hash_long(l, seed):
+    """Spark ``XxHash64.hashLong(l, seed)`` over uint64 numpy arrays
+    (wraparound arithmetic; callers wrap in errstate(over='ignore'))."""
+    import numpy as np
+
+    p1, p2 = np.uint64(_XXH_P1), np.uint64(_XXH_P2)
+    r31, r27, r33, r29, r32, r37 = (np.uint64(x) for x in
+                                    (31, 27, 33, 29, 32, 37))
+    h = seed + np.uint64(_XXH_P5) + np.uint64(8)
+    k = l * p2
+    k = ((k << r31) | (k >> r33)) * p1
+    h = h ^ k
+    h = ((h << r27) | (h >> r37)) * p1 + np.uint64(_XXH_P4)
+    h ^= h >> r33
+    h *= p2
+    h ^= h >> r29
+    h *= np.uint64(_XXH_P3)
+    h ^= h >> r32
+    return h
+
+
+def _np_chain(H, levels: int):
+    """The k−1 chain-combine levels over a CONCATENATED token-hash
+    array: C[i] ← xxhash64(C[i], H[i+j]) per level j.  Row boundaries
+    need no masking — positions whose window would cross into the next
+    row are discarded by the caller's per-row slice (level j only
+    reaches j ≤ k−1 past a window start, which stays inside the row
+    for every KEPT start)."""
+    import numpy as np
+
+    C = H.copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, levels):
+            s = _np_hash_long(C[: H.size - j], np.uint64(42))
+            C[: H.size - j] = _np_hash_long(H[j:], s)
+    return C
+
+
+def _token_hashes(toks: Column) -> Column:
+    """Per-token xxhash64 (JVM: variable-length string hashing has no
+    cheap numpy twin; the chain levels do — see above)."""
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def _shingle_chain_udf(n: int):
+    """pandas UDF: (token_hashes array<long>, fallback long) →
+    distinct shingle hashes, first-occurrence order — the numpy half
+    of ``word_shingle_hashes``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _f(th_s, fb_s):
+        n_rows = len(th_s)
+        lens = np.empty(n_rows, dtype=np.int64)
+        pieces = []
+        for i in range(n_rows):
+            a = th_s.iloc[i]
+            if a is None:
+                lens[i] = -1
+                continue
+            aa = np.asarray(a, dtype=np.int64)
+            lens[i] = aa.size
+            if aa.size >= n:
+                pieces.append(aa)
+        C = None
+        if pieces:
+            C = _np_chain(
+                np.ascontiguousarray(np.concatenate(pieces)).view(
+                    np.uint64),
+                n,
+            ).view(np.int64)
+        out = [None] * n_rows
+        o = 0
+        fb = fb_s.to_numpy()
+        for i in range(n_rows):
+            L = lens[i]
+            if L < 0:
+                continue
+            if L < n:
+                out[i] = np.array([fb[i]], dtype=np.int64)
+                continue
+            seg = C[o:o + L - (n - 1)]
+            o += L
+            _, idx = np.unique(seg, return_index=True)
+            out[i] = seg[np.sort(idx)]
+        return pd.Series(out, dtype="object")
+
+    _f.__annotations__ = {"th_s": pd.Series, "fb_s": pd.Series,
+                          "return": pd.Series}
+    return pandas_udf(_f, "array<long>")
+
+
+def _window_chain_udf(k: int):
+    """pandas UDF: token_hashes → positional window hashes (the numpy
+    half of ``window_hash_positions``; no distinct, no fallback)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _f(th_s):
+        n_rows = len(th_s)
+        lens = np.empty(n_rows, dtype=np.int64)
+        pieces = []
+        for i in range(n_rows):
+            a = th_s.iloc[i]
+            if a is None:
+                lens[i] = -1
+                continue
+            aa = np.asarray(a, dtype=np.int64)
+            lens[i] = aa.size
+            if aa.size >= k:
+                pieces.append(aa)
+        C = None
+        if pieces:
+            C = _np_chain(
+                np.ascontiguousarray(np.concatenate(pieces)).view(
+                    np.uint64),
+                k,
+            ).view(np.int64)
+        empty = np.empty(0, dtype=np.int64)
+        out = [None] * n_rows
+        o = 0
+        for i in range(n_rows):
+            L = lens[i]
+            if L < 0:
+                continue
+            if L < k:
+                out[i] = empty
+                continue
+            out[i] = C[o:o + L - (k - 1)]
+            o += L
+        return pd.Series(out, dtype="object")
+
+    _f.__annotations__ = {"th_s": pd.Series, "return": pd.Series}
+    return pandas_udf(_f, "array<long>")
 
 
 def _norm_tokens(text: Column) -> Column:
@@ -384,39 +540,24 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 def word_shingle_hashes(text: Column, n: int = 3) -> Column:
     """Distinct 64-bit hashes of word n-gram shingles, built WITHOUT
-    materializing shingle strings: each token hashes once (xxhash64),
-    then shingle hashes chain-combine the n token hashes via
-    xxhash64(prefix_hash, next_token_hash) — order-sensitive, one
-    evaluation per array thanks to the zip_with-over-shifted-arrays
-    shape (an index-``sequence`` form that references the token-hash
-    array inside its lambda re-evaluates it per element: measured 19 s
-    vs 1 s at sf0.1).  Equal string shingles ⇔ equal token tuples ⇔
-    equal combined hashes (modulo 64-bit collisions — the same risk the
-    operators already accepted when hashing shingle strings), so
-    distinct-shingle-set semantics are unchanged; verified: identical
-    per-doc distinct counts on the sf0.1 corpus.
+    materializing shingle strings: each token hashes once (xxhash64,
+    JVM), then shingle hashes chain-combine the n token hashes via
+    xxhash64(prefix_hash, next_token_hash) — order-sensitive.  The
+    chain levels run as ONE vectorized Arrow stage over the
+    concatenated batch (the numpy xxhash64 twin above): the
+    interpreted zip_with form they replace cost 0.8 µs/element
+    (17.7 s for n=8 at sf1.0, the dominant term of every shingling
+    lane); values are bit-identical, so distinct-shingle-set semantics
+    are unchanged.  Equal string shingles ⇔ equal token tuples ⇔ equal
+    combined hashes (modulo 64-bit collisions — the same risk the
+    operators already accepted when hashing shingle strings).
 
     Shorter-than-n texts hash their full token join (one shingle),
-    matching word_shingles' short-text form.  zip_with pads the shifted
-    (shorter) array with nulls; the padded tail is sliced off before
-    distinct."""
+    matching word_shingles' short-text form; NULL text → NULL."""
     toks = _norm_tokens(text)
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def shifted(arr: Column, k: int) -> Column:
-        return F.slice(arr, k + 1, F.greatest(F.size(arr) - k, F.lit(0)))
-
-    combined = th
-    for k in range(1, n):
-        combined = F.zip_with(
-            combined, shifted(th, k), lambda p, c: F.xxhash64(p, c)
-        )
-    full = F.array_distinct(
-        F.slice(combined, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return _shingle_chain_udf(n)(
+        _token_hashes(toks), F.xxhash64(F.concat_ws(" ", toks))
     )
-    return F.when(
-        F.size(toks) < n, F.array(F.xxhash64(F.concat_ws(" ", toks)))
-    ).otherwise(full)
 
 
 def banded_candidate_pairs(
@@ -493,50 +634,67 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
 
 def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 64) -> Column:
     """MinHash signature from per-shingle 64-bit hashes + a multiply-
-    shift universal-hash family: h32 = fold(h) to 32 bits, then
-    h_i = a_i * h32 + b_i with literal coefficients — pure JVM integer
-    arithmetic, ~num_hashes× fewer hash invocations than hashing
-    (shingle, seed) pairs (the round-1 cost hot spot: signature hashing
-    dominated the minhash lane).  Empty shingle sets → all-zero
-    signature.
+    shift universal-hash family: h32 = fold(h) to 32 bits mod p
+    (p = 2^31−1), then sig_i = min over shingles of (a_i·h32 + b_i)
+    mod p.  Empty shingle sets → all-zero signature; NULL → NULL.
 
-    Loop order matters twice: (1) the folded base-hash array is computed
-    by a single ``transform``; (2) that array is the OUTER aggregate
-    collection, and the inner per-seed collection is only literal-array
-    indexing — the inverted form re-evaluates the expensive collection
-    once per seed (measured 20× slower end-to-end in round 1)."""
+    Executed as ONE vectorized Arrow stage (numpy integer arithmetic,
+    bit-identical to the JVM form it replaces): the interpreted
+    aggregate-of-zip_with form allocated a num_hashes-element array
+    per shingle — measured ~30 s of the 49 s minhash lane at sf1.0
+    (50k docs × ~52 shingles × 64 seeds); the numpy outer product +
+    segmented min is ~1 s.  a_i·h32 + b_i < 2^62, so uint64 never
+    wraps and ``% p`` equals the JVM ``pmod``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     a_co, b_co = _minhash_coeffs(num_hashes)
-    A = F.lit(a_co).cast("array<long>")
-    B = F.lit(b_co).cast("array<long>")
-    # 64-bit hash folded to 32 bits (top xor bottom) and reduced mod p
-    # so a_i·h stays under 2^62 (Spark 4 ANSI: overflow raises)
-    base_hashes = F.transform(
-        hashes,
-        lambda h: F.pmod(
-            F.shiftrightunsigned(h, 32).bitwiseXOR(h.bitwiseAND(F.lit(0xFFFFFFFF))),
-            F.lit(_MH_PRIME),
-        ),
-    )
-    acc0 = F.array_repeat(F.lit(_MAXL).cast("long"), num_hashes)
-    idx = F.sequence(F.lit(1), F.lit(num_hashes))
-    sig = F.aggregate(
-        base_hashes,
-        acc0,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                idx,
-                lambda i: F.pmod(
-                    F.element_at(A, i) * h + F.element_at(B, i), F.lit(_MH_PRIME)
-                ),
-            ),
-            lambda a, b: F.least(a, b),
-        ),
-    )
-    return F.transform(
-        sig,
-        lambda v: F.when(v == F.lit(_MAXL).cast("long"), F.lit(0).cast("long")).otherwise(v),
-    )
+    A = np.array(a_co, dtype=np.uint64)
+    B = np.array(b_co, dtype=np.uint64)
+    P = np.uint64(_MH_PRIME)
+
+    def _f(h_s):
+        n_rows = len(h_s)
+        lens = np.empty(n_rows, dtype=np.int64)
+        pieces = []
+        for i in range(n_rows):
+            a = h_s.iloc[i]
+            if a is None:
+                lens[i] = -1
+                continue
+            aa = np.asarray(a, dtype=np.int64)
+            lens[i] = aa.size
+            if aa.size:
+                pieces.append(aa)
+        mins = None
+        if pieces:
+            H = np.ascontiguousarray(np.concatenate(pieces)).view(np.uint64)
+            base = ((H >> np.uint64(32)) ^ (H & np.uint64(0xFFFFFFFF))) % P
+            pos = lens[lens > 0]
+            starts = np.cumsum(pos) - pos
+            mins = np.empty((len(pos), num_hashes), dtype=np.int64)
+            for s_i in range(num_hashes):
+                m = (A[s_i] * base + B[s_i]) % P
+                mins[:, s_i] = np.minimum.reduceat(
+                    m, starts
+                ).view(np.int64)
+        zeros = np.zeros(num_hashes, dtype=np.int64)
+        out = [None] * n_rows
+        seg = 0
+        for i in range(n_rows):
+            L = lens[i]
+            if L < 0:
+                continue
+            if L == 0:
+                out[i] = zeros
+                continue
+            out[i] = mins[seg]
+            seg += 1
+        return pd.Series(out, dtype="object")
+
+    _f.__annotations__ = {"h_s": pd.Series, "return": pd.Series}
+    return pandas_udf(_f, "array<long>")(hashes)
 
 
 def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -1392,20 +1550,48 @@ def ngram_jaccard_pairs(
     max_shingle_df: int = 1000,
     materialize: bool = True,
 ) -> DataFrame:
-    """Exact Jaccard over word n-gram shingle sets via inverted-index
-    self-join.  Stop-shingles (document frequency > ``max_shingle_df``)
-    are dropped before the join — the standard blowup/skew control.
-    ``materialize=False`` returns the lazy, side-effect-free plan
-    (see minhash_candidates).
+    """Exact Jaccard over word n-gram shingle sets via an inverted
+    index.  Stop-shingles (document frequency > ``max_shingle_df``)
+    are dropped before pair generation — the standard blowup/skew
+    control.  ``materialize=False`` returns the lazy, side-effect-free
+    plan (see minhash_candidates).
 
     Shingles are 64-bit hashes from the start (word_shingle_hashes —
     shingle strings are never built: token hashes chain-combine, ~6×
-    cheaper than concat_ws+hash at sf0.1), so the df-count groupBy and
-    the self-join move 8-byte longs instead of multi-word strings
-    (~5× less shuffle volume).  A 64-bit collision would need ~2^32
-    distinct shingles per corpus to become likely; per-pair
-    intersection counts are additionally oracle-checked by the
-    ngram_jaccard_pairs gate."""
+    cheaper than concat_ws+hash at sf0.1), so everything downstream of
+    the scan moves 8-byte longs instead of multi-word strings.  A
+    64-bit collision would need ~2^32 distinct shingles per corpus to
+    become likely; per-pair intersection counts are additionally
+    oracle-checked by the ngram_jaccard_pairs gate.
+
+    Shape (integral-id fast path): TWO exchanges total, both
+    fundamental — (1) postings ``(id, set_size, shingle)`` partition by
+    shingle, so each shingle's full posting group lands in one task
+    where an Arrow stage applies the df cap from the local group size
+    (no df-count groupBy + join back) and emits co-occurrence rows
+    ``(id_a, id_b, na, nb)`` by pure numpy index arithmetic; (2) the
+    co-occurrences partition by pair, where a second Arrow stage counts
+    each pair's rows (= the exact intersection size), computes jaccard
+    = c/(na+nb−c) in IEEE doubles (bit-identical to the JVM division),
+    and emits ONLY the pairs ≥ ``min_jaccard``.  The ≥-threshold set is
+    tiny, so nothing heavyweight ever crosses back: the old
+    join+groupBy formulation materialized every co-occurring pair
+    (~90% of which share exactly one shingle) through a JVM
+    hash-aggregate and two size joins — measured 316 s vs 21 s at
+    sf1.0 (50k docs, 114M distinct co-occurring pairs).  Non-integral
+    ids (string/UUID) keep the join formulation (numpy pair packing
+    needs a total order identical to Spark's, which only integral
+    types guarantee)."""
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType,
+    )
+
+    id_type = df.schema[id_col].dataType
+    if isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        return _ngram_jaccard_pairs_arrow(
+            df, text_col, id_col, shingle_n, min_jaccard,
+            max_shingle_df, materialize,
+        )
     base = df.select(
         F.col(id_col).alias("__id"),
         word_shingle_hashes(F.col(text_col), shingle_n).alias("__sh"),
@@ -1461,6 +1647,176 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _ngram_jaccard_pairs_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    min_jaccard: float,
+    max_shingle_df: int,
+    materialize: bool,
+) -> DataFrame:
+    """Integral-id fast path of :func:`ngram_jaccard_pairs` — see its
+    docstring for the two-exchange shape and the measured numbers.
+    Semantics are identical to the join formulation, boundary cases
+    included: the df cap counts ALL postings of a shingle (null-id
+    rows inflate a shingle's df exactly as the old groupBy did), while
+    pair generation skips null ids and equal-id posting pairs (the old
+    ``id_a < id_b`` strictness)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import (
+        DoubleType, StructField, StructType,
+    )
+
+    id_type = df.schema[id_col].dataType
+    cap = int(max_shingle_df)
+    thresh = float(min_jaccard)
+
+    postings = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingle_hashes(F.col(text_col), shingle_n).alias("__sh"),
+    ).select(
+        "__id",
+        F.size("__sh").alias("__n"),
+        F.explode("__sh").alias("__s"),
+    ).repartition(F.col("__s"))
+
+    pair_schema = StructType([
+        StructField("id_a", id_type),
+        StructField("id_b", id_type),
+        StructField("__na", postings.schema["__n"].dataType),
+        StructField("__nb", postings.schema["__n"].dataType),
+    ])
+
+    CHUNK_PAIRS = 4_000_000  # bounds per-task pair-buffer memory
+
+    def _gen_pairs(batches):
+        ids_l, n_l, s_l, ok_l = [], [], [], []
+        for b in batches:
+            c0, c1, c2 = b.column(0), b.column(1), b.column(2)
+            ok_l.append(c0.is_valid().to_numpy(zero_copy_only=False))
+            ids_l.append(
+                pa.compute.fill_null(c0, 0).to_numpy(zero_copy_only=False)
+            )
+            n_l.append(
+                pa.compute.fill_null(c1, 0).to_numpy(zero_copy_only=False)
+            )
+            s_l.append(c2.to_numpy(zero_copy_only=False))
+        if not ids_l:
+            return
+        ids = np.concatenate(ids_l)
+        if ids.size == 0:
+            return
+        ns = np.concatenate(n_l)
+        sh = np.concatenate(s_l)
+        ok = np.concatenate(ok_l)
+        perm = np.argsort(sh, kind="stable")
+        sh, ids, ns, ok = sh[perm], ids[perm], ns[perm], ok[perm]
+        # group = run of equal shingle hashes (each shingle is wholly in
+        # this partition: upstream repartition("__s"))
+        new_grp = np.empty(sh.size, dtype=bool)
+        new_grp[0] = True
+        np.not_equal(sh[1:], sh[:-1], out=new_grp[1:])
+        grp = np.cumsum(new_grp) - 1
+        d_total = np.bincount(grp)  # df INCLUDING null-id postings
+        keep = ok & (d_total[grp] <= cap)
+        ids, ns, grp = ids[keep], ns[keep], grp[keep]
+        if ids.size == 0:
+            return
+        d = np.bincount(grp)
+        keep2 = d[grp] >= 2  # singleton groups emit no pairs
+        ids, ns, grp = ids[keep2], ns[keep2], grp[keep2]
+        if ids.size == 0:
+            return
+        # contiguous groups: within-group index + per-group size
+        d = np.bincount(grp)
+        d = d[d >= 2]
+        starts = np.cumsum(d) - d
+        within = np.arange(ids.size) - np.repeat(starts, d)
+        d_of = np.repeat(d, d)
+        rep = d_of - 1 - within  # pairs this posting opens as the left
+        pc = (d * (d - 1)) // 2
+        # chunk group ranges so one buffer never exceeds CHUNK_PAIRS
+        cum = np.cumsum(pc)
+        g_lo = 0
+        while g_lo < d.size:
+            base_pairs = cum[g_lo - 1] if g_lo else 0
+            g_hi = int(
+                np.searchsorted(cum, base_pairs + CHUNK_PAIRS, "left")
+            ) + 1
+            g_hi = min(g_hi, d.size)
+            p_lo, p_hi = starts[g_lo], starts[g_hi - 1] + d[g_hi - 1]
+            r = rep[p_lo:p_hi]
+            m = int(r.sum())
+            if m:
+                left = np.repeat(np.arange(p_lo, p_hi), r)
+                block = np.cumsum(r) - r
+                offs = np.arange(m) - np.repeat(block, r)
+                right = left + 1 + offs
+                a, b = ids[left], ids[right]
+                swap = a > b
+                lo = np.where(swap, b, a)
+                hi = np.where(swap, a, b)
+                na = np.where(swap, ns[right], ns[left])
+                nb = np.where(swap, ns[left], ns[right])
+                mask = lo < hi  # duplicate-id rows: drop the (x, x) pairs
+                if not mask.all():
+                    lo, hi, na, nb = lo[mask], hi[mask], na[mask], nb[mask]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(lo), pa.array(hi), pa.array(na),
+                     pa.array(nb)],
+                    names=["id_a", "id_b", "__na", "__nb"],
+                )
+            g_lo = g_hi
+
+    out_schema = StructType([
+        StructField("id_a", id_type),
+        StructField("id_b", id_type),
+        StructField("jaccard", DoubleType()),
+    ])
+
+    def _merge_pairs(batches):
+        a_l, b_l, na_l, nb_l = [], [], [], []
+        for b in batches:
+            a_l.append(b.column(0).to_numpy(zero_copy_only=False))
+            b_l.append(b.column(1).to_numpy(zero_copy_only=False))
+            na_l.append(b.column(2).to_numpy(zero_copy_only=False))
+            nb_l.append(b.column(3).to_numpy(zero_copy_only=False))
+        if not a_l:
+            return
+        a = np.concatenate(a_l)
+        if a.size == 0:
+            return
+        b = np.concatenate(b_l)
+        na = np.concatenate(na_l)
+        nb = np.concatenate(nb_l)
+        perm = np.lexsort((b, a))
+        a, b, na, nb = a[perm], b[perm], na[perm], nb[perm]
+        head = np.empty(a.size, dtype=bool)
+        head[0] = True
+        np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=head[1:])
+        first = np.flatnonzero(head)
+        c = np.diff(np.append(first, a.size))  # rows per pair = |A∩B|
+        a, b, na, nb = a[first], b[first], na[first], nb[first]
+        jac = c / (na.astype(np.int64) + nb.astype(np.int64) - c)
+        mask = jac >= thresh
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(a[mask]), pa.array(b[mask]),
+             pa.array(jac[mask])],
+            names=["id_a", "id_b", "jaccard"],
+        )
+
+    cooc = postings.mapInArrow(_gen_pairs, pair_schema)
+    out = cooc.repartition(F.col("id_a"), F.col("id_b")).mapInArrow(
+        _merge_pairs, out_schema
+    )
+    if materialize:
+        out = out.localCheckpoint(eager=True)  # tiny: thresholded pairs
+    return out
+
+
 # -- exact substring (repeated k-token window) dedup -------------------------
 #
 # Lee et al., "Deduplicating Training Data Makes Language Models
@@ -1487,25 +1843,15 @@ def _raw_tokens(text: Column) -> Column:
 def window_hash_positions(text: Column, k: int) -> Column:
     """Per-start-position chained 64-bit hashes of every k-token
     window of ``_raw_tokens(text)`` — array index i (0-based via
-    posexplode) is the hash of tokens[i .. i+k-1].  Same
-    zip_with-over-shifted-arrays chain combine as
-    ``word_shingle_hashes`` (equal windows <=> equal token tuples <=>
-    equal chained hashes modulo 64-bit collisions), but positional:
-    no distinct, no short-text fallback — texts with fewer than k
-    tokens have no windows and yield the empty array.  Cost is
-    O(k * n_tokens) hashes per row, map-side only."""
+    posexplode) is the hash of tokens[i .. i+k-1].  Same chain combine
+    as ``word_shingle_hashes`` (equal windows <=> equal token tuples
+    <=> equal chained hashes modulo 64-bit collisions) and the same
+    vectorized-Arrow chain execution, but positional: no distinct, no
+    short-text fallback — texts with fewer than k tokens have no
+    windows and yield the empty array.  Cost is O(k * n_tokens) hash
+    steps per row, map-side only."""
     toks = _raw_tokens(text)
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def shifted(arr: Column, j: int) -> Column:
-        return F.slice(arr, j + 1, F.greatest(F.size(arr) - j, F.lit(0)))
-
-    combined = th
-    for j in range(1, k):
-        combined = F.zip_with(
-            combined, shifted(th, j), lambda p, c: F.xxhash64(p, c)
-        )
-    return F.slice(combined, 1, F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    return _window_chain_udf(k)(_token_hashes(toks))
 
 
 def _covered_positions(
@@ -1519,25 +1865,28 @@ def _covered_positions(
 
     Shape at scale: the posexplode emits (id, start, hash64) only —
     text never leaves the row.  The multiplicity count is ONE exchange
-    on the window hash with map-side partial aggregation (the hot
-    hashes are exactly the duplicated ones, so combiners absorb them);
-    the join back re-shuffles the same ids-and-longs frame.  Token
-    coverage explodes k rows per duplicated window START — k * (number
-    of duplicated windows), proportional to the dup mass, not the
-    corpus."""
+    on the window hash with ``count() OVER (PARTITION BY hash)`` — the
+    window-hash pipeline evaluates ONCE and the count needs no join
+    back (the earlier groupBy+broadcast-join form re-computed the
+    whole window-hash explode for the probe side: measured 38 s → 21 s
+    at sf1.0).  Token coverage explodes k rows per duplicated window
+    START — k * (number of duplicated windows), proportional to the
+    dup mass, not the corpus."""
+    from pyspark.sql.window import Window
+
     win = df.select(
         F.col(id_col),
         F.posexplode(window_hash_positions(F.col(text_col), k)).alias(
             "__start", "__wh"
         ),
     )
-    dup = (
-        win.groupBy("__wh")
-        .agg(F.count(F.lit(1)).alias("__occ"))
+    starts = (
+        win.withColumn(
+            "__occ", F.count(F.lit(1)).over(Window.partitionBy("__wh"))
+        )
         .where(F.col("__occ") > max_occurrences)
-        .select("__wh")
+        .select(id_col, "__start")
     )
-    starts = win.join(dup, "__wh").select(id_col, "__start")
     return starts.select(
         F.col(id_col),
         F.explode(
