@@ -135,36 +135,67 @@ def winnow_fingerprints(text: Column, k: int = 8, window: int = 4) -> Column:
     from pyspark.sql.functions import pandas_udf
 
     weights = np.array([31 ** (k - 1 - j) for j in range(k)], dtype=np.int64)
-
-    def one(text_val) -> list:
-        if text_val is None:
-            return []
-        # Java \s is ASCII-only; python \s is unicode-aware — use the
-        # explicit class so normalization matches the JVM operators
-        s = _re.sub(r"[ \t\n\x0b\f\r]+", " ", text_val).strip(" ").lower()
-        if not s:
-            return []
-        codes = np.frombuffer(
-            s.encode("utf-32-le"), dtype=np.uint32
-        ).astype(np.int64)
-        n = codes.shape[0]
-        if n < k:
-            h = 0
-            for c in codes.tolist():
-                h = h * 31 + c
-            return [h]
-        grams = np.zeros(n - k + 1, dtype=np.int64)
-        for j in range(k):
-            grams += codes[j:n - k + 1 + j] * weights[j]
-        if grams.shape[0] < window:
-            return [int(grams.min())]
-        mins = np.lib.stride_tricks.sliding_window_view(
-            grams, window
-        ).min(axis=1)
-        return sorted(set(mins.tolist()))
+    norm_ws = _re.compile(r"[ \t\n\x0b\f\r]+")
 
     def _winnow(texts):
-        return texts.map(one)
+        # batch-vectorized: normalize per row (C regex — Java \s is
+        # ASCII-only, hence the explicit class), then concatenate every
+        # row's codepoints with a separator and run the gram polynomial
+        # + sliding-window min ONCE over the whole batch; positions
+        # whose gram/window would cross a row boundary are discarded by
+        # the per-row slice, so per-row results are exactly the
+        # one-row-at-a-time computation's (the per-row form paid ~15
+        # small numpy calls per document — call overhead, not math)
+        n_rows = len(texts)
+        out = [None] * n_rows
+        norms = []
+        lens = np.zeros(n_rows, dtype=np.int64)
+        empty: list = []
+        for i in range(n_rows):
+            t = texts.iloc[i]
+            if t is None:
+                out[i] = empty
+                continue
+            s = norm_ws.sub(" ", t).strip(" ").lower()
+            if not s:
+                out[i] = empty
+                continue
+            norms.append(s)
+            lens[i] = len(s)
+        if not norms:
+            return pd.Series(out, dtype="object")
+        codes = np.frombuffer(
+            "\n".join(norms).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        n = codes.shape[0]
+        n_grams = max(n - k + 1, 0)
+        grams = np.zeros(n_grams, dtype=np.int64)
+        for j in range(k):
+            grams += codes[j:n_grams + j] * weights[j]
+        if n_grams >= window:
+            mins = np.lib.stride_tricks.sliding_window_view(
+                grams, window
+            ).min(axis=1)
+        else:
+            mins = grams[:0]
+        o = 0
+        for i in range(n_rows):
+            L = lens[i]
+            if L == 0:
+                continue
+            if L < k:
+                h = 0
+                for c in codes[o:o + L].tolist():
+                    h = h * 31 + c
+                out[i] = [h]
+            else:
+                ng = L - k + 1
+                if ng < window:
+                    out[i] = [int(grams[o:o + ng].min())]
+                else:
+                    out[i] = np.unique(mins[o:o + ng - window + 1])
+            o += L + 1  # +1: the '\n' separator
+        return pd.Series(out, dtype="object")
 
     # `from __future__ import annotations` stringifies hints module-wide
     # and pyspark's typehint resolver rejects the strings — attach the
@@ -875,6 +906,33 @@ def _bigram_strings(text: Column) -> Column:
     return F.slice(pairs, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
 
 
+def _hashed_bigram_keys(text: Column) -> Column:
+    """All bigram occurrences as chained 64-bit keys —
+    xxhash64(xxhash64(w1) chained with xxhash64(w2)) via the
+    vectorized window-hash core (k=2), aligned with ``_bigram_strings``
+    occurrence-for-occurrence.  Only for ``hash_keys=True`` models:
+    bigram strings are never built."""
+    from jepl_spark.operators.dedup import _token_hashes, _window_chain_udf
+
+    return _window_chain_udf(2)(_token_hashes(_tokens(F.lower(text))))
+
+
+def _hashed_bigram_ukey_pairs(text: Column) -> Column:
+    """Per-bigram-occurrence (key, ukey) structs for the hashed score
+    path: key as in ``_hashed_bigram_keys``, ukey = xxhash64(w1) —
+    the first-word token hash, matching the train side's
+    ``xxhash64(w)`` unigram keys exactly."""
+    from jepl_spark.operators.dedup import _token_hashes, _window_chain_udf
+
+    th = _token_hashes(_tokens(F.lower(text)))
+    keys = _window_chain_udf(2)(th)
+    w1 = F.slice(th, 1, F.greatest(F.size(th) - 1, F.lit(0)))
+    return F.zip_with(
+        keys, w1,
+        lambda k, u: F.struct(k.alias("key"), u.alias("ukey")),
+    )
+
+
 class BigramLM:
     """A trained count-based bigram model: ``table`` rows (key, c2) =
     (bigram, bigram count) and ``uni`` rows (ukey, c1) = (word,
@@ -925,14 +983,30 @@ def lm_train(
         .persist()
     )
     vocab_size = uni.count()  # also materializes the persisted counts
-    big = (
-        df.select(F.explode(_bigram_strings(F.col(text_col))).alias("bg"))
-        .groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("c2"))
-    )
+    if hash_keys:
+        # string-free bigram keys: hash each token once (JVM), chain
+        # consecutive token hashes with the vectorized xxhash64 twin —
+        # no 'w1 w2' strings are built or shuffled, and the count
+        # groupBy moves 8-byte keys.  The key function differs from
+        # the string form's xxhash64('w1 w2') but is applied
+        # identically on the train and score sides, so the join
+        # semantics (equal bigram ⇔ equal key, modulo 64-bit
+        # collisions) are unchanged.
+        big = (
+            df.select(F.explode(_hashed_bigram_keys(F.col(text_col)))
+                      .alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("c2"))
+        )
+    else:
+        big = (
+            df.select(F.explode(_bigram_strings(F.col(text_col))).alias("bg"))
+            .groupBy("bg")
+            .agg(F.count(F.lit(1)).alias("c2"))
+        )
     if min_count > 1:
         big = big.where(F.col("c2") >= min_count)
-    key = F.xxhash64("bg") if hash_keys else F.col("bg")
+    key = F.col("key") if hash_keys else F.col("bg")
     ukey = F.xxhash64("w") if hash_keys else F.col("w")
     return BigramLM(
         big.select(key.alias("key"), "c2"),
@@ -961,16 +1035,30 @@ def lm_score(
     and broadcasts) — then one (id) exchange for the per-doc average;
     rounded to 6 decimals so the result is stable under distributed
     summation order and replayable in SQL."""
-    bg = _bigram_strings(F.col(text_col))
-    doc_big = df.select(
-        F.col(id_col),
-        F.explode(bg).alias("__bg"),
-    ).withColumn("__w1", F.substring_index(F.col("__bg"), " ", 1))
-    doc_big = doc_big.select(
-        id_col,
-        (F.xxhash64("__bg") if lm.hashed else F.col("__bg")).alias("key"),
-        (F.xxhash64("__w1") if lm.hashed else F.col("__w1")).alias("ukey"),
-    )
+    if lm.hashed:
+        # string-free keys, mirroring the hashed train side (see
+        # lm_train): no bigram strings, no per-occurrence string
+        # hashing or substring_index re-extraction
+        doc_big = df.select(
+            F.col(id_col),
+            F.explode(_hashed_bigram_ukey_pairs(F.col(text_col)))
+            .alias("__kb"),
+        ).select(
+            id_col,
+            F.col("__kb.key").alias("key"),
+            F.col("__kb.ukey").alias("ukey"),
+        )
+    else:
+        bg = _bigram_strings(F.col(text_col))
+        doc_big = df.select(
+            F.col(id_col),
+            F.explode(bg).alias("__bg"),
+        ).withColumn("__w1", F.substring_index(F.col("__bg"), " ", 1))
+        doc_big = doc_big.select(
+            id_col,
+            F.col("__bg").alias("key"),
+            F.col("__w1").alias("ukey"),
+        )
     j = doc_big.join(lm.table, "key", "left").join(
         F.broadcast(lm.uni), "ukey", "left"
     )
