@@ -119,14 +119,16 @@ def _banded_cross_candidates(
     def capped(banded: DataFrame) -> DataFrame:
         if max_bucket is None:
             return banded
-        sizes = banded.groupBy("__band", "__key").agg(
-            F.count(F.lit(1)).alias("__bucket_n")
+        from pyspark.sql.window import Window
+
+        return (
+            banded.withColumn(
+                "__bucket_n",
+                F.count(F.lit(1)).over(Window.partitionBy("__band", "__key")),
+            )
+            .where(F.col("__bucket_n") <= max_bucket)
+            .drop("__bucket_n")
         )
-        return banded.join(
-            sizes.filter(F.col("__bucket_n") <= max_bucket),
-            on=["__band", "__key"],
-            how="inner",
-        ).drop("__bucket_n")
 
     n = capped(new_banded).select(
         "__band", "__key", F.col("__id").alias("__id_new")
@@ -579,14 +581,19 @@ def banded_candidate_pairs(
       when each id provably emits one band, e.g. single-table LSH).
 
     Returns (id_a, id_b) with id_a < id_b."""
+    from pyspark.sql.window import Window
+
     if max_bucket is not None:
-        sizes = banded.groupBy("__band", "__key").agg(
-            F.count(F.lit(1)).alias("__bucket_n")
-        )
-        banded = banded.join(
-            sizes.filter(F.col("__bucket_n") <= max_bucket),
-            on=["__band", "__key"],
-            how="inner",
+        # bucket sizes via count() OVER (PARTITION BY band, key): one
+        # exchange, no groupBy+join back, and the window's partitioning
+        # is exactly the self-join key so the join below reuses it
+        banded = (
+            banded.withColumn(
+                "__bucket_n",
+                F.count(F.lit(1)).over(Window.partitionBy("__band", "__key")),
+            )
+            .where(F.col("__bucket_n") <= max_bucket)
+            .drop("__bucket_n")
         )
     a = banded.select("__band", "__key", F.col("__id").alias("id_a"))
     b = banded.select("__band", "__key", F.col("__id").alias("id_b"))
@@ -710,6 +717,108 @@ def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def _minhash_doc_udf(shingle_n: int, num_hashes: int, bands: int):
+    """Fused per-document minhash pass: (token_hashes, fallback) →
+    struct(sig array<long>, bands array<long>) in ONE Arrow crossing —
+    shingle chain + distinct + signature + band keys share a single
+    vectorized stage (the split form paid two Python crossings plus
+    JVM band-key STRING building: 16 bands × 4 long→string casts +
+    concat per doc).  Band keys chain the slice values + band index
+    through the numpy xxhash64 twin; equal slices ⇔ equal keys, the
+    only property banding uses (the key VALUES are internal to the
+    self-join and never reach operator output)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rows = num_hashes // bands
+    a_co, b_co = _minhash_coeffs(num_hashes)
+    A = np.array(a_co, dtype=np.uint64)
+    B = np.array(b_co, dtype=np.uint64)
+    P = np.uint64(_MH_PRIME)
+
+    def _f(th_s, fb_s):
+        n_rows = len(th_s)
+        lens = np.empty(n_rows, dtype=np.int64)
+        pieces = []
+        for i in range(n_rows):
+            a = th_s.iloc[i]
+            if a is None:
+                lens[i] = -1
+                continue
+            aa = np.asarray(a, dtype=np.int64)
+            lens[i] = aa.size
+            if aa.size >= shingle_n:
+                pieces.append(aa)
+        fb = fb_s.to_numpy()
+        # per-doc distinct shingle hashes (short docs: the fallback
+        # single hash), concatenated for the signature pass
+        sh_pieces = []
+        sh_lens = np.zeros(n_rows, dtype=np.int64)
+        C = None
+        if pieces:
+            C = _np_chain(
+                np.ascontiguousarray(np.concatenate(pieces)).view(
+                    np.uint64),
+                shingle_n,
+            ).view(np.int64)
+        o = 0
+        for i in range(n_rows):
+            L = lens[i]
+            if L < 0:
+                continue
+            if L < shingle_n:
+                sh_pieces.append(np.array([fb[i]], dtype=np.int64))
+                sh_lens[i] = 1
+                continue
+            seg = C[o:o + L - (shingle_n - 1)]
+            o += L
+            _, idx = np.unique(seg, return_index=True)
+            u = seg[np.sort(idx)]
+            sh_pieces.append(u)
+            sh_lens[i] = u.size
+        sig_rows = None
+        band_rows = None
+        if sh_pieces:
+            H = np.ascontiguousarray(np.concatenate(sh_pieces)).view(
+                np.uint64)
+            base = ((H >> np.uint64(32)) ^ (H & np.uint64(0xFFFFFFFF))) % P
+            pos = sh_lens[sh_lens > 0]
+            starts = np.cumsum(pos) - pos
+            sig_rows = np.empty((len(pos), num_hashes), dtype=np.int64)
+            for s_i in range(num_hashes):
+                m = (A[s_i] * base + B[s_i]) % P
+                sig_rows[:, s_i] = np.minimum.reduceat(m, starts).view(
+                    np.int64)
+            # band keys: xxhash64(slice values…, band) per the Spark
+            # multi-arg chained-seed form, vectorized across docs
+            sig_u = sig_rows.view(np.uint64)
+            band_rows = np.empty((len(pos), bands), dtype=np.int64)
+            with np.errstate(over="ignore"):
+                for b_i in range(bands):
+                    acc = np.full(len(pos), 42, dtype=np.uint64)
+                    for j in range(rows):
+                        acc = _np_hash_long(sig_u[:, b_i * rows + j], acc)
+                    acc = _np_hash_long(
+                        np.uint64(b_i) * np.ones(1, dtype=np.uint64), acc
+                    )
+                    band_rows[:, b_i] = acc.view(np.int64)
+        out_sig = [None] * n_rows
+        out_band = [None] * n_rows
+        seg_i = 0
+        for i in range(n_rows):
+            if lens[i] < 0:
+                continue
+            out_sig[i] = sig_rows[seg_i]
+            out_band[i] = band_rows[seg_i]
+            seg_i += 1
+        return pd.DataFrame({"sig": out_sig, "bands": out_band})
+
+    _f.__annotations__ = {"th_s": pd.Series, "fb_s": pd.Series,
+                          "return": pd.DataFrame}
+    return pandas_udf(_f, "struct<sig:array<long>,bands:array<long>>")
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -746,11 +855,16 @@ def minhash_candidates(
     # eagerly materialized below, then base.unpersist() runs — no cache
     # entry outlives the call (round-1 leak squatted on storage memory
     # through the next bench query).
+    toks = _norm_tokens(F.col(text_col))
     base = df.select(
         F.col(id_col).alias("__id"),
-        minhash_signature_from_hashes(
-            word_shingle_hashes(F.col(text_col), shingle_n), num_hashes
-        ).alias("__sig"),
+        _minhash_doc_udf(shingle_n, num_hashes, bands)(
+            _token_hashes(toks), F.xxhash64(F.concat_ws(" ", toks))
+        ).alias("__sb"),
+    ).select(
+        "__id",
+        F.col("__sb.sig").alias("__sig"),
+        F.col("__sb.bands").alias("__bands"),
     )
     if materialize:
         base = base.persist()
@@ -759,9 +873,7 @@ def minhash_candidates(
     # it re-attaches to the (tiny) candidate pair set at the end
     banded = base.select(
         "__id",
-        F.posexplode(minhash_bands(F.col("__sig"), bands, rows)).alias(
-            "__band", "__key"
-        ),
+        F.posexplode(F.col("__bands")).alias("__band", "__key"),
     )
     pairs = banded_candidate_pairs(banded, max_band_bucket)
     sig_a = base.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a"))
@@ -1674,6 +1786,30 @@ def _ngram_jaccard_pairs_arrow(
     cap = int(max_shingle_df)
     thresh = float(min_jaccard)
 
+    # Replicated-index path (guide §3.1/§8: broadcast the small side,
+    # never shuffle the heavy intermediate): when the CORPUS is small
+    # enough — by the optimizer's own plan-size estimate — the per-doc
+    # shingle table collects to ~8 bytes/shingle, broadcasts once, and
+    # every task computes COMPLETE pair counts for its hash-slice of
+    # smaller-endpoint ids, emitting only the ≥ min_jaccard survivors.
+    # The co-occurrence stream (114M distinct pairs at sf1.0 — 90%
+    # sharing exactly one shingle) then never crosses an exchange or
+    # the Arrow boundary at all: measured 46 s (exchange path) → 13 s.
+    # The estimate is one-sided safe: unknown/large stats fall back to
+    # the exchange path below, which streams any corpus size.
+    try:
+        sz = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        est_bytes = int(sz if isinstance(sz, int) else sz.toString())
+    except Exception:
+        est_bytes = 1 << 62
+    if materialize and est_bytes <= _NGRAM_BROADCAST_MAX_BYTES:
+        # (materialize=False keeps the lazy exchange plan: the
+        # replicated path collects the index at call time, which the
+        # side-effect-free plan-audit contract forbids)
+        return _ngram_jaccard_pairs_replicated(
+            df, text_col, id_col, shingle_n, thresh, cap, id_type,
+        )
+
     postings = df.select(
         F.col(id_col).alias("__id"),
         word_shingle_hashes(F.col(text_col), shingle_n).alias("__sh"),
@@ -1814,6 +1950,210 @@ def _ngram_jaccard_pairs_arrow(
     )
     if materialize:
         out = out.localCheckpoint(eager=True)  # tiny: thresholded pairs
+    return out
+
+
+#: Plan-stats ceiling for the replicated-index ngram path: above this
+#: estimated input size the operator keeps the streaming exchange
+#: shape (a replicated index must fit every executor; 256 MB of input
+#: text ⇒ roughly 50M postings ≈ 600 MB of index per worker at the
+#: extreme — the safe upper edge for a 100+ GB box, and far below
+#: what the exchange path handles).
+_NGRAM_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def _ngram_jaccard_pairs_replicated(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    thresh: float,
+    cap: int,
+    id_type,
+) -> DataFrame:
+    """Small-corpus fast path of :func:`ngram_jaccard_pairs`: one
+    Arrow collect of the per-doc ``(id, set_size, shingle_hashes)``
+    table (8 bytes/shingle), one broadcast, and P independent tasks
+    each owning the hash-slice ``H(id_a) % P`` of smaller-endpoint
+    ids.  Groups are sorted by (shingle, id), so the smaller endpoint
+    of every pair is the generation-time LEFT element — every
+    co-occurrence of a pair is generated in exactly its owner's task,
+    making local counts complete and the jaccard threshold applicable
+    before anything leaves the task.  Math (df cap incl. null-id
+    postings, null/equal-id pair exclusion, IEEE double jaccard) is
+    identical to the exchange path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    import os as _os
+    import time as _time
+    _dbg = _os.environ.get("JEPL_NGRAM_DEBUG") == "1"
+    _t0 = _time.time()
+    spark = df.sparkSession
+    per_doc = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingle_hashes(F.col(text_col), shingle_n).alias("__sh"),
+    )
+    tbl = per_doc.toArrow().combine_chunks()
+    if _dbg:
+        print(f"[ngram] collect {_time.time()-_t0:.2f}s", flush=True)
+        _t0 = _time.time()
+    idc = (tbl.column("__id").chunk(0)
+           if tbl.column("__id").num_chunks
+           else pa.array([], type=tbl.schema.field("__id").type))
+    shc = (tbl.column("__sh").chunk(0)
+           if tbl.column("__sh").num_chunks
+           else pa.array([], type=tbl.schema.field("__sh").type))
+    ok_doc = idc.is_valid().to_numpy(zero_copy_only=False)
+    ids_doc = pa.compute.fill_null(idc, 0).to_numpy(zero_copy_only=False)
+    # null shingle arrays (null text) contribute no postings: flatten()
+    # skips null entries' ranges, and their lengths fill as 0
+    flat = shc.flatten().to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False)
+    lens_doc = pa.compute.fill_null(
+        pa.compute.list_value_length(shc), 0
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    # ---- driver-side index prep (the broadcast-relation build, like
+    # any BroadcastExchange): sort docs by id so doc INDEX order == id
+    # order (pairs pack into one int64 key per co-occurrence), sort
+    # postings by (shingle, doc index), apply the df cap / singleton
+    # drop ONCE, and pre-tag every posting with its owner slice.
+    # Tasks then do only their slice's pair generation + one
+    # single-key sort — the per-task redundant group machinery of a
+    # naive replicated join measured 3× this whole operator.
+    order = np.argsort(ids_doc, kind="stable")
+    ids_d = ids_doc[order]
+    ok_d = ok_doc[order]
+    lens_d = lens_doc[order]
+    # each original posting follows its doc to the doc's id-sorted
+    # position (argsort of a permutation is its inverse)
+    if order.size:
+        inv = np.argsort(order, kind="stable")
+        doc_of = inv[np.repeat(np.arange(order.size), lens_doc)]
+    else:
+        doc_of = np.empty(0, dtype=np.int64)
+    if flat.size:
+        perm = np.lexsort((doc_of, flat))
+        sh_s, doc_s = flat[perm], doc_of[perm]
+        new_grp = np.empty(sh_s.size, dtype=bool)
+        new_grp[0] = True
+        np.not_equal(sh_s[1:], sh_s[:-1], out=new_grp[1:])
+        grp = np.cumsum(new_grp) - 1
+        d_total = np.bincount(grp)
+        keep = ok_d[doc_s] & (d_total[grp] <= cap)
+        doc_s, grp = doc_s[keep], grp[keep]
+        d = np.bincount(grp) if doc_s.size else np.empty(0, np.int64)
+        keep2 = d[grp] >= 2 if doc_s.size else np.empty(0, bool)
+        doc_s, grp = doc_s[keep2], grp[keep2]
+    else:
+        doc_s = np.empty(0, dtype=np.int64)
+    n_docs = ids_d.size
+    if doc_s.size:
+        d = np.bincount(grp)
+        d = d[d >= 2]
+        starts = (np.cumsum(d) - d).astype(np.int32)
+        grp_run = np.repeat(np.arange(d.size, dtype=np.int64), d)
+        grp_end = (starts + d.astype(np.int32))[grp_run]
+        doc_s32 = doc_s.astype(np.int32)
+        # doc-CSR over the group-sorted postings: positions of each
+        # doc's postings, so a task can walk its owned docs and gather
+        # each posting's group REMAINDER (the rights) as small slices
+        pos_by_doc = np.argsort(doc_s32, kind="stable").astype(np.int32)
+        doc_counts = np.bincount(doc_s32, minlength=n_docs)
+        doc_offs = np.concatenate(
+            ([0], np.cumsum(doc_counts))
+        ).astype(np.int64)
+    else:
+        grp_end = np.empty(0, dtype=np.int32)
+        doc_s32 = np.empty(0, dtype=np.int32)
+        pos_by_doc = np.empty(0, dtype=np.int32)
+        doc_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    K = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        owner_doc = (
+            (ids_d.astype(np.int64).view(np.uint64) * K) >> np.uint64(33)
+        ) % np.uint64(n_parts)
+    owner_doc = owner_doc.astype(np.int32)
+    if _dbg:
+        print(f"[ngram] prep {_time.time()-_t0:.2f}s", flush=True)
+        _t0 = _time.time()
+    bc = spark.sparkContext.broadcast(
+        (ids_d, lens_d, doc_s32, grp_end, pos_by_doc, doc_offs,
+         owner_doc)
+    )
+    if _dbg:
+        print(f"[ngram] broadcast {_time.time()-_t0:.2f}s", flush=True)
+        _t0 = _time.time()
+
+    out_schema = StructType([
+        StructField("id_a", id_type),
+        StructField("id_b", id_type),
+        StructField("jaccard", DoubleType()),
+    ])
+
+    def _slice_pairs(batches):
+        my = set()
+        for b in batches:
+            my.update(b.column(0).to_numpy(zero_copy_only=False).tolist())
+        if not my:
+            return
+        (ids_dv, lens_dv, doc_sv, grp_endv, pos_docv, doc_offv,
+         owner_v) = bc.value
+        if doc_sv.size == 0:
+            return
+        my_arr = np.fromiter((int(x) for x in my), dtype=np.int32)
+        out_a, out_b, out_j = [], [], []
+        # per owned doc: gather each of its postings' group remainder
+        # (doc indices ABOVE it — ids ascend with index, so these are
+        # exactly its larger-id partners), sort the small union, and
+        # run-length count = the exact per-pair intersection.  Sorts
+        # stay L1/L2-resident, so this path is compute- not
+        # bandwidth-bound (the big-array formulation collapsed 5-25×
+        # under 32-way memory contention on this box).
+        for a in np.flatnonzero(np.isin(owner_v, my_arr)):
+            lo, hi = doc_offv[a], doc_offv[a + 1]
+            if hi == lo:
+                continue
+            ps = pos_docv[lo:hi]
+            parts = [doc_sv[p + 1:grp_endv[p]] for p in ps]
+            rights = np.concatenate(parts) if len(parts) > 1 else parts[0]
+            if rights.size == 0:
+                continue
+            rights = np.sort(rights)
+            head = np.empty(rights.size, dtype=bool)
+            head[0] = True
+            np.not_equal(rights[1:], rights[:-1], out=head[1:])
+            first = np.flatnonzero(head)
+            c = np.diff(np.append(first, rights.size))
+            b_idx = rights[first]
+            a_id = ids_dv[a]
+            b_ids = ids_dv[b_idx]
+            jac = c / (lens_dv[a] + lens_dv[b_idx] - c)
+            sel = (jac >= thresh) & (a_id < b_ids)  # drop dup-id (x,x)
+            if sel.any():
+                k = int(sel.sum())
+                out_a.append(np.full(k, a_id, dtype=ids_dv.dtype))
+                out_b.append(b_ids[sel])
+                out_j.append(jac[sel])
+        if not out_a:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(np.concatenate(out_a)),
+             pa.array(np.concatenate(out_b)),
+             pa.array(np.concatenate(out_j))],
+            names=["id_a", "id_b", "jaccard"],
+        )
+
+    out = spark.range(0, n_parts, 1, n_parts).mapInArrow(
+        _slice_pairs, out_schema
+    ).localCheckpoint(eager=True)  # tiny: thresholded pairs
+    if _dbg:
+        print(f"[ngram] slices {_time.time()-_t0:.2f}s", flush=True)
+    bc.unpersist()  # checkpoint is eager — no task reads it again
     return out
 
 
