@@ -1019,7 +1019,12 @@ def near_dup_components(
                 ),
                 "component",
             ).select("id", F.col("__cc").alias("component"))
-        jumped = jumped.localCheckpoint(eager=True)
+        # LAZY checkpoint: the label-sum action right below is the
+        # frame's only consumer until it is materialized, so fusing
+        # materialization into that job saves one full job round-trip
+        # per iteration (eager + sum paid two); later consumers (the
+        # next round's joins) read the already-materialized blocks.
+        jumped = jumped.localCheckpoint(eager=False)
         # convergence via an exact label-sum: labels are MONOTONE
         # NON-INCREASING, so the sum is constant iff no label moved —
         # one aggregation over the checkpointed frame instead of a
