@@ -240,7 +240,7 @@ def dedup_against(
             return sigs.select(
                 F.col(id_col).alias("__id"),
                 F.posexplode(
-                    minhash_bands(F.col(sig_col), bands, rows)
+                    _minhash_bands_udf(bands, rows)(F.col(sig_col))
                 ).alias("__band", "__key"),
             )
 
@@ -715,6 +715,49 @@ def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
             for b in range(bands)
         ]
     )
+
+
+def _minhash_bands_udf(bands: int, rows: int):
+    """pandas UDF: signature array<long> → band keys array<long> via
+    the numpy xxhash64 twin chained over each r-slice + band index —
+    the numeric form of ``minhash_bands`` (equal slices ⇔ equal keys,
+    the only property banding uses; 16 long→string casts + concat per
+    doc removed).  Used by ``dedup_against`` where signatures come
+    from a pre-built snapshot and must band at query time."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _f(sig_s):
+        n_rows = len(sig_s)
+        out = [None] * n_rows
+        mat = np.empty((n_rows, bands * rows), dtype=np.int64)
+        live = np.zeros(n_rows, dtype=bool)
+        for i in range(n_rows):
+            s = sig_s.iloc[i]
+            if s is None:
+                continue
+            mat[i] = np.asarray(s, dtype=np.int64)
+            live[i] = True
+        idx = np.flatnonzero(live)
+        if idx.size:
+            sig_u = mat[idx].view(np.uint64)
+            keys = np.empty((idx.size, bands), dtype=np.int64)
+            with np.errstate(over="ignore"):
+                for b_i in range(bands):
+                    acc = np.full(idx.size, 42, dtype=np.uint64)
+                    for j in range(rows):
+                        acc = _np_hash_long(sig_u[:, b_i * rows + j], acc)
+                    acc = _np_hash_long(
+                        np.uint64(b_i) * np.ones(1, dtype=np.uint64), acc
+                    )
+                    keys[:, b_i] = acc.view(np.int64)
+            for k, i in enumerate(idx):
+                out[i] = keys[k]
+        return pd.Series(out, dtype="object")
+
+    _f.__annotations__ = {"sig_s": pd.Series, "return": pd.Series}
+    return pandas_udf(_f, "array<long>")
 
 
 def _minhash_doc_udf(shingle_n: int, num_hashes: int, bands: int):
