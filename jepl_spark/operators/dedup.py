@@ -1022,6 +1022,17 @@ def near_dup_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Small-graph fast path: near-dup pair graphs are typically tiny
+    # vs the corpus (thresholded pairs).  The edge set is already
+    # materialized by the checkpoint above, so counting it is a
+    # block-read; under the threshold the whole graph collects
+    # (~16 B/edge), broadcasts, and ONE executor task runs in-memory
+    # pointer jumping to the exact same min-label fixpoint — the
+    # distributed loop's ~5 rounds of multi-stage joins (measured
+    # ~1.1 s/round of pure scheduling at 200k edges) collapse to one
+    # job.  Larger graphs keep the iterative ids-only rounds below.
+    if edges.count() <= _COMPONENTS_LOCAL_MAX_EDGES:
+        return _components_local(edges)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -1084,6 +1095,75 @@ def near_dup_components(
         f"component diameter exceeds 2^{max_rounds}, which should be "
         f"impossible; refusing to return a partial clustering"
     )
+
+
+#: Edge-count ceiling for the local connected-components path: 5M
+#: bidirectional edges ≈ 80 MB of index per executor and well under a
+#: second of in-memory label propagation — far past any realistic
+#: near-dup pair graph, while billion-edge graphs keep the iterative
+#: distributed rounds.
+_COMPONENTS_LOCAL_MAX_EDGES = 5_000_000
+
+
+def _components_local(edges: DataFrame) -> DataFrame:
+    """Exact min-label connected components of a SMALL (already
+    counted) bidirectional edge frame, computed by vectorized pointer
+    jumping inside one executor task: codes = ids sorted ascending
+    (so min code ⇔ min id), then rounds of
+    ``label ← min(label, min over incident edges of neighbor label)``
+    followed by ``label ← label[label]`` until the fixpoint — the
+    same monotone fixpoint as the distributed loop, so the output
+    labeling is identical."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = edges.sparkSession
+    tbl = edges.toArrow().combine_chunks()
+    if tbl.num_rows == 0:
+        return spark.createDataFrame(
+            [], "id long, component long"
+        )
+    src = tbl.column("src").to_numpy(zero_copy_only=False)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+    bc = spark.sparkContext.broadcast((src, dst))
+
+    out_schema = StructType([
+        StructField("id", LongType()),
+        StructField("component", LongType()),
+    ])
+
+    def _solve(batches):
+        seen = False
+        for _b in batches:
+            seen = True
+        if not seen:
+            return
+        s, d = bc.value
+        ids = np.unique(np.concatenate([s, d]))  # ascending ⇒ id order
+        u = np.searchsorted(ids, s)
+        v = np.searchsorted(ids, d)
+        lbl = np.arange(ids.size, dtype=np.int64)
+        while True:
+            prev = lbl.copy()
+            nbr = lbl.copy()
+            np.minimum.at(nbr, u, lbl[v])
+            lbl = np.minimum(lbl, nbr)
+            lbl = lbl[lbl]
+            lbl = lbl[lbl]
+            if np.array_equal(lbl, prev):
+                break
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids), pa.array(ids[lbl])],
+            names=["id", "component"],
+        )
+
+    out = spark.range(0, 1, 1, 1).mapInArrow(
+        _solve, out_schema
+    ).localCheckpoint(eager=True)
+    bc.unpersist()
+    return out
 
 
 def _components_remapped(

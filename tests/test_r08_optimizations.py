@@ -222,6 +222,29 @@ def test_fused_minhash_doc_pass_matches_signature_pipeline(spark):
     assert f == p
 
 
+def test_components_local_path_matches_iterative(spark):
+    random.seed(9)
+    n = 400
+    edges = [(random.randrange(n), random.randrange(n))
+             for _ in range(500)] + [(7, 7)]  # self-loop dropped
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = sorted(tuple(r) for r in D.near_dup_components(df).collect())
+    old = D._COMPONENTS_LOCAL_MAX_EDGES
+    try:
+        D._COMPONENTS_LOCAL_MAX_EDGES = -1  # force the iterative rounds
+        slow = sorted(tuple(r) for r in
+                      D.near_dup_components(df).collect())
+    finally:
+        D._COMPONENTS_LOCAL_MAX_EDGES = old
+    assert fast == slow
+    # contract: component == smallest reachable id
+    comp = dict(fast)
+    for a, b in edges:
+        if a != b:
+            assert comp[a] == comp[b]
+            assert comp[a] <= min(a, b)
+
+
 def test_lm_hashed_path_matches_string_path(spark):
     texts = ["the cat sat on the mat", "the dog sat on the log",
              "one", "", None, "the cat sat on the mat again"]
