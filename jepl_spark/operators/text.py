@@ -943,13 +943,25 @@ class BigramLM:
     c(w1)=0 denominator, INFLATING them above legitimate rare text).
     Produced by ``lm_train``; consumed by ``lm_score``."""
 
-    def __init__(self, table: DataFrame, uni: DataFrame, vocab_size: int,
-                 alpha: float, hashed: bool) -> None:
+    def __init__(self, table: DataFrame, uni: DataFrame,
+                 vocab_size: int | None, alpha: float, hashed: bool) -> None:
         self.table = table
         self.uni = uni
-        self.vocab_size = int(vocab_size)
+        self._vocab_size = None if vocab_size is None else int(vocab_size)
         self.alpha = float(alpha)
         self.hashed = hashed
+
+    @property
+    def vocab_size(self) -> int:
+        """Distinct-word count, lazily materialized from the persisted
+        unigram table on first use: the string score path needs it as
+        a literal at plan-build time (the count job runs then), while
+        the replicated hashed path derives it from the collected
+        unigram array's length instead — same value, one fewer
+        corpus-scan job."""
+        if self._vocab_size is None:
+            self._vocab_size = self.uni.count()
+        return self._vocab_size
 
 
 def lm_train(
@@ -982,7 +994,10 @@ def lm_train(
         .agg(F.count(F.lit(1)).alias("c1"))
         .persist()
     )
-    vocab_size = uni.count()  # also materializes the persisted counts
+    # vocab_size (= uni.count()) is deferred to BigramLM's lazy
+    # property: the count job runs when the string score path builds
+    # its plan, and not at all for the replicated hashed path (which
+    # reads the same value off its collected unigram array)
     if hash_keys:
         # string-free bigram keys: hash each token once (JVM), chain
         # consecutive token hashes with the vectorized xxhash64 twin —
@@ -1011,7 +1026,126 @@ def lm_train(
     return BigramLM(
         big.select(key.alias("key"), "c2"),
         uni.select(ukey.alias("ukey"), "c1"),
-        vocab_size, alpha, hash_keys,
+        None, alpha, hash_keys,
+    )
+
+
+#: Plan-stats ceiling for the replicated-model score path: above this
+#: input estimate the exploded join keeps the streaming scale shape (a
+#: replicated model must fit the driver and every executor; ~64 MB of
+#: text bounds the Heaps-law bigram table to low-hundreds-of-MB of
+#: sorted int64 key/count arrays).  One-sided safe: unknown or large
+#: plan stats fall back to the join path, which streams any size.
+_LM_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _lm_score_replicated(
+    df: DataFrame, lm: BigramLM, text_col: str, id_col: str
+) -> DataFrame:
+    """Score against a COLLECTED hashed model (guide §3.1/§8 —
+    broadcast the small side, never shuffle the heavy intermediate):
+    the bigram/unigram count tables collect to sorted int64 key/count
+    arrays, broadcast once, and each task scores its documents in one
+    Arrow pass — bigram keys from the same vectorized xxhash64 chain
+    as the train side, counts via binary search, per-doc (n, Σlogp)
+    partials out.  The per-occurrence (key, ukey) explode, its
+    3M-row shuffle join, and the distinct+join-back for zero-bigram
+    docs all disappear; only the id-array projection crosses the Arrow
+    boundary and only two 8-byte columns come back.  The final
+    ``groupBy(id)`` over per-row partials keeps duplicate-id semantics
+    identical to the join path (occurrences aggregate across a doc's
+    rows) at the cost of one exchange of (id, long, double) rows.
+    Output parity: n_bigrams is the same occurrence count; avg_logp
+    sums the same smoothed logp terms, rounded to 6 decimals exactly
+    as the join path (whose own summation order is shuffle-dependent —
+    round(6) is the declared stability contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from jepl_spark.operators.dedup import _np_chain, _token_hashes
+
+    tb = lm.table.toArrow()
+    keys = tb.column("key").to_numpy().astype(np.int64, copy=False)
+    c2 = tb.column("c2").to_numpy().astype(np.float64, copy=False)
+    order = np.argsort(keys)
+    keys, c2 = np.ascontiguousarray(keys[order]), np.ascontiguousarray(
+        c2[order])
+    tu = lm.uni.toArrow()
+    ukeys = tu.column("ukey").to_numpy().astype(np.int64, copy=False)
+    c1 = tu.column("c1").to_numpy().astype(np.float64, copy=False)
+    order = np.argsort(ukeys)
+    ukeys, c1 = np.ascontiguousarray(ukeys[order]), np.ascontiguousarray(
+        c1[order])
+    alpha = float(lm.alpha)
+    # one entry per uni row, so len(ukeys) == uni.count() == vocab_size
+    # exactly — no separate count job
+    a_v = float(lm.alpha * ukeys.size)
+    model_bc = df.sparkSession.sparkContext.broadcast(
+        (keys, c2, ukeys, c1))
+
+    def _score(th_s):
+        n_rows = len(th_s)
+        lens = np.empty(n_rows, dtype=np.int64)
+        pieces = []
+        for i in range(n_rows):
+            a = th_s.iloc[i]
+            if a is None:
+                lens[i] = 0
+                continue
+            aa = np.asarray(a, dtype=np.int64)
+            lens[i] = aa.size
+            if aa.size >= 2:
+                pieces.append(aa)
+        n_out = np.zeros(n_rows, dtype=np.int64)
+        s_out = np.zeros(n_rows, dtype=np.float64)
+        if pieces:
+            bkeys, bc2, bukeys, bc1 = model_bc.value
+            H = np.ascontiguousarray(np.concatenate(pieces))
+            C = _np_chain(H.view(np.uint64), 2).view(np.int64)
+            # per-position smoothed logp over the concatenated array;
+            # the last position of each row (whose chain crossed into
+            # the next row) is discarded by the per-row slice below,
+            # exactly as _window_chain_udf does
+            if bkeys.size:
+                idx = np.searchsorted(bkeys, C)
+                idx[idx == bkeys.size] = 0
+                num = np.where(bkeys[idx] == C, bc2[idx], 0.0) + alpha
+            else:  # min_count pruned every bigram: all-unseen
+                num = np.full(C.size, alpha)
+            if bukeys.size:
+                uidx = np.searchsorted(bukeys, H)
+                uidx[uidx == bukeys.size] = 0
+                den = np.where(bukeys[uidx] == H, bc1[uidx], 0.0) + a_v
+            else:
+                den = np.full(H.size, a_v)
+            logp = np.log(num / den)
+            o = 0
+            for i in range(n_rows):
+                length = lens[i]
+                if length < 2:
+                    continue
+                n_out[i] = length - 1
+                s_out[i] = logp[o:o + length - 1].sum()
+                o += length
+        return pd.DataFrame({"n": n_out, "s": s_out})
+
+    _score.__annotations__ = {"th_s": pd.Series, "return": pd.DataFrame}
+    score_udf = pandas_udf(_score, "struct<n:bigint,s:double>")
+
+    th = _token_hashes(_tokens(F.lower(F.col(text_col))))
+    partial = df.select(
+        F.col(id_col), score_udf(th).alias("__ns")
+    ).select(id_col, F.col("__ns.n").alias("__n"),
+             F.col("__ns.s").alias("__s"))
+    agg = partial.groupBy(id_col).agg(
+        F.sum("__n").alias("n_bigrams"), F.sum("__s").alias("__s"))
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        F.when(F.col("n_bigrams") > 0,
+               F.round(F.col("__s") / F.col("n_bigrams"), 6))
+        .alias("avg_logp"),
     )
 
 
@@ -1036,6 +1170,19 @@ def lm_score(
     rounded to 6 decimals so the result is stable under distributed
     summation order and replayable in SQL."""
     if lm.hashed:
+        # replicated-model path (hashed models only — the string/SQL
+        # path keeps its historical plan): when the optimizer's own
+        # estimate says the corpus is small enough that its Heaps-law
+        # bigram table replicates safely, score locally per task
+        # instead of shuffling the exploded occurrence stream
+        try:
+            sz = (df._jdf.queryExecution().optimizedPlan().stats()
+                  .sizeInBytes())
+            est_bytes = int(sz if isinstance(sz, int) else sz.toString())
+        except Exception:
+            est_bytes = 1 << 62
+        if est_bytes <= _LM_BROADCAST_MAX_BYTES:
+            return _lm_score_replicated(df, lm, text_col, id_col)
         # string-free keys, mirroring the hashed train side (see
         # lm_train): no bigram strings, no per-occurrence string
         # hashing or substring_index re-extraction

@@ -257,3 +257,28 @@ def test_lm_hashed_path_matches_string_path(spark):
     rs = {r.doc_id: (r.n_bigrams, r.avg_logp)
           for r in T.lm_score(df, lm_s).collect()}
     assert rh == rs
+
+
+def test_lm_replicated_path_matches_join_path(spark):
+    """The size-guarded replicated score path (collect + broadcast the
+    hashed model, binary-search lookups in one Arrow pass) must equal
+    the exploded shuffle-join formulation row-for-row — including
+    zero-bigram docs (null/empty/one-token), a duplicated doc_id
+    (occurrences aggregate across the doc's rows in both paths), and
+    min_count pruning of the whole bigram table."""
+    rows = [(1, "hello world hello"), (2, None), (3, ""), (4, "single"),
+            (5, "a b c a b"), (5, "x y"), (6, "the cat sat the cat"),
+            (7, "a a a a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for kwargs in ({}, {"min_count": 10}, {"alpha": 2.0}):
+        lm = T.lm_train(df, hash_keys=True, **kwargs)
+        rep = {(r.doc_id, r.n_bigrams, r.avg_logp)
+               for r in T.lm_score(df, lm).collect()}
+        old = T._LM_BROADCAST_MAX_BYTES
+        try:
+            T._LM_BROADCAST_MAX_BYTES = -1  # force the join path
+            join = {(r.doc_id, r.n_bigrams, r.avg_logp)
+                    for r in T.lm_score(df, lm).collect()}
+        finally:
+            T._LM_BROADCAST_MAX_BYTES = old
+        assert rep == join, kwargs
