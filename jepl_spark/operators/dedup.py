@@ -143,6 +143,112 @@ def _banded_cross_candidates(
     )
 
 
+#: Plan-stats ceiling for the replicated minhash dedup_against probe:
+#: the snapshot's (num_hashes·8 B)-per-row signature matrix must fit
+#: the driver and every executor.  One-sided safe — unknown or large
+#: estimates keep the banded-join path, which streams any size.
+_AGAINST_BROADCAST_MAX_BYTES = 128 * 1024 * 1024
+
+
+def _minhash_against_losers_replicated(
+    new_sigs: DataFrame,
+    old_sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int,
+    rows: int,
+    cap: int | None,
+    threshold: float,
+    num_hashes: int,
+) -> DataFrame:
+    """Delta-vs-snapshot loser ids computed LOCALLY (guide §3.1/§8 —
+    never shuffle what fits in memory; same recipe as
+    near_dup_components' local path): both signature tables collect
+    once (the size gate bounds them), band keys come from the shared
+    ``_np_band_key_matrix``, per-side hot-bucket caps apply to EXACT
+    global counts (run lengths over each band's sorted keys — a
+    distributed pass could not see these without an extra
+    aggregation), candidates via binary search of the snapshot's
+    per-band postings, and the same matches/num_hashes ≥ threshold
+    test runs vectorized over each doc's candidate rows.  The banded
+    explode of both sides, the two hot-bucket window shuffles, the
+    (band, key) join, both signature re-attach joins, and the pair
+    distinct — five exchanges — are replaced by two collect jobs and
+    an in-driver probe of the ~8·num_hashes-bytes/doc matrices.
+    Semantics are pinned to the join path: candidates share ≥ 1
+    (band, key) surviving the per-side cap, a doc loses if ANY
+    candidate qualifies, and null-signature rows on either side drop
+    exactly as posexplode drops them (flatten() skips null lists)."""
+    import numpy as np
+
+    from pyspark.sql.types import StructType
+
+    def collect_side(sigs: DataFrame, with_ids: bool):
+        cols = [id_col, sig_col] if with_ids else [sig_col]
+        tbl = sigs.select(*cols).toArrow()
+        col = tbl.column(sig_col).combine_chunks()
+        flat = col.flatten().to_numpy().astype(np.int64, copy=False)
+        mat = flat.reshape(-1, num_hashes)
+        ids = None
+        if with_ids:
+            ids = tbl.column(id_col).to_pylist()
+            if col.null_count:
+                live = ~np.asarray(col.is_null())
+                ids = [v for v, ok in zip(ids, live) if ok]
+        keys = (_np_band_key_matrix(
+            np.ascontiguousarray(mat).view(np.uint64), bands, rows)
+            if mat.shape[0] else np.empty((0, bands), dtype=np.int64))
+        return mat, keys, ids
+
+    old_mat, old_keys, _ = collect_side(old_sigs, with_ids=False)
+    new_mat, new_keys, new_ids = collect_side(new_sigs, with_ids=True)
+    thr = float(threshold)
+    nh = float(num_hashes)
+
+    def capped_runs(sk):
+        """keep-mask over a band's SORTED keys: bucket size ≤ cap."""
+        if cap is None or not sk.size:
+            return np.ones(sk.size, dtype=bool)
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        counts = np.diff(np.r_[starts, sk.size])
+        return np.repeat(counts <= cap, counts)
+
+    n_new = new_mat.shape[0]
+    cand_per_doc: list = [[] for _ in range(n_new)]
+    if n_new and old_mat.shape[0]:
+        for b in range(bands):
+            order = np.argsort(old_keys[:, b], kind="stable")
+            sk = old_keys[order, b]
+            keep = capped_runs(sk)
+            sk, order = sk[keep], order[keep]
+            q = new_keys[:, b]
+            # delta-side cap: exact global bucket counts of THIS band
+            qorder = np.argsort(q, kind="stable")
+            qkeep = np.empty(n_new, dtype=bool)
+            qkeep[qorder] = capped_runs(q[qorder])
+            lo = np.searchsorted(sk, q, "left")
+            hi = np.searchsorted(sk, q, "right")
+            for i in np.flatnonzero(qkeep & (lo < hi)):
+                cand_per_doc[i].append(order[lo[i]:hi[i]])
+    loser_ids = []
+    seen: set = set()
+    for i in range(n_new):
+        if not cand_per_doc[i]:
+            continue
+        cand = np.unique(np.concatenate(cand_per_doc[i]))
+        matches = (old_mat[cand] == new_mat[i]).sum(axis=1)
+        if np.any(matches / nh >= thr):
+            v = new_ids[i]
+            if v not in seen:  # the join path's distinct
+                seen.add(v)
+                loser_ids.append((v,))
+
+    spark = new_sigs.sparkSession
+    return spark.createDataFrame(
+        loser_ids, schema=StructType([new_sigs.schema[id_col]])
+    )
+
+
 def dedup_against(
     df: DataFrame,
     existing: DataFrame,
@@ -301,22 +407,44 @@ def dedup_against(
         old_sigs = build_sigs(existing, etc).persist()
     new_sigs = build_sigs(df, text_col).persist()
 
-    cands = _banded_cross_candidates(
-        band_of(new_sigs), band_of(old_sigs), cap
-    )
-    sa = new_sigs.select(
-        F.col(id_col).alias("__id_new"), F.col(sig_col).alias("__sa")
-    )
-    sb = old_sigs.select(
-        F.col(id_col).alias("__id_old"), F.col(sig_col).alias("__sb")
-    )
-    losers = (
-        cands.join(sa, "__id_new").join(sb, "__id_old")
-        .filter(qualifies(F.col("__sa"), F.col("__sb")))
-        .select(F.col("__id_new").alias(id_col))
-        .distinct()
-        .localCheckpoint(eager=True)  # ids only, ≤ |delta| rows
-    )
+    losers = None
+    if policy == "minhash":
+        # local probe when the optimizer's own estimates say BOTH
+        # signature matrices fit the driver (the pre-hashed side
+        # table's scan stats are its file size; a raw-corpus side
+        # built through the Arrow UDF has no usable stats and keeps
+        # the streaming banded join; the delta side is bounded by its
+        # source-scan estimate)
+        def _est(frame: DataFrame) -> int:
+            try:
+                sz = (frame._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+                return int(sz if isinstance(sz, int) else sz.toString())
+            except Exception:
+                return 1 << 62
+        if (_est(old_sigs) <= _AGAINST_BROADCAST_MAX_BYTES
+                and _est(df) <= _AGAINST_BROADCAST_MAX_BYTES):
+            losers = _minhash_against_losers_replicated(
+                new_sigs, old_sigs, id_col, sig_col, bands, rows, cap,
+                threshold, num_hashes,
+            )
+    if losers is None:
+        cands = _banded_cross_candidates(
+            band_of(new_sigs), band_of(old_sigs), cap
+        )
+        sa = new_sigs.select(
+            F.col(id_col).alias("__id_new"), F.col(sig_col).alias("__sa")
+        )
+        sb = old_sigs.select(
+            F.col(id_col).alias("__id_old"), F.col(sig_col).alias("__sb")
+        )
+        losers = (
+            cands.join(sa, "__id_new").join(sb, "__id_old")
+            .filter(qualifies(F.col("__sa"), F.col("__sb")))
+            .select(F.col("__id_new").alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)  # ids only, ≤ |delta| rows
+        )
     new_sigs.unpersist()
     if not old_is_table:
         old_sigs.unpersist()
@@ -717,6 +845,27 @@ def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def _np_band_key_matrix(sig_u, bands: int, rows: int):
+    """(n, bands·rows) uint64 signature matrix → (n, bands) int64 band
+    keys: the numpy xxhash64 twin chained over each r-slice + band
+    index.  The one band-key computation shared by the banding UDF and
+    the replicated dedup_against probe (equal slices ⇔ equal keys, the
+    only property banding uses)."""
+    import numpy as np
+
+    keys = np.empty((sig_u.shape[0], bands), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for b_i in range(bands):
+            acc = np.full(sig_u.shape[0], 42, dtype=np.uint64)
+            for j in range(rows):
+                acc = _np_hash_long(sig_u[:, b_i * rows + j], acc)
+            acc = _np_hash_long(
+                np.uint64(b_i) * np.ones(1, dtype=np.uint64), acc
+            )
+            keys[:, b_i] = acc.view(np.int64)
+    return keys
+
+
 def _minhash_bands_udf(bands: int, rows: int):
     """pandas UDF: signature array<long> → band keys array<long> via
     the numpy xxhash64 twin chained over each r-slice + band index —
@@ -741,17 +890,8 @@ def _minhash_bands_udf(bands: int, rows: int):
             live[i] = True
         idx = np.flatnonzero(live)
         if idx.size:
-            sig_u = mat[idx].view(np.uint64)
-            keys = np.empty((idx.size, bands), dtype=np.int64)
-            with np.errstate(over="ignore"):
-                for b_i in range(bands):
-                    acc = np.full(idx.size, 42, dtype=np.uint64)
-                    for j in range(rows):
-                        acc = _np_hash_long(sig_u[:, b_i * rows + j], acc)
-                    acc = _np_hash_long(
-                        np.uint64(b_i) * np.ones(1, dtype=np.uint64), acc
-                    )
-                    keys[:, b_i] = acc.view(np.int64)
+            keys = _np_band_key_matrix(mat[idx].view(np.uint64),
+                                       bands, rows)
             for k, i in enumerate(idx):
                 out[i] = keys[k]
         return pd.Series(out, dtype="object")

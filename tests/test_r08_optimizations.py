@@ -282,3 +282,43 @@ def test_lm_replicated_path_matches_join_path(spark):
         finally:
             T._LM_BROADCAST_MAX_BYTES = old
         assert rep == join, kwargs
+
+
+def test_dedup_against_replicated_matches_join_path(spark):
+    """The replicated minhash dedup_against probe (collect + broadcast
+    the snapshot signature matrix, binary-search band postings) must
+    drop exactly the docs the banded-join formulation drops — across
+    thresholds, with the hot-bucket cap forced low enough to fire on
+    both sides, with the cap disabled, and with near-dup / exact-dup /
+    unrelated / null / empty / short delta docs."""
+    base = [
+        (i, " ".join(f"w{(i * 7 + k) % 23}" for k in range(30)))
+        for i in range(40)
+    ]
+    # shared boilerplate block → hot buckets at tiny caps
+    base += [(100 + i, "common block of words here " + f"tail{i}")
+             for i in range(12)]
+    snap_df = spark.createDataFrame(base, "doc_id long, text string")
+    snap = D.minhash_signature_table(snap_df)
+    delta = spark.createDataFrame(
+        [(200, base[3][1]),                      # exact dup
+         (201, base[5][1].replace("w12", "zz")), # near dup
+         (202, "totally different content phrase nothing shared"),
+         (203, None), (204, ""), (205, "tiny"),
+         (206, "common block of words here tail3"),
+         (206, base[7][1])],                     # duplicate delta id
+        "doc_id long, text string")
+    for kwargs in ({}, {"threshold": 0.5}, {"max_band_bucket": 2},
+                   {"max_band_bucket": None}):
+        rep = sorted((r.doc_id, r.text) for r in
+                     D.dedup_against(delta, snap, policy="minhash",
+                                     **kwargs).collect())
+        old = D._AGAINST_BROADCAST_MAX_BYTES
+        try:
+            D._AGAINST_BROADCAST_MAX_BYTES = -1  # force the join path
+            join = sorted((r.doc_id, r.text) for r in
+                          D.dedup_against(delta, snap, policy="minhash",
+                                          **kwargs).collect())
+        finally:
+            D._AGAINST_BROADCAST_MAX_BYTES = old
+        assert rep == join, kwargs
