@@ -622,6 +622,13 @@ def top_tokens(
     return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
 
 
+#: Hot-line count above which strip_boilerplate_lines keeps its
+#: streaming join-back shape: the local path's literal-array
+#: membership scan is O(|hot|) PER LINE, so it only wins while the
+#: stripped set is the expected handful of nav/footer strings.
+_BOILERPLATE_LOCAL_MAX_LINES = 64
+
+
 def strip_boilerplate_lines(
     df: DataFrame,
     max_df: int = 1,
@@ -666,6 +673,35 @@ def strip_boilerplate_lines(
         .agg(F.count(F.lit(1)).alias("__df"))
         .where(F.col("__df") > max_df)
     )
+    # The hot set is the FILTERED aggregate — boilerplate lines only,
+    # normally a handful of nav/footer strings.  When it is small
+    # enough to hold (probed with a bounded collect, exact either
+    # way), stripping becomes a pure per-row projection: re-split the
+    # text and drop lines whose trimmed form is in the collected set —
+    # the line join-back, the per-doc ordered reassembly exchange, and
+    # the final doc join all disappear from the plan.  A short line
+    # can never equal a hot key (dfreq only counts keys of length ≥
+    # min_line_chars), so the projection needs no length guard, same
+    # as the join path's null-marker check.  A pathological corpus
+    # with more hot lines than the probe bound falls back to the
+    # streaming join shape below (the aggregation recomputes — only
+    # ever paid in that pathological case).
+    hot_rows = dfreq.select("__key").limit(
+        _BOILERPLATE_LOCAL_MAX_LINES + 1).collect()
+    if len(hot_rows) <= _BOILERPLATE_LOCAL_MAX_LINES:
+        if not hot_rows:
+            # nothing to strip: split+rejoin on '\n' is the identity
+            rebuilt_txt = F.col(text_col)
+        else:
+            hot = F.lit([r[0] for r in hot_rows])
+            rebuilt_txt = F.concat_ws("\n", F.filter(
+                F.split(F.col(text_col), "\n"),
+                lambda ln: ~F.array_contains(hot, F.trim(ln)),
+            ))
+        clean = F.when(
+            F.col(text_col).isNull(), F.lit(None).cast("string")
+        ).otherwise(rebuilt_txt)
+        return df.withColumn(out_col, clean)
     # short lines can never appear in dfreq (it only counts countable
     # keys), so a plain null-check on the join marker suffices
     kept = lines.join(

@@ -322,3 +322,27 @@ def test_dedup_against_replicated_matches_join_path(spark):
         finally:
             D._AGAINST_BROADCAST_MAX_BYTES = old
         assert rep == join, kwargs
+
+
+def test_boilerplate_local_path_matches_join_path(spark):
+    """strip_boilerplate_lines' collected-hot-set projection must
+    rebuild exactly what the join-back + ordered-reassembly shape
+    rebuilds — within-doc duplicate lines, whitespace-padded matches,
+    blank separators, NULL/empty docs, min_line_chars screening, a
+    custom out_col, and the nothing-to-strip identity case."""
+    rows = [(1, "keep\nSPAM\nkeep2"), (2, "SPAM\nSPAM\nother"),
+            (3, None), (4, ""), (5, "\n\n"), (6, "  SPAM  \nx"),
+            (7, "a\nSPAM"), (8, "z\nSPAM"), (9, "  \nq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for kwargs in ({"max_df": 2}, {"max_df": 2, "min_line_chars": 5},
+                   {"max_df": 2, "out_col": "clean"}, {"max_df": 100}):
+        loc = sorted(tuple(r) for r in
+                     T.strip_boilerplate_lines(df, **kwargs).collect())
+        old = T._BOILERPLATE_LOCAL_MAX_LINES
+        try:
+            T._BOILERPLATE_LOCAL_MAX_LINES = -1  # force the join path
+            join = sorted(tuple(r) for r in
+                          T.strip_boilerplate_lines(df, **kwargs).collect())
+        finally:
+            T._BOILERPLATE_LOCAL_MAX_LINES = old
+        assert loc == join, kwargs
